@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect) — the honest end-to-end cost of each plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wnv_etl_lab2_spark import get_spark
+from wnv_etl_lab2_spark import queries as q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the heaviest representative of each operator family.
+HEADLINE = [
+    "pricing_summary",            # wide agg scan
+    "multiway_join_topk_revenue", # 3-way join + agg + top-k
+    "groupby_agg",                # plain group-by
+    "window_topk_per_group",      # ranking window
+    "sessionize_events",          # window + agg on events
+    "tumbling_window_batch",      # time bucketing
+    "spray_targets",              # flagship spatial slice
+    "spatial_buffer_erase",       # grid-bucketed distance anti-join
+    "dedup_exact",                # hash dedup
+    "ngram_jaccard_pairs",        # exact near-dup (inverted index)
+    "dedup_minhash_lsh",          # MinHash LSH near-dup
+    "ann_topk_bruteforce",        # exact vector top-k
+    "embedding_neardup_pairs",    # blocked cosine pairs
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="wnv-etl-lab2-bench", cpus=CPUS, shuffle_partitions=CPUS)
+    q._ensure_loaded()
+
+    # warm the JVM/codegen paths so per-query numbers measure the plan,
+    # not first-call class loading
+    q.REGISTRY["row_count"].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Dedup operators: MinHash-LSH recall vs exact ground truth, SimHash
+properties — the checks the SQL oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
+    """LSH candidates + exact verify must find every pair the exact
+    all-pairs Jaccard query finds (100% recall on this corpus)."""
+    _ensure_loaded()
+    mh = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).toPandas()
+    ex = REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir).toPandas()
+    assert set(zip(mh.doc_a, mh.doc_b)) == set(zip(ex.doc_a, ex.doc_b))
+    assert len(mh) > 0
+
+
+def test_minhash_signatures_deterministic(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    a = minhash_signatures(docs).orderBy("doc_id").toPandas()
+    b = minhash_signatures(docs).orderBy("doc_id").toPandas()
+    assert a.equals(b)
+    assert all(c in a.columns for c in ["mh_0", "mh_31"])
+
+
+def test_minhash_identical_docs_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w q r s")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df).orderBy("doc_id").collect()
+    s1 = [sig[0][f"mh_{i}"] for i in range(32)]
+    s2 = [sig[1][f"mh_{i}"] for i in range(32)]
+    s3 = [sig[2][f"mh_{i}"] for i in range(32)]
+    assert s1 == s2
+    assert s1 != s3
+
+
+def test_minhash_pairs_on_synthetic_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this sentence about spark engines"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, threshold=0.4).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    base = "spark query engine with columnar execution and vectorized reads " * 4
+    near = base.replace("vectorized", "batched")
+    far = "zebra umbrella quantum pickle radish onion twelve fourteen " * 4
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sig = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in simhash_signatures(df).collect()}
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) & 0xFFFFFFFF).count("1") + bin((a[1] ^ b[1]) & 0xFFFFFFFF).count("1")
+
+    assert hamming(sig[1], sig[2]) < hamming(sig[1], sig[3])
+    # one substituted (repeated) token flips a handful of bits; an
+    # unrelated doc flips ~32 on average
+    assert hamming(sig[1], sig[2]) <= 16
+    assert hamming(sig[1], sig[3]) >= 20
+
+
+def test_simhash_near_pairs_finds_planted_dup(spark):
+    base = "spark query engine with columnar execution and vectorized reads " * 4
+    near = base.replace("reads ", "reads! ", 1)
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    pairs = simhash_near_pairs(df, max_hamming=8).collect()
+    assert any((r.doc_a, r.doc_b) == (1, 2) for r in pairs)
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .orderBy("keeper")
+        .collect()
+    )
+    assert [(r.keeper, r.n) for r in out] == [(1, 2), (3, 1)]

@@ -1,0 +1,43 @@
+"""The t2 gate, locally: every SQL-expressible registry query must
+match its DuckDB oracle exactly (count + schema + values)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_harness import compare, run_oracle
+from wnv_etl_lab2_spark import queries as q
+
+SPECS = None
+
+
+def _specs():
+    global SPECS
+    if SPECS is None:
+        q._ensure_loaded()
+        SPECS = dict(q.REGISTRY)
+    return SPECS
+
+
+def oracle_names():
+    return [name for name, spec in _specs().items() if spec.oracle]
+
+
+@pytest.mark.parametrize("name", oracle_names())
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = _specs()[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = run_oracle(spec.oracle, sf_dir)
+    assert len(spark_pdf) > 0, f"{name}: empty result — degenerate query"
+    compare(spark_pdf, oracle_pdf, name)
+
+
+def test_rows_only_queries_nonempty_and_deterministic(spark, sf_dir):
+    for name, spec in _specs().items():
+        if spec.oracle:
+            continue
+        a = spec.fn(spark, sf_dir).toPandas()
+        b = spec.fn(spark, sf_dir).toPandas()
+        assert len(a) > 0, f"{name}: empty result"
+        assert list(a.columns) == list(b.columns), f"{name}: unstable schema"
+        assert len(a) == len(b), f"{name}: nondeterministic row count"

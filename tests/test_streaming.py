@@ -1,0 +1,69 @@
+"""Structured Streaming: the streaming plans must agree with their
+batch twins when the whole file is replayed through the stream."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.streaming.events import (
+    read_events_stream,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture()
+def events_path(spark, sf_dir, tmp_path):
+    """Streaming file source needs micros timestamps — re-stage the
+    events table (the raw file is TIMESTAMP(NANOS), see catalog)."""
+    out = str(tmp_path / "events_stream")
+    load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _run_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_path):
+    stream = read_events_stream(spark, events_path)
+    result = _run_to_memory(
+        spark, tumbling_counts(stream, "1 hour", "2 hours"), "t_tumbling", "append"
+    ).toPandas()
+
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    # append mode emits only windows closed by the final watermark —
+    # every emitted window must match the batch result exactly.
+    assert len(result) > 0
+    merged = result.merge(
+        batch, on=["window_start", "event_type"], suffixes=("_s", "_b"), how="left"
+    )
+    assert merged["n_events_b"].notna().all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_path):
+    stream = read_events_stream(spark, events_path)
+    doubled = stream.union(stream)  # replay everything twice
+    result = _run_to_memory(
+        spark, streaming_dedup(doubled, "2 hours"), "t_dedup", "append"
+    )
+    n = result.count()
+    distinct_ids = result.select("event_id").distinct().count()
+    assert n == distinct_ids > 0

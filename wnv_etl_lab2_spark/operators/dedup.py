@@ -1,0 +1,224 @@
+"""Near-duplicate detection operators (BASELINE.json north star).
+
+All built from DataFrame primitives with the same scale shape:
+*bucket (cheap, approximate) -> equi-join on bucket -> exact verify* —
+never a document-document cross join. Hashing is xxhash64 (JVM-side,
+deterministic across runs/partitionings), so every operator is
+reproducible and oracle-checkable.
+
+- exact_dedup: hash-groupBy (also exposed as the `dedup_exact` query).
+- minhash_lsh_pairs: word-shingle MinHash signatures, banded LSH
+  candidate join, exact-Jaccard verification.
+- simhash_signatures: 64-bit SimHash per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic affine hash params (a*h31 + b mod p) in 31-bit space:
+# a < 2^30 and h31 < 2^31 keep a*h31 + b < 2^62, so the arithmetic
+# never overflows a Java long even under ANSI mode. Constants come
+# from a fixed LCG (seed 42) — NOT runtime-random, so results are
+# reproducible across runs and partitionings.
+_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _lcg_constants(n: int, seed: int = 42) -> list[int]:
+    state = seed
+    out = []
+    while len(out) < n:
+        state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 64) - 1)
+        v = (state >> 33) & ((1 << 30) - 1)
+        if v > 1:
+            out.append(v)
+    return out
+
+
+_A = _lcg_constants(32, seed=42)
+_B = _lcg_constants(32, seed=4242)
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Distinct word n-gram shingle array (built-in expressions only)."""
+    assert n == 3, "shingle width fixed at 3 for expression simplicity"
+    w = f"split({text_col}, ' ')"
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({w}) - 3), "
+        f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per document: explode shingles, one xxhash64
+    per shingle, ``num_hashes`` affine re-hashes, min per doc.
+
+    Scale: the shuffle key is the doc id and the payload is one long
+    per hash function — document text never shuffles. Map-side partial
+    min keeps the shuffle tiny.
+    """
+    assert num_hashes <= len(_A)
+    ex = (
+        docs.withColumn("_words", F.split(F.col(text_col), " "))
+        .where(F.size("_words") >= 3)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(_words) - 3), "
+                        "i -> _words[i] || ' ' || _words[i+1] || ' ' || _words[i+2])"
+                    )
+                )
+            ).alias("_shingle"),
+        )
+        .withColumn("_h", F.pmod(F.xxhash64("_shingle"), F.lit(1 << 31)))
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
+    ]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact-Jaccard verify.
+
+    rows-per-band r = num_hashes // bands; candidate probability for a
+    pair at Jaccard j is 1-(1-j^r)^bands (r=2, b=16: j=0.5 -> 0.99).
+    Candidates are found by equi-joining on (band_id, band_signature)
+    — at 100 TB this is the only pairwise-dedup join that scales; the
+    final exact verify touches only candidate pairs.
+
+    Returns (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh_{band * r + i}") for i in range(r)])).alias(
+            f"band_{band}"
+        )
+        for band in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    # unpivot to (doc, band_id, band_sig): one row per band
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    buckets = banded.select(
+        id_col, F.expr(f"stack({bands}, {stack_expr}) AS (band_id, band_sig)")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on the candidate pairs only
+    sh = docs.select(F.col(id_col), word_shingles(text_col).alias("_sh")).where(
+        F.size("_sh") >= 1
+    )
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b")), "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("_union", F.size("sh_a") + F.size("sh_b") - F.col("_inter"))
+        .withColumn("jaccard", F.col("_inter") * 1.0 / F.col("_union"))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Per token one xxhash64; bit j of the signature is set iff the sum
+    of (+1/-1) contributions of bit j across tokens is positive. The
+    per-bit sums are 64 long aggregates — all codegen, one shuffle on
+    the doc id. Signature returned as two 32-bit halves (hi, lo) to
+    avoid signed-64 overflow in the bit-assembly expression.
+    """
+    toks = (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+        .where(F.col("_tok") != "")
+        .withColumn("_h", F.xxhash64("_tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(_h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    hi = sum_bits_expr(32, 64)
+    lo = sum_bits_expr(0, 32)
+    return sums.select(
+        id_col,
+        F.expr(hi).cast("long").alias("simhash_hi"),
+        F.expr(lo).cast("long").alias("simhash_lo"),
+    )
+
+
+def sum_bits_expr(lo_bit: int, hi_bit: int) -> str:
+    """SQL expression assembling bits [lo_bit, hi_bit) into a long."""
+    terms = [
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << (j - lo_bit)} AS BIGINT) ELSE 0 END)"
+        for j in range(lo_bit, hi_bit)
+    ]
+    return " + ".join(terms)
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4x16-bit
+    chunks (a pair within hamming distance 3 must agree exactly on at
+    least one chunk — pigeonhole), equi-join per chunk, verify the true
+    hamming distance with bit_count."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunks = sig.select(
+        id_col,
+        "simhash_hi",
+        "simhash_lo",
+        F.expr(
+            "stack(4, 0, pmod(simhash_lo, 65536), 1, pmod(simhash_lo div 65536, 65536), "
+            "2, pmod(simhash_hi, 65536), 3, pmod(simhash_hi div 65536, 65536)) AS (chunk_id, chunk)"
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (
+                F.expr("bit_count(a.simhash_hi ^ b.simhash_hi)")
+                + F.expr("bit_count(a.simhash_lo ^ b.simhash_lo)")
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

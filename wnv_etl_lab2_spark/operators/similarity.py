@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+Two paths with the same output contract (query -> top-k neighbors):
+
+- brute_force_topk: exact cosine against every row. The baseline; at
+  100 TB it's still a single scan + TakeOrdered (no shuffle of the
+  vectors), fine for one-off queries but linear per query.
+- lsh_ann_topk: random-hyperplane LSH — deterministic seeded planes,
+  sign-bit bucket id, candidates = same-bucket rows (multi-probe via
+  several independent tables), exact cosine re-rank of candidates
+  only. The scale path: the bucket id is an equi-join/groupBy key.
+
+Vector math happens in JVM higher-order functions after casting the
+float32 arrays to double, so Spark-side results are bit-stable and
+comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col) -> "F.Column":
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine_to_query(vec_col, query_vec: list[float]) -> "F.Column":
+    """Cosine similarity of an array<double> column against a constant
+    query vector (folded into the plan as a literal array)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    dot = F.aggregate(
+        F.zip_with(vec_col if not isinstance(vec_col, str) else F.col(vec_col), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nv = F.sqrt(F.aggregate(vec_col if not isinstance(vec_col, str) else F.col(vec_col), F.lit(0.0), lambda a, v: a + v * v))
+    nq = math.sqrt(sum(v * v for v in query_vec))
+    return dot / (nv * F.lit(nq))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine. TakeOrdered plan: per-partition heap,
+    driver merges k rows — no global sort, no vector shuffle."""
+    v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+    sim = v.select(id_col, F.round(cosine_to_query(F.col("_e"), query_vec), 6).alias("cos_sim"))
+    return sim.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes via a tiny
+    LCG (no numpy dependency in the plan; constants are baked into the
+    expression tree)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append((state / 0x40000000) - 1.0)  # uniform-ish in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(vec_col, dim: int, n_planes: int = 12, seed: int = 42) -> "F.Column":
+    """Sign-bit bucket id: bit i = (v . plane_i) > 0. Returns an int
+    bucket in [0, 2^n_planes)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(F.zip_with(c, p, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: filter to rows sharing the query's LSH bucket
+    (plus all buckets at hamming distance 1 — multi-probe), exact
+    cosine re-rank of the candidates.
+
+    At 100 TB: bucket ids are precomputed/partitioned at ingest, a
+    query touches ~ (n_planes+1)/2^n_planes of the data. Here the
+    bucket filter is an IN-list pushed to the scan.
+    """
+    v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+    v = v.withColumn("_bucket", lsh_bucket_col(F.col("_e"), dim, n_planes, seed))
+
+    # driver-side bucket of the query vector (same plane constants)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qb = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qb |= 1 << i
+    probes = [qb] + [qb ^ (1 << i) for i in range(n_planes)]
+
+    cand = v.where(F.col("_bucket").isin(probes))
+    sim = cand.select(id_col, F.round(cosine_to_query(F.col("_e"), query_vec), 6).alias("cos_sim"))
+    return sim.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def neardup_pairs_blocked(
+    vectors: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (here the
+    label column; in a real pipeline the block is an LSH bucket id).
+    The pair join is an equi-join on the block key — the cross product
+    exists only inside a block, which is the scalable contract."""
+    v = vectors.select(
+        F.col(id_col), F.col(block_col).alias("_blk"), as_double_array(vec_col).alias("_e")
+    )
+    nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("_n", nrm)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_e").alias("ea"), F.col("_n").alias("na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_e").alias("eb"), F.col("_n").alias("nb")
+    )
+    dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
+    pairs = (
+        a.join(b, ["_blk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", F.col("_blk").alias(block_col), "cos_sim")

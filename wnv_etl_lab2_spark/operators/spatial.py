@@ -1,0 +1,151 @@
+"""Spatial operators, expressed as Catalyst-optimizable relational plans.
+
+Reference parity (SURVEY.md §2):
+
+- Buffer + Erase (reference `GSheetsETL_Lab2.py:129-133`): "remove
+  everything within 1500 ft of an opt-out point" is, on point data,
+  exactly a *within-distance anti-join* — point P survives iff no
+  opt-out point lies within radius r. We never materialize buffer
+  polygons; the distance predicate gives the identical answer.
+- SpatialJoin KEEP_COMMON + Join_Count (reference
+  `final_project2.py:226-238`): an inner containment join of points
+  against zone boxes plus a per-point match count.
+
+Scale design (the part the reference, and naive SQL, get wrong):
+a distance join is O(n*m) as a cross join. We bucket both sides onto a
+grid of cell size = radius, explode the smaller side into its 3x3
+neighbor cells, and equi-join on cell id. Catalyst then plans a plain
+shuffle/broadcast hash join on (cx, cy); the exact distance predicate
+runs only within candidate cells. At 100 TB this is shuffle-bound on
+the grid key (saltable if one cell is hot), never quadratic. The same
+pattern generalizes to polygon joins by indexing bounding boxes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gridded(df: DataFrame, x: str, y: str, cell: float, explode_neighbors: bool) -> DataFrame:
+    """Attach integer grid-cell coordinates (cx, cy) at resolution
+    ``cell``. With ``explode_neighbors`` each row is emitted into its
+    3x3 cell neighborhood, so a cell-equi-join finds every pair within
+    ``cell`` distance (candidate superset; exact check follows)."""
+    cx = F.floor(F.col(x) / F.lit(cell))
+    cy = F.floor(F.col(y) / F.lit(cell))
+    if not explode_neighbors:
+        return df.withColumn("_cx", cx).withColumn("_cy", cy)
+    offsets = F.expr("explode(sequence(-1, 1))")
+    return (
+        df.withColumn("_bx", cx)
+        .withColumn("_by", cy)
+        .withColumn("_dx", offsets)
+        .withColumn("_dy", F.expr("explode(sequence(-1, 1))"))
+        .withColumn("_cx", F.col("_bx") + F.col("_dx"))
+        .withColumn("_cy", F.col("_by") + F.col("_dy"))
+        .drop("_bx", "_by", "_dx", "_dy")
+    )
+
+
+def _within_distance_matches(
+    points: DataFrame,
+    avoid: DataFrame,
+    radius: float,
+    point_key: str,
+    x: str = "x",
+    y: str = "y",
+    avoid_x: str = "x",
+    avoid_y: str = "y",
+) -> DataFrame:
+    """Distinct ``point_key`` values having >=1 avoid-point within
+    ``radius`` (planar Euclidean). Grid-bucketed candidate join."""
+    p = _gridded(points.select(point_key, x, y), x, y, radius, explode_neighbors=False)
+    a = _gridded(
+        avoid.select(F.col(avoid_x).alias("_ax"), F.col(avoid_y).alias("_ay")),
+        "_ax",
+        "_ay",
+        radius,
+        explode_neighbors=True,
+    )
+    # Written as explicit products (not pow) so the IEEE evaluation is
+    # bit-identical to the SQL oracle's `dx*dx + dy*dy` form.
+    dx = F.col(x) - F.col("_ax")
+    dy = F.col(y) - F.col("_ay")
+    d2 = dx * dx + dy * dy
+    return (
+        p.join(a, ["_cx", "_cy"], "inner")
+        .where(d2 <= F.lit(radius) * F.lit(radius))
+        .select(point_key)
+        .distinct()
+    )
+
+
+def within_distance_anti_join(
+    points: DataFrame,
+    avoid: DataFrame,
+    radius: float,
+    point_key: str,
+    **kw,
+) -> DataFrame:
+    """Keep points farther than ``radius`` from EVERY avoid point.
+
+    Semantics of the reference's Buffer(1500ft) + Erase chain
+    (`GSheetsETL_Lab2.py:129-133`) on point inputs.
+    """
+    matches = _within_distance_matches(points, avoid, radius, point_key, **kw)
+    return points.join(matches, point_key, "left_anti")
+
+
+def within_distance_semi_join(
+    points: DataFrame,
+    avoid: DataFrame,
+    radius: float,
+    point_key: str,
+    **kw,
+) -> DataFrame:
+    """Keep points within ``radius`` of at least one avoid point
+    (the complementary semi-join; the reference's implicit 'inside the
+    buffer' set)."""
+    matches = _within_distance_matches(points, avoid, radius, point_key, **kw)
+    return points.join(matches, point_key, "left_semi")
+
+
+def bbox_containment_join(
+    points: DataFrame,
+    zones: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    how: str = "inner",
+) -> DataFrame:
+    """Spatial inner join: point-in-box containment (reference
+    `arcpy.analysis.SpatialJoin(..., KEEP_COMMON)` at
+    `final_project2.py:226-231`).
+
+    Zone tables are small dimensions (risk polygons), so we broadcast
+    them and let the containment predicate run inside codegen — no
+    shuffle at all on the fact side. For a large zone table the grid
+    pattern from `_gridded` applies to boxes (index each box into the
+    cells it overlaps).
+    """
+    pred = (
+        (F.col(x) >= zones["xmin"])
+        & (F.col(x) <= zones["xmax"])
+        & (F.col(y) >= zones["ymin"])
+        & (F.col(y) <= zones["ymax"])
+    )
+    return points.join(F.broadcast(zones), pred, how)
+
+
+def with_join_count(
+    joined: DataFrame,
+    point_key: str,
+    point_cols: list[str],
+) -> DataFrame:
+    """Collapse a containment join to one row per point with
+    ``Join_Count`` = number of matching zones (the arcpy SpatialJoin
+    output column filtered by the reference's definition query
+    `Join_Count = 1`, `final_project2.py:238`)."""
+    return joined.groupBy(point_key, *point_cols).agg(
+        F.count(F.lit(1)).alias("Join_Count")
+    )

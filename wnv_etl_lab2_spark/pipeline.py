@@ -1,0 +1,85 @@
+"""Pipeline protocol: the engine's public composition API.
+
+The reference's template-method hierarchy (`SpatialETL_Lab2.py:1-17`:
+SpatialEtl.extract/transform/load, overridden by GSheetsEtl, driven by
+`.process()` at `GSheetsETL_Lab2.py:137-151`) generalizes here to a
+lazy Source -> Transform* -> Sink composition over DataFrames. Unlike
+the reference — which materializes a file between every stage (a hard
+pipeline breaker, SURVEY.md §3) — a Pipeline builds ONE logical plan;
+Catalyst optimizes across stage boundaries and nothing materializes
+until the sink action.
+
+Failure semantics: the job fails loudly (no v4-style swallow-and-
+continue, `final_project2.py:44-45`); row-level skip stays where it
+belongs, in the cleaning expressions (functions/cleaning.py).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
+
+Source = Callable[[SparkSession], DataFrame]
+Transform = Callable[[DataFrame], DataFrame]
+Sink = Callable[[DataFrame], None]
+
+
+@dataclass
+class Pipeline:
+    """Composable ETL pipeline: one logical plan, sink-triggered."""
+
+    source: Source
+    transforms: list[Transform] = field(default_factory=list)
+    name: str = "pipeline"
+
+    def then(self, *transforms: Transform) -> "Pipeline":
+        return Pipeline(self.source, [*self.transforms, *transforms], self.name)
+
+    def build(self, spark: SparkSession) -> DataFrame:
+        """Compose the full lazy plan (no execution)."""
+        df = self.source(spark)
+        for t in self.transforms:
+            df = t(df)
+        return df
+
+    def run(self, spark: SparkSession, sink: Sink) -> None:
+        """Trigger the plan into a sink — the only action."""
+        log.info("pipeline %s: building plan", self.name)
+        sink(self.build(spark))
+        log.info("pipeline %s: sink complete", self.name)
+
+
+def parquet_source(path: str) -> Source:
+    return lambda spark: spark.read.parquet(path)
+
+
+def csv_source(path: str, schema: str | None = None) -> Source:
+    """Header CSV source; pass an explicit DDL schema in production
+    (inference mirrors the reference's DictReader convenience path)."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        r = spark.read.option("header", True)
+        return r.schema(schema).csv(path) if schema else r.option("inferSchema", True).csv(path)
+
+    return read
+
+
+def csv_sink(path: str) -> Sink:
+    """Overwrite CSV sink (reference O9: delete-before-write,
+    `Lab2ETL.py:54-64` — mode('overwrite') is the idempotent form)."""
+    return lambda df: df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def parquet_sink(path: str, partition_by: tuple[str, ...] = ()) -> Sink:
+    def write(df: DataFrame) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    return write

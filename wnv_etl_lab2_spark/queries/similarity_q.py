@@ -1,0 +1,154 @@
+"""Similarity-search + embedding/minhash/simhash dedup queries.
+
+SQL-expressible ones carry a DuckDB oracle with the embedding cast to
+double on BOTH sides (the parquet stores float32; doing the math in
+float would make the engines drift). The LSH/SimHash queries are
+deterministic (seeded, xxhash64) but not SQL-expressible — the driver
+records the rows-only check for those, and tests/test_dedup.py proves
+them against exact ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
+from wnv_etl_lab2_spark.operators.similarity import (
+    as_double_array,
+    lsh_ann_topk,
+    neardup_pairs_blocked,
+)
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+_CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_DOT_AB = "list_sum(list_transform(range(1, LEN(a.e) + 1), i -> a.e[i] * b.e[i]))"
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform({_CAST}, x -> x * x))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    """L2 norm per embedding — the vector-math smoke query (JVM
+    higher-order functions, no Python)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = as_double_array("embedding")
+    nrm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("vec_id", "label", F.round(nrm, 6).alias("l2_norm"))
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT {_CAST} AS qe FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, {_CAST} AS e FROM embeddings WHERE vec_id <> 0)
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(range(1, LEN(e) + 1), i -> e[i] * qe[i]))
+                 / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                    * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6) AS cos_sim
+    FROM c, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    """Exact top-10 nearest neighbors (cosine) to the vec_id=0 row.
+    Single-row query side is broadcast; the scan side never shuffles;
+    top-k is TakeOrdered. The exactness baseline for the LSH path."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(as_double_array("embedding").alias("qe"))
+    c = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", as_double_array("embedding").alias("e")
+    )
+    j = c.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+    ne = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        j.select("vec_id", F.round(dot / (ne * nq), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label, {_CAST} AS e FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+          FROM c)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+           ROUND({_DOT_AB} / (a.nm * b.nm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_DOT_AB} / (a.nm * b.nm), 6) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking
+    key stands in for an LSH bucket id — the pair join is an equi-join
+    on the block, never a global cross join)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return neardup_pairs_blocked(emb, threshold=0.3, block_col="label")
+
+
+@register("ann_topk_lsh")  # approximate — rows-only check; exactness tested in pytest
+def ann_topk_lsh(spark, sf_dir):
+    """Approximate top-10 neighbors of vec_id=0 via random-hyperplane
+    LSH with multi-probe, exact cosine re-rank of candidates only.
+    Deterministic (seeded planes) but not SQL-expressible."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, n_planes=8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the EXACT all-pairs Jaccard computation: banded
+    # MinHash (r=2, b=16 -> P(candidate | j=0.5) = 0.99) plus exact
+    # verification provably returns a subset of it, and recall is 100%
+    # on this corpus (validated at sf0.001 + sf0.01 in
+    # tests/test_dedup.py) — so approximate == exact here and the
+    # strong hash check applies.
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 hashes) + 16-band LSH near-dup pairs over documents,
+    exact-Jaccard verified at threshold 0.5. Deterministic (xxhash64 +
+    fixed affine constants); pytest additionally proves recall == 100%
+    vs the exact pair set on this corpus."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+
+
+@register("dedup_simhash")  # signatures; near-pair property tested in pytest
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signature per document (two 32-bit halves)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_signatures(docs)

@@ -1,0 +1,160 @@
+"""Spatial parity queries (SURVEY.md §2 O12-O17, M2 minimum slice).
+
+The reference's analysis chain — Buffer(1500ft) -> Erase -> SpatialJoin
+KEEP_COMMON -> Join_Count=1 filter -> 7-column report
+(`GSheetsETL_Lab2.py:123-134`, `final_project2.py:226-265`) — re-
+expressed as Catalyst-optimizable plans over the synthetic geometry in
+queries/geo.py. The Spark side uses the grid-bucketed operators from
+operators/spatial.py (scales linearly, no cross join); the oracle is
+the naive NOT EXISTS / theta-join SQL, fine at sf0.01 — same answer,
+different plan, which is exactly the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.spatial import (
+    bbox_containment_join,
+    with_join_count,
+    within_distance_anti_join,
+    within_distance_semi_join,
+)
+from wnv_etl_lab2_spark.queries import geo, register
+
+_GEO_CTES = (
+    f"WITH cust_points AS ({geo.CUST_POINTS_CTE}),\n"
+    f"opt_pts AS ({geo.SUPP_POINTS_CTE}),\n"
+    f"zones AS ({geo.ZONES_CTE})"
+)
+
+_DIST2 = "(p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y)"
+_R2 = f"{geo.RADIUS_DEG} * {geo.RADIUS_DEG}"
+
+
+@register(
+    "spatial_buffer_erase",
+    oracle=f"""
+    {_GEO_CTES}
+    SELECT p.addr_id, p.x, p.y
+    FROM cust_points p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM opt_pts a WHERE {_DIST2} <= {_R2}
+    )
+    """,
+)
+def spatial_buffer_erase(spark, sf_dir):
+    """O12+O13: Buffer 1500 ft + Erase == keep addresses farther than
+    the radius from every opt-out point (within-distance anti-join,
+    grid-bucketed)."""
+    addrs = geo.customer_addresses(spark, sf_dir).select("addr_id", "x", "y")
+    optout = geo.opt_out_points(spark, sf_dir)
+    return within_distance_anti_join(addrs, optout, geo.RADIUS_DEG, "addr_id")
+
+
+@register(
+    "spatial_within_buffer",
+    oracle=f"""
+    {_GEO_CTES}
+    SELECT p.addr_id, p.x, p.y
+    FROM cust_points p
+    WHERE EXISTS (
+        SELECT 1 FROM opt_pts a WHERE {_DIST2} <= {_R2}
+    )
+    """,
+)
+def spatial_within_buffer(spark, sf_dir):
+    """The complementary semi-join: addresses inside at least one
+    1500 ft opt-out buffer."""
+    addrs = geo.customer_addresses(spark, sf_dir).select("addr_id", "x", "y")
+    optout = geo.opt_out_points(spark, sf_dir)
+    return within_distance_semi_join(addrs, optout, geo.RADIUS_DEG, "addr_id")
+
+
+@register(
+    "spatial_join_count",
+    oracle=f"""
+    {_GEO_CTES}
+    SELECT p.addr_id, COUNT(*) AS Join_Count
+    FROM cust_points p
+    JOIN zones z
+      ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+    GROUP BY p.addr_id
+    """,
+)
+def spatial_join_count(spark, sf_dir):
+    """O15: spatial inner join (KEEP_COMMON) with per-point match count
+    — the arcpy SpatialJoin Join_Count column. Zones broadcast; the
+    fact side never shuffles for the join."""
+    addrs = geo.customer_addresses(spark, sf_dir).select("addr_id", "x", "y")
+    zones = geo.risk_zones(spark, sf_dir)
+    joined = bbox_containment_join(addrs, zones)
+    return with_join_count(joined, "addr_id", []).select("addr_id", "Join_Count")
+
+
+@register(
+    "spatial_zone_rollup",
+    oracle=f"""
+    {_GEO_CTES}
+    SELECT z.zone_id, COUNT(*) AS n_addresses,
+           CAST(SUM(p.addr_id) AS BIGINT) AS addr_checksum
+    FROM cust_points p
+    JOIN zones z
+      ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+    GROUP BY z.zone_id
+    """,
+)
+def spatial_zone_rollup(spark, sf_dir):
+    """Aggregate over the spatial join: addresses per risk zone (the
+    hypertable-rollup shape: spatial key -> groupBy)."""
+    addrs = geo.customer_addresses(spark, sf_dir).select("addr_id", "x", "y")
+    zones = geo.risk_zones(spark, sf_dir)
+    joined = bbox_containment_join(addrs, zones)
+    return joined.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_addresses"),
+        F.sum("addr_id").alias("addr_checksum"),
+    )
+
+
+_REPORT_COLS = list(geo.REPORT_FIELDS)  # the 7 reference report fields
+
+
+@register(
+    "spray_targets",
+    oracle=f"""
+    {_GEO_CTES},
+    safe AS (
+        SELECT * FROM cust_points p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM opt_pts a WHERE {_DIST2} <= {_R2}
+        )
+    ),
+    counted AS (
+        SELECT p.*, z.zone_id
+        FROM safe p
+        JOIN zones z
+          ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+    )
+    SELECT addr_id, {', '.join(_REPORT_COLS)}, COUNT(*) AS Join_Count
+    FROM counted
+    GROUP BY addr_id, {', '.join(_REPORT_COLS)}
+    HAVING COUNT(*) = 1
+    """,
+)
+def spray_targets(spark, sf_dir):
+    """FLAGSHIP — the reference's full question, 'which addresses do we
+    spray?' (SURVEY.md §7 minimum slice): city addresses -> erase all
+    within 1500 ft of an opt-out point (O12+O13, grid-bucketed anti-
+    join) -> inner containment join vs risk zones (O14/O15, broadcast)
+    -> Join_Count = 1 definition query (O16) -> the 7-field report
+    projection (O17, `final_project2.py:252`)."""
+    addrs = geo.customer_addresses(spark, sf_dir)
+    optout = geo.opt_out_points(spark, sf_dir)
+    zones = geo.risk_zones(spark, sf_dir)
+
+    safe = within_distance_anti_join(addrs, optout, geo.RADIUS_DEG, "addr_id")
+    joined = bbox_containment_join(safe, zones)
+    counted = with_join_count(joined, "addr_id", _REPORT_COLS)
+    return counted.where(F.col("Join_Count") == 1).select(
+        "addr_id", *_REPORT_COLS, "Join_Count"
+    )

@@ -1,0 +1,230 @@
+"""Text-analysis + dedup queries over the `documents` table.
+
+The LLM-training-data-pipeline operator set (BASELINE.json north star):
+text stats / quality scoring, token counting, language-ID heuristic,
+document fingerprinting, exact dedup, and n-gram Jaccard near-dedup.
+Everything here is built-in Catalyst expressions (split/regexp/md5/
+explode) — no Python in the hot path; the near-dup pair join is an
+equi-join on shingle (never a cross join), the same
+bucket-then-verify shape MinHash LSH uses at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS char_len,
+           LEN(string_split(text, ' ')) AS word_cnt,
+           regexp_matches(text, '[0-9]') AS has_digit,
+           LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-document quality stats: char length, word count, digit
+    presence, space count — the length/punctuation feature family."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("char_len"),
+        F.size(F.split("text", " ")).cast("long").alias("word_cnt"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("long").alias(
+            "n_spaces"
+        ),
+    )
+
+
+@register(
+    "token_count",
+    oracle="""
+    SELECT source,
+           CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count(spark, sf_dir):
+    """Token counting with a BPE-ish regex tokenizer (alnum runs),
+    aggregated per source — the corpus-sizing query."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)))
+    return d.groupBy("source").agg(
+        F.sum(toks.cast("long")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang,
+           LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b')) AS en_hits,
+           LEN(regexp_extract_all(LOWER(text), '\\b(el|la|de|los|es)\\b')) AS es_hits,
+           CASE WHEN LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b'))
+                     >= LEN(regexp_extract_all(LOWER(text), '\\b(el|la|de|los|es)\\b'))
+                THEN 'en' ELSE 'es' END AS predicted_lang
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID via stopword-hit counting (n-gram heuristic family).
+    Word-boundary regex runs identically under Java regex and RE2."""
+    d = load_table(spark, "documents", sf_dir).where(F.col("doc_id") % 5 == 0)
+    en = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0)))
+    es = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(el|la|de|los|es)\b"), F.lit(0)))
+    return d.select(
+        "doc_id",
+        "lang",
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        F.when(en >= es, "en").otherwise("es").alias("predicted_lang"),
+    )
+
+
+@register(
+    "lang_quality_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_quality_agg(spark, sf_dir):
+    """Corpus quality profile per language."""
+    d = load_table(spark, "documents", sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep lowest doc_id.
+    One shuffle on the hash; at 100 TB the hash (32 bytes) shuffles,
+    never the document bodies."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                       ' +', ' ', 'g'))) AS fingerprint
+        FROM documents
+    )
+    SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM fp
+    GROUP BY fingerprint
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint dedup: lowercase, strip
+    non-alnum, collapse spaces, hash — catches trivially-reformatted
+    duplicates that exact hashing misses."""
+    d = load_table(spark, "documents", sf_dir)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM sh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS n_common,
+           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: word-3-gram shingles, candidate pairs via
+    shingle equi-join (inverted index — NEVER a doc-doc cross join),
+    exact Jaccard >= 0.5 verify. At 100 TB the shingle join is the
+    scalable path; hot shingles would be dropped by a document-
+    frequency cap (same as MinHash banding discards dense buckets)."""
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    docs = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(0, size(words) - 3), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])")
+    )
+    ex = docs.select(
+        "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("shingle")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.where(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

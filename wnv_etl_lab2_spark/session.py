@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference pipeline has no engine configuration at all (a single
+Python thread; see SURVEY.md §4.1). Here the session is where the
+scale-relevant knobs live:
+
+- AQE on (runtime join re-planning, partition coalescing, skew-join),
+- shuffle partitions sized to the local core count (on a real cluster
+  this would be ~2-3x total cores; the driver harness runs local[N]),
+- Arrow enabled for the Pandas-UDF slow path,
+- session timezone pinned to UTC so timestamps compare exactly against
+  the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "wnv-etl-lab2-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with scale-appropriate defaults.
+
+    ``cpus`` only matters when this call creates the session; if a
+    session already exists (e.g. the driver passed one in), its master
+    wins — all our operators take the session as an argument, so they
+    run identically either way.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos
+        # type, so read as long and convert in the catalog (lossless:
+        # the data is microsecond-aligned).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

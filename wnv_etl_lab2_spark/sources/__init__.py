@@ -1,0 +1,3 @@
+from wnv_etl_lab2_spark.sources.catalog import TABLES, load_table, load_tables, register_views
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views"]

@@ -1,0 +1,59 @@
+"""Structured Streaming over the events table (SURVEY.md §7 M5).
+
+The reference's refresh model is delete-and-rerun (`overwriteOutput`,
+`Lab2ETL.py:54-60,85`); the streaming extension replaces it with true
+incremental processing: file-source replay of the events parquet ->
+watermarked event-time windows -> append sink. Tests drive it with
+`processAllAvailable()` on a memory sink, which is exactly how the
+same plan would run against Kafka at scale (the logical plan is
+identical; only the source/sink bindings change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (schema declared —
+    streaming sources never infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: late rows beyond the
+    watermark are dropped, state is bounded — the scale contract for
+    infinite streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming form of exact
+    dedup — state bounded by the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
