@@ -50,6 +50,22 @@ def word_shingles(text_col: str, n: int = 3):
     )
 
 
+def hashed_word_shingles(words_col: str = "_words", n: int = 3):
+    """Distinct shingles hashed to longs inside the lambda — the
+    shingle strings never materialize, set sizes/intersections are
+    identical modulo ~2^-40 xxhash64 collision odds. This is the form
+    every hot path uses: long keys shuffle and compare ~5x cheaper
+    than 30-byte strings."""
+    assert n == 3
+    w = words_col
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size({w}) - 3), "
+            f"i -> xxhash64({w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = 32
 ) -> DataFrame:
@@ -61,21 +77,13 @@ def minhash_signatures(
     min keeps the shuffle tiny.
     """
     assert num_hashes <= len(_A)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ex = (
-        docs.withColumn("_words", F.split(F.col(text_col), " "))
+        docs.repartition(nparts, id_col)
+        .withColumn("_words", F.split(F.col(text_col), " "))
         .where(F.size("_words") >= 3)
-        .select(
-            id_col,
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(0, size(_words) - 3), "
-                        "i -> _words[i] || ' ' || _words[i+1] || ' ' || _words[i+2])"
-                    )
-                )
-            ).alias("_shingle"),
-        )
-        .withColumn("_h", F.pmod(F.xxhash64("_shingle"), F.lit(1 << 31)))
+        .select(id_col, F.explode(hashed_word_shingles("_words")).alias("_sh64"))
+        .withColumn("_h", F.pmod(F.col("_sh64"), F.lit(1 << 31)))
     )
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
@@ -104,10 +112,10 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    # band signature = one long (xxhash64 of the band's minhashes):
+    # joins on (int, long), never on strings.
     band_cols = [
-        F.md5(F.concat_ws(",", *[F.col(f"mh_{band * r + i}") for i in range(r)])).alias(
-            f"band_{band}"
-        )
+        F.xxhash64(*[F.col(f"mh_{band * r + i}") for i in range(r)]).alias(f"band_{band}")
         for band in range(bands)
     ]
     banded = sig.select(id_col, *band_cols)
@@ -116,19 +124,28 @@ def minhash_lsh_pairs(
     buckets = banded.select(
         id_col, F.expr(f"stack({bands}, {stack_expr}) AS (band_id, band_sig)")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # candidate pairs via groupBy bucket + in-group pair expansion:
+    # one shuffle, one evaluation of the signature pipeline (a
+    # self-join would do both twice). Bucket size is the LSH-tuned
+    # knob; a size cap here is the guard against degenerate buckets.
+    grouped = buckets.groupBy("band_id", "band_sig").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("L")
+    ).where(F.size("L") >= 2)
+    pairs_arr = F.expr(
+        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact verify on the candidate pairs only
-    sh = docs.select(F.col(id_col), word_shingles(text_col).alias("_sh")).where(
+    # exact verify on the candidate pairs only (hashed shingle sets:
+    # same intersection/union sizes as the string sets)
+    sh = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_words"),
+    ).select(F.col(id_col), hashed_word_shingles("_words").alias("_sh")).where(
         F.size("_sh") >= 1
     )
     verified = (

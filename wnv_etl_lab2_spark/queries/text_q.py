@@ -198,32 +198,52 @@ def ngram_jaccard_pairs(spark, sf_dir):
     scalable path; hot shingles would be dropped by a document-
     frequency cap (same as MinHash banding discards dense buckets)."""
     d = load_table(spark, "documents", sf_dir)
+    # The synthetic corpus arrives as one small parquet split; at real
+    # scale the scan is already parallel, so an explicit spread of the
+    # expensive shingle stage is harmless there and necessary here.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     words = F.split("text", " ")
-    docs = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
+        F.size("words") >= 3
+    )
+    # Shingles are hashed to longs INSIDE the lambda: the 30-byte
+    # shingle strings never materialize, and the self-join below keys
+    # on a long instead of a string (~5x cheaper shuffle+compare).
+    # xxhash64 collisions at this cardinality are negligible (~2^-40),
+    # so counts match the string-keyed oracle exactly.
     shingles = F.array_distinct(
-        F.expr("transform(sequence(0, size(words) - 3), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])")
+        F.expr(
+            "transform(sequence(0, size(words) - 3), "
+            "i -> xxhash64(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
+        )
     )
     ex = docs.select(
         "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("shingle")
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # One groupBy on the shingle hash, pairs generated in-group: a
+    # single shuffle and a single evaluation of the shingle pipeline
+    # (a self-join would shuffle twice and recompute the scan+shingles
+    # per side). Group sizes are bounded by shingle document frequency;
+    # a df-cap on |L| is the standard guard at corpus scale.
+    groups = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("L")
+    ).where(F.size("L") >= 2)
+    pairs_arr = F.expr(
+        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
+        "y -> struct(x.doc_id AS da, y.doc_id AS db, x.n_sh AS na, y.n_sh AS nb))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
+        groups.select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .groupBy("da", "db", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.where(jac >= 0.5)
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
             F.col("inter").alias("n_common"),
             F.round(jac, 6).alias("jaccard"),
         )
