@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from wnv_etl_lab2_spark.sources.catalog import load_table
 from wnv_etl_lab2_spark.streaming.events import (
     read_events_stream,
+    session_windows,
+    sliding_counts,
     streaming_dedup,
     tumbling_counts,
 )
@@ -56,6 +58,33 @@ def test_tumbling_counts_match_batch(spark, sf_dir, events_path):
     assert merged["n_events_b"].notna().all()
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+
+
+def test_sliding_counts_match_batch_query(spark, sf_dir, events_path):
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    stream = read_events_stream(spark, events_path)
+    result = _run_to_memory(
+        spark, sliding_counts(stream, "2 hours", "1 hour"), "t_sliding", "append"
+    ).toPandas()
+    batch = REGISTRY["sliding_window_batch"].fn(spark, sf_dir).toPandas()
+    assert len(result) > 0
+    merged = result.merge(
+        batch, on=["window_start", "event_type"], suffixes=("_s", "_b"), how="left"
+    )
+    assert merged["n_events_b"].notna().all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_session_windows_emit_closed_sessions(spark, events_path):
+    stream = read_events_stream(spark, events_path)
+    result = _run_to_memory(
+        spark, session_windows(stream, "30 minutes", "2 hours"), "t_sessions", "append"
+    ).toPandas()
+    assert len(result) > 0
+    assert (result["session_end"] > result["session_start"]).all()
+    assert (result["n_events"] > 0).all()
 
 
 def test_streaming_dedup_drops_duplicates(spark, events_path):

@@ -1,0 +1,113 @@
+"""As-of (most-recent-match) and bucketed range joins.
+
+Spark has no native ASOF JOIN (DuckDB/kdb/Pandas do). The classic
+scalable re-expression — used here — is union + ordered window:
+
+    left  (needs a match)   --tagged-->  union  --window per key-->
+    right (provides values) --tagged-->         last(right value) over
+                                                (ts asc, right-first)
+
+One shuffle on the key, state is one row per partition frame — no
+range explosion, no per-row search. `merge_asof`-style semantics:
+match the latest right row with ts_r <= ts_l.
+
+The range join buckets the time axis at the interval width so the
+candidate join is an equi-join on (key, bucket) — same shape as the
+spatial grid join in operators/spatial.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """For every left row, attach the value columns of the latest
+    right row with the same ``by`` key and right_ts <= left_ts.
+
+    Output: all left columns + matched_ts + matched_<value_col>...
+    (NULLs when no right row precedes the left row).
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = right.select(
+        F.col(by),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in value_cols],
+    )
+    lcols = [c for c in left.columns]
+    unioned = lt.select(
+        *lcols,
+        "_side",
+        "_ats",
+        *[F.lit(None).cast(rt.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    ).unionByName(
+        rt.select(
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c) if c != by else F.col(by)
+                for c in lcols
+            ],
+            "_side",
+            "_ats",
+            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        )
+    )
+    # right rows sort before left rows at equal ts (_side 0 < 1), so an
+    # exactly-simultaneous right row IS matched (ts_r <= ts_l).
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.select(
+        *lcols,
+        "_side",
+        F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True)
+        .over(w)
+        .alias("matched_ts"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"matched_{c}")
+            for c in value_cols
+        ],
+    )
+    return matched.where(F.col("_side") == 1).drop("_side")
+
+
+def bucketed_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows to the intervals containing them: explode each
+    interval into the time buckets it overlaps, equi-join on bucket,
+    exact range filter. Candidate count per row = intervals per
+    bucket — linear, never a cross join. Requires interval length <=
+    a small multiple of bucket_seconds (here: explode span computed
+    from the actual bounds, so it is fully general)."""
+    ev = events.withColumn(
+        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000))
+    )
+    iv = intervals.withColumn(
+        "_b0", F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_seconds * 1_000_000))
+    ).withColumn(
+        "_b1", F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_seconds * 1_000_000))
+    )
+    iv = iv.withColumn("_bucket", F.explode(F.sequence("_b0", "_b1"))).drop("_b0", "_b1")
+    joined = ev.join(iv, "_bucket", how).where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -62,6 +62,7 @@ def _ensure_loaded() -> None:
         relational,
         joins_windows,
         spatial_q,
+        temporal_q,
         text_q,
         similarity_q,
         multimodal_q,

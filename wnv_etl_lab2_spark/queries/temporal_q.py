@@ -1,0 +1,204 @@
+"""Temporal joins + extended SQL surface (SURVEY.md §2.2 extensions).
+
+The as-of and range joins are the operators Spark lacks natively
+(DuckDB ships ASOF JOIN — which is exactly what the oracle uses, so
+the union+window / bucketed re-expressions are verified against the
+real thing). The rest widens the checked built-in surface: exact
+percentiles, unpivot, array functions, geometry-struct construction
+(reference O10), sliding windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.asof import asof_join, bucketed_range_join
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+@register(
+    "asof_join_click_view",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts, r.value AS matched_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_click_view(spark, sf_dir):
+    """As-of join: every click matched to the user's latest view at or
+    before it. Spark has no ASOF JOIN; this is the union+window
+    re-expression (one shuffle on user_id, no range explosion) checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(clicks, views, by="user_id", value_cols=("value",))
+    return out.select("event_id", "user_id", "ts", "matched_ts", "matched_value")
+
+
+@register(
+    "range_join_maintenance",
+    oracle="""
+    WITH iv AS (
+        SELECT s_suppkey AS window_id,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (s_suppkey) HOUR AS t_start,
+               TIMESTAMP '2024-01-01 00:30:00' + INTERVAL (s_suppkey) HOUR AS t_end
+        FROM supplier
+    )
+    SELECT e.event_id, iv.window_id, e.ts
+    FROM events e JOIN iv
+      ON e.ts >= iv.t_start AND e.ts <= iv.t_end
+    """,
+)
+def range_join_maintenance(spark, sf_dir):
+    """Interval containment (range) join: events falling inside hourly
+    maintenance windows derived from supplier keys. Implemented as the
+    bucketed range join (equi-join on the hour bucket + exact filter)
+    — the oracle runs the naive theta join."""
+    ev = load_table(spark, "events", sf_dir)
+    iv = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("window_id"),
+        F.expr(
+            "timestampadd(HOUR, cast(s_suppkey AS int), timestamp '2024-01-01 00:00:00')"
+        ).alias("t_start"),
+        F.expr(
+            "timestampadd(HOUR, cast(s_suppkey AS int), timestamp '2024-01-01 00:30:00')"
+        ).alias("t_end"),
+    )
+    joined = bucketed_range_join(ev, iv, bucket_seconds=3600)
+    return joined.select("event_id", "window_id", "ts")
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_agg(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` agree). For 100 TB use
+    approx_percentile; the exact form is the correctness anchor."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part WHERE p_partkey % 100 = 0
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value
+    FROM part WHERE p_partkey % 100 = 0
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """Unpivot (wide -> long) via stack — the inverse of pivot_agg."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_partkey") % 100 == 0)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
+            "AS (metric, metric_value)"
+        ),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT p_partkey,
+           LEN(string_split(p_name, ' ')) AS n_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'green') AS has_green
+    FROM part WHERE p_partkey % 20 = 0
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array/higher-order scalar surface: split, sort, join, contains
+    — all JVM-side expressions (scalar outputs so the oracle compare
+    stays type-stable)."""
+    p = load_table(spark, "part", sf_dir).where(F.col("p_partkey") % 20 == 0)
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).cast("long").alias("n_words"),
+        F.array_join(F.sort_array(words), "-").alias("sorted_words"),
+        F.array_contains(words, "green").alias("has_green"),
+    )
+
+
+@register(
+    "points_from_xy",
+    oracle="""
+    SELECT c_custkey AS addr_id,
+           -105.3 + (c_custkey % 1000) * 1e-4 AS x,
+           39.98 + ((c_custkey * 31) % 1000) * 1e-4 AS y
+    FROM customer
+    """,
+)
+def points_from_xy(spark, sf_dir):
+    """O10: points-from-XY constructor (reference
+    `arcpy.management.XYTableToPoint`, `GSheetsETL_Lab2.py:109`) — the
+    geometry struct is built then projected back to scalars (struct
+    columns don't round-trip through the oracle compare)."""
+    from wnv_etl_lab2_spark.queries import geo
+
+    pts = geo.customer_addresses(spark, sf_dir).withColumn(
+        "geom", F.struct(F.col("x"), F.col("y"))
+    )
+    return pts.select(
+        "addr_id", F.col("geom.x").alias("x"), F.col("geom.y").alias("y")
+    )
+
+
+@register(
+    "sliding_window_batch",
+    oracle="""
+    SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start,
+           event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_batch(spark, sf_dir):
+    """Sliding window (2h length, 1h slide) as batch: each event lands
+    in exactly two windows — explode the window index, then a plain
+    groupBy (the streaming twin uses F.window with slideDuration)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.withColumn("k", F.explode(F.array(F.lit(0), F.lit(1))))
+        .groupBy(
+            F.expr("timestampadd(HOUR, -k, date_trunc('hour', ts))").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register("approx_distinct_stats")  # HLL internals differ per engine -> rows-only
+def approx_distinct_stats(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the 100 TB cardinality-estimation path. Deterministic for fixed
+    data but not SQL-oracle-matchable (different sketch internals)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

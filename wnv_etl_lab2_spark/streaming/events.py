@@ -52,6 +52,41 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide
+    windows); batch twin is the `sliding_window_batch` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based, the streaming twin of the
+    `sessionize_events` batch query): state merges as events arrive,
+    closed sessions emit on watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon
     (dropDuplicatesWithinWatermark): the streaming form of exact
