@@ -1,0 +1,57 @@
+"""HTTP CSV source (O1) + config binding (O2): the reference's
+extract() and YAML wiring, network-free via the injected opener."""
+
+from __future__ import annotations
+
+import pytest
+
+from wnv_etl_lab2_spark.config import PipelineConfig, load_config
+from wnv_etl_lab2_spark.sources.http import fetch_to_landing, read_http_csv
+
+CSV_BODY = b"Timestamp,Street Address,Zipcode\n1/1/2025 10:00:00,825 Walnut St,80302\n1/1/2025 10:01:00,1200 Pearl St,80302\n"
+
+
+def fake_opener(url: str) -> bytes:
+    assert url.startswith("https://docs.example/")
+    return CSV_BODY
+
+
+def test_fetch_overwrites_landing(tmp_path):
+    p = str(tmp_path / "landing" / "optout.csv")
+    fetch_to_landing("https://docs.example/sheet", p, lambda u: b"old")
+    fetch_to_landing("https://docs.example/sheet", p, fake_opener)
+    assert open(p, "rb").read() == CSV_BODY
+
+
+def test_read_http_csv_with_schema(spark, tmp_path):
+    df = read_http_csv(
+        spark,
+        "https://docs.example/sheet",
+        str(tmp_path / "optout.csv"),
+        fake_opener,
+        schema="`Timestamp` string, `Street Address` string, `Zipcode` string",
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["Street Address"] == "825 Walnut St"
+
+
+def test_config_roundtrip_yaml(tmp_path):
+    p = tmp_path / "wnv.yaml"
+    p.write_text(
+        "remote_url: https://docs.example/sheet\n"
+        "local_dir: /tmp/landing\n"
+        "data_format: csv\n"
+        "gdb_path: /tmp/out\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.remote_url == "https://docs.example/sheet"
+    assert cfg.data_format == "csv"
+    assert cfg.proj_dir == ""  # defaulted
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("remote_url: x\nmystery_key: y\n")
+    with pytest.raises(ValueError, match="mystery_key"):
+        load_config(str(p))

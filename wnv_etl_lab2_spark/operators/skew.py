@@ -1,0 +1,48 @@
+"""Skew-mitigation: salted two-phase aggregation.
+
+At 100 TB a groupBy whose key distribution is Zipfian puts one
+reducer under a hot key. AQE's skew-join handling covers joins; for
+aggregations the classic fix is salting: partial-aggregate on
+(key, salt), then final-aggregate on key. Both phases are algebraic
+(sum/count/min/max commute with the split), so the result is
+IDENTICAL to the unsalted groupBy — which is exactly what the
+`salted_groupby` query's oracle asserts.
+
+Salt must be deterministic (no rand(): results must be reproducible
+and retries idempotent), so it hashes a caller-named high-cardinality
+column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def salted_groupby_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs`` maps output name -> (agg_fn, input_col) with agg_fn in
+    {sum, count, min, max}. ``salt_col`` is any high-cardinality
+    column; the salt is pmod(xxhash64(salt_col), buckets).
+    """
+    bad = {fn for fn, _ in aggs.values()} - set(_ALGEBRAIC)
+    if bad:
+        raise ValueError(f"non-algebraic agg fns not supported: {sorted(bad)}")
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[_ALGEBRAIC[fn](col).alias(f"_p_{name}") for name, (fn, col) in aggs.items()]
+    )
+    final = partial.groupBy(*keys).agg(
+        *[_MERGE[fn](f"_p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )
+    return final

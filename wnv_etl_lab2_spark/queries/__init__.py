@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         return
     # populate REGISTRY (import order fixes registry order)
     from wnv_etl_lab2_spark.queries import (  # noqa: F401
+        advanced_q,
         relational,
         joins_windows,
         spatial_q,

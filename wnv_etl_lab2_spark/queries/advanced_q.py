@@ -1,0 +1,141 @@
+"""Advanced relational coverage: statistical aggregates, the TPC-H
+Q5-shaped multiway join, skew-safe salted aggregation, and the
+regexp/null-handling scalar surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.skew import salted_groupby_agg
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+@register(
+    "stats_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS std_price,
+           ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+           ROUND(CORR(o_totalprice, o_custkey), 6) AS corr_price_cust,
+           ROUND(COVAR_SAMP(o_totalprice, o_custkey), 2) AS covar_price_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stats_agg(spark, sf_dir):
+    """Statistical aggregate surface: stddev/variance/corr/covar —
+    single-pass, numerically-stable implementations on both engines
+    (rounded so last-ulp accumulation order can't flip the hash)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_price"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("corr_price_cust"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("covar_price_cust"),
+    )
+
+
+@register(
+    "regional_revenue",
+    oracle="""
+    SELECT r.r_name AS region,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY r.r_name
+    """,
+)
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way join: two broadcast dims (region, nation),
+    one mid-size dim (customer), one fact-fact shuffle
+    (orders-lineitem). Catalyst orders the joins from size stats; the
+    date filter pushes into the orders scan before anything joins."""
+    r = load_table(spark, "region", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "salted_groupby",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_groupby(spark, sf_dir):
+    """Skew-safe aggregation: partial agg on (key, salt) then merge on
+    key (operators/skew.py). The oracle is the PLAIN group-by — the
+    salted plan must produce byte-identical results, proving the
+    technique is free to apply when a key runs hot at 100 TB."""
+    o = load_table(spark, "orders", sf_dir)
+    out = salted_groupby_agg(
+        o,
+        keys=["o_orderpriority"],
+        aggs={"n_orders": ("count", "o_orderkey"), "sum_price": ("sum", "o_totalprice")},
+        salt_col="o_orderkey",
+        buckets=16,
+    )
+    return out.select(
+        "o_orderpriority", "n_orders", F.round("sum_price", 2).alias("sum_price")
+    )
+
+
+@register(
+    "regexp_null_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS cust_digits,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 2) END AS pos_bal,
+           LEAST(c_acctbal, 5000.0) AS capped_bal,
+           GREATEST(c_acctbal, 0.0) AS floored_bal
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def regexp_null_funcs(spark, sf_dir):
+    """Regexp extraction + NULL-handling scalar surface (coalesce,
+    nullif, least/greatest) — all codegen'd expressions."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_custkey") % 7 == 0)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("cust_digits"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 2)).alias(
+            "pos_bal"
+        ),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
+    )

@@ -1,0 +1,48 @@
+"""HTTP CSV source (reference O1).
+
+The reference's extract() GETs a published Google-Sheet CSV and writes
+the body verbatim to a landing file (`GSheetsETL_Lab2.py:28-39`,
+`final_project2.py:31-45`). Spark-side, ingestion from HTTP is a
+driver-side landing fetch followed by a parallel `spark.read.csv` —
+the fetch is I/O-bound and tiny next to the data plane, and the
+landing file gives idempotent re-reads (the reference's re-run model).
+
+The URL opener is injected so tests (and this container, which has no
+network) exercise the full path without sockets; production passes
+`urllib.request.urlopen`.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Opener = Callable[[str], bytes]
+
+
+def fetch_to_landing(url: str, landing_path: str, opener: Opener) -> str:
+    """GET ``url`` and write the body verbatim (reference parity:
+    overwrite any prior landing file, `Lab2ETL.py:54-60`)."""
+    body = opener(url)
+    os.makedirs(os.path.dirname(landing_path) or ".", exist_ok=True)
+    with open(landing_path, "wb") as f:
+        f.write(body)
+    return landing_path
+
+
+def read_http_csv(
+    spark: SparkSession,
+    url: str,
+    landing_path: str,
+    opener: Opener,
+    schema: str | None = None,
+) -> DataFrame:
+    """Fetch + parallel CSV read. Explicit DDL schema recommended; the
+    inference fallback mirrors the reference's DictReader dynamism."""
+    path = fetch_to_landing(url, landing_path, opener)
+    reader = spark.read.option("header", True)
+    return reader.schema(schema).csv(path) if schema else reader.option(
+        "inferSchema", True
+    ).csv(path)
