@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from wnv_etl_lab2_spark.operators.spatial import (
     bbox_containment_join,
+    crs_of,
+    with_crs,
     with_join_count,
     within_distance_anti_join,
     within_distance_semi_join,
@@ -47,6 +49,17 @@ def test_grid_neighbor_cells_catch_boundary_pairs(spark):
     av = spark.createDataFrame([(9, 0.101, 0.0)], "aid long, x double, y double")
     semi = within_distance_semi_join(pts, av, 0.1, "pid").collect()
     assert [r.pid for r in semi] == [1]
+
+
+def test_crs_metadata_survives_transform_and_write(spark, tmp_path):
+    pts = spark.createDataFrame([(1, 0.5, 0.5)], "pid long, x double, y double")
+    tagged = with_crs(pts, "EPSG:2876")  # reference SR, final_project2.py:175
+    assert crs_of(tagged, "x") == "EPSG:2876"
+    filtered = tagged.where("pid > 0")  # metadata-only op: no row transform
+    assert crs_of(filtered, "x") == "EPSG:2876"
+    out = str(tmp_path / "crs_parquet")
+    filtered.write.mode("overwrite").parquet(out)
+    assert crs_of(spark.read.parquet(out), "x") == "EPSG:2876"
 
 
 def test_bbox_containment_and_join_count(spark):

@@ -54,6 +54,61 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+RESIZE_SCHEMA = "doc_id long, out_width int, out_height int, n_bytes long"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_bytes long"
+
+
+def resize_stub(payload: bytes, target: int) -> tuple[int, int]:
+    """STUB resize: a real kernel decodes + resamples; the stub keeps
+    the aspect-ratio arithmetic (the part worth testing) on the fake
+    decoded dims."""
+    w, h = decode_image_stub(payload)
+    if w == 0 or h == 0:
+        return (0, 0)
+    scale = target / max(w, h)
+    return (max(1, round(w * scale)), max(1, round(h * scale)))
+
+
+def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
+    """mapInPandas resize pipeline: (id, payload) -> output dims."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [resize_stub(p if p is not None else b"", target) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 4) -> DataFrame:
+    """STUB video frame sampler: treats the payload as fixed-size
+    frames and emits every ``stride``-th frame's (offset, length) —
+    one input row fans out to N rows, the real shape of frame
+    extraction (the decode itself would replace the offset math)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = payload or b""
+                n_frames = len(payload) // frame_size
+                for i in range(0, n_frames, stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(i * frame_size)
+                    out["frame_bytes"].append(frame_size)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def binary_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """Project (id, payload) -> Arrow-batched feature extraction."""
     slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))

@@ -27,6 +27,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def with_crs(df: DataFrame, crs: str, cols: tuple[str, ...] = ("x", "y")) -> DataFrame:
+    """CRS assignment as column metadata (reference O18:
+    `arcpy.management.DefineProjection(fc, SpatialReference(2876))`,
+    `final_project2.py:170-180`). A metadata-only operation — no row
+    transform, travels with the schema through writes."""
+    out = df
+    for c in cols:
+        out = out.withMetadata(c, {"crs": crs})
+    return out
+
+
+def crs_of(df: DataFrame, col: str) -> str | None:
+    md = df.schema[col].metadata
+    return md.get("crs") if md else None
+
+
 def _gridded(df: DataFrame, x: str, y: str, cell: float, explode_neighbors: bool) -> DataFrame:
     """Attach integer grid-cell coordinates (cx, cy) at resolution
     ``cell``. With ``explode_neighbors`` each row is emitted into its

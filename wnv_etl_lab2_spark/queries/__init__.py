@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         relational,
         joins_windows,
         spatial_q,
+        sql_api_q,
         temporal_q,
         text_q,
         similarity_q,

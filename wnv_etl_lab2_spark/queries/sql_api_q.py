@@ -1,0 +1,72 @@
+"""Queries declared through the spark.sql surface (SURVEY.md §3: the
+second entry point Catalyst gives for free). Same registry contract —
+these prove the SQL front-end handles subqueries Spark's DataFrame
+API has no direct verb for (scalar subqueries, correlated EXISTS with
+extra predicates), and the ranking-function families."""
+
+from __future__ import annotations
+
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+def _sql(spark, sf_dir, tables, sql):
+    for t in tables:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+_SCALAR_SUBQ = """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@register("scalar_subquery", oracle=_SCALAR_SUBQ)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate: planned as a one-row broadcast
+    against the scan (identical SQL text runs on both engines)."""
+    return _sql(spark, sf_dir, ["orders"], _SCALAR_SUBQ)
+
+
+_CORR_EXISTS = """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 8000 AND EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > c.c_acctbal * 10
+    )
+"""
+
+
+@register("correlated_exists", oracle=_CORR_EXISTS)
+def correlated_exists(spark, sf_dir):
+    """Correlated EXISTS with a non-equi inner predicate — decorrelated
+    by Catalyst into a semi-join with the extra condition attached."""
+    return _sql(spark, sf_dir, ["customer", "orders"], _CORR_EXISTS)
+
+
+_WINDOW_NAV = """
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_key
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
+@register("window_navigation", oracle=_WINDOW_NAV)
+def window_navigation(spark, sf_dir):
+    """Ranking/navigation window family: dense_rank, ntile,
+    percent_rank, first/last value — deterministic via the unique
+    tie-break in every ORDER BY."""
+    return _sql(spark, sf_dir, ["orders"], _WINDOW_NAV)
