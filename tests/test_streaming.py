@@ -87,6 +87,32 @@ def test_session_windows_emit_closed_sessions(spark, events_path):
     assert (result["n_events"] > 0).all()
 
 
+def test_foreachbatch_idempotent_sink(spark, events_path, tmp_path):
+    """Exactly-once pattern: foreachBatch writes each epoch to a
+    deterministic path (overwrite) — a replayed epoch lands on the
+    same files instead of duplicating rows."""
+    out = str(tmp_path / "epochs")
+    stream = read_events_stream(spark, events_path)
+
+    def write_epoch(df, epoch_id: int):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    written = spark.read.option("basePath", out).parquet(out)
+    total = spark.read.parquet(events_path).count()
+    assert written.count() == total
+    # replaying the same epoch overwrites, not duplicates
+    n0 = spark.read.parquet(f"{out}/epoch=0").count()
+    write_epoch(spark.read.parquet(events_path).limit(n0), 0)
+    assert spark.read.parquet(f"{out}/epoch=0").count() == n0
+
+
 def test_streaming_dedup_drops_duplicates(spark, events_path):
     stream = read_events_stream(spark, events_path)
     doubled = stream.union(stream)  # replay everything twice

@@ -111,6 +111,62 @@ def salted_groupby(spark, sf_dir):
 
 
 @register(
+    "nullsafe_join",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey % 2 = 0
+    ),
+    b AS (
+        SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+               COUNT(*) AS seg_n
+        FROM customer GROUP BY 1
+    )
+    SELECT a.c_custkey, a.seg, b.seg_n
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the corner ordinary equi-joins silently drop."""
+    c = load_table(spark, "customer", sf_dir)
+    seg = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_mktsegment"))
+    a = c.where(F.col("c_custkey") % 2 == 0).select("c_custkey", seg.alias("seg"))
+    b = c.select(seg.alias("seg")).groupBy("seg").agg(F.count(F.lit(1)).alias("seg_n"))
+    return a.join(b, a["seg"].eqNullSafe(b["seg"])).select(
+        a["c_custkey"], a["seg"], b["seg_n"]
+    )
+
+
+@register(
+    "order_count_histogram",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+)
+def order_count_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: double aggregation (orders per customer, then
+    the distribution of those counts). Two shuffles, the second one on
+    a tiny domain."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
     "regexp_null_funcs",
     oracle="""
     SELECT c_custkey,

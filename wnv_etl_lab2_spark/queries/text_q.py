@@ -114,6 +114,19 @@ def lang_quality_agg(spark, sf_dir):
     )
 
 
+@register("text_quality_pandas_udf")  # Arrow UDF — rows-only; math checked in test_udfs.py
+def text_quality_pandas_udf(spark, sf_dir):
+    """Vectorized quality scoring through the Arrow pandas-UDF path
+    (functions/udfs.py) — the sanctioned slow-path surface, kept out
+    of every other hot query on purpose."""
+    from wnv_etl_lab2_spark.functions.udfs import with_quality_score
+
+    d = load_table(spark, "documents", sf_dir)
+    return with_quality_score(d).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+
+
 @register(
     "dedup_exact",
     oracle="""
