@@ -36,6 +36,27 @@ def test_read_http_csv_with_schema(spark, tmp_path):
     assert rows[0]["Street Address"] == "825 Walnut St"
 
 
+def test_malformed_csv_rows_drop_not_abort(spark, tmp_path):
+    """Reader-level row-skip (reference O7 drop-on-error semantics):
+    PERMISSIVE nulls bad cells; DROPMALFORMED removes the rows."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,val\n1,10\n2,not_a_number\n3,30\n")
+    schema = "id int, val int"
+    permissive = spark.read.option("header", True).schema(schema).csv(str(p))
+    assert [(r.id, r.val) for r in permissive.orderBy("id").collect()] == [
+        (1, 10),
+        (2, None),
+        (3, 30),
+    ]
+    dropped = (
+        spark.read.option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .schema(schema)
+        .csv(str(p))
+    )
+    assert [(r.id, r.val) for r in dropped.orderBy("id").collect()] == [(1, 10), (3, 30)]
+
+
 def test_config_roundtrip_yaml(tmp_path):
     p = tmp_path / "wnv.yaml"
     p.write_text(

@@ -145,13 +145,24 @@ def minhash_lsh_pairs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # The candidate set feeds two consumers (the id filter and the
+    # verify join); checkpoint it so the signature->banding->pairing
+    # pipeline runs once — the standard multi-pass materialization
+    # point of an LSH dedup job (tiny: one row per candidate pair).
+    cand = cand.localCheckpoint(eager=False)
     # exact verify on the candidate pairs only (hashed shingle sets:
-    # same intersection/union sizes as the string sets)
-    sh = docs.select(
-        F.col(id_col),
-        F.split(F.col(text_col), " ").alias("_words"),
-    ).select(F.col(id_col), hashed_word_shingles("_words").alias("_sh")).where(
-        F.size("_sh") >= 1
+    # same intersection/union sizes as the string sets). The shingle
+    # arrays are semi-filtered to candidate docs FIRST — at corpus
+    # scale the verify side must carry arrays only for the (small)
+    # candidate set, never the whole corpus.
+    cand_ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
+    ).distinct()
+    sh = (
+        docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
+        .select(F.col(id_col), hashed_word_shingles("_words").alias("_sh"))
+        .where(F.size("_sh") >= 1)
     )
     verified = (
         cand.join(sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")

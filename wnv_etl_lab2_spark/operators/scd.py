@@ -1,0 +1,90 @@
+"""Upsert / SCD2 without a table format (SURVEY.md §2.2 CDC shape).
+
+The environment has no Delta/Iceberg jars, so MERGE INTO is emulated
+with the classic relational decomposition — which is also exactly what
+those formats do under the hood:
+
+- merge_upsert: target rows not touched by updates (anti-join) UNION
+  the updates (last-writer-wins per key via a ranked window).
+- scd2_apply: slowly-changing-dimension type 2 — closing the current
+  version of changed keys and appending the new open version, with
+  [valid_from, valid_to) intervals.
+
+Both are one shuffle on the key; at 100 TB the rewrite is bounded to
+changed partitions by partition pruning on the key's partition column
+(out of scope for the synthetic tables here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+END_OF_TIME = "9999-12-31 00:00:00"
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    order_col: str | None = None,
+) -> DataFrame:
+    """UPSERT: update rows win over target rows; duplicate update keys
+    resolve to the latest by ``order_col`` (deterministic tie-break on
+    the key itself when order_col ties)."""
+    if order_col:
+        w = W.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key).asc())
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    kept = target.join(updates.select(key), key, "left_anti")
+    return kept.unionByName(updates.select(*kept.columns))
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    change_ts: str = "change_ts",
+    tracked_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SCD2: ``dim`` has [key, tracked..., valid_from, valid_to,
+    is_current]; ``changes`` has [key, tracked..., change_ts].
+
+    Closed versions pass through; the current version of a changed key
+    is closed at change_ts; every change opens a new current version.
+    Unchanged keys pass through untouched.
+    """
+    tracked = list(tracked_cols)
+    ch = changes.select(
+        key, *tracked, F.col(change_ts).alias("_new_from")
+    )
+    current = dim.where(F.col("is_current"))
+    closed = dim.where(~F.col("is_current"))
+
+    touched = current.join(ch.select(key, "_new_from"), key, "inner")
+    untouched = current.join(ch.select(key), key, "left_anti")
+
+    closed_now = touched.select(
+        key,
+        *[F.col(c) for c in tracked],
+        F.col("valid_from"),
+        F.col("_new_from").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = ch.select(
+        key,
+        *[F.col(c) for c in tracked],
+        F.col("_new_from").alias("valid_from"),
+        F.lit(END_OF_TIME).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
+    return (
+        closed.select(*cols)
+        .unionByName(untouched.select(*cols))
+        .unionByName(closed_now.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -4,6 +4,7 @@ regexp/null-handling scalar surface."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wnv_etl_lab2_spark.operators.skew import salted_groupby_agg
@@ -107,6 +108,73 @@ def salted_groupby(spark, sf_dir):
     )
     return out.select(
         "o_orderpriority", "n_orders", F.round("sum_price", 2).alias("sum_price")
+    )
+
+
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx,
+               MIN(c_custkey) OVER (
+                   PARTITION BY c_nationkey, c_acctbal
+               ) AS first_key
+        FROM customer
+    )
+    WHERE c_acctbal = mx AND c_custkey = first_key
+    """,
+)
+def argmax_per_group(spark, sf_dir):
+    """Argmax per group (TPC-H Q2 shape: the row achieving the group
+    max) via window max + equality filter, ties broken by lowest key —
+    no self-join against the aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_nationkey")
+    wt = W.partitionBy("c_nationkey", "c_acctbal")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.max("c_acctbal").over(w).alias("mx"),
+            F.min("c_custkey").over(wt).alias("first_key"),
+        )
+        .where((F.col("c_acctbal") == F.col("mx")) & (F.col("c_custkey") == F.col("first_key")))
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "sales_opportunity",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+      AND c.c_acctbal > (
+          SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+      )
+    """,
+)
+def sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: in-list filter + scalar-average subquery +
+    anti-join, composed in the DataFrame API (the scalar subquery is a
+    broadcast one-row cross join)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    prem = o.where(F.col("o_totalprice") > 400000)
+    return (
+        c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "AUTOMOBILE"))
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .join(prem, c.c_custkey == prem.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
     )
 
 
