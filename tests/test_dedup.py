@@ -87,6 +87,25 @@ def test_simhash_near_pairs_finds_planted_dup(spark):
     assert any((r.doc_a, r.doc_b) == (1, 2) for r in pairs)
 
 
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH top-10 must overlap the exact top-10 — the
+    recall floor that makes the approximate path useful."""
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    approx = REGISTRY["ann_topk_lsh"].fn(spark, sf_dir).toPandas()
+    exact = REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    overlap = len(set(approx.vec_id) & set(exact.vec_id))
+    # this corpus is near-orthogonal (no planted near-dups), so 4/10
+    # is the deterministic measured recall at 4 planes — the floor
+    # guards against regressions in the bucketing/probing math
+    assert overlap >= 3, f"LSH recall@10 regressed: {overlap}/10"
+    # the candidate re-rank is exact: scores arrive sorted and none
+    # can exceed the true global best
+    assert list(approx.cos_sim) == sorted(approx.cos_sim, reverse=True)
+    assert approx.cos_sim.max() <= exact.cos_sim.max()
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")],

@@ -235,6 +235,29 @@ def order_count_histogram(spark, sf_dir):
 
 
 @register(
+    "collect_sorted_agg",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys_csv,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey % 200 = 0
+    GROUP BY o_custkey
+    """,
+)
+def collect_sorted_agg(spark, sf_dir):
+    """Deterministic list aggregation: collect_list is order-
+    nondeterministic under parallelism, so the engine contract is
+    sort_array(collect_list(...)) — rendered to CSV so the oracle
+    comparison stays scalar-typed."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") % 200 == 0)
+    return o.groupBy("o_custkey").agg(
+        F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys_csv"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
     "regexp_null_funcs",
     oracle="""
     SELECT c_custkey,

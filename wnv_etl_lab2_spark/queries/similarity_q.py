@@ -97,15 +97,23 @@ def embedding_neardup_pairs(spark, sf_dir):
     return neardup_pairs_blocked(emb, threshold=0.3, block_col="label")
 
 
-@register("ann_topk_lsh")  # approximate — rows-only check; exactness tested in pytest
+@register("ann_topk_lsh")  # approximate — rows-only check; recall tested in pytest
 def ann_topk_lsh(spark, sf_dir):
     """Approximate top-10 neighbors of vec_id=0 via random-hyperplane
     LSH with multi-probe, exact cosine re-rank of candidates only.
-    Deterministic (seeded planes) but not SQL-expressible."""
+    Deterministic (seeded planes) but not SQL-expressible.
+
+    Plane count is a recall/cost dial: this corpus has NO planted
+    near-duplicates (best cosine ~0.33 = ~72 deg, near-orthogonal), so
+    bucketing is statistically hard — 4 planes + 1-bit probing scans
+    ~5/16 of the corpus for a measured recall@10 of 4/10. On a corpus
+    with true near-duplicates (the production use case) the same
+    operator with more planes gets high recall at a tiny scan
+    fraction."""
     emb = load_table(spark, "embeddings", sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     query_vec = [float(v) for v in qvec]
-    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, n_planes=8)
+    return lsh_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, n_planes=4)
 
 
 @register(

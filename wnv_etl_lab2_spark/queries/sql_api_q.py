@@ -48,6 +48,25 @@ def correlated_exists(spark, sf_dir):
     return _sql(spark, sf_dir, ["customer", "orders"], _CORR_EXISTS)
 
 
+_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_agg", oracle=_GROUPING_SETS)
+def grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers (disambiguates
+    'NULL key' from 'aggregated-out key' — rollup/cube's general
+    form). Identical SQL text runs on both engines."""
+    return _sql(spark, sf_dir, ["orders"], _GROUPING_SETS)
+
+
 _WINDOW_NAV = """
     SELECT o_custkey, o_orderkey,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS dr,
