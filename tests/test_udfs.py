@@ -20,6 +20,17 @@ def test_quality_score_vectorized(spark, sf_dir):
     assert abs(got - expected) < 1e-9
 
 
+def test_address_parts_udtf(spark):
+    from wnv_etl_lab2_spark.functions.udfs import address_parts_udtf
+
+    AddressParts = address_parts_udtf()
+    spark.udtf.register("address_parts", AddressParts)
+    rows = spark.sql(
+        "SELECT p.* FROM VALUES ('825 Walnut St') t(a), LATERAL address_parts(a) p"
+    ).collect()
+    assert [(r.part_idx, r.part) for r in rows] == [(0, "825"), (1, "Walnut"), (2, "St")]
+
+
 def test_trimmed_mean_matches_pandas(spark, sf_dir):
     orders = load_table(spark, "orders", sf_dir)
     got = (

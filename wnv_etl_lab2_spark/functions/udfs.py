@@ -35,6 +35,23 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality", quality_score_udf()(F.col(text_col)))
 
 
+def address_parts_udtf():
+    """Python UDTF (Spark 4): one address string in, one row per
+    component out — the table-function leg of the UDF/UDAF/UDTF
+    surface. Built lazily like the pandas UDF above."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part_idx int, part string")
+    class AddressParts:
+        def eval(self, addr: str):
+            if not addr:
+                return
+            for i, part in enumerate(addr.split(" ")):
+                yield (i, part)
+
+    return AddressParts
+
+
 def trimmed_mean_by_group(
     df: DataFrame,
     group_col: str,

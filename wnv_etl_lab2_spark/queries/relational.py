@@ -293,6 +293,27 @@ def json_extraction(spark, sf_dir):
 
 
 @register(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def variant_extract(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json into a
+    variant, typed extraction with variant_get — the open-schema
+    column pattern for heterogeneous event payloads (DuckDB mirrors
+    with its JSON type)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k_int"),
+    )
+
+
+@register(
     "union_distinct",
     oracle="""
     SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
