@@ -65,6 +65,24 @@ def test_pipeline_then_composes(spark, sf_dir):
     assert not p.transforms  # immutability: .then returns a new pipeline
 
 
+def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
+    """Date-partitioned parquet sink + partition pruning on read — the
+    lever that turns a 100 TB scan into a one-day scan."""
+    from wnv_etl_lab2_spark.pipeline import parquet_sink
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "events", sf_dir).withColumn("dt", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    parquet_sink(out, partition_by=("dt",))(ev)
+
+    back = spark.read.parquet(out).where(F.col("dt") == "2024-01-02")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    n = back.count()
+    truth = ev.where(F.col("dt") == "2024-01-02").count()
+    assert n == truth > 0
+
+
 def test_rate_limited_enrich_throttles_and_maps(spark):
     df = spark.createDataFrame([(f"addr{i}",) for i in range(4)], "full_addr string")
 

@@ -107,7 +107,12 @@ def bucketed_range_join(
         "_b1", F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_seconds * 1_000_000))
     )
     iv = iv.withColumn("_bucket", F.explode(F.sequence("_b0", "_b1"))).drop("_b0", "_b1")
-    joined = ev.join(iv, "_bucket", how).where(
-        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    # the range check rides IN the join condition (a post-join filter
+    # would silently turn an outer join into an inner one)
+    cond = (
+        (ev["_bucket"] == iv["_bucket"])
+        & (ev[ts_col] >= iv[start_col])
+        & (ev[ts_col] <= iv[end_col])
     )
-    return joined.drop("_bucket")
+    joined = ev.join(iv, cond, how).drop(iv["_bucket"]).drop(ev["_bucket"])
+    return joined
