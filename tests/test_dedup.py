@@ -106,6 +106,21 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert approx.cos_sim.max() <= exact.cos_sim.max()
 
 
+def test_ivf_ann_recall_beats_lsh(spark, sf_dir):
+    """IVF (adaptive quantizer) must hold the measured recall floor
+    and at least match hyperplane LSH on this corpus."""
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    ivf = REGISTRY["ann_topk_ivf"].fn(spark, sf_dir).toPandas()
+    lsh = REGISTRY["ann_topk_lsh"].fn(spark, sf_dir).toPandas()
+    exact = REGISTRY["ann_topk_bruteforce"].fn(spark, sf_dir).toPandas()
+    ivf_r = len(set(ivf.vec_id) & set(exact.vec_id))
+    lsh_r = len(set(lsh.vec_id) & set(exact.vec_id))
+    assert ivf_r >= 5, f"IVF recall regressed: {ivf_r}/10"
+    assert ivf_r >= lsh_r
+
+
 def test_exact_dedup_collapses_duplicates(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other text")],

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from wnv_etl_lab2_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
 from wnv_etl_lab2_spark.operators.similarity import (
     as_double_array,
+    ivf_ann_topk,
     lsh_ann_topk,
     neardup_pairs_blocked,
 )
@@ -114,6 +115,20 @@ def ann_topk_lsh(spark, sf_dir):
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     query_vec = [float(v) for v in qvec]
     return lsh_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, n_planes=4)
+
+
+@register("ann_topk_ivf")  # approximate — rows-only; recall tested in pytest
+def ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-10 neighbors of vec_id=0: seeded k-means
+    coarse quantizer trained on a bounded sample, distributed
+    assignment, nprobe=4 of 16 clusters probed (25% scan), exact
+    cosine re-rank. Measured recall@10: 6-7/10 on this corpus —
+    beats hyperplane LSH at a smaller scan fraction because the
+    quantizer adapts to the data distribution."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return ivf_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, nprobe=4)
 
 
 @register(
