@@ -48,6 +48,53 @@ def correlated_exists(spark, sf_dir):
     return _sql(spark, sf_dir, ["customer", "orders"], _CORR_EXISTS)
 
 
+_MISC_AGG = """
+    SELECT o_orderstatus,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000) AS any_premium,
+           CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS custkey_checksum,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) AS n_total
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+@register("misc_agg_filter_bool", oracle=_MISC_AGG)
+def misc_agg_filter_bool(spark, sf_dir):
+    """Aggregate odds and ends: boolean aggregates, SUM(DISTINCT),
+    and the FILTER clause — identical SQL text on both engines."""
+    return _sql(spark, sf_dir, ["orders"], _MISC_AGG)
+
+
+_INTERSECT_ALL = """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+@register("intersect_all_multiset", oracle=_INTERSECT_ALL)
+def intersect_all_multiset(spark, sf_dir):
+    """INTERSECT ALL: multiset semantics — each nation key survives
+    min(count_left, count_right) times."""
+    return _sql(spark, sf_dir, ["customer", "supplier"], _INTERSECT_ALL)
+
+
+_EXCEPT_ALL = """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+@register("except_all_multiset", oracle=_EXCEPT_ALL)
+def except_all_multiset(spark, sf_dir):
+    """EXCEPT ALL: multiset difference (count_left - count_right
+    copies survive)."""
+    return _sql(spark, sf_dir, ["customer", "supplier"], _EXCEPT_ALL)
+
+
 _GROUPING_SETS = """
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
