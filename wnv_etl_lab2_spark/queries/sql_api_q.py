@@ -50,8 +50,8 @@ def correlated_exists(spark, sf_dir):
 
 _MISC_AGG = """
     SELECT o_orderstatus,
-           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
-           BOOL_OR(o_totalprice > 400000) AS any_premium,
+           BOOL_AND(o_totalprice > 1050) AS all_above_floor,
+           BOOL_OR(o_totalprice > 499900) AS any_near_max,
            CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS custkey_checksum,
            COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
            COUNT(*) AS n_total
@@ -63,7 +63,10 @@ _MISC_AGG = """
 @register("misc_agg_filter_bool", oracle=_MISC_AGG)
 def misc_agg_filter_bool(spark, sf_dir):
     """Aggregate odds and ends: boolean aggregates, SUM(DISTINCT),
-    and the FILTER clause — identical SQL text on both engines."""
+    and the FILTER clause — identical SQL text on both engines. The
+    boolean thresholds sit INSIDE the observed o_totalprice range
+    (group minima ~1014-2805, maxima ~498k-500k) so the aggregates
+    vary by group and a miscomputed bool_and/bool_or fails the gate."""
     return _sql(spark, sf_dir, ["orders"], _MISC_AGG)
 
 
@@ -90,8 +93,8 @@ _EXCEPT_ALL = """
 
 @register("except_all_multiset", oracle=_EXCEPT_ALL)
 def except_all_multiset(spark, sf_dir):
-    """EXCEPT ALL: multiset difference (count_left - count_right
-    copies survive)."""
+    """EXCEPT ALL: multiset difference — max(count_left - count_right,
+    0) copies of each key survive."""
     return _sql(spark, sf_dir, ["customer", "supplier"], _EXCEPT_ALL)
 
 
