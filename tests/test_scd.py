@@ -45,6 +45,41 @@ def test_scd2_closes_and_opens_versions(spark):
     assert not rows[(3, "addr_old")].is_current  # history preserved
 
 
+def test_scd2_multiple_changes_per_key_chain(spark):
+    """Two changes to one key in a single batch must chain into
+    consecutive versions with exactly one current row."""
+    t0, t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 6, 1), dt.datetime(2024, 9, 1)
+    dim = spark.createDataFrame(
+        [(1, "v1", t0, dt.datetime(9999, 12, 31), True)],
+        "id long, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "v2", t1), (1, "v3", t2)], "id long, addr string, change_ts timestamp"
+    )
+    out = sorted(
+        scd2_apply(dim, changes, "id", tracked_cols=("addr",)).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [(r.addr, str(r.valid_from)[:10], str(r.valid_to)[:10], r.is_current) for r in out] == [
+        ("v1", "2024-01-01", "2024-06-01", False),
+        ("v2", "2024-06-01", "2024-09-01", False),
+        ("v3", "2024-09-01", "9999-12-31", True),
+    ]
+
+
+def test_merge_upsert_duplicate_order_values_deterministic(spark):
+    """Ties on order_col resolve deterministically (hash tie-break),
+    not by shuffle order."""
+    target = spark.createDataFrame([(1, "a", 0)], "id long, name string, v long")
+    updates = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 5)], "id long, name string, v long"
+    )
+    winners = {
+        merge_upsert(target, updates, "id", "v").collect()[0].name for _ in range(3)
+    }
+    assert len(winners) == 1  # same winner every run
+
+
 def test_scd2_idempotent_replay_shape(spark):
     """Applying the same change set twice closes the reopened version
     at its own start (zero-length interval) rather than duplicating a

@@ -75,3 +75,12 @@ def test_bbox_containment_and_join_count(spark):
         r.pid: r.Join_Count for r in with_join_count(joined, "pid", []).collect()
     }
     assert counts == {1: 1, 2: 1, 3: 2}  # p3 sits in the overlap
+
+    # outer join + match_col: unmatched point reports 0 (arcpy parity)
+    pts2 = pts.union(spark.createDataFrame([(4, 9.0, 9.0)], pts.schema))
+    outer = bbox_containment_join(pts2, zones, how="left")
+    counts2 = {
+        r.pid: r.Join_Count
+        for r in with_join_count(outer, "pid", [], match_col="zone_id").collect()
+    }
+    assert counts2 == {1: 1, 2: 1, 3: 2, 4: 0}

@@ -51,6 +51,28 @@ def test_range_join_inner_and_left(spark):
     assert by_event[3] == [None]  # unmatched row SURVIVES a left join
 
 
+def test_asof_null_keys_do_not_match(spark):
+    left = spark.createDataFrame(
+        [(1, None, ts(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, ts(5), 5.0)], "user_id long, ts timestamp, value double"
+    )
+    out = asof_join(left, right, by="user_id").collect()
+    assert len(out) == 1 and out[0].matched_value is None  # NULL != NULL
+
+
+def test_range_join_rejects_unsupported_outer(spark):
+    import pytest as _pytest
+
+    events = spark.createDataFrame([(1, ts(10))], "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(100, ts(5), ts(15))], "window_id long, t_start timestamp, t_end timestamp"
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        bucketed_range_join(events, iv, how="full")
+
+
 def test_range_join_boundary_inclusive(spark):
     events = spark.createDataFrame([(1, ts(15))], "event_id long, ts timestamp")
     iv = spark.createDataFrame(

@@ -37,7 +37,9 @@ def asof_join(
     (NULLs when no right row precedes the left row).
     """
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    rt = right.select(
+    # NULL keys must not match each other (ASOF equality semantics;
+    # the window would otherwise group them into one partition)
+    rt = right.where(F.col(by).isNotNull()).select(
         F.col(by),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
@@ -95,9 +97,18 @@ def bucketed_range_join(
     """Join rows to the intervals containing them: explode each
     interval into the time buckets it overlaps, equi-join on bucket,
     exact range filter. Candidate count per row = intervals per
-    bucket — linear, never a cross join. Requires interval length <=
-    a small multiple of bucket_seconds (here: explode span computed
-    from the actual bounds, so it is fully general)."""
+    bucket — linear, never a cross join. Explode span is computed from
+    the actual bounds, so any interval length works.
+
+    Only inner/left are supported: the interval side is exploded per
+    bucket, so a right/full join would emit one null-extended row per
+    SPANNED BUCKET of an unmatched interval instead of one per
+    interval."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} unsupported: exploded intervals would duplicate "
+            "null-extended rows; use inner or left (events side preserved)"
+        )
     ev = events.withColumn(
         "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000))
     )

@@ -6,10 +6,11 @@ never a document-document cross join. Hashing is xxhash64 (JVM-side,
 deterministic across runs/partitionings), so every operator is
 reproducible and oracle-checkable.
 
-- exact_dedup: hash-groupBy (also exposed as the `dedup_exact` query).
 - minhash_lsh_pairs: word-shingle MinHash signatures, banded LSH
   candidate join, exact-Jaccard verification.
-- simhash_signatures: 64-bit SimHash per document.
+- simhash_signatures / simhash_near_pairs: 64-bit SimHash.
+(Exact dedup needs no operator — it is a hash-groupBy, expressed
+directly by the `dedup_exact` / `dedup_fingerprint` queries.)
 """
 
 from __future__ import annotations
@@ -38,16 +39,6 @@ def _lcg_constants(n: int, seed: int = 42) -> list[int]:
 
 _A = _lcg_constants(32, seed=42)
 _B = _lcg_constants(32, seed=4242)
-
-
-def word_shingles(text_col: str, n: int = 3):
-    """Distinct word n-gram shingle array (built-in expressions only)."""
-    assert n == 3, "shingle width fixed at 3 for expression simplicity"
-    w = f"split({text_col}, ' ')"
-    return F.expr(
-        f"array_distinct(transform(sequence(0, size({w}) - 3), "
-        f"i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
-    )
 
 
 def hashed_word_shingles(words_col: str = "_words", n: int = 3):
@@ -104,6 +95,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact-Jaccard verify.
 
@@ -131,11 +123,13 @@ def minhash_lsh_pairs(
     )
     # candidate pairs via groupBy bucket + in-group pair expansion:
     # one shuffle, one evaluation of the signature pipeline (a
-    # self-join would do both twice). Bucket size is the LSH-tuned
-    # knob; a size cap here is the guard against degenerate buckets.
+    # self-join would do both twice). ``max_bucket`` caps degenerate
+    # buckets (a bucket of b docs expands to b^2/2 pairs): beyond the
+    # cap the bucket is dropped — recall-only loss, since every
+    # surviving candidate is exactly verified below.
     grouped = buckets.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("L")
-    ).where(F.size("L") >= 2)
+    ).where((F.size("L") >= 2) & (F.size("L") <= max_bucket))
     pairs_arr = F.expr(
         "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
         "y -> struct(x AS doc_a, y AS doc_b))))"
@@ -176,9 +170,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens.
+    """64-bit SimHash per document over whitespace tokens (width fixed
+    at 64 — it is the xxhash64 output width; a ``bits`` knob would
+    silently alias shifts past 64).
 
     Per token one xxhash64; bit j of the signature is set iff the sum
     of (+1/-1) contributions of bit j across tokens is positive. The
@@ -195,7 +191,7 @@ def simhash_signatures(
         F.sum(
             F.when(F.expr(f"(_h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"s{j}")
-        for j in range(bits)
+        for j in range(64)
     ]
     sums = toks.groupBy(id_col).agg(*bit_sums)
     hi = sum_bits_expr(32, 64)
@@ -226,7 +222,9 @@ def simhash_near_pairs(
     chunks (a pair within hamming distance 3 must agree exactly on at
     least one chunk — pigeonhole), equi-join per chunk, verify the true
     hamming distance with bit_count."""
-    sig = simhash_signatures(docs, id_col, text_col)
+    # checkpoint: the signature pipeline feeds both self-join sides
+    # (same multi-consumer materialization point as minhash above)
+    sig = simhash_signatures(docs, id_col, text_col).localCheckpoint(eager=False)
     chunks = sig.select(
         id_col,
         "simhash_hi",

@@ -33,7 +33,13 @@ def merge_upsert(
     resolve to the latest by ``order_col`` (deterministic tie-break on
     the key itself when order_col ties)."""
     if order_col:
-        w = W.partitionBy(key).orderBy(F.col(order_col).desc(), F.col(key).asc())
+        # tie-break must NOT be the partition key (constant within the
+        # window): break order_col ties on a hash of the remaining
+        # columns, which is deterministic for any distinct rows and
+        # indifferent for fully-identical ones.
+        tie_cols = [c for c in updates.columns if c not in (key, order_col)]
+        tie = F.xxhash64(*[F.col(c) for c in tie_cols]) if tie_cols else F.lit(0)
+        w = W.partitionBy(key).orderBy(F.col(order_col).desc(), tie.asc())
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -54,32 +60,42 @@ def scd2_apply(
     is_current]; ``changes`` has [key, tracked..., change_ts].
 
     Closed versions pass through; the current version of a changed key
-    is closed at change_ts; every change opens a new current version.
+    closes at that key's EARLIEST change; multiple changes per key
+    chain into consecutive [change_i, change_i+1) versions with only
+    the latest left current. Exact-duplicate (key, change_ts) rows are
+    collapsed first (the batch has no defined order between them).
     Unchanged keys pass through untouched.
     """
     tracked = list(tracked_cols)
-    ch = changes.select(
-        key, *tracked, F.col(change_ts).alias("_new_from")
+    ch = changes.select(key, *tracked, F.col(change_ts).alias("_new_from")).dropDuplicates(
+        [key, "_new_from"]
     )
+    # chain versions per key: valid_to = next change (or open-ended)
+    wseq = W.partitionBy(key).orderBy(F.col("_new_from").asc())
+    ch = ch.withColumn("_next_from", F.lead("_new_from").over(wseq))
+
     current = dim.where(F.col("is_current"))
     closed = dim.where(~F.col("is_current"))
 
-    touched = current.join(ch.select(key, "_new_from"), key, "inner")
+    first_change = ch.groupBy(key).agg(F.min("_new_from").alias("_first_from"))
+    touched = current.join(first_change, key, "inner")
     untouched = current.join(ch.select(key), key, "left_anti")
 
     closed_now = touched.select(
         key,
         *[F.col(c) for c in tracked],
         F.col("valid_from"),
-        F.col("_new_from").alias("valid_to"),
+        F.col("_first_from").alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
     opened = ch.select(
         key,
         *[F.col(c) for c in tracked],
         F.col("_new_from").alias("valid_from"),
-        F.lit(END_OF_TIME).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+        F.coalesce(F.col("_next_from"), F.lit(END_OF_TIME).cast("timestamp")).alias(
+            "valid_to"
+        ),
+        F.col("_next_from").isNull().alias("is_current"),
     )
     cols = [key, *tracked, "valid_from", "valid_to", "is_current"]
     return (

@@ -157,11 +157,16 @@ def with_join_count(
     joined: DataFrame,
     point_key: str,
     point_cols: list[str],
+    match_col: str | None = None,
 ) -> DataFrame:
     """Collapse a containment join to one row per point with
     ``Join_Count`` = number of matching zones (the arcpy SpatialJoin
     output column filtered by the reference's definition query
-    `Join_Count = 1`, `final_project2.py:238`)."""
-    return joined.groupBy(point_key, *point_cols).agg(
-        F.count(F.lit(1)).alias("Join_Count")
-    )
+    `Join_Count = 1`, `final_project2.py:238`).
+
+    For an OUTER containment join pass ``match_col`` (any zone-side
+    column): counting it skips the null-extended row, so an unmatched
+    point reports Join_Count = 0 like arcpy — a bare count(1) would
+    report 1."""
+    cnt = F.count(match_col) if match_col else F.count(F.lit(1))
+    return joined.groupBy(point_key, *point_cols).agg(cnt.alias("Join_Count"))

@@ -219,25 +219,26 @@ def ngram_jaccard_pairs(spark, sf_dir):
     docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
         F.size("words") >= 3
     )
-    # Shingles are hashed to longs INSIDE the lambda: the 30-byte
-    # shingle strings never materialize, and the self-join below keys
-    # on a long instead of a string (~5x cheaper shuffle+compare).
-    # xxhash64 collisions at this cardinality are negligible (~2^-40),
-    # so counts match the string-keyed oracle exactly.
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(words) - 3), "
-            "i -> xxhash64(words[i] || ' ' || words[i+1] || ' ' || words[i+2]))"
-        )
-    )
+    # Shingles are hashed to longs INSIDE the lambda (see
+    # operators/dedup.hashed_word_shingles — one shared expression for
+    # the Jaccard and MinHash paths): the 30-byte shingle strings never
+    # materialize and the groupBy below keys on a long. xxhash64
+    # collisions at this cardinality are negligible (~2^-40), so counts
+    # match the string-keyed oracle exactly.
+    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+
+    shingles = hashed_word_shingles("words")
     ex = docs.select(
         "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("shingle")
     )
     # One groupBy on the shingle hash, pairs generated in-group: a
     # single shuffle and a single evaluation of the shingle pipeline
     # (a self-join would shuffle twice and recompute the scan+shingles
-    # per side). Group sizes are bounded by shingle document frequency;
-    # a df-cap on |L| is the standard guard at corpus scale.
+    # per side). Group sizes are bounded by shingle document frequency.
+    # NOTE: the EXACT query cannot cap hot shingles without changing
+    # its answer (inter counts would drop) — at corpus scale the
+    # production near-dup path is minhash_lsh_pairs, whose max_bucket
+    # cap costs only recall because candidates are exactly verified.
     groups = ex.groupBy("shingle").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("L")
     ).where(F.size("L") >= 2)
