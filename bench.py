@@ -45,13 +45,16 @@ def main() -> None:
     spark = get_spark(app_name="wnv-etl-lab2-bench", cpus=CPUS, shuffle_partitions=CPUS)
     q._ensure_loaded()
 
-    # warm JVM/codegen for every headline plan shape at the tiny SF so
-    # the timed runs measure steady-state plan cost, not first-call
-    # JIT/class-loading (standard JVM benchmarking practice)
+    # warm JVM/codegen for every headline plan shape at the smallest
+    # available SF so the timed runs measure steady-state plan cost,
+    # not first-call JIT/class-loading (standard JVM benchmarking
+    # practice); fall back to the target dir itself if the tiny SF
+    # isn't present in this environment
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
     for name in HEADLINE:
-        q.REGISTRY[name].fn(spark, "/root/testdata/sf0.001").write.mode("overwrite").format(
-            "noop"
-        ).save()
+        q.REGISTRY[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     # min of 2 timed runs per query: steady-state plan cost, robust to
     # one-off GC/JIT spikes (the plans are deterministic; variance is

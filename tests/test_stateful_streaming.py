@@ -16,7 +16,7 @@ def test_running_user_stats_converge_to_batch(spark, sf_dir, tmp_path):
 
     stream = read_events_stream(spark, path)
     q = (
-        running_user_stats(stream)
+        running_user_stats(stream, watermark="2 hours")
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("t_state")

@@ -19,10 +19,10 @@ from wnv_etl_lab2_spark.streaming.events import (
 @pytest.fixture()
 def events_path(spark, sf_dir, tmp_path):
     """Streaming file source needs micros timestamps — re-stage the
-    events table (the raw file is TIMESTAMP(NANOS), see catalog)."""
-    out = str(tmp_path / "events_stream")
-    load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(out)
-    return out
+    events table (the raw file is TIMESTAMP(NANOS))."""
+    from wnv_etl_lab2_spark.streaming.events import stage_events_for_streaming
+
+    return stage_events_for_streaming(spark, sf_dir, str(tmp_path / "events_stream"))
 
 
 def _run_to_memory(spark, sdf, name, output_mode):

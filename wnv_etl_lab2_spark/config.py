@@ -27,7 +27,9 @@ class PipelineConfig:
         unknown = set(d) - known
         if unknown:
             raise ValueError(f"unknown config keys: {sorted(unknown)}")
-        return cls(**{k: str(v) for k, v in d.items()})
+        # YAML empty values parse as None — keep them as '' defaults
+        # rather than the literal string 'None'
+        return cls(**{k: ("" if v is None else str(v)) for k, v in d.items()})
 
 
 def load_config(path: str) -> PipelineConfig:

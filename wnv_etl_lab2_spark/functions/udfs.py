@@ -62,7 +62,8 @@ def trimmed_mean_by_group(
     and bottom ``trim`` fraction removed — a robust statistic with no
     built-in Spark form. Each group is one pandas frame; the shuffle
     is the same single exchange a built-in groupBy would do."""
-    out_schema = f"{group_col} string, trimmed_mean double, n_used long"
+    group_type = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {group_type}, trimmed_mean double, n_used long"
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col].sort_values()

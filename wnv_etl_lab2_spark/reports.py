@@ -38,10 +38,15 @@ def export_spray_report(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     JSON run summary. Returns the summary dict."""
     _ensure_loaded()
     df = REGISTRY["spray_targets"].fn(spark, sf_dir).select(*REPORT_COLUMNS)
-    csv_dir = os.path.join(out_dir, "target_addresses_report")
-    df.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
-
-    n = df.count()
+    # two actions (write + count) — persist so the anti-join/contain
+    # pipeline runs once, not twice
+    df = df.persist()
+    try:
+        csv_dir = os.path.join(out_dir, "target_addresses_report")
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(csv_dir)
+        n = df.count()
+    finally:
+        df.unpersist()
     summary = {
         "report": "Target_Addresses_Report",
         "n_target_addresses": n,

@@ -34,8 +34,12 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # managed-table locations are lowercased, and db-qualified names
+    # live under <db>.db/<tbl> — mirror that or the orphan survives
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    parts = table.lower().split(".")
+    rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+    shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

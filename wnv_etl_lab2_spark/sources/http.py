@@ -9,7 +9,9 @@ landing file gives idempotent re-reads (the reference's re-run model).
 
 The URL opener is injected so tests (and this container, which has no
 network) exercise the full path without sockets; production passes
-`urllib.request.urlopen`.
+``lambda url: urllib.request.urlopen(url, timeout=10).read()`` (the
+opener contract is url -> BYTES, mirroring the reference's
+requests.get(...).text with its 10 s timeout, `Lab2ETL.py:33`).
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from wnv_etl_lab2_spark.pipeline import csv_source
 
 Opener = Callable[[str], bytes]
 
@@ -40,9 +44,7 @@ def read_http_csv(
     schema: str | None = None,
 ) -> DataFrame:
     """Fetch + parallel CSV read. Explicit DDL schema recommended; the
-    inference fallback mirrors the reference's DictReader dynamism."""
+    inference fallback mirrors the reference's DictReader dynamism.
+    (Reader semantics live in pipeline.csv_source — one copy.)"""
     path = fetch_to_landing(url, landing_path, opener)
-    reader = spark.read.option("header", True)
-    return reader.schema(schema).csv(path) if schema else reader.option(
-        "inferSchema", True
-    ).csv(path)
+    return csv_source(path, schema)(spark)

@@ -27,9 +27,23 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def stage_events_for_streaming(spark: SparkSession, sf_dir: str, out_path: str) -> str:
+    """Re-stage the catalog's events table as microsecond-timestamp
+    parquet. Required before read_events_stream: the raw
+    events.parquet is TIMESTAMP(NANOS), which the streaming file
+    source cannot read against a TimestampType schema (the batch
+    catalog converts it on read; a stream's declared schema must match
+    the physical type)."""
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    load_table(spark, "events", sf_dir).write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (schema declared —
-    streaming sources never infer)."""
+    """File-source stream over micros-timestamp events parquet (schema
+    declared — streaming sources never infer). For the driver-provided
+    nanos file, stage first with stage_events_for_streaming."""
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
 
 
