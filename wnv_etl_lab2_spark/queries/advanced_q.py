@@ -235,6 +235,106 @@ def order_count_histogram(spark, sf_dir):
 
 
 @register(
+    "order_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: date-windowed orders with a correlated EXISTS
+    against lineitem (late-shipping lines), counted by priority. The
+    EXISTS becomes a semi-join on the pre-filtered orders side."""
+    o = load_table(spark, "orders", sf_dir).where(
+        F.expr(
+            "o_orderdate >= TIMESTAMP '1995-07-01 00:00:00' "
+            "AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'"
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    late = o.join(
+        li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "shipping_priority_buckets",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def shipping_priority_buckets(spark, sf_dir):
+    """TPC-H Q12 shape: conditional-CASE counting over a fact-fact
+    join (priority class buckets per line status)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of conditional to total aggregate in one
+    pass (promo revenue share for a month)."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.expr(
+            "l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"
+        )
+    )
+    p = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "collect_sorted_agg",
     oracle="""
     SELECT o_custkey,
