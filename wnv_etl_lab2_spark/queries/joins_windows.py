@@ -204,6 +204,42 @@ def window_running_sum(spark, sf_dir):
 
 
 @register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS orders_last_30d,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_last_30d
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-based (RANGE) window frame: per customer, rolling 30-day
+    order count and spend. Unlike ROWS frames, RANGE bounds are in the
+    ORDER-BY value's units — here epoch days — so same-day orders share
+    a frame and the result is order-insensitive (no tie-break needed)."""
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") % 100 == 0)
+    # o_orderdate is TIMESTAMP_NTZ; cast is identity-valued under the
+    # catalog's pinned UTC session and unblocks unix_micros
+    days = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    w = W.partitionBy("o_custkey").orderBy(days.cast("long")).rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("orders_last_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_last_30d"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH gaps AS (
