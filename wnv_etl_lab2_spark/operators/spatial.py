@@ -153,6 +153,63 @@ def bbox_containment_join(
     return points.join(F.broadcast(zones), pred, how)
 
 
+def bbox_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    cell: float,
+    left_box: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    right_box: tuple[str, str, str, str] = ("pxmin", "pymin", "pxmax", "pymax"),
+) -> DataFrame:
+    """Zone-zone overlay join: every (left, right) box pair with a
+    positive-area intersection (the general form of the reference's
+    `arcpy.analysis.Intersect` overlay, `GSheetsETL_Lab2.py:125` /
+    `final_project2.py:226` — on axis-aligned boxes the intersection
+    geometry is plain interval arithmetic).
+
+    Scale design: both sides may be large, so neither is broadcast.
+    Each box is indexed into every grid cell its extent covers
+    (``sequence(floor(min/cell), floor(max/cell))`` per axis), the join
+    is a plain equi-join on the cell id, and the exact interval-overlap
+    predicate runs within cells. A pair whose boxes share several cells
+    would duplicate, so each pair is emitted only from the cell that
+    contains the intersection's min corner (the standard reference-point
+    dedup — no distinct/shuffle needed). At 100 TB this is shuffle-bound
+    on the grid key, never quadratic; hot cells salt like any join key.
+
+    Box columns must be disjointly named across the two inputs (alias
+    before calling); ``cell`` should be on the order of the larger
+    typical box edge so per-box cell fan-out stays O(1).
+    """
+    lx0, ly0, lx1, ly1 = left_box
+    rx0, ry0, rx1, ry1 = right_box
+
+    def covered(df: DataFrame, x0: str, y0: str, x1: str, y1: str, cx: str, cy: str) -> DataFrame:
+        return df.withColumn(
+            cx, F.explode(F.sequence(F.floor(F.col(x0) / cell), F.floor(F.col(x1) / cell)))
+        ).withColumn(
+            cy, F.explode(F.sequence(F.floor(F.col(y0) / cell), F.floor(F.col(y1) / cell)))
+        )
+
+    l = covered(left, lx0, ly0, lx1, ly1, "_cx", "_cy")
+    r = covered(right, rx0, ry0, rx1, ry1, "_rcx", "_rcy")
+    overlap = (
+        (F.col(lx0) < F.col(rx1))
+        & (F.col(rx0) < F.col(lx1))
+        & (F.col(ly0) < F.col(ry1))
+        & (F.col(ry0) < F.col(ly1))
+    )
+    ref_point = (
+        (F.floor(F.greatest(F.col(lx0), F.col(rx0)) / cell) == F.col("_cx"))
+        & (F.floor(F.greatest(F.col(ly0), F.col(ry0)) / cell) == F.col("_cy"))
+    )
+    cond = (F.col("_cx") == F.col("_rcx")) & (F.col("_cy") == F.col("_rcy"))
+    return (
+        l.join(r, cond, "inner")
+        .where(overlap & ref_point)
+        .drop("_cx", "_cy", "_rcx", "_rcy")
+    )
+
+
 def with_join_count(
     joined: DataFrame,
     point_key: str,

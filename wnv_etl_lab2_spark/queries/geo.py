@@ -33,6 +33,17 @@ ZONE_XMIN = "-105.3 + ((n_nationkey * 37) % 80) * 125e-5"
 ZONE_YMIN = "39.98 + ((n_nationkey * 59) % 80) * 125e-5"
 ZONE_XMAX = ZONE_XMIN + " + 0.02"
 ZONE_YMAX = ZONE_YMIN + " + 0.02"
+PARCEL_XMIN = "-105.3 + ((s_suppkey * 29) % 950) * 1e-4"
+PARCEL_YMIN = "39.98 + ((s_suppkey * 71) % 950) * 1e-4"
+PARCEL_XMAX = PARCEL_XMIN + " + 0.005"
+PARCEL_YMAX = PARCEL_YMIN + " + 0.005"
+
+# Box-intersection area on (zone, parcel) column names — identical text
+# on both engines so the doubles match bit-for-bit.
+IX_AREA = (
+    "(least(xmax, pxmax) - greatest(xmin, pxmin))"
+    " * (least(ymax, pymax) - greatest(ymin, pymin))"
+)
 
 # The 7 report fields of the reference's Target_Addresses_Report
 # (`final_project2.py:252`), derived deterministically from customer.
@@ -59,6 +70,10 @@ SUPP_POINTS_CTE = f"SELECT s_suppkey AS opt_id, {SUPP_X} AS x, {SUPP_Y} AS y FRO
 ZONES_CTE = (
     f"SELECT n_nationkey AS zone_id, {ZONE_XMIN} AS xmin, {ZONE_YMIN} AS ymin, "
     f"{ZONE_XMAX} AS xmax, {ZONE_YMAX} AS ymax FROM nation"
+)
+PARCELS_CTE = (
+    f"SELECT s_suppkey AS parcel_id, {PARCEL_XMIN} AS pxmin, {PARCEL_YMIN} AS pymin, "
+    f"{PARCEL_XMAX} AS pxmax, {PARCEL_YMAX} AS pymax FROM supplier"
 )
 
 
@@ -89,4 +104,17 @@ def risk_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ZONE_YMIN).alias("ymin"),
         F.expr(ZONE_XMAX).alias("xmax"),
         F.expr(ZONE_YMAX).alias("ymax"),
+    )
+
+
+def parcel_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parcel box layer (overlay second operand): one 0.005-deg square
+    per supplier, columns prefixed ``p*`` so the overlay join and the
+    shared ``IX_AREA`` fragment see disjoint names."""
+    return load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("parcel_id"),
+        F.expr(PARCEL_XMIN).alias("pxmin"),
+        F.expr(PARCEL_YMIN).alias("pymin"),
+        F.expr(PARCEL_XMAX).alias("pxmax"),
+        F.expr(PARCEL_YMAX).alias("pymax"),
     )

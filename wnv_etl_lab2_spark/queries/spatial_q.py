@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from wnv_etl_lab2_spark.operators.spatial import (
     bbox_containment_join,
+    bbox_overlap_join,
     with_join_count,
     within_distance_anti_join,
     within_distance_semi_join,
@@ -114,6 +115,29 @@ def spatial_zone_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_addresses"),
         F.sum("addr_id").alias("addr_checksum"),
     )
+
+
+@register(
+    "zone_overlay",
+    oracle=f"""
+    WITH zones AS ({geo.ZONES_CTE}),
+    parcels AS ({geo.PARCELS_CTE})
+    SELECT zone_id, parcel_id, {geo.IX_AREA} AS ix_area
+    FROM zones z JOIN parcels p
+      ON xmin < pxmax AND pxmin < xmax AND ymin < pymax AND pymin < ymax
+    """,
+)
+def zone_overlay(spark, sf_dir):
+    """O14 general form: polygon-polygon overlay (the reference's
+    `arcpy.analysis.Intersect` on the High_Risk layer,
+    `GSheetsETL_Lab2.py:125`) on axis-aligned boxes — every
+    (zone, parcel) pair with positive-area intersection plus the clipped
+    area. Grid-bucketed zone-zone equi-join (neither side broadcast),
+    reference-point dedup, so the plan survives two large layers."""
+    zones = geo.risk_zones(spark, sf_dir)
+    parcels = geo.parcel_boxes(spark, sf_dir)
+    pairs = bbox_overlap_join(zones, parcels, cell=0.02)
+    return pairs.select("zone_id", "parcel_id", F.expr(geo.IX_AREA).alias("ix_area"))
 
 
 _REPORT_COLS = list(geo.REPORT_FIELDS)  # the 7 reference report fields
