@@ -26,6 +26,32 @@ def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
     assert len(mh) > 0
 
 
+def test_embedding_neardup_lsh_blocking_recall_100(spark, sf_dir):
+    """The LSH-band-blocked near-dup pairs must equal the exhaustive
+    label-blocked computation — i.e. banding (r=3, b=32) loses ZERO
+    qualifying pairs on this corpus. This is what licenses the exact
+    SQL oracle on an LSH-blocked plan. (Also holds at sf0.01 and
+    sf0.1; the parameter sweep lives in the operator docstring.)"""
+    from wnv_etl_lab2_spark.operators.similarity import (
+        neardup_pairs_blocked,
+        neardup_pairs_lsh_blocked,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    lsh = neardup_pairs_lsh_blocked(emb, threshold=0.3).toPandas()
+    exact = neardup_pairs_blocked(emb, threshold=0.3, block_col="label").toPandas()
+    assert len(exact) > 0
+    assert set(zip(lsh.id_a, lsh.id_b)) == set(zip(exact.id_a, exact.id_b))
+
+
+def test_neardup_lsh_rejects_wrong_dim(spark, sf_dir):
+    from wnv_etl_lab2_spark.operators.similarity import neardup_pairs_lsh_blocked
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="dim=32"):
+        neardup_pairs_lsh_blocked(emb, threshold=0.3, dim=32)
+
+
 def test_minhash_signatures_deterministic(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir).limit(50)
     a = minhash_signatures(docs).orderBy("doc_id").toPandas()

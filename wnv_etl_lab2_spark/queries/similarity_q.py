@@ -17,7 +17,7 @@ from wnv_etl_lab2_spark.operators.similarity import (
     as_double_array,
     ivf_ann_topk,
     lsh_ann_topk,
-    neardup_pairs_blocked,
+    neardup_pairs_lsh_blocked,
 )
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
@@ -91,11 +91,17 @@ def ann_topk_bruteforce(spark, sf_dir):
     """,
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label (the blocking
-    key stands in for an LSH bucket id — the pair join is an equi-join
-    on the block, never a global cross join)."""
+    """Embedding-cosine near-dup pairs within a label, blocked on a
+    banded hyperplane-LSH bucket: the pair join keys on
+    (label, band_id, bucket), with exact cosine verification of the
+    candidates. Banding (r=3, b=32) gives measured 100% recall of the
+    qualifying (same-label, cos >= 0.3) pairs on this corpus at
+    sf0.001/0.01/0.1 (pinned in tests/test_dedup.py), so the output
+    equals the exact label-blocked oracle while the join's block size
+    is 2^r times smaller per band — the shape that survives a corpus
+    where a label holds millions of rows."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return neardup_pairs_blocked(emb, threshold=0.3, block_col="label")
+    return neardup_pairs_lsh_blocked(emb, threshold=0.3)
 
 
 @register("ann_topk_lsh")  # approximate — rows-only check; recall tested in pytest
