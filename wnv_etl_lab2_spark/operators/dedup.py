@@ -41,6 +41,20 @@ _A = _lcg_constants(32, seed=42)
 _B = _lcg_constants(32, seed=4242)
 
 
+def shingle_expr(words_col: str = "_words") -> str:
+    """SQL text of the distinct-hashed-3-shingle array over a words
+    column. Kept as ONE expression string so every consumer projects
+    it in a single selectExpr — mixing it into Column-level filters or
+    wrapper Columns invites CollapseProject to inline the transform
+    into each reference (measured ~4-10x slowdown of the minhash
+    pipeline when a size() filter referenced the array)."""
+    w = words_col
+    return (
+        f"array_distinct(transform(sequence(0, size({w}) - 3), "
+        f"i -> xxhash64({w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])))"
+    )
+
+
 def hashed_word_shingles(words_col: str = "_words", n: int = 3):
     """Distinct shingles hashed to longs inside the lambda — the
     shingle strings never materialize, set sizes/intersections are
@@ -48,17 +62,37 @@ def hashed_word_shingles(words_col: str = "_words", n: int = 3):
     every hot path uses: long keys shuffle and compare ~5x cheaper
     than 30-byte strings."""
     assert n == 3
-    w = words_col
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size({w}) - 3), "
-            f"i -> xxhash64({w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2]))"
-        )
+    return F.expr(shingle_expr(words_col))
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _sh) — the hashed-shingle array per document. This ONE
+    subtree feeds both the signature stage and the exact-verify stage
+    of minhash_lsh_pairs, so Catalyst plans its repartition exchange
+    once and reuses it (ReusedExchange) instead of re-scanning and
+    re-shingling per consumer."""
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # No size(_sh) filter here: size(_words) >= 3 already guarantees a
+    # non-empty shingle array, and a filter referencing _sh would make
+    # CollapseProject inline the whole transform per reference.
+    return (
+        docs.repartition(nparts, id_col)  # spread single-file inputs
+        .selectExpr(id_col, f"split({text_col}, ' ') AS _words")
+        .where(F.size("_words") >= 3)
+        .selectExpr(id_col, f"{shingle_expr('_words')} AS _sh")
     )
 
 
-def _affine(a: int, b: int):
-    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
+def _signature_exprs(num_hashes: int) -> list[str]:
+    """mh_i = min over shingles of the i-th affine re-hash, as SQL
+    expression STRINGS: one parse on the JVM instead of num_hashes
+    nested Python-lambda column trees (the py4j round trips to build
+    those dominated plan-construction time — ~1s/query at 32 hashes)."""
+    assert num_hashes <= len(_A)
+    return [
+        f"array_min(transform(_h31, h -> ({a}L * h + {b}L) % {_P}L)) AS mh_{i}"
+        for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
+    ]
 
 
 def minhash_signatures(
@@ -70,22 +104,10 @@ def minhash_signatures(
     the explode+groupBy form locally and strictly better at scale
     (signatures of a 100 TB corpus are embarrassingly parallel).
     """
-    assert num_hashes <= len(_A)
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = (
-        docs.repartition(nparts, id_col)  # spread single-file inputs
-        .withColumn("_words", F.split(F.col(text_col), " "))
-        .where(F.size("_words") >= 3)
-        .withColumn(
-            "_h31",
-            F.transform(hashed_word_shingles("_words"), lambda x: F.pmod(x, F.lit(1 << 31))),
-        )
+    base = _shingled(docs, id_col, text_col).selectExpr(
+        id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
     )
-    mins = [
-        F.array_min(F.transform("_h31", _affine(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(zip(_A[:num_hashes], _B[:num_hashes]))
-    ]
-    return base.select(id_col, *mins)
+    return base.selectExpr(id_col, *_signature_exprs(num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -108,14 +130,17 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes)
+    shingled = _shingled(docs, id_col, text_col)
+    sig = shingled.selectExpr(
+        id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
+    ).selectExpr(id_col, *_signature_exprs(num_hashes))
     # band signature = one long (xxhash64 of the band's minhashes):
     # joins on (int, long), never on strings.
     band_cols = [
-        F.xxhash64(*[F.col(f"mh_{band * r + i}") for i in range(r)]).alias(f"band_{band}")
+        f"xxhash64({', '.join(f'mh_{band * r + i}' for i in range(r))}) AS band_{band}"
         for band in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    banded = sig.selectExpr(id_col, *band_cols)
     # unpivot to (doc, band_id, band_sig): one row per band
     stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
     buckets = banded.select(
@@ -148,16 +173,13 @@ def minhash_lsh_pairs(
     # same intersection/union sizes as the string sets). The shingle
     # arrays are semi-filtered to candidate docs FIRST — at corpus
     # scale the verify side must carry arrays only for the (small)
-    # candidate set, never the whole corpus.
+    # candidate set, never the whole corpus. The filter applies to the
+    # SAME shingled subtree the signatures came from, so the scan +
+    # shingle pipeline and its exchange are planned once and reused.
     cand_ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias(id_col)
     ).distinct()
-    sh = (
-        docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("_words"))
-        .select(F.col(id_col), hashed_word_shingles("_words").alias("_sh"))
-        .where(F.size("_sh") >= 1)
-    )
+    sh = shingled.join(F.broadcast(cand_ids), id_col, "left_semi")
     verified = (
         cand.join(sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("sh_b")), "doc_b")

@@ -263,22 +263,35 @@ def neardup_pairs_blocked(
     return pairs.select("id_a", "id_b", F.col("_blk").alias(block_col), "cos_sim")
 
 
-def lsh_band_bucket_cols(vec_col, dim: int, bands: int, rows_per_band: int, seed: int = 42) -> list["F.Column"]:
+def lsh_band_bucket_exprs(
+    vec_col: str, dim: int, bands: int, rows_per_band: int, seed: int = 42
+) -> list[str]:
     """One sign-bit bucket id per band (bit i of band b = sign of the
     dot against plane ``b*rows_per_band + i``) — the banded form of
-    :func:`lsh_bucket_col`. Pure map over the scan: plane constants are
-    baked into the expression tree, no shuffle, no Python."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    :func:`lsh_bucket_col`, as SQL expression STRINGS over the RAW
+    vector column (element cast inlined in the lambda). Two deliberate
+    choices: strings parse once on the JVM instead of bands*rows py4j
+    lambda trees, and referencing the raw attribute — never a computed
+    double-array alias — keeps CollapseProject from inlining a cast
+    transform into every one of the bands*rows dot products (measured
+    ~5x slowdown of the whole pair job). Pure map over the scan."""
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
-    cols = []
+
+    def dot(plane: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
+        return (
+            f"aggregate(zip_with({vec_col}, {arr}, (a, x) -> CAST(a AS DOUBLE) * x), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+
+    exprs = []
     for b in range(bands):
-        bucket = F.lit(0)
-        for i in range(rows_per_band):
-            p = F.array(*[F.lit(v) for v in planes[b * rows_per_band + i]])
-            dot = F.aggregate(F.zip_with(c, p, lambda a, x: a * x), F.lit(0.0), lambda acc, v: acc + v)
-            bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        cols.append(bucket.alias(f"bkt_{b}"))
-    return cols
+        bits = [
+            f"(CASE WHEN {dot(planes[b * rows_per_band + i])} > 0.0D THEN {1 << i} ELSE 0 END)"
+            for i in range(rows_per_band)
+        ]
+        exprs.append(" + ".join(bits) + f" AS bkt_{b}")
+    return exprs
 
 
 def neardup_pairs_lsh_blocked(
@@ -288,8 +301,8 @@ def neardup_pairs_lsh_blocked(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int = 64,
-    bands: int = 32,
-    rows_per_band: int = 3,
+    bands: int = 24,
+    rows_per_band: int = 2,
     seed: int = 42,
     max_bucket: int = 4096,
 ) -> DataFrame:
@@ -299,9 +312,11 @@ def neardup_pairs_lsh_blocked(
     per band instead of O((n/L)^2), and r (``rows_per_band``) dials
     block size down as the corpus grows. Candidates are exactly
     cosine-verified, so precision is always 1; recall is the banded-LSH
-    guarantee 1 - (1 - p^r)^bands with p = 1 - theta/pi (for this
-    corpus and threshold, measured 100% at sf0.001/0.01/0.1 —
-    tests/test_dedup.py pins it).
+    guarantee 1 - (1 - p^r)^bands with p = 1 - theta/pi — at the
+    default r=2, b=24 the worst qualifying pair here (cos 0.3,
+    p=0.597) misses with probability ~3e-5; measured 100% recall at
+    sf0.001/0.01/0.1 (tests/test_dedup.py pins it; r=3, b=32 also
+    passed but costs ~1.7x the wall for a weaker bound).
 
     Same shape as minhash_lsh_pairs: signature map -> stack to
     (band_id, bucket) -> groupBy block key + in-group pair expansion
@@ -311,11 +326,13 @@ def neardup_pairs_lsh_blocked(
     """
     check_dim(vectors, vec_col, dim)
     nparts = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    v = vectors.repartition(nparts, id_col).select(
-        id_col, F.col(label_col).alias("_lbl"), as_double_array(vec_col).alias("_e")
+    # raw floats through the exchange; the bucket exprs and the verify
+    # stage below both hang off this one repartition (ReusedExchange)
+    raw = vectors.repartition(nparts, id_col).select(
+        id_col, F.col(label_col).alias("_lbl"), vec_col
     )
-    sig = v.select(
-        id_col, "_lbl", *lsh_band_bucket_cols(F.col("_e"), dim, bands, rows_per_band, seed)
+    sig = raw.selectExpr(
+        id_col, "_lbl", *lsh_band_bucket_exprs(vec_col, dim, bands, rows_per_band, seed)
     )
     stack_expr = ", ".join(f"{b}, bkt_{b}" for b in range(bands))
     buckets = sig.select(
@@ -336,8 +353,9 @@ def neardup_pairs_lsh_blocked(
         .distinct()
         .localCheckpoint(eager=False)  # candidate set feeds two verify joins
     )
+    w = raw.select(id_col, as_double_array(vec_col).alias("_e"))
     nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
-    w = v.withColumn("_n", nrm)
+    w = w.withColumn("_n", nrm)
     a = w.select(F.col(id_col).alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na"))
     b = w.select(F.col(id_col).alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)

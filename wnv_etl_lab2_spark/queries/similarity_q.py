@@ -94,7 +94,7 @@ def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs within a label, blocked on a
     banded hyperplane-LSH bucket: the pair join keys on
     (label, band_id, bucket), with exact cosine verification of the
-    candidates. Banding (r=3, b=32) gives measured 100% recall of the
+    candidates. Banding (r=2, b=24) gives measured 100% recall of the
     qualifying (same-label, cos >= 0.3) pairs on this corpus at
     sf0.001/0.01/0.1 (pinned in tests/test_dedup.py), so the output
     equals the exact label-blocked oracle while the join's block size
