@@ -10,8 +10,10 @@ collect) — the honest end-to-end cost of each plan.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -39,6 +41,28 @@ HEADLINE = [
     "ann_topk_bruteforce",        # exact vector top-k
     "embedding_neardup_pairs",    # blocked cosine pairs
 ]
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Per-query timings from the latest BENCH_r{N}.json next to this
+    script, so each round's output carries its own regression report
+    (delta_vs_prev). Missing/garbled history -> empty dict."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return {}
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        prev = doc.get("parsed", doc).get("queries", {})
+        return {k: float(v) for k, v in prev.items()}
+    except (OSError, ValueError, AttributeError):
+        return {}
 
 
 def main() -> None:
@@ -70,17 +94,20 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    prev = _previous_round_timings()
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if prev:
+        out["delta_vs_prev"] = {
+            name: round(t - prev[name], 3) for name, t in timings.items() if name in prev
+        }
+        out["prev_total"] = round(sum(prev.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
