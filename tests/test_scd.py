@@ -96,3 +96,31 @@ def test_scd2_idempotent_replay_shape(spark):
     twice = scd2_apply(once, changes, "id", tracked_cols=("addr",))
     current = twice.where(F.col("is_current")).collect()
     assert len(current) == 1 and current[0].addr == "v2"
+
+
+def test_scd2_rejects_stale_changes(spark):
+    """A change at or before the open version's valid_from must be
+    dropped, not applied — applying it would mint a negative-length
+    version overlapping closed history."""
+    import datetime as dt
+
+    t0, t1 = dt.datetime(2024, 6, 1), dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "v1", t0, dt.datetime(9999, 12, 31), True)],
+        "id long, addr string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    stale = spark.createDataFrame(
+        [(1, "ghost", t1), (1, "same_ts", t0)], "id long, addr string, change_ts timestamp"
+    )
+    out = scd2_apply(dim, stale, "id", tracked_cols=("addr",)).collect()
+    assert len(out) == 1
+    assert out[0].addr == "v1" and out[0].is_current
+    # a mixed batch applies only the non-stale change
+    t2 = dt.datetime(2024, 9, 1)
+    mixed = spark.createDataFrame(
+        [(1, "ghost", t1), (1, "v2", t2)], "id long, addr string, change_ts timestamp"
+    )
+    rows = {r.addr: r for r in scd2_apply(dim, mixed, "id", tracked_cols=("addr",)).collect()}
+    assert set(rows) == {"v1", "v2"}
+    assert not rows["v1"].is_current and rows["v1"].valid_to == t2
+    assert rows["v2"].is_current and rows["v2"].valid_from == t2

@@ -38,11 +38,17 @@ def asof_join(
     """
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     # NULL keys must not match each other (ASOF equality semantics;
-    # the window would otherwise group them into one partition)
+    # the window would otherwise group them into one partition).
+    # _tie: deterministic order among right rows sharing (key, ts) —
+    # without it F.last picks whichever duplicate the shuffle happened
+    # to order last, and the match drifts across runs. The hash of the
+    # value columns makes the pick stable (the duplicate with the
+    # largest value-hash wins; indifferent for fully-identical rows).
     rt = right.where(F.col(by).isNotNull()).select(
         F.col(by),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
+        F.xxhash64(*[F.col(c) for c in value_cols]).alias("_tie"),
         *[F.col(c) for c in value_cols],
     )
     lcols = [c for c in left.columns]
@@ -50,6 +56,7 @@ def asof_join(
         *lcols,
         "_side",
         "_ats",
+        F.lit(0).cast("long").alias("_tie"),
         *[F.lit(None).cast(rt.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     ).unionByName(
         rt.select(
@@ -59,14 +66,16 @@ def asof_join(
             ],
             "_side",
             "_ats",
+            "_tie",
             *[F.col(c).alias(f"_r_{c}") for c in value_cols],
         )
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so an
-    # exactly-simultaneous right row IS matched (ts_r <= ts_l).
+    # exactly-simultaneous right row IS matched (ts_r <= ts_l); _tie
+    # fixes the order among right duplicates at the same (key, ts).
     w = (
         W.partitionBy(by)
-        .orderBy(F.col("_ats").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_tie").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = unioned.select(

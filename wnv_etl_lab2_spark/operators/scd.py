@@ -65,10 +65,25 @@ def scd2_apply(
     the latest left current. Exact-duplicate (key, change_ts) rows are
     collapsed first (the batch has no defined order between them).
     Unchanged keys pass through untouched.
+
+    STALE changes — change_ts at or before the current version's
+    valid_from — are REJECTED (dropped), not applied: closing the open
+    version at an earlier timestamp would mint a negative-length
+    [valid_from, valid_to) row overlapping already-closed history.
+    Rewriting closed history from late data is a different operation
+    (a full rebuild from the event log), not an incremental apply.
     """
     tracked = list(tracked_cols)
     ch = changes.select(key, *tracked, F.col(change_ts).alias("_new_from")).dropDuplicates(
         [key, "_new_from"]
+    )
+    cur_from = dim.where(F.col("is_current")).select(
+        key, F.col("valid_from").alias("_cur_from")
+    )
+    ch = (
+        ch.join(cur_from, key, "left")
+        .where(F.col("_cur_from").isNull() | (F.col("_new_from") > F.col("_cur_from")))
+        .drop("_cur_from")
     )
     # chain versions per key: valid_to = next change (or open-ended)
     wseq = W.partitionBy(key).orderBy(F.col("_new_from").asc())
