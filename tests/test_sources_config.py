@@ -71,18 +71,6 @@ def test_config_roundtrip_yaml(tmp_path):
     assert cfg.proj_dir == ""  # defaulted
 
 
-def test_table_format_stubs_fail_actionably(spark, tmp_path):
-    """Without the jars, the lakehouse bindings must raise guidance,
-    not a Py4J stack (and must not claim availability)."""
-    from wnv_etl_lab2_spark.sources import table_formats as tf
-
-    assert tf.delta_available() is False
-    with pytest.raises(NotImplementedError, match="delta-spark"):
-        tf.read_delta(spark, str(tmp_path / "t"))
-    with pytest.raises(NotImplementedError, match="iceberg"):
-        tf.read_iceberg(spark, "cat.db.t")
-
-
 def test_config_rejects_unknown_keys(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text("remote_url: x\nmystery_key: y\n")
