@@ -28,10 +28,10 @@ def test_minhash_lsh_recall_equals_exact(spark, sf_dir):
 
 def test_embedding_neardup_lsh_blocking_recall_100(spark, sf_dir):
     """The LSH-band-blocked near-dup pairs must equal the exhaustive
-    label-blocked computation — i.e. banding (r=3, b=32) loses ZERO
-    qualifying pairs on this corpus. This is what licenses the exact
-    SQL oracle on an LSH-blocked plan. (Also holds at sf0.01 and
-    sf0.1; the parameter sweep lives in the operator docstring.)"""
+    label-blocked computation — i.e. the default banding (r=2, b=24)
+    loses ZERO qualifying pairs on this corpus. This is what licenses
+    the exact SQL oracle on an LSH-blocked plan. (Also holds at sf0.01
+    and sf0.1; the parameter sweep lives in the operator docstring.)"""
     from wnv_etl_lab2_spark.operators.similarity import (
         neardup_pairs_blocked,
         neardup_pairs_lsh_blocked,
@@ -160,3 +160,43 @@ def test_exact_dedup_collapses_duplicates(spark):
         .collect()
     )
     assert [(r.keeper, r.n) for r in out] == [(1, 2), (3, 1)]
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Label propagation must produce exactly the components a
+    driver-side union-find builds from the same edge list."""
+    from wnv_etl_lab2_spark.operators.dedup import connected_components
+
+    _ensure_loaded()
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    got = {
+        r.id: r.comp_id for r in connected_components(pairs).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_connected_components_chain(spark):
+    """A 4-vertex path (1-2, 2-3, 3-4) needs >1 propagation round and
+    must still collapse to a single component rooted at 1."""
+    from wnv_etl_lab2_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.comp_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}

@@ -191,6 +191,69 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation — the step that turns near-dup PAIRS into dedup
+    GROUPS (every doc in a component is a duplicate of the same
+    content; one representative survives).
+
+    Returns (id, comp_id) for every vertex appearing in an edge, with
+    comp_id = the smallest vertex id in the component — deterministic,
+    order-independent.
+
+    Shape: per round, one groupBy(min) over the message join and an
+    equality check; rounds = component diameter (near-dup components
+    are shallow — duplicates of the same content link to each other,
+    so 2-4 rounds in practice). Each round localCheckpoints the label
+    frame: truncated lineage, so round N+1's plan does not replay
+    rounds 1..N — the standard iterative-algorithm pattern on Spark
+    (GraphX/GraphFrames do the same under the hood). The convergence
+    test is a driver-side count of changed labels per round; at 100 TB
+    each round is one shuffle of (vertex, label) pairs, never edges
+    times labels.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=False)  # reused every round
+    # init: comp = min(self, direct neighbors)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("comp"))
+        .select(F.col("a").alias("id"), "comp")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        # message pass: each vertex hears its neighbors' current labels
+        msgs = (
+            sym.join(labels, sym["b"] == labels["id"], "inner")
+            .select(F.col("a").alias("id"), F.col("comp").alias("ncomp"))
+            .groupBy("id")
+            .agg(F.min("ncomp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("ncomp") < F.col("comp")).alias("_changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("comp_id"))
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -66,6 +66,7 @@ _FRONT = [
     "dedup_fingerprint",
     "dedup_distinct_rows",
     "dedup_minhash_lsh",
+    "dedup_components",
     "ngram_jaccard_pairs",
     # LLM-pipeline: similarity / embeddings
     "embedding_norms",
@@ -112,7 +113,6 @@ _FRONT = [
     "stats_agg",
     "argmax_per_group",
     "rollup_agg",
-    "cube_agg",
     "pivot_agg",
     "json_extraction",
     "anti_join_no_premium_order",

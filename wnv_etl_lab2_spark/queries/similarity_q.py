@@ -12,7 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from wnv_etl_lab2_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
+from wnv_etl_lab2_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
 from wnv_etl_lab2_spark.operators.similarity import (
     as_double_array,
     ivf_ann_topk,
@@ -137,16 +141,10 @@ def ann_topk_ivf(spark, sf_dir):
     return ivf_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, nprobe=4)
 
 
-@register(
-    "dedup_minhash_lsh",
-    # The oracle is the EXACT all-pairs Jaccard computation: banded
-    # MinHash (r=2, b=16 -> P(candidate | j=0.5) = 0.99) plus exact
-    # verification provably returns a subset of it, and recall is 100%
-    # on this corpus (validated at sf0.001 + sf0.01 in
-    # tests/test_dedup.py) — so approximate == exact here and the
-    # strong hash check applies.
-    oracle="""
-    WITH docs AS (
+# Exact all-pairs Jaccard over word-3-shingles, as DuckDB CTE text —
+# the ground-truth pair set for the minhash oracle AND the edge set of
+# the connected-components oracle below.
+_EXACT_PAIR_CTES = """docs AS (
         SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
     sh AS (
@@ -161,7 +159,19 @@ def ann_topk_ivf(spark, sf_dir):
                a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS inter
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2, 3, 4
-    )
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    # The oracle is the EXACT all-pairs Jaccard computation: banded
+    # MinHash (r=2, b=16 -> P(candidate | j=0.5) = 0.99) plus exact
+    # verification provably returns a subset of it, and recall is 100%
+    # on this corpus (validated at sf0.001 + sf0.01 in
+    # tests/test_dedup.py) — so approximate == exact here and the
+    # strong hash check applies.
+    oracle=f"""
+    WITH {_EXACT_PAIR_CTES}
     SELECT doc_a, doc_b, ROUND(inter * 1.0 / (na + nb - inter), 6) AS jaccard
     FROM pairs
     WHERE inter * 1.0 / (na + nb - inter) >= 0.5
@@ -174,6 +184,52 @@ def dedup_minhash_lsh(spark, sf_dir):
     vs the exact pair set on this corpus."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+
+
+@register(
+    "dedup_components",
+    # Transitive closure of the near-dup graph via a recursive CTE:
+    # walk(id, r) reaches every vertex in id's component, so
+    # LEAST(id, MIN(r)) is the component's smallest member — the same
+    # deterministic labeling min-label propagation converges to.
+    oracle=f"""
+    WITH RECURSIVE {_EXACT_PAIR_CTES},
+    p AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    walk(id, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a
+    )
+    SELECT id AS doc_id,
+           LEAST(id, MIN(r)) AS comp_id,
+           id = LEAST(id, MIN(r)) AS is_canonical
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup pairs -> dedup GROUPS: connected components of the
+    MinHash near-dup graph by iterative min-label propagation
+    (operators/dedup.connected_components), one row per doc appearing
+    in any pair, labeled with the component's smallest doc_id;
+    is_canonical marks the representative that survives dedup. The
+    full-corpus keep-set is then docs ANTI JOIN (components WHERE NOT
+    is_canonical) — a plain hash anti-join at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "comp_id",
+        (F.col("id") == F.col("comp_id")).alias("is_canonical"),
+    )
 
 
 @register("dedup_simhash")  # signatures; near-pair property tested in pytest
