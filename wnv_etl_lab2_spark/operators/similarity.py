@@ -268,17 +268,22 @@ def lsh_band_bucket_exprs(
 ) -> list[str]:
     """One sign-bit bucket id per band (bit i of band b = sign of the
     dot against plane ``b*rows_per_band + i``) — the banded form of
-    :func:`lsh_bucket_col`, as SQL expression STRINGS over the RAW
-    vector column (element cast inlined in the lambda). Two deliberate
-    choices: strings parse once on the JVM instead of bands*rows py4j
-    lambda trees, and referencing the raw attribute — never a computed
-    double-array alias — keeps CollapseProject from inlining a cast
-    transform into every one of the bands*rows dot products (measured
-    ~5x slowdown of the whole pair job). Pure map over the scan."""
+    :func:`lsh_bucket_col`, as UNALIASED SQL expression strings over
+    the RAW vector column (element cast inlined in the lambda). Two
+    deliberate choices: strings parse once on the JVM instead of
+    bands*rows py4j lambda trees, and referencing the raw attribute —
+    never a computed double-array alias — keeps CollapseProject from
+    inlining a cast transform into every one of the bands*rows dot
+    products (measured ~5x slowdown of the whole pair job). Pure map
+    over the scan."""
+    # plane coords quantized to 2 decimals: a random direction stays a
+    # random direction, and the literal text drops from ~20 to ~6 chars
+    # per coordinate — the bands*rows*dim literals dominate the SQL
+    # parse cost of the signature stage otherwise (~1s at 48 planes).
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
 
     def dot(plane: list[float]) -> str:
-        arr = "array(" + ", ".join(f"{v!r}D" for v in plane) + ")"
+        arr = "array(" + ", ".join(f"{round(v, 2)}D" for v in plane) + ")"
         return (
             f"aggregate(zip_with({vec_col}, {arr}, (a, x) -> CAST(a AS DOUBLE) * x), "
             f"0.0D, (acc, v) -> acc + v)"
@@ -290,7 +295,7 @@ def lsh_band_bucket_exprs(
             f"(CASE WHEN {dot(planes[b * rows_per_band + i])} > 0.0D THEN {1 << i} ELSE 0 END)"
             for i in range(rows_per_band)
         ]
-        exprs.append(" + ".join(bits) + f" AS bkt_{b}")
+        exprs.append(" + ".join(bits))
     return exprs
 
 
@@ -318,11 +323,14 @@ def neardup_pairs_lsh_blocked(
     sf0.001/0.01/0.1 (tests/test_dedup.py pins it; r=3, b=32 also
     passed but costs ~1.7x the wall for a weaker bound).
 
-    Same shape as minhash_lsh_pairs: signature map -> stack to
-    (band_id, bucket) -> groupBy block key + in-group pair expansion
-    (one shuffle) -> distinct candidates -> exact verify join carrying
-    vectors only for candidate ids. ``max_bucket`` caps degenerate
-    buckets exactly like the minhash path.
+    Same shape as minhash_lsh_pairs: signature map -> (band_id,
+    bucket) rows -> groupBy block key + in-group pair expansion (one
+    shuffle) -> distinct candidate id-pairs -> exact verify join.
+    ``max_bucket`` caps degenerate buckets exactly like the minhash
+    path. (A first-agreeing-band emission that avoids the distinct was
+    benchmarked and LOST: carrying the band array through the groupBy
+    plus the per-candidate fold costs more than a distinct over id
+    pairs, which shuffles ~16 bytes per candidate.)
     """
     check_dim(vectors, vec_col, dim)
     nparts = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -331,8 +339,9 @@ def neardup_pairs_lsh_blocked(
     raw = vectors.repartition(nparts, id_col).select(
         id_col, F.col(label_col).alias("_lbl"), vec_col
     )
+    bucket_sqls = lsh_band_bucket_exprs(vec_col, dim, bands, rows_per_band, seed)
     sig = raw.selectExpr(
-        id_col, "_lbl", *lsh_band_bucket_exprs(vec_col, dim, bands, rows_per_band, seed)
+        id_col, "_lbl", *[f"{s} AS bkt_{b}" for b, s in enumerate(bucket_sqls)]
     )
     stack_expr = ", ".join(f"{b}, bkt_{b}" for b in range(bands))
     buckets = sig.select(
@@ -351,7 +360,6 @@ def neardup_pairs_lsh_blocked(
         grouped.select("_lbl", F.explode(pairs_arr).alias("p"))
         .select("_lbl", "p.id_a", "p.id_b")
         .distinct()
-        .localCheckpoint(eager=False)  # candidate set feeds two verify joins
     )
     w = raw.select(id_col, as_double_array(vec_col).alias("_e"))
     nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
