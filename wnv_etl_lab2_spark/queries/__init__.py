@@ -136,6 +136,7 @@ def _ensure_loaded() -> None:
         text_q,
         similarity_q,
         multimodal_q,
+        sampling_q,
     )
 
     missing = [n for n in _FRONT if n not in REGISTRY]
