@@ -274,8 +274,14 @@ def lsh_band_bucket_exprs(
     bands*rows py4j lambda trees, and referencing the raw attribute —
     never a computed double-array alias — keeps CollapseProject from
     inlining a cast transform into every one of the bands*rows dot
-    products (measured ~5x slowdown of the whole pair job). Pure map
-    over the scan."""
+    products (measured ~5x slowdown of the whole pair job). The dot
+    stays an aggregate FOLD on purpose: higher-order functions run as
+    tight JVM array loops, while unrolled `v[0]*c0 + ...` sums were
+    measured SLOWER in every configuration tried — all bands*rows dots
+    flat in one projection exceeds janino's 64 KB method limit (codegen
+    disabled, interpreted tree, ~2x slower), and even a single
+    unrolled 64-term dot ran ~4x slower than the fold (giant method
+    off the JIT fast path). Pure map over the scan."""
     # plane coords quantized to 2 decimals: a random direction stays a
     # random direction, and the literal text drops from ~20 to ~6 chars
     # per coordinate — the bands*rows*dim literals dominate the SQL
@@ -333,12 +339,12 @@ def neardup_pairs_lsh_blocked(
     pairs, which shuffles ~16 bytes per candidate.)
     """
     check_dim(vectors, vec_col, dim)
-    nparts = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # raw floats through the exchange; the bucket exprs and the verify
-    # stage below both hang off this one repartition (ReusedExchange)
-    raw = vectors.repartition(nparts, id_col).select(
-        id_col, F.col(label_col).alias("_lbl"), vec_col
-    )
+    # NO repartition here: the signature path and the two verify sides
+    # each re-scan the (column-pruned) source instead of sharing one
+    # full-vector exchange — three pruned scans are cheaper than one
+    # shuffle of every embedding, at this SF (one fewer stage) and at
+    # 100 TB (a scan streams, an exchange materializes).
+    raw = vectors.select(id_col, F.col(label_col).alias("_lbl"), vec_col)
     bucket_sqls = lsh_band_bucket_exprs(vec_col, dim, bands, rows_per_band, seed)
     sig = raw.selectExpr(
         id_col, "_lbl", *[f"{s} AS bkt_{b}" for b, s in enumerate(bucket_sqls)]
@@ -361,6 +367,12 @@ def neardup_pairs_lsh_blocked(
         .select("_lbl", "p.id_a", "p.id_b")
         .distinct()
     )
+    # verify stage: zip_with/aggregate FOLDS on purpose — Spark's
+    # higher-order functions run as tight JVM array loops, while an
+    # unrolled 64-term `a[0]*b[0] + ...` expression was measured ~4x
+    # SLOWER here (the giant generated method falls off the JIT fast
+    # path). Broadcast-sized join sides carry the pre-cast double
+    # arrays once per row, not per pair.
     w = raw.select(id_col, as_double_array(vec_col).alias("_e"))
     nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
     w = w.withColumn("_n", nrm)
