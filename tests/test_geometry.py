@@ -1,0 +1,128 @@
+"""Ground truth for the Catalyst polygon kernel (operators/geometry.py):
+an independent pure-Python Sutherland-Hodgman + shoelace implementation,
+run over hand-built convex cases the oracle-side interval arithmetic of
+`polygon_clip_area` can NOT cover (triangles, hexagons, edge-touching)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.operators.geometry import (
+    clip_area_col,
+    clip_convex_sql,
+    poly_area_sql,
+    rect_poly_sql,
+)
+
+
+def ref_clip(subject: list[tuple], clip: list[tuple]) -> list[tuple]:
+    """Reference Sutherland-Hodgman (CCW convex clip)."""
+    out = list(subject)
+    m = len(clip)
+    for j in range(m):
+        ax, ay = clip[j]
+        bx, by = clip[(j + 1) % m]
+        if not out:
+            break
+        nxt_out = []
+        n = len(out)
+        for i in range(n):
+            cx, cy = out[i]
+            nx, ny = out[(i + 1) % n]
+            d_cur = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            d_nxt = (bx - ax) * (ny - ay) - (by - ay) * (nx - ax)
+            if (d_cur >= 0) != (d_nxt >= 0):
+                t = d_cur / (d_cur - d_nxt)
+                nxt_out.append((cx + t * (nx - cx), cy + t * (ny - cy)))
+            if d_nxt >= 0:
+                nxt_out.append((nx, ny))
+        out = nxt_out
+    return out
+
+
+def ref_area(poly: list[tuple]) -> float:
+    if len(poly) < 3:
+        return 0.0
+    s = 0.0
+    n = len(poly)
+    for i in range(n):
+        x0, y0 = poly[i]
+        x1, y1 = poly[(i + 1) % n]
+        s += x0 * y1 - x1 * y0
+    return abs(s) / 2.0
+
+
+def poly_sql(pts: list[tuple]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            f"named_struct('x', CAST({x!r} AS DOUBLE), 'y', CAST({y!r} AS DOUBLE))"
+            for x, y in pts
+        )
+        + ")"
+    )
+
+
+SQUARE = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+TRIANGLE = [(-0.5, 0.5), (1.5, 0.5), (0.5, 2.0)]
+HEXAGON = [
+    (math.cos(k * math.pi / 3) * 0.8 + 0.5, math.sin(k * math.pi / 3) * 0.8 + 0.5)
+    for k in range(6)
+]
+CASES = [
+    ("tri_x_square", TRIANGLE, SQUARE),
+    ("hex_x_square", HEXAGON, SQUARE),
+    ("square_x_hex", SQUARE, HEXAGON),
+    ("contained", [(0.2, 0.2), (0.8, 0.2), (0.5, 0.9)], SQUARE),
+    ("disjoint", [(5.0, 5.0), (6.0, 5.0), (5.5, 6.0)], SQUARE),
+    ("edge_touch", [(1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0)], SQUARE),
+]
+
+
+@pytest.mark.parametrize("name,subj,clip", CASES, ids=[c[0] for c in CASES])
+def test_clip_matches_reference(spark, name, subj, clip):
+    row = (
+        spark.range(1)
+        .select(F.expr(clip_convex_sql(poly_sql(subj), poly_sql(clip))).alias("ring"))
+        .collect()[0]
+    )
+    got = [(v.x, v.y) for v in row.ring]
+    want = ref_clip(subj, clip)
+    assert len(got) == len(want), f"{name}: {got} vs {want}"
+    for (gx, gy), (wx, wy) in zip(got, want):
+        assert abs(gx - wx) < 1e-12 and abs(gy - wy) < 1e-12
+    assert abs(ref_area(got) - ref_area(want)) < 1e-12
+
+
+@pytest.mark.parametrize("name,subj,clip", CASES, ids=[c[0] for c in CASES])
+def test_area_matches_reference(spark, name, subj, clip):
+    df = spark.range(1).select(
+        F.expr(poly_sql(subj)).alias("s"), F.expr(poly_sql(clip)).alias("c")
+    )
+    got = df.select(clip_area_col("s", "c", ndigits=12).alias("a")).collect()[0].a
+    assert got == pytest.approx(ref_area(ref_clip(subj, clip)), abs=1e-9)
+
+
+def test_zero_and_degenerate_area(spark):
+    """< 3 vertices -> area 0; empty ring -> area 0 (no crash)."""
+    rows = spark.sql(
+        f"SELECT {poly_area_sql(poly_sql([(1.0, 1.0), (2.0, 2.0)]))} AS two, "
+        f"{poly_area_sql('CAST(array() AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)')} AS empty"
+    ).collect()[0]
+    assert rows.two == 0.0 and rows.empty == 0.0
+
+
+def test_polygon_clip_area_query_positive(spark, sf_dir):
+    """Registry query sanity beyond the oracle: every clipped area is
+    positive (the join demands positive overlap) and bounded by the
+    smaller box area (0.005^2 parcels)."""
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["polygon_clip_area"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.clip_area <= 0.005 * 0.005 + 1e-12

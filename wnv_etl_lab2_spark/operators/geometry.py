@@ -1,0 +1,138 @@
+"""General convex-polygon geometry in pure Catalyst expressions.
+
+Closes the reference's arbitrary-polygon overlay surface
+(`arcpy.analysis.Intersect` on polygon risk layers,
+`/root/reference/GSheetsETL_Lab2.py:125-133`,
+`/root/reference/final_project2.py:226-231`): where
+`operators/spatial.py` proves answer-equivalence on points and
+axis-aligned boxes, this module clips *actual polygons* — a polygon is
+an ``array<struct<x:double,y:double>>`` column (vertices in ring
+order), intersection is Sutherland–Hodgman clipping (clip polygon must
+be convex, the standard SH precondition), and area is the shoelace
+formula. Everything is generated SQL over Spark's higher-order
+functions: the geometry kernel runs JVM-side inside the join stage —
+no Python in the hot path, no geometry library.
+
+Scale shape: callers pair polygons with `bbox_overlap_join`
+(grid-bucketed equi-join, `operators/spatial.py:156`) and apply
+`clip_area_sql` to the candidate pairs only — the classic
+filter-and-refine spatial join. The kernel itself is a pure per-row
+expression: no shuffle, no state.
+
+Numerics (why the shoelace is translated): at Boulder-frame
+coordinates (~1e2) the raw shoelace cross terms are ~4e3 while the
+area is ~4e-4 — catastrophic cancellation leaves ~1e-13 absolute
+error, enough to flip a 10-dp ROUND against an oracle that computes
+the same area as an interval product. Translating each ring to its own
+bbox-min first makes the subtractions exact (Sterbenz: the operands
+are within 2x) and the remaining error ~1e-15, dominated by the
+clip-vertex interpolation itself. Results are ROUNDed at 8 dp by the
+query layer; at 0.02-degree boxes that keeps 4 significant digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def rect_poly_sql(x0: str, y0: str, x1: str, y1: str) -> str:
+    """A counter-clockwise rectangle ring from bbox fragments/columns
+    — the bridge from the box layers in `queries/geo.py` to real
+    polygon rings."""
+    return (
+        "array("
+        f"named_struct('x', CAST({x0} AS DOUBLE), 'y', CAST({y0} AS DOUBLE)), "
+        f"named_struct('x', CAST({x1} AS DOUBLE), 'y', CAST({y0} AS DOUBLE)), "
+        f"named_struct('x', CAST({x1} AS DOUBLE), 'y', CAST({y1} AS DOUBLE)), "
+        f"named_struct('x', CAST({x0} AS DOUBLE), 'y', CAST({y1} AS DOUBLE)))"
+    )
+
+
+def let_sql(bound_expr: str, var: str, body: str) -> str:
+    """Bind ``bound_expr`` to lambda variable ``var`` inside ``body``
+    — `transform(array(e), v -> body)[0]`. This is a let-binding:
+    every reference to ``var`` in ``body`` reads the one evaluated
+    value. Without it, referencing a computed alias N times makes
+    CollapseProject inline (and re-evaluate) the whole expression N
+    times — the repo's #1 silent perf killer."""
+    return f"transform(array({bound_expr}), {var} -> {body})[0]"
+
+
+def poly_area_sql(p: str) -> str:
+    """Shoelace area of ring variable/column ``p`` (any orientation —
+    abs at the end), translated to its own bbox-min (see module
+    docstring). Degenerate rings (< 3 vertices) have area 0.0 because
+    every cross term cancels."""
+    mnx = f"array_min(transform({p}, _v -> _v.x))"
+    mny = f"array_min(transform({p}, _v -> _v.y))"
+    term = (
+        f"(({p}[_i].x - _mx) * ({p}[(_i + 1) % size({p})].y - _my)"
+        f" - ({p}[(_i + 1) % size({p})].x - _mx) * ({p}[_i].y - _my))"
+    )
+    folded = (
+        f"CASE WHEN size({p}) < 3 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"0.5 * abs(aggregate(sequence(0, size({p}) - 1), CAST(0.0 AS DOUBLE), "
+        f"(_ac, _i) -> _ac + {term})) END"
+    )
+    return let_sql(mnx, "_mx", let_sql(mny, "_my", folded))
+
+
+def clip_convex_sql(subj: str, clip: str) -> str:
+    """Sutherland–Hodgman: ``subj`` (any simple ring) clipped by
+    convex CCW ring ``clip``; returns the intersection ring (possibly
+    empty). A fold over the clip edges; each step re-emits the subject
+    ring cut to one half-plane:
+
+      for each directed subject edge cur->nxt against clip edge a->b:
+        crossing (signs of the a->b side-tests differ)  -> emit the
+        intersection point; then nxt if it is inside.
+
+    The intersection point is computed unconditionally and discarded
+    when not crossing (its 0/0 = NaN on parallel-on-line edges never
+    survives the filter). Both operands should be simple column
+    references — pre-project computed rings to columns first (see
+    let_sql for why).
+    """
+    m = f"size({clip})"
+    a = f"{clip}[_j]"
+    b = f"{clip}[(_j + 1) % {m}]"
+    # side(p) = cross(b - a, p - a); >= 0 is inside for a CCW clip ring
+    def side(p: str) -> str:
+        return (
+            f"(({b}.x - {a}.x) * ({p}.y - {a}.y)"
+            f" - ({b}.y - {a}.y) * ({p}.x - {a}.x))"
+        )
+
+    cur = "_P[_i]"
+    nxt = "_P[(_i + 1) % size(_P)]"
+    d_cur, d_nxt = side(cur), side(nxt)
+    # try_divide: ANSI mode is ON, and parallel-on-line edges hit 0/0
+    # here; the NULL-vertex result only arises when not crossing, so
+    # the filter below always discards it
+    t = f"try_divide({d_cur}, {d_cur} - {d_nxt})"
+    inter = (
+        f"named_struct("
+        f"'x', {cur}.x + {t} * ({nxt}.x - {cur}.x), "
+        f"'y', {cur}.y + {t} * ({nxt}.y - {cur}.y))"
+    )
+    crossing = f"(({d_cur} >= 0) != ({d_nxt} >= 0))"
+    edge_out = (
+        f"concat("
+        f"filter(array({inter}), _e -> {crossing}), "
+        f"filter(array({nxt}), _e -> {d_nxt} >= 0))"
+    )
+    one_edge = (
+        f"CASE WHEN size(_P) = 0 THEN _P ELSE "
+        f"flatten(transform(sequence(0, size(_P) - 1), _i -> {edge_out})) END"
+    )
+    return f"aggregate(sequence(0, {m} - 1), {subj}, (_P, _j) -> {one_edge})"
+
+
+def clip_area_col(subj: str, clip: str, ndigits: int = 8) -> "F.Column":
+    """ROUNDed intersection area of two polygon ring columns — the
+    refine step of a polygon overlay (apply after bbox_overlap_join).
+    The clipped ring is let-bound so the SH fold runs once, not once
+    per shoelace reference."""
+    return F.expr(
+        f"round({let_sql(clip_convex_sql(subj, clip), '_C', poly_area_sql('_C'))}, {ndigits})"
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.operators.geometry import clip_area_col, rect_poly_sql
 from wnv_etl_lab2_spark.operators.spatial import (
     bbox_containment_join,
     bbox_overlap_join,
@@ -138,6 +139,42 @@ def zone_overlay(spark, sf_dir):
     parcels = geo.parcel_boxes(spark, sf_dir)
     pairs = bbox_overlap_join(zones, parcels, cell=0.02)
     return pairs.select("zone_id", "parcel_id", F.expr(geo.IX_AREA).alias("ix_area"))
+
+
+@register(
+    "polygon_clip_area",
+    oracle=f"""
+    WITH zones AS ({geo.ZONES_CTE}),
+    parcels AS ({geo.PARCELS_CTE})
+    SELECT zone_id, parcel_id,
+           ROUND((least(xmax, pxmax) - greatest(xmin, pxmin))
+                 * (least(ymax, pymax) - greatest(ymin, pymin)), 8) AS clip_area
+    FROM zones z JOIN parcels p
+      ON xmin < pxmax AND pxmin < xmax AND ymin < pymax AND pymin < ymax
+    """,
+)
+def polygon_clip_area(spark, sf_dir):
+    """True polygon-polygon intersection (the general form the
+    reference runs through `arcpy.analysis.Intersect` on polygon risk
+    layers, `GSheetsETL_Lab2.py:125`): zone and parcel boxes become
+    vertex rings, candidate pairs come from the grid-bucketed
+    bbox_overlap_join, and the refine step runs Sutherland-Hodgman
+    clipping + shoelace area as pure Catalyst HOF expressions
+    (operators/geometry.py) — no Python, no geometry jar. The operator
+    accepts ANY simple subject ring and convex clip ring; on this
+    corpus the rings are rectangles, which is what makes the exact
+    DuckDB oracle expressible as interval arithmetic (the general-
+    polygon paths are pinned by tests/test_geometry.py instead)."""
+    zones = geo.risk_zones(spark, sf_dir).withColumn(
+        "zpoly", F.expr(rect_poly_sql("xmin", "ymin", "xmax", "ymax"))
+    )
+    parcels = geo.parcel_boxes(spark, sf_dir).withColumn(
+        "ppoly", F.expr(rect_poly_sql("pxmin", "pymin", "pxmax", "pymax"))
+    )
+    pairs = bbox_overlap_join(zones, parcels, cell=0.02)
+    return pairs.select(
+        "zone_id", "parcel_id", clip_area_col("ppoly", "zpoly").alias("clip_area")
+    )
 
 
 _REPORT_COLS = list(geo.REPORT_FIELDS)  # the 7 reference report fields
