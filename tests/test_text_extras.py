@@ -1,0 +1,44 @@
+"""Property tests for the round-2 text/vector additions — guarantees
+the DuckDB oracle equality can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two documents sharing a >= k+w-1 = 11 char run MUST share a
+    fingerprint (the winnowing guarantee); two random-ish disjoint
+    strings should not."""
+    from wnv_etl_lab2_spark.queries.text_q import winnow_fingerprints
+    import tempfile, os
+
+    docs = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="XXXXX quick brown fox jumps YYYYYQQ"),
+        Row(doc_id=3, text="zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(docs).write.parquet(os.path.join(tmp, "documents.parquet"))
+        fps = winnow_fingerprints(spark, tmp)
+        by_doc = {
+            r.doc_id: set(r.fps)
+            for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+        }
+    assert by_doc[1] & by_doc[2], "shared 'quick brown fox jumps' run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert len(by_doc[3]) == 1, "constant text has one distinct gram hash"
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Reconstruction error of absmax-int8 must be <= 0.5/scale
+    (half a quantization step) and saturation only at |q| = 127."""
+    from wnv_etl_lab2_spark.queries.similarity_q import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 5.1e-7 slack: max_abs_err is ROUNDed to 6 dp in the query
+        assert r.max_abs_err <= 0.5 / r.scale + 5.1e-7
+        assert r.n_saturated >= 1  # the absmax element itself hits +-127

@@ -237,3 +237,68 @@ def dedup_simhash(spark, sf_dir):
     """64-bit SimHash signature per document (two 32-bit halves)."""
     docs = load_table(spark, "documents", sf_dir)
     return simhash_signatures(docs)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    m AS (SELECT vec_id, e, list_max(list_transform(e, v -> abs(v))) AS amax FROM c),
+    s AS (SELECT vec_id, e, 127.0 / amax AS scale FROM m WHERE amax > 0),
+    q AS (SELECT vec_id, e, scale,
+                 list_transform(e, v -> CAST(round(v * scale) AS INTEGER)) AS qq
+          FROM s)
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(qq) AS BIGINT) AS q_sum,
+           CAST(LEN(list_filter(qq, v -> abs(v) = 127)) AS BIGINT) AS n_saturated,
+           ROUND(list_max(list_transform(range(1, LEN(e) + 1),
+                 i -> abs(e[i] - qq[i] / scale))), 6) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the storage/bandwidth step every large-scale ANN index runs before
+    sharding vectors (absmax scaling, round-to-nearest, saturation
+    count, reconstruction error). Pure map over the scan, JVM
+    higher-order functions only; zero-norm vectors are dropped on both
+    engines (no scale exists for them).
+
+    The whole per-vector pipeline is a let-bound chain expanded by the
+    `inline` generator, so the cast array / absmax / scale / quantized
+    array are each computed ONCE per row — projecting four fields out
+    of a computed struct would instead make CollapseProject inline the
+    full chain into every field."""
+    from wnv_etl_lab2_spark.operators.geometry import let_sql
+
+    e = "transform(embedding, v -> CAST(v AS DOUBLE))"
+    body = (
+        "CASE WHEN _am > 0 THEN array(named_struct("
+        "'scale', round(_sc, 6), "
+        "'q_sum', aggregate(_q, CAST(0 AS BIGINT), (a, v) -> a + v), "
+        "'n_saturated', CAST(size(filter(_q, v -> abs(v) = 127)) AS BIGINT), "
+        "'max_abs_err', round(array_max(zip_with(_e, _q, (x, qq) -> abs(x - qq / _sc))), 6)"
+        ")) ELSE CAST(array() AS ARRAY<STRUCT<scale: DOUBLE, q_sum: BIGINT, "
+        "n_saturated: BIGINT, max_abs_err: DOUBLE>>) END"
+    )
+    chain = let_sql(
+        e,
+        "_e",
+        let_sql(
+            "array_max(transform(_e, v -> abs(v)))",
+            "_am",
+            let_sql(
+                # try_divide: ANSI raises on /0 and the let chain
+                # evaluates _sc even for the all-zero vectors the CASE
+                # below discards
+                "try_divide(127.0, _am)",
+                "_sc",
+                let_sql(
+                    "transform(_e, v -> CAST(round(v * _sc) AS INT))", "_q", body
+                ),
+            ),
+        ),
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select("vec_id", F.expr(f"inline({chain})"))

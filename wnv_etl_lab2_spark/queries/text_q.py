@@ -285,3 +285,130 @@ def ngram_jaccard_pairs(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(LOWER(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               ROUND(tf * LN((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: top-3 terms per document by
+    smoothed tf-idf (tf * ln((N+1)/(df+1))), ties broken by term.
+
+    Scale shape: tokenize+explode is a pure map; (doc, term) tf and
+    per-term df are two hash aggregations with map-side partials; the
+    corpus size N and the df table join back in (df is broadcast-sized
+    after aggregation — vocabulary, not corpus); ranking is one window
+    partitioned by doc_id. Ranking happens on the ROUNDED score on
+    both engines so float ties break identically."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) parameters: 4-char
+# grams, window of 8 — every run of 8 consecutive gram hashes
+# contributes its minimum, so any shared substring of length >= 11
+# chars yields a shared fingerprint. md5-hex is the hash: identical
+# text -> identical lowercase hex in BOTH engines, and the window min
+# is a plain lexicographic string min.
+_WINNOW_K = 4
+_WINNOW_W = 8
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN LENGTH(text) < {_WINNOW_K} THEN []
+                    ELSE list_transform(range(1, LENGTH(text) - {_WINNOW_K} + 2),
+                                        i -> md5(substr(text, CAST(i AS INTEGER), {_WINNOW_K})))
+               END AS G
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, CASE
+            WHEN LEN(G) = 0 THEN []
+            WHEN LEN(G) < {_WINNOW_W} THEN [list_min(G)]
+            ELSE list_distinct(list_transform(range(1, LEN(G) - {_WINNOW_W} + 2),
+                     j -> list_min(G[CAST(j AS INTEGER):CAST(j + {_WINNOW_W} - 1 AS INTEGER)])))
+        END AS fps FROM g
+    )
+    SELECT doc_id, UNNEST(fps) AS fp FROM f
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing: rolling k-gram hashes,
+    one fingerprint per window minimum, distinct per document. The
+    copy-detection primitive — two documents sharing any >= k+w-1 char
+    run share a fingerprint, so a fingerprint equi-join finds
+    candidate plagiarism/near-copy pairs the same inverted-index way
+    ngram_jaccard_pairs does.
+
+    Pure map over the scan (no shuffle before the explode); the gram
+    array is let-bound so the window transform reads it once instead
+    of re-hashing the text per window (CollapseProject would otherwise
+    inline it)."""
+    from wnv_etl_lab2_spark.operators.geometry import let_sql
+
+    k, w = _WINNOW_K, _WINNOW_W
+    grams = (
+        f"CASE WHEN length(text) < {k} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, length(text) - {k} + 1), "
+        f"i -> md5(substring(text, i, {k}))) END"
+    )
+    fps = let_sql(
+        grams,
+        "_G",
+        f"CASE WHEN size(_G) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"WHEN size(_G) < {w} THEN array(array_min(_G)) "
+        f"ELSE array_distinct(transform(sequence(1, size(_G) - {w} + 1), "
+        f"j -> array_min(slice(_G, j, {w})))) END",
+    )
+    d = load_table(spark, "documents", sf_dir)
+    return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
