@@ -122,3 +122,44 @@ def test_streaming_dedup_drops_duplicates(spark, events_path):
     n = result.count()
     distinct_ids = result.select("event_id").distinct().count()
     assert n == distinct_ids > 0
+
+
+def test_view_click_attribution_matches_batch(spark, sf_dir, events_path):
+    from wnv_etl_lab2_spark.streaming.events import view_click_attribution
+
+    stream = read_events_stream(spark, events_path)
+    views = stream.where(F.col("event_type") == "view")
+    clicks = stream.where(F.col("event_type") == "click")
+    got = (
+        _run_to_memory(spark, view_click_attribution(views, clicks), "t_attr", "append")
+        .toPandas()
+        .sort_values(["user_id", "view_id", "click_id"])
+        .reset_index(drop=True)
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    bv = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    bc = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    want = (
+        bv.join(
+            bc,
+            F.expr(
+                "v_user = c_user AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts")
+        .toPandas()
+        .sort_values(["user_id", "view_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)

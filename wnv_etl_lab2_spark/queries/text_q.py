@@ -412,3 +412,116 @@ def winnow_fingerprints(spark, sf_dir):
     )
     d = load_table(spark, "documents", sf_dir)
     return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+
+
+@register(
+    "decontamination_overlap",
+    oracle="""
+    WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, source, UNNEST(shingles) AS shingle FROM sh),
+    train AS (SELECT DISTINCT shingle FROM ex WHERE source <> 'src0'),
+    eval_g AS (SELECT doc_id, shingle FROM ex WHERE source = 'src0'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM eval_g GROUP BY doc_id),
+    hit AS (SELECT doc_id, COUNT(*) AS n_shared
+            FROM eval_g e JOIN train t USING (shingle) GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(h.n_shared, 0) * 1.0 / t.n_grams, 6) AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Train/eval decontamination: per eval document (source = src0),
+    the fraction of its distinct word-3-grams that appear anywhere in
+    the training split (every other source) — the benchmark-leakage
+    check every LLM data pipeline runs before training.
+
+    Scale shape: one shingle pipeline feeds both splits; the train
+    side collapses to a DISTINCT gram vocabulary (aggregated, far
+    smaller than the corpus) and the probe is a semi join on the
+    hashed gram — the inverted-index shape, never doc x doc. Grams are
+    xxhash64-hashed like every other shingle op here (collisions
+    ~2^-40, counts match the string-keyed oracle)."""
+    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    docs = d.select("doc_id", "source", words.alias("words")).where(F.size("words") >= 3)
+    ex = docs.select(
+        "doc_id", "source", F.explode(hashed_word_shingles("words")).alias("shingle")
+    )
+    train = ex.where(F.col("source") != "src0").select("shingle").distinct()
+    eval_g = ex.where(F.col("source") == "src0").select("doc_id", "shingle")
+    tot = eval_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        eval_g.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        shared.cast("long").alias("n_shared"),
+        F.round(shared * 1.0 / F.col("n_grams"), 6).alias("contamination"),
+    )
+
+
+@register(
+    "repetition_filter",
+    oracle="""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS grams
+        FROM docs WHERE LEN(words) >= 3
+    )
+    SELECT doc_id,
+           CAST(LEN(grams) AS BIGINT) AS n_grams,
+           CAST(LEN(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - LEN(list_distinct(grams)) * 1.0 / LEN(grams), 6) AS rep_frac
+    FROM sh
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Repetition quality signal (the Gopher/MassiveText family):
+    fraction of word-3-grams that are repeats within the document.
+    Heavily repeated boilerplate scores high and gets filtered before
+    training. Pure map — the gram array never leaves the row; the
+    array and its distinct form are let-bound so each computes once
+    (NON-distinct grams, so this can't share hashed_word_shingles)."""
+    from wnv_etl_lab2_spark.operators.geometry import let_sql
+
+    d = load_table(spark, "documents", sf_dir)
+    grams = (
+        "transform(sequence(0, size(_words) - 3), "
+        "i -> xxhash64(_words[i] || ' ' || _words[i+1] || ' ' || _words[i+2]))"
+    )
+    stats = let_sql(
+        grams,
+        "_g",
+        let_sql(
+            "array_distinct(_g)",
+            "_d",
+            "named_struct("
+            "'n_grams', CAST(size(_g) AS BIGINT), "
+            "'n_distinct', CAST(size(_d) AS BIGINT), "
+            # 1.0D: a bare 1.0 literal is DECIMAL(2,1) in Spark SQL
+            # text, which silently turns the whole ratio into a
+            # decimal column instead of a double
+            "'rep_frac', round(1.0D - size(_d) * 1.0D / size(_g), 6))",
+        ),
+    )
+    return (
+        d.selectExpr("doc_id", "split(text, ' ') AS _words")
+        .where(F.size("_words") >= 3)
+        .selectExpr("doc_id", f"inline(array({stats}))")
+    )

@@ -106,3 +106,39 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     (dropDuplicatesWithinWatermark): the streaming form of exact
     dedup — state bounded by the watermark."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def view_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click joins the views of the
+    same user in the preceding ``horizon`` (ad-attribution shape).
+    Both sides are watermarked and the join condition bounds click_ts
+    to [view_ts, view_ts + horizon], so state for either side is
+    droppable once the watermark passes the horizon — the bounded-state
+    contract Structured Streaming requires for stream-stream joins.
+    Replaying the whole file must match the identical batch join
+    (tests/test_streaming.py)."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND click_ts >= view_ts "
+            f"AND click_ts <= view_ts + INTERVAL {horizon}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
+    )
