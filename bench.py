@@ -40,6 +40,10 @@ HEADLINE = [
     "dedup_minhash_lsh",          # MinHash LSH near-dup
     "ann_topk_bruteforce",        # exact vector top-k
     "embedding_neardup_pairs",    # blocked cosine pairs
+    "polygon_clip_area",          # HOF polygon overlay (round 2)
+    "tfidf_top_terms",            # tokenize + 2 aggs + window (round 2)
+    "winnow_fingerprints",        # rolling-hash fingerprint map (round 2)
+    "decontamination_overlap",    # cross-corpus gram semi-join (round 2)
 ]
 
 

@@ -411,7 +411,13 @@ def winnow_fingerprints(spark, sf_dir):
         f"j -> array_min(slice(_G, j, {w})))) END",
     )
     d = load_table(spark, "documents", sf_dir)
-    return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    # single-split testdata parquet: spread the md5-per-gram map stage
+    # (at real scale the scan is already parallel and this is a no-op
+    # cost next to the gram hashing)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return d.repartition(nparts, "doc_id").select(
+        "doc_id", F.explode(F.expr(fps)).alias("fp")
+    )
 
 
 @register(
