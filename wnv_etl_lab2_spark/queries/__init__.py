@@ -77,6 +77,17 @@ _FRONT = [
     "token_count",
     "lang_id_heuristic",
     "lang_quality_agg",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "decontamination_overlap",
+    "repetition_filter",
+    "embedding_quantize_int8",
+    "embedding_centroid_stats",
+    "deterministic_sample",
+    "stratified_sample_topk",
+    "quality_rules_filter",
+    "sequence_packing",
+    "doc_chunking",
     # temporal joins + event-time
     "asof_join_click_view",
     "range_join_maintenance",
@@ -102,22 +113,14 @@ _FRONT = [
     "spray_targets",
     "spatial_zone_rollup",
     "zone_overlay",
+    "polygon_clip_area",
     "regional_revenue",
-    # headline relational / window shapes
+    # headline relational / window shapes (queries rotated OUT of this
+    # block after earning a green driver row in a prior round's
+    # CORRECTNESS file keep their local oracle-gate coverage and simply
+    # fall back to import-order positions past the prefix)
     "pricing_summary",
     "multiway_join_topk_revenue",
-    "groupby_agg",
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_range_frame",
-    "stats_agg",
-    "argmax_per_group",
-    "rollup_agg",
-    "pivot_agg",
-    "json_extraction",
-    "anti_join_no_premium_order",
-    "semi_join_open_orders",
-    "outer_join_order_counts",
 ]
 
 
@@ -137,6 +140,7 @@ def _ensure_loaded() -> None:
         similarity_q,
         multimodal_q,
         sampling_q,
+        pipeline_q,
     )
 
     missing = [n for n in _FRONT if n not in REGISTRY]

@@ -1,0 +1,256 @@
+"""Training-data pipeline queries: quality rules, sequence packing,
+chunking, and embedding centroid analytics.
+
+These extend the reference's clean/filter stage (SURVEY.md O6-O8 —
+`/root/reference/Lab2ETL.py` null-filter and constant-column ops) to
+the operations a large-scale LLM training-data pipeline needs on top:
+Gopher-style rule filtering, GPT-style concat-and-chunk sequence
+packing, fixed-size token chunking, and per-cluster embedding
+statistics. Everything is built-in Catalyst expressions — no Python in
+any hot path; every aggregation is map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+# Shared SQL fragments (pasted verbatim into the DuckDB oracles and
+# evaluated via F.expr Spark-side where bit-identical arithmetic
+# matters; see queries/__init__.py docstring).
+_SEQ_LEN = 256  # packing target length, in whitespace tokens
+_CHUNK = 32  # chunking window, in whitespace tokens
+
+
+@register(
+    "quality_rules_filter",
+    oracle="""
+    SELECT doc_id,
+           word_cnt,
+           ROUND(mean_word_len, 4) AS mean_word_len,
+           stop_hits,
+           word_cnt BETWEEN 25 AND 90 AS ok_word_count,
+           mean_word_len BETWEEN 4.0 AND 5.0 AS ok_mean_len,
+           stop_hits >= 2 AS ok_stopwords,
+           (word_cnt BETWEEN 25 AND 90)
+             AND (mean_word_len BETWEEN 4.0 AND 5.0)
+             AND stop_hits >= 2 AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS word_cnt,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / LEN(string_split(text, ' ')) AS mean_word_len,
+             CAST(LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b')) AS BIGINT)
+               AS stop_hits
+      FROM documents
+    )
+    """,
+)
+def quality_rules_filter(spark, sf_dir):
+    """Gopher-style quality rule filter: per-document word count, mean
+    word length, and stopword-hit thresholds, each surfaced as its own
+    boolean flag plus the conjunctive ``keep`` decision (so the drop
+    REASON is auditable, the way production corpus filters report
+    per-rule removal rates). Pure map over the scan — no shuffle; at
+    100 TB this is the same single-pass shape as the reference's
+    null-filter (O6) with more math per row."""
+    d = load_table(spark, "documents", sf_dir)
+    word_cnt = F.size(F.split("text", " ")).cast("long")
+    mean_word_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / word_cnt
+    )
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
+    ).cast("long")
+    d = d.select(
+        "doc_id",
+        word_cnt.alias("word_cnt"),
+        mean_word_len.alias("_mwl"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_wc = F.col("word_cnt").between(25, 90)
+    ok_ml = F.col("_mwl").between(4.0, 5.0)
+    ok_sw = F.col("stop_hits") >= 2
+    return d.select(
+        "doc_id",
+        "word_cnt",
+        F.round("_mwl", 4).alias("mean_word_len"),
+        "stop_hits",
+        ok_wc.alias("ok_word_count"),
+        ok_ml.alias("ok_mean_len"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_wc & ok_ml & ok_sw).alias("keep"),
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    SELECT doc_id, source, n_tokens,
+           start_token,
+           CAST(FLOOR(start_token / {_SEQ_LEN}) AS BIGINT) AS first_chunk,
+           CAST(FLOOR((start_token + n_tokens - 1) / {_SEQ_LEN}) AS BIGINT) AS last_chunk,
+           CAST(FLOOR((start_token + n_tokens - 1) / {_SEQ_LEN})
+                - FLOOR(start_token / {_SEQ_LEN}) + 1 AS BIGINT) AS chunks_spanned
+    FROM (
+      SELECT doc_id, source,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             COALESCE(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+      FROM documents
+    )
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: within each source
+    shard, documents are concatenated in doc_id order and cut every
+    ``_SEQ_LEN`` tokens; each document's span is located by a running
+    token offset, yielding the first/last training chunk it lands in
+    and how many chunk boundaries cross it (the attention-mask /
+    document-leakage accounting every packing pipeline needs).
+
+    Scale shape: the running sum partitions by ``source`` — one window
+    per shard, never a global single-partition cumsum. At 100 TB the
+    shard key is the file/split id, so the window state stays
+    per-executor; the alternative two-pass global offset (per-partition
+    totals broadcast as offsets) is only needed if a single logical
+    stream must span shards."""
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "start_token", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first = F.floor(F.col("start_token") / _SEQ_LEN)
+    last = F.floor((F.col("start_token") + F.col("n_tokens") - 1) / _SEQ_LEN)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_token",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("chunks_spanned"),
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    SELECT doc_id,
+           c AS chunk_id,
+           array_to_string(list_slice(words, c * {_CHUNK} + 1, LEAST((c + 1) * {_CHUNK}, LEN(words))), ' ')
+             AS chunk_text,
+           CAST(LEAST((c + 1) * {_CHUNK}, LEN(words)) - c * {_CHUNK} AS BIGINT) AS chunk_tokens
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), UNNEST(generate_series(0, CAST(CEIL(LEN(words) / {_CHUNK}.0) AS BIGINT) - 1)) AS t(c)
+    """,
+)
+def doc_chunking(spark, sf_dir):
+    """Fixed-size token chunking: each document explodes into
+    ``_CHUNK``-token windows (the tokenize-and-split step before
+    training or embedding). ``sequence()`` + ``slice()`` keep the whole
+    explode inside Catalyst — the per-row fanout is ceil(n/chunk), so
+    output size is corpus_tokens/chunk rows regardless of document
+    skew, and there is no shuffle at all (pure flatMap over the scan)."""
+    d = load_table(spark, "documents", sf_dir)
+    d = d.select("doc_id", F.split("text", " ").alias("words"))
+    n = F.size("words")
+    n_chunks = F.ceil(n / F.lit(float(_CHUNK))).cast("long")
+    d = d.select(
+        "doc_id", "words", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id")
+    )
+    start = (F.col("chunk_id") * _CHUNK + 1).cast("int")
+    took = F.least(
+        F.lit(_CHUNK).cast("long"), F.size("words") - F.col("chunk_id") * _CHUNK
+    )
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(F.slice("words", start, F.lit(_CHUNK)), " ").alias("chunk_text"),
+        took.alias("chunk_tokens"),
+    )
+
+
+@register(
+    "embedding_centroid_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.pos AS pos, CAST(u.val AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS pos) AS u
+    ),
+    cent AS (
+      SELECT label, pos, AVG(val) AS c FROM dims GROUP BY label, pos
+    ),
+    cnorm AS (
+      SELECT label, SQRT(SUM(c * c)) AS nc FROM cent GROUP BY label
+    ),
+    per_vec AS (
+      SELECT d.vec_id, d.label,
+             SUM(d.val * cent.c) AS dot,
+             SQRT(SUM(d.val * d.val)) AS nv
+      FROM dims d JOIN cent ON d.label = cent.label AND d.pos = cent.pos
+      GROUP BY d.vec_id, d.label
+    )
+    SELECT p.label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(p.dot / (p.nv * n.nc)), 6) AS avg_cos_centroid
+    FROM per_vec p JOIN cnorm n ON p.label = n.label
+    GROUP BY p.label
+    """,
+)
+def embedding_centroid_stats(spark, sf_dir):
+    """Per-cluster embedding cohesion: the element-wise mean centroid
+    of each label group and the average cosine of members to their
+    centroid — the compactness diagnostic a semantic-dedup / curation
+    pipeline runs before pruning.
+
+    Scale shape: the vector column is ``posexplode``d to (label, pos,
+    val) rows so the centroid is a plain map-side-combinable
+    ``groupBy(label, pos).avg`` — dim x labels partial states per
+    executor, never a whole-vector shuffle. Member cosines reuse the
+    same exploded relation joined to the (broadcast-sized) centroid
+    table; the per-vector dot/norm is again a combinable groupBy. Total
+    cost: one explode scan + three low-cardinality aggregations."""
+    e = load_table(spark, "embeddings", sf_dir)
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "val0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    cent = dims.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"))
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"),
+        )
+    )
+    return (
+        per_vec.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.col("dot") / (F.col("nv") * F.col("nc"))), 6).alias(
+                "avg_cos_centroid"
+            ),
+        )
+    )
