@@ -88,15 +88,17 @@ _FRONT = [
     "quality_rules_filter",
     "sequence_packing",
     "doc_chunking",
+    "ngram_counts_top",
+    "binary_frame_fingerprints",
     # temporal joins + event-time
     "asof_join_click_view",
     "range_join_maintenance",
-    "sessionize_events",
-    "tumbling_window_batch",
     "sliding_window_batch",
+    "gap_fill_locf",
     # advanced SQL surface
     "grouping_sets_agg",
     "window_navigation",
+    "window_rank_variants",
     "percentile_agg",
     "unpivot_part_metrics",
     "array_functions",
@@ -120,7 +122,6 @@ _FRONT = [
     # CORRECTNESS file keep their local oracle-gate coverage and simply
     # fall back to import-order positions past the prefix)
     "pricing_summary",
-    "multiway_join_topk_revenue",
 ]
 
 

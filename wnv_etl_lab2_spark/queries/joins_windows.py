@@ -301,3 +301,36 @@ def tumbling_window_batch(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_d,
+           DENSE_RANK() OVER w AS drank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_variants(spark, sf_dir):
+    """The remaining ranking-window family in one query: NTILE /
+    PERCENT_RANK / CUME_DIST / DENSE_RANK over a per-segment balance
+    ordering. The order key carries c_custkey as a tiebreak because
+    NTILE (unlike the rank functions) assigns tied rows by physical
+    position — without it the quartile of tied balances is
+    shuffle-order-dependent. One exchange on the partition key, single
+    pass per partition."""
+    c = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        F.dense_rank().over(w).alias("drank"),
+    )

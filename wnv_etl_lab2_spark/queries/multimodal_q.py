@@ -8,6 +8,8 @@ the feature values deterministically.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from wnv_etl_lab2_spark.operators.multimodal import binary_features, documents_as_binary
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
@@ -20,3 +22,44 @@ def multimodal_binary_features(spark, sf_dir):
     boundary once per batch; only (id, payload) is projected in."""
     docs = load_table(spark, "documents", sf_dir)
     return binary_features(documents_as_binary(docs))
+
+
+@register(
+    "binary_frame_fingerprints",
+    oracle="""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (
+      SELECT doc_id, hx,
+             UNNEST(generate_series(0, CAST(FLOOR(LENGTH(hx) / 64) AS BIGINT) - 1)) AS frame_idx
+      FROM p WHERE LENGTH(hx) >= 64
+    )
+    SELECT doc_id, frame_idx,
+           md5(substring(hx, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM f
+    """,
+)
+def binary_frame_fingerprints(spark, sf_dir):
+    """Pure-Catalyst frame sampling over an opaque binary payload:
+    the payload is cut into fixed 32-byte frames and each frame gets a
+    content fingerprint — the decode-free half of video frame
+    extraction (dedup by frame hash), complementing the mapInPandas
+    sampler in operators/multimodal.py. Working over the hex encoding
+    keeps the byte slicing engine-portable (2 hex chars per byte, so
+    frame i is exactly hex[i*64+1 : +64]); everything stays in
+    whole-stage codegen, one explode, no shuffle, no Python."""
+    d = load_table(spark, "documents", sf_dir)
+    d = d.select("doc_id", F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    n_frames = F.floor(F.length("hx") / F.lit(64)).cast("long")
+    d = d.where(n_frames > 0).select(
+        "doc_id",
+        "hx",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+    )
+    frame_hex = F.col("hx").substr(
+        (F.col("frame_idx") * 64 + 1).cast("int"), F.lit(64)
+    )
+    return d.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.encode(frame_hex, "UTF-8")).alias("frame_md5"),
+    )

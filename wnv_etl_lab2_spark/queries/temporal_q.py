@@ -202,3 +202,57 @@ def approx_distinct_stats(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS day_avg
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    )
+    SELECT g.user_id, g.day,
+           d.day_avg IS NULL AS is_gap,
+           LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def gap_fill_locf(spark, sf_dir):
+    """Time-series gap filling with last-observation-carried-forward:
+    per user, a dense daily grid spanning that user's observed range,
+    left-joined to the daily total, missing days filled by the
+    running `last(ignorenulls)` window — the hypertable resample/LOCF
+    primitive.
+
+    Scale shape: the grid explode is O(keys x days) rows built from a
+    tiny per-key span table (never a cross join against a calendar
+    dim); the fill join and the LOCF window both partition on user_id,
+    so AQE plans one co-partitioned exchange feeding both. The first
+    grid day is each key's own MIN(day), so value_locf is never null."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_avg")
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    filled = grid.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.col("day_avg").isNull().alias("is_gap"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
+    )

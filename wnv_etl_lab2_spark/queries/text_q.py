@@ -531,3 +531,42 @@ def repetition_filter(spark, sf_dir):
         .where(F.size("_words") >= 3)
         .selectExpr("doc_id", f"inline(array({stats}))")
     )
+
+
+@register(
+    "ngram_counts_top",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    b AS (
+      SELECT doc_id, words[g] || ' ' || words[g + 1] AS bigram
+      FROM w, UNNEST(generate_series(1, LEN(words) - 1)) AS t(g)
+      WHERE LEN(words) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+    FROM b GROUP BY bigram
+    ORDER BY n_occ DESC, bigram LIMIT 20
+    """,
+)
+def ngram_counts_top(spark, sf_dir):
+    """Corpus-wide bigram frequency table (top 20 by occurrence,
+    bigram text as the deterministic tiebreak) with document
+    frequency — the n-gram LM-statistics query a corpus audit runs.
+    The explode emits n-1 bigram rows per doc (linear in corpus
+    tokens), the count is a map-side-combinable groupBy, and the
+    top-20 is TakeOrdered — no global sort."""
+    d = load_table(spark, "documents", sf_dir)
+    bigrams = F.expr(
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"
+    )
+    ex = (
+        d.select(F.col("doc_id"), F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    return (
+        ex.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("n_occ").desc(), F.col("bigram"))
+        .limit(20)
+    )
