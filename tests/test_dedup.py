@@ -200,3 +200,41 @@ def test_connected_components_chain(spark):
     )
     got = {r.id: r.comp_id for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """SemDeDup contract on planted duplicates: every duplicate group
+    keeps exactly its min-id member, singletons are all kept, and the
+    result is deterministic."""
+    from wnv_etl_lab2_spark.operators.similarity import semantic_dedup
+
+    dim = 64
+    def vec(seed, jitter=0.0):
+        # deterministic pseudo-vector; jitter=0 -> identical copies
+        return [((seed * 37 + i * 13) % 97) / 97.0 + jitter * ((i % 3) - 1) for i in range(dim)]
+
+    rows = []
+    # group 1: ids 0,1,2 near-identical; group 2: ids 10,11; singletons 20..24
+    for i, j in [(0, 0.0), (1, 0.0005), (2, 0.001)]:
+        rows.append((i, vec(5, j)))
+    for i, j in [(10, 0.0), (11, 0.0008)]:
+        rows.append((i, vec(41, j)))
+    for i in range(20, 25):
+        rows.append((i, vec(100 + 7 * i)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.999, n_clusters=2, sample_size=64).toPandas()
+    out2 = semantic_dedup(df, threshold=0.999, n_clusters=2, sample_size=64).toPandas()
+
+    keep = {int(r.vec_id): bool(r.keep) for r in out.itertuples()}
+    assert len(keep) == 10
+    assert keep[0] and not keep[1] and not keep[2], keep
+    assert keep[10] and not keep[11], keep
+    assert all(keep[i] for i in range(20, 25)), keep
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
+
+
+def test_semantic_dedup_empty_input(spark):
+    from wnv_etl_lab2_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(df).count() == 0

@@ -386,3 +386,70 @@ def neardup_pairs_lsh_blocked(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.col("_lbl").alias(label_col), "cos_sim")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sample_size: int = 512,
+    seed: int = 42,
+    bands: int = 24,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public
+    paper): cluster the embeddings with the IVF coarse quantizer, find
+    cosine near-dup pairs WITHIN each cluster, group pairs into
+    duplicate components, and keep the min-id representative of each
+    component. Returns one row per input vector: (id, cluster, keep).
+
+    Composition of already-scale-shaped pieces: centroids train on a
+    bounded driver-side sample (standard IVF practice), assignment is
+    a pure map, the within-cluster pair join is LSH-band-blocked (the
+    cluster id replaces the label as the outer block, so a huge
+    cluster still never cross-joins), and components are min-label
+    propagation. Cross-cluster near-dups are missed by design — that
+    is SemDeDup's published recall trade: the quantizer puts near-dups
+    in the same cell with high probability, and k dials cell size.
+    """
+    v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+    sample = [
+        [float(x) for x in r["_e"]]
+        for r in v.orderBy(id_col).limit(sample_size).collect()
+    ]
+    if not sample:
+        return vectors.select(
+            F.col(id_col),
+            F.lit(0).alias("cluster"),
+            F.lit(True).alias("keep"),
+        ).where(F.lit(False))
+    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
+    assigned = vectors.withColumn(
+        "_cluster", ivf_assign_col(as_double_array(vec_col), cents)
+    ).localCheckpoint(eager=False)  # pairs + final join both reuse the assignment
+
+    from wnv_etl_lab2_spark.operators.dedup import connected_components
+
+    pairs = neardup_pairs_lsh_blocked(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col="_cluster",
+        dim=dim,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        seed=seed,
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "id", id_col
+    )
+    out = assigned.join(F.broadcast(comps), id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.col("_cluster").alias("cluster"),
+        (F.col("comp_id").isNull() | (F.col("comp_id") == F.col(id_col))).alias("keep"),
+    )

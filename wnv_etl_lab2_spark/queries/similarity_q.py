@@ -22,6 +22,7 @@ from wnv_etl_lab2_spark.operators.similarity import (
     ivf_ann_topk,
     lsh_ann_topk,
     neardup_pairs_lsh_blocked,
+    semantic_dedup,
 )
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
@@ -302,3 +303,15 @@ def embedding_quantize_int8(spark, sf_dir):
     )
     emb = load_table(spark, "embeddings", sf_dir)
     return emb.select("vec_id", F.expr(f"inline({chain})"))
+
+
+@register("semantic_dedup_keep")  # driver-trained quantizer -> rows-only check
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup semantic pruning end-to-end: IVF-cluster the corpus,
+    LSH-block within-cluster cosine pairs, connected components, keep
+    the min-id representative per duplicate group. Deterministic
+    (seeded quantizer sample + planes) but not SQL-expressible — the
+    centroids live driver-side; the keep/prune CONTRACT is pinned by
+    tests/test_dedup.py on planted duplicates."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semantic_dedup(emb, threshold=0.3)
