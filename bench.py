@@ -44,6 +44,10 @@ HEADLINE = [
     "tfidf_top_terms",            # tokenize + 2 aggs + window (round 2)
     "winnow_fingerprints",        # rolling-hash fingerprint map (round 2)
     "decontamination_overlap",    # cross-corpus gram semi-join (round 2)
+    "embedding_centroid_stats",   # posexplode + combinable centroid aggs (round 2)
+    "doc_chunking",               # fixed-window token explode (round 2)
+    "gap_fill_locf",              # per-key grid + LOCF window (round 2)
+    "ngram_counts_top",           # corpus bigram counts + TakeOrdered (round 2)
 ]
 
 
