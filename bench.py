@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_chunking",               # fixed-window token explode (round 2)
     "gap_fill_locf",              # per-key grid + LOCF window (round 2)
     "ngram_counts_top",           # corpus bigram counts + TakeOrdered (round 2)
+    "corpus_curation_stats",      # E2E quality + near-dup yield sheet (round 2)
 ]
 
 

@@ -254,3 +254,86 @@ def embedding_centroid_stats(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "source_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(SQRT(total_tokens) / SUM(SQRT(total_tokens)) OVER (), 6) AS mix_weight
+    FROM per_src
+    """,
+)
+def source_mixture_weights(spark, sf_dir):
+    """Data-mixture weighting: per-source corpus size and a sqrt-scaled
+    sampling weight (the size^alpha temperature reweighting multi-source
+    training mixes use, alpha=0.5) normalized over all sources. The
+    normalizing window runs over the AGGREGATED frame — one row per
+    source — so the single-partition global window touches O(sources)
+    rows, never the corpus; at 100 TB that frame is still KBs."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.sqrt("total_tokens") / F.sum(F.sqrt("total_tokens")).over(w), 6
+        ).alias("mix_weight"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+    vocab AS (SELECT w FROM tok GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 30)
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS BIGINT)
+             AS in_vocab,
+           ROUND(CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage
+    FROM tok GROUP BY source
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: build the top-30 unigram vocab
+    corpus-wide (count-desc, word-asc tiebreak — deterministic), then
+    measure per source what fraction of its tokens the vocab covers —
+    the out-of-vocabulary audit run before committing a tokenizer.
+
+    Scale shape: token counts are map-side-combinable; the vocab is
+    top-k over the distinct-word frame (TakeOrdered); the coverage
+    pass joins tokens against the BROADCAST vocab (a top-k vocab is
+    KBs at any corpus size) — so the corpus is scanned twice and never
+    shuffled by token."""
+    d = load_table(spark, "documents", sf_dir)
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(30)
+        .select("w", F.lit(1).alias("in_v"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("in_v"), F.lit(0))).cast("long").alias("in_vocab"),
+        F.round(
+            F.sum(F.coalesce(F.col("in_v"), F.lit(0))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("coverage"),
+    )

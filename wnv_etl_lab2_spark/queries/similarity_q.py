@@ -315,3 +315,91 @@ def semantic_dedup_keep(spark, sf_dir):
     tests/test_dedup.py on planted duplicates."""
     emb = load_table(spark, "embeddings", sf_dir)
     return semantic_dedup(emb, threshold=0.3)
+
+
+@register(
+    "corpus_curation_stats",
+    # End-to-end curation oracle: exact all-pairs near-dup graph ->
+    # recursive-CTE components -> quality rules -> per-source yield.
+    oracle=f"""
+    WITH RECURSIVE {_EXACT_PAIR_CTES},
+    p AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    walk(id, r) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a
+    ),
+    comp AS (SELECT id, LEAST(id, MIN(r)) AS comp_id FROM walk GROUP BY id),
+    q AS (
+      SELECT doc_id, source,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS wc,
+             (LEN(string_split(text, ' ')) BETWEEN 25 AND 90)
+               AND (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                    / LEN(string_split(text, ' ')) BETWEEN 4.0 AND 5.0)
+               AND LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b')) >= 2
+               AS passq
+      FROM documents
+    ),
+    j AS (SELECT q.*, c.comp_id FROM q LEFT JOIN comp c ON q.doc_id = c.id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT passq THEN 1 ELSE 0 END) AS BIGINT) AS drop_quality,
+           CAST(SUM(CASE WHEN passq AND comp_id IS NOT NULL AND comp_id <> doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS drop_neardup,
+           CAST(SUM(CASE WHEN passq AND (comp_id IS NULL OR comp_id = doc_id)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN passq AND (comp_id IS NULL OR comp_id = doc_id)
+                         THEN wc ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM j GROUP BY source
+    """,
+)
+def corpus_curation_stats(spark, sf_dir):
+    """The curation pipeline END-TO-END as one lazy plan: Gopher-style
+    quality rules + MinHash-LSH near-dup canonicalization, reported as
+    the per-source yield sheet (docs in, dropped-by-quality,
+    dropped-as-duplicate, kept docs/tokens) — the number a training-
+    data run signs off on. Composes the registry's own pieces:
+    `quality_rules_filter`'s predicate, `dedup_minhash_lsh`'s pair
+    generation (exact-verified, so == the exact graph on this corpus),
+    and `dedup_components`' min-label propagation. The component table
+    is near-dup docs only (tiny), so its join back to the corpus is a
+    broadcast; everything else is one scan plus combinable aggregates.
+    Dedup canonicalization is label-deterministic: the component's
+    min doc_id survives, independent of quality flags of the members
+    (prune-then-dedup ordering is a policy knob; this query audits the
+    dedup-then-prune order)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    wc = F.size(F.split("text", " ")).cast("long")
+    mwl = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(
+        F.split("text", " ")
+    )
+    stop = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
+    )
+    passq = wc.between(25, 90) & mwl.between(4.0, 5.0) & (stop >= 2)
+    q = docs.select("doc_id", "source", wc.alias("wc"), passq.alias("passq"))
+    j = q.join(F.broadcast(comp), "doc_id", "left")
+    is_kept = F.col("passq") & (
+        F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id"))
+    )
+    is_dropped_dup = (
+        F.col("passq") & F.col("comp_id").isNotNull() & (F.col("comp_id") != F.col("doc_id"))
+    )
+    one = F.lit(1)
+    return j.groupBy("source").agg(
+        F.count(one).alias("n_docs"),
+        F.sum(F.when(~F.col("passq"), one).otherwise(F.lit(0))).cast("long").alias("drop_quality"),
+        F.sum(F.when(is_dropped_dup, one).otherwise(F.lit(0))).cast("long").alias("drop_neardup"),
+        F.sum(F.when(is_kept, one).otherwise(F.lit(0))).cast("long").alias("kept_docs"),
+        F.sum(F.when(is_kept, F.col("wc")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
+    )
