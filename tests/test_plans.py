@@ -75,3 +75,41 @@ def test_spray_targets_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # zones side of the containment join is broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pure_map_queries_have_zero_exchanges(spark, sf_dir):
+    """The scan-pipeline family must compile to shuffle-free plans —
+    a single Exchange would mean the operator silently materializes
+    the corpus at 100 TB."""
+    for name in ("quality_rules_filter", "doc_chunking", "binary_frame_fingerprints",
+                 "text_stats"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan[:800]}"
+    # winnow_fingerprints carries ONE deliberate round-robin repartition
+    # (spreads the md5-per-gram map over the single-split test parquet;
+    # a no-op cost at real scale where the scan is already parallel)
+    assert plan_of(spark, sf_dir, "winnow_fingerprints").count("Exchange") <= 1
+
+
+def test_sequence_packing_shuffles_once_on_shard_key(spark, sf_dir):
+    """The packing cumsum must partition by source — exactly one
+    exchange, and never a global single-partition window."""
+    plan = plan_of(spark, sf_dir, "sequence_packing")
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The token stream must join the top-k vocab by broadcast — a
+    shuffle of the token stream would be a corpus-sized exchange."""
+    plan = plan_of(spark, sf_dir, "vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_joins_components_broadcast(spark, sf_dir):
+    """The E2E curation plan joins the (tiny) component table back to
+    the corpus by broadcast and keeps top-level aggregation partial."""
+    plan = plan_of(spark, sf_dir, "corpus_curation_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
