@@ -163,3 +163,29 @@ def test_view_click_attribution_matches_batch(spark, sf_dir, events_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, events_path):
+    """Stream-static dim join replayed over the whole file must equal
+    the identical batch join, and the unbounded side must not be
+    state-tracked (stateless join: append mode, no watermark)."""
+    from wnv_etl_lab2_spark.streaming.events import enrich_stream_with_dim
+
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = enrich_stream_with_dim(
+        read_events_stream(spark, events_path), dim
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = _run_to_memory(spark, stream, "enriched_events", "append").toPandas()
+
+    batch = (
+        spark.read.parquet(events_path)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+        .toPandas()
+    )
+    key = lambda df: sorted(map(tuple, df.fillna("").values.tolist()))
+    assert key(got) == key(batch)
+    assert len(got) > 0

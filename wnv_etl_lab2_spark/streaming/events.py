@@ -142,3 +142,13 @@ def view_click_attribution(
     return joined.select(
         F.col("v_user").alias("user_id"), "view_id", "click_id", "view_ts", "click_ts"
     )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    table. Stateless — no watermark needed; the static side is re-read
+    every micro-batch (so slowly-changing dims are picked up on their
+    next refresh) and broadcast when small, which is the 100 TB shape:
+    the unbounded side never shuffles. Left join keeps events whose
+    key has no dim row (parity with the batch lookup-enrichment O4)."""
+    return events.join(F.broadcast(dim), on, "left")
