@@ -101,3 +101,28 @@ def test_rate_limited_enrich_throttles_and_maps(spark):
     assert got["addr2"] == (None, None)
     # 4 calls at 10/s from one token bucket >= ~0.3s
     assert elapsed >= 0.25
+
+
+def test_curation_pipeline_matches_yield_sheet(spark, sf_dir, tmp_path):
+    """The executable curation pipeline (curation.py) must write
+    exactly the documents the corpus_curation_stats yield sheet counts
+    as kept — per source, not just in total."""
+    from wnv_etl_lab2_spark.curation import curation_pipeline
+    from wnv_etl_lab2_spark.pipeline import parquet_sink
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    out = str(tmp_path / "curated")
+    curation_pipeline(sf_dir).run(spark, parquet_sink(out))
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")["count"]
+        .to_dict()
+    )
+
+    _ensure_loaded()
+    sheet = REGISTRY["corpus_curation_stats"].fn(spark, sf_dir).toPandas()
+    want = {r.source: int(r.kept_docs) for r in sheet.itertuples() if r.kept_docs}
+    assert got == want

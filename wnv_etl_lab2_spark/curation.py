@@ -1,0 +1,62 @@
+"""The curation pipeline as an EXECUTABLE Pipeline composition.
+
+`queries/similarity_q.corpus_curation_stats` is the audited yield
+SHEET; this module is the corresponding data PRODUCT: the same
+near-dup canonicalization and quality rules, composed through the
+engine's public Source -> Transform* -> Sink protocol (reference
+O21/O23, `/root/reference/SpatialETL_Lab2.py:1-17` template method)
+and writing the surviving documents out. Stage order is
+dedup-then-prune, matching the stats query: canonicalization runs on
+the FULL corpus (so the surviving representative of a duplicate group
+does not depend on which members pass quality), then the rule filter.
+
+One lazy plan end-to-end: nothing materializes until the sink action,
+and Catalyst optimizes across the stage boundaries (the quality
+predicate pushes below the dedup anti-join's probe side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.functions import quality as Q
+from wnv_etl_lab2_spark.operators.dedup import connected_components, minhash_lsh_pairs
+from wnv_etl_lab2_spark.pipeline import Pipeline, Source
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+
+def neardup_prune(docs: DataFrame) -> DataFrame:
+    """Drop every non-canonical member of a near-dup component (the
+    component's min doc_id survives). The non-canonical set is tiny
+    relative to the corpus, so the anti-join broadcasts it — the
+    corpus side never shuffles."""
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("comp_id") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Keep documents passing the shared Gopher-style rule set."""
+    return docs.where(Q.quality_keep())
+
+
+def documents_source(sf_dir: str) -> Source:
+    return lambda spark: load_table(spark, "documents", sf_dir)
+
+
+def curation_pipeline(sf_dir: str) -> Pipeline:
+    """documents -> near-dup prune -> quality filter, as one plan."""
+    return Pipeline(
+        source=documents_source(sf_dir),
+        transforms=[neardup_prune, quality_filter],
+        name="corpus-curation",
+    )
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy curated-corpus DataFrame (no execution)."""
+    return curation_pipeline(sf_dir).build(spark)

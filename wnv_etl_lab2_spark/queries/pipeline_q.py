@@ -57,23 +57,18 @@ def quality_rules_filter(spark, sf_dir):
     per-rule removal rates). Pure map over the scan — no shuffle; at
     100 TB this is the same single-pass shape as the reference's
     null-filter (O6) with more math per row."""
+    from wnv_etl_lab2_spark.functions import quality as Q
+
     d = load_table(spark, "documents", sf_dir)
-    word_cnt = F.size(F.split("text", " ")).cast("long")
-    mean_word_len = (
-        F.length(F.regexp_replace("text", " ", "")).cast("double") / word_cnt
-    )
-    stop_hits = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
-    ).cast("long")
     d = d.select(
         "doc_id",
-        word_cnt.alias("word_cnt"),
-        mean_word_len.alias("_mwl"),
-        stop_hits.alias("stop_hits"),
+        Q.word_cnt().alias("word_cnt"),
+        Q.mean_word_len().alias("_mwl"),
+        Q.stop_hits().alias("stop_hits"),
     )
-    ok_wc = F.col("word_cnt").between(25, 90)
-    ok_ml = F.col("_mwl").between(4.0, 5.0)
-    ok_sw = F.col("stop_hits") >= 2
+    ok_wc = F.col("word_cnt").between(*Q.WORD_CNT_RANGE)
+    ok_ml = F.col("_mwl").between(*Q.MEAN_WORD_LEN_RANGE)
+    ok_sw = F.col("stop_hits") >= Q.MIN_STOP_HITS
     return d.select(
         "doc_id",
         "word_cnt",

@@ -376,18 +376,14 @@ def corpus_curation_stats(spark, sf_dir):
     min doc_id survives, independent of quality flags of the members
     (prune-then-dedup ordering is a policy knob; this query audits the
     dedup-then-prune order)."""
+    from wnv_etl_lab2_spark.functions import quality as Q
+
     docs = load_table(spark, "documents", sf_dir)
     pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
-    wc = F.size(F.split("text", " ")).cast("long")
-    mwl = F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(
-        F.split("text", " ")
+    q = docs.select(
+        "doc_id", "source", Q.word_cnt().alias("wc"), Q.quality_keep().alias("passq")
     )
-    stop = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
-    )
-    passq = wc.between(25, 90) & mwl.between(4.0, 5.0) & (stop >= 2)
-    q = docs.select("doc_id", "source", wc.alias("wc"), passq.alias("passq"))
     j = q.join(F.broadcast(comp), "doc_id", "left")
     is_kept = F.col("passq") & (
         F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id"))
