@@ -46,3 +46,31 @@ def salted_groupby_agg(
         *[_MERGE[fn](f"_p_{name}").alias(name) for name, (fn, _) in aggs.items()]
     )
     return final
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_source_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the big side gets a salt derived from
+    a high-cardinality column, the small side is replicated once per
+    salt bucket, and the join keys on (key, salt). A hot join key is
+    thereby spread over ``buckets`` shuffle partitions instead of one.
+    Row-for-row IDENTICAL to the plain inner join (each big row meets
+    each matching small row exactly once — in the one bucket its salt
+    selects), which the `salted_join_agg` query's oracle asserts.
+
+    Cost: the SMALL side shuffles buckets-times larger — use only when
+    a key is hot enough to dominate a stage; AQE's skew-join split is
+    the first resort, salting the explicit fallback (it also works on
+    broadcast-ineligible mid-size dims where AQE can't split)."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(buckets))
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")

@@ -386,3 +386,33 @@ def regexp_null_funcs(spark, sf_dir):
         F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("capped_bal"),
         F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("floored_bal"),
     )
+
+
+@register(
+    "salted_join_agg",
+    oracle="""
+    SELECT s_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def salted_join_agg(spark, sf_dir):
+    """Skew-mitigated join (operators/skew.salted_join): lineitem is
+    salted on l_orderkey, supplier replicated per salt bucket, join on
+    (suppkey, salt) — a hot supplier spreads over 8 partitions. The
+    oracle is the PLAIN join: salting must not change a single row."""
+    from wnv_etl_lab2_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, key="l_suppkey", salt_source_col="l_orderkey", buckets=8)
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

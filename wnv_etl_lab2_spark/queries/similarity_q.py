@@ -399,3 +399,74 @@ def corpus_curation_stats(spark, sf_dir):
         F.sum(F.when(is_kept, one).otherwise(F.lit(0))).cast("long").alias("kept_docs"),
         F.sum(F.when(is_kept, F.col("wc")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
     )
+
+
+def _quality_sql() -> str:
+    """The shared quality predicate as oracle SQL, built from the SAME
+    constants functions/quality.py uses Spark-side."""
+    from wnv_etl_lab2_spark.functions import quality as Q
+
+    lo, hi = Q.WORD_CNT_RANGE
+    mlo, mhi = Q.MEAN_WORD_LEN_RANGE
+    return (
+        f"(LEN(string_split(text, ' ')) BETWEEN {lo} AND {hi}) "
+        f"AND (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) "
+        f"/ LEN(string_split(text, ' ')) BETWEEN {mlo} AND {mhi}) "
+        f"AND LEN(regexp_extract_all(LOWER(text), '{Q.STOPWORD_RE}')) >= {Q.MIN_STOP_HITS}"
+    )
+
+
+_QUALITY_SQL = _quality_sql()
+
+
+@register(
+    "neardup_keep_better",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label, {_CAST} AS e FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+          FROM c),
+    pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({_DOT_AB} / (a.nm * b.nm), 6) AS cos_sim
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND({_DOT_AB} / (a.nm * b.nm), 6) >= 0.3
+    ),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS keep FROM documents)
+    SELECT pr.id_a, pr.id_b, pr.cos_sim,
+           qa.keep AS keep_a, qb.keep AS keep_b,
+           CASE WHEN qa.keep AND NOT qb.keep THEN pr.id_a
+                WHEN qb.keep AND NOT qa.keep THEN pr.id_b
+                ELSE LEAST(pr.id_a, pr.id_b) END AS survivor
+    FROM pr JOIN q qa ON pr.id_a = qa.doc_id
+            JOIN q qb ON pr.id_b = qb.doc_id
+    """,
+)
+def neardup_keep_better(spark, sf_dir):
+    """Cross-modal dedup policy: for each embedding near-dup pair,
+    join BOTH members to their document's quality verdict (doc_id ==
+    vec_id in this corpus) and pick the survivor — the quality-passing
+    member, or the min id on a tie. This is the keep-the-better-copy
+    refinement of min-id canonicalization that production dedup runs;
+    the pair side is the LSH-blocked join and the quality side is a
+    broadcast-sized projection joined twice by id."""
+    from wnv_etl_lab2_spark.functions import quality as Q
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = neardup_pairs_lsh_blocked(emb, threshold=0.3).select(
+        "id_a", "id_b", "cos_sim"
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", Q.quality_keep().alias("keep")
+    )
+    qa = docs.select(F.col("doc_id").alias("id_a"), F.col("keep").alias("keep_a"))
+    qb = docs.select(F.col("doc_id").alias("id_b"), F.col("keep").alias("keep_b"))
+    out = pairs.join(F.broadcast(qa), "id_a").join(F.broadcast(qb), "id_b")
+    survivor = (
+        F.when(F.col("keep_a") & ~F.col("keep_b"), F.col("id_a"))
+        .when(F.col("keep_b") & ~F.col("keep_a"), F.col("id_b"))
+        .otherwise(F.least("id_a", "id_b"))
+    )
+    return out.select(
+        "id_a", "id_b", "cos_sim", "keep_a", "keep_b", survivor.alias("survivor")
+    )
