@@ -83,3 +83,26 @@ def parquet_sink(path: str, partition_by: tuple[str, ...] = ()) -> Sink:
         w.parquet(path)
 
     return write
+
+
+def jsonl_source(path: str, schema: str | None = None) -> Source:
+    """JSON-lines source; pass a DDL schema in production (schemaless
+    reads pay an extra inference scan)."""
+
+    def read(spark: SparkSession) -> DataFrame:
+        r = spark.read
+        return r.schema(schema).json(path) if schema else r.json(path)
+
+    return read
+
+
+def jsonl_sink(path: str) -> Sink:
+    return lambda df: df.write.mode("overwrite").json(path)
+
+
+def orc_source(path: str) -> Source:
+    return lambda spark: spark.read.orc(path)
+
+
+def orc_sink(path: str) -> Sink:
+    return lambda df: df.write.mode("overwrite").orc(path)
