@@ -332,3 +332,46 @@ def vocab_coverage(spark, sf_dir):
             F.sum(F.coalesce(F.col("in_v"), F.lit(0))).cast("double") / F.count(F.lit(1)), 6
         ).alias("coverage"),
     )
+
+
+@register(
+    "stable_doc_ids",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_id
+    FROM documents
+    """,
+)
+def stable_doc_ids(spark, sf_dir):
+    """Contiguous deterministic global ids (the zipWithIndex need:
+    doc -> dense int id before training) WITHOUT a global
+    single-partition sort. Two-phase: rows bucket by a deterministic
+    key range (doc_id div bucket_width); per-bucket counts roll into
+    running offsets with a window over the BUCKET SUMMARY (O(buckets)
+    rows — the only single-partition step); each row's id = its
+    bucket's offset + its rank within the bucket. Every corpus-sized
+    stage partitions by bucket; compare `monotonically_increasing_id`,
+    which is partition-layout-dependent and non-contiguous."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    bucket = (F.col("doc_id") / F.lit(100)).cast("long")
+    rows = d.withColumn("_b", bucket)
+    counts = rows.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_b", "_off")
+    w_in = Window.partitionBy("_b").orderBy("doc_id")
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            (F.col("_off") + F.row_number().over(w_in) - 1).alias("global_id"),
+        )
+    )
