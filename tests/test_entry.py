@@ -34,3 +34,15 @@ def test_high_value_queries_in_driver_window(spark):
     oracles = entry_mod.oracle_sql()
     missing = [n for n in window if n not in oracles]
     assert not missing, f"rows-only queries inside the 50-entry window: {missing}"
+
+
+def test_registry_prefix_window_fully_oracle_backed():
+    """External harnesses may only correctness-check a prefix of the
+    registry — every query in the first 50 positions must carry an
+    exact oracle, so a future registration can't silently displace an
+    oracle-backed query out of the checked window."""
+    import __spark_entry__ as m
+
+    qs, osql = m.queries(), m.oracle_sql()
+    missing = [n for n in list(qs)[:50] if n not in osql]
+    assert not missing, f"oracle-less queries inside the window: {missing}"
