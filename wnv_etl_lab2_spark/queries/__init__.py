@@ -90,6 +90,10 @@ _FRONT = [
     "doc_chunking",
     "ngram_counts_top",
     "binary_frame_fingerprints",
+    "vocab_coverage",
+    "stable_doc_ids",
+    "corpus_curation_stats",
+    "neardup_keep_better",
     # temporal joins + event-time
     "asof_join_click_view",
     "range_join_maintenance",
@@ -103,12 +107,9 @@ _FRONT = [
     "unpivot_part_metrics",
     "array_functions",
     "points_from_xy",
-    # reference-operator evidence (O3-O17)
-    "projection_concat",
+    # reference-operator evidence (O4, O12-O17; the scalar ops O3/O6-O8/
+    # O11 hold green round-1 driver rows and rotate out per the note below)
     "lookup_enrichment_join",
-    "clean_cast_filter",
-    "constant_column",
-    "row_count",
     "spatial_within_buffer",
     "spatial_buffer_erase",
     "spatial_join_count",
@@ -117,11 +118,10 @@ _FRONT = [
     "zone_overlay",
     "polygon_clip_area",
     "regional_revenue",
-    # headline relational / window shapes (queries rotated OUT of this
-    # block after earning a green driver row in a prior round's
-    # CORRECTNESS file keep their local oracle-gate coverage and simply
-    # fall back to import-order positions past the prefix)
-    "pricing_summary",
+    # Queries rotated OUT of this 50-entry block after earning a green
+    # driver row in a prior round's CORRECTNESS file keep their local
+    # oracle-gate coverage and simply fall back to import-order
+    # positions past the prefix.
 ]
 
 
