@@ -375,3 +375,43 @@ def stable_doc_ids(spark, sf_dir):
             (F.col("_off") + F.row_number().over(w_in) - 1).alias("global_id"),
         )
     )
+
+
+@register(
+    "groupwise_zscore_arrow",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    QUALIFY COUNT(*) OVER w > 1
+    """,
+)
+def groupwise_zscore_arrow(spark, sf_dir):
+    """Per-group z-score normalization through the Arrow GROUPED-MAP
+    path (groupBy().applyInPandas) — the surface a feature-normalizing
+    pipeline uses when the per-group math is genuinely imperative.
+    Here the math is windowed-SQL-expressible on purpose, so this is
+    the rare pandas-path operator with an exact oracle: pandas
+    mean/std(ddof=1) must agree with AVG/STDDEV_SAMP window functions
+    to 4 decimals. Groups of one row are dropped on both sides (their
+    sample std is undefined: NaN in pandas, NULL in SQL — dropping
+    beats comparing engine-specific nothings). Scale: one shuffle on
+    the group key; each group must fit a worker's Arrow batch — the
+    same contract as any grouped-map; the window-function twin is the
+    plan to prefer when the math IS expressible."""
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pdf.iloc[0:0][["user_id", "event_id"]].assign(z=0.0)
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        out = pdf[["user_id", "event_id"]].copy()
+        out["z"] = ((pdf["value"] - m) / s).round(4)
+        return out
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        kernel, "user_id long, event_id long, z double"
+    )
