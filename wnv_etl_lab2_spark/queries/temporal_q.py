@@ -256,3 +256,126 @@ def gap_fill_locf(spark, sf_dir):
         F.col("day_avg").isNull().alias("is_gap"),
         F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS did_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_clicked,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_purchased
+    FROM stages
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user, the first
+    timestamp of each stage via conditional MIN, then ordering
+    predicates — the standard funnel formulation that needs ONE
+    combinable groupBy over the events, never a self-join per stage
+    (the naive 3-way self-join shuffles the event table once per
+    stage; this shape shuffles conditional-min triples once)."""
+    ev = load_table(spark, "events", sf_dir)
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one, zero = F.lit(1), F.lit(0)
+    return stages.agg(
+        F.count(one).alias("n_users"),
+        F.sum(F.when(viewed, one).otherwise(zero)).cast("long").alias("did_view"),
+        F.sum(F.when(clicked, one).otherwise(zero)).cast("long").alias("then_clicked"),
+        F.sum(F.when(purchased, one).otherwise(zero)).cast("long").alias("then_purchased"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, COUNT(*) AS active_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity day,
+    counted on each later day they return (first week). The cohort
+    frame is one groupBy; its join back to events is co-partitioned on
+    user_id (at 100 TB: a broadcast if the user dim fits, else both
+    sides already hash on the key); DISTINCT collapses to one row per
+    (user, day) before the final combinable count."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+@register(
+    "event_dedup_window",
+    oracle="""
+    SELECT user_id, event_type, bucket, event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE
+               AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type,
+                 date_trunc('minute', ts) - INTERVAL (EXTRACT(minute FROM ts)::INT % 5) MINUTE
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def event_dedup_window(spark, sf_dir):
+    """Windowed event dedup: keep the first event per (user, type,
+    5-minute bucket) — the BATCH twin of the streaming
+    dropDuplicatesWithinWatermark path (streaming/events.py), with a
+    deterministic (ts, event_id) tiebreak. One shuffle on the dedup
+    key; state per key is one row (rank-1 filter), the same bound the
+    watermark gives the stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.expr(
+        "date_trunc('minute', ts) - make_interval(0, 0, 0, 0, 0, CAST(minute(ts) % 5 AS INT), 0)"
+    )
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("bucket", bucket)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "bucket", "event_id")
+    )
