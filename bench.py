@@ -49,6 +49,7 @@ HEADLINE = [
     "gap_fill_locf",              # per-key grid + LOCF window (round 2)
     "ngram_counts_top",           # corpus bigram counts + TakeOrdered (round 2)
     "corpus_curation_stats",      # E2E quality + near-dup yield sheet (round 2)
+    "event_funnel",               # conditional-min funnel, one groupBy (round 2)
 ]
 
 
