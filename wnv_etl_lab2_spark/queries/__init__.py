@@ -64,7 +64,6 @@ _FRONT = [
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_fingerprint",
-    "dedup_distinct_rows",
     "dedup_minhash_lsh",
     "dedup_components",
     "ngram_jaccard_pairs",
@@ -99,6 +98,9 @@ _FRONT = [
     "range_join_maintenance",
     "sliding_window_batch",
     "gap_fill_locf",
+    "event_funnel",
+    "cohort_retention",
+    "event_dedup_window",
     # advanced SQL surface
     "grouping_sets_agg",
     "window_navigation",
@@ -107,17 +109,17 @@ _FRONT = [
     "unpivot_part_metrics",
     "array_functions",
     "points_from_xy",
-    # reference-operator evidence (O4, O12-O17; the scalar ops O3/O6-O8/
-    # O11 hold green round-1 driver rows and rotate out per the note below)
-    "lookup_enrichment_join",
-    "spatial_within_buffer",
+    # Arrow grouped-map + pipeline accounting (round-2 additions)
+    "groupwise_zscore_arrow",
+    "source_mixture_weights",
+    "salted_join_agg",
+    # reference-operator evidence (O12-O17 via the spray chain; O3/O4/
+    # O6-O8/O11 and the remaining spatial variants hold green round-1
+    # driver rows and rotate out per the note below)
     "spatial_buffer_erase",
-    "spatial_join_count",
     "spray_targets",
-    "spatial_zone_rollup",
     "zone_overlay",
     "polygon_clip_area",
-    "regional_revenue",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order
