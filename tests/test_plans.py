@@ -82,7 +82,7 @@ def test_pure_map_queries_have_zero_exchanges(spark, sf_dir):
     a single Exchange would mean the operator silently materializes
     the corpus at 100 TB."""
     for name in ("quality_rules_filter", "doc_chunking", "binary_frame_fingerprints",
-                 "text_stats"):
+                 "text_stats", "denylist_scrub", "word_entropy_quality"):
         plan = plan_of(spark, sf_dir, name)
         assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan[:800]}"
     # winnow_fingerprints carries ONE deliberate round-robin repartition
@@ -113,3 +113,23 @@ def test_curation_joins_components_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_curation_stats")
     assert "BroadcastHashJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_knn_join_broadcasts_query_batch(spark, sf_dir):
+    """The k-NN join must broadcast the query batch over the corpus
+    scan — a SortMergeJoin here would shuffle every embedding per
+    query set."""
+    plan = plan_of(spark, sf_dir, "knn_join_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_span_removal_joins_on_span_key(spark, sf_dir):
+    """Span-frequency dedup shuffles on the span text (groupBy +
+    join back), never expands pairs: the plan must contain partial
+    aggregation and no nested-loop of spans against spans."""
+    plan = plan_of(spark, sf_dir, "repeated_span_removal")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

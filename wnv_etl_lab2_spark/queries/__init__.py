@@ -144,6 +144,7 @@ def _ensure_loaded() -> None:
         multimodal_q,
         sampling_q,
         pipeline_q,
+        curation_q,
     )
 
     missing = [n for n in _FRONT if n not in REGISTRY]

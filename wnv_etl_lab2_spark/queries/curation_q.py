@@ -1,0 +1,191 @@
+"""Corpus-hygiene curation queries: deny-list scrubbing, C4-style
+cross-document repeated-span removal, and a word-distribution entropy
+quality signal.
+
+These extend the LLM-training-data set past per-document stats: the
+deny-list op is the bad-word policy filter every public web-corpus
+pipeline runs (C4 dropped pages on a term list; masking is the softer
+production variant), repeated-span removal is C4/CCNet line-level
+dedup re-expressed over fixed word windows (this corpus has no
+newlines), and token-distribution entropy is the repetition /
+degenerate-text signal that length ratios miss.
+
+All three are pure Catalyst expressions; the only shuffle anywhere is
+the span-frequency groupBy, which keys on the span text exactly like
+the inverted-index shingle groupBy in `text_q.ngram_jaccard_pairs`
+(hot spans are bounded by the same document-frequency logic — a span
+seen in d docs contributes d rows, never d^2 pairs, because we join
+frequencies back instead of expanding pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.queries import register
+from wnv_etl_lab2_spark.sources.catalog import load_table
+
+# Shared policy constants — baked into BOTH the Spark plan and the
+# DuckDB oracle so the two sides can never drift.
+_DENY_RE = r"\b(slow|big|merge)\b"
+_DENY_DROP_ABOVE = 4  # > this many hits => drop the document outright
+_SPAN = 5  # words per span for cross-document span dedup
+_SPAN_DF = 2  # a span seen in >= this many distinct docs is boilerplate
+
+
+@register(
+    "denylist_scrub",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           verdict,
+           CASE WHEN verdict = 'mask'
+                THEN regexp_replace(text, '{_DENY_RE}', '[MASKED]', 'g')
+                ELSE text END AS out_text
+    FROM (
+      SELECT doc_id, source, text,
+             LEN(regexp_extract_all(text, '{_DENY_RE}')) AS n_hits,
+             CASE WHEN LEN(regexp_extract_all(text, '{_DENY_RE}')) > {_DENY_DROP_ABOVE}
+                    THEN 'drop'
+                  WHEN LEN(regexp_extract_all(text, '{_DENY_RE}')) > 0
+                    THEN 'mask'
+                  ELSE 'keep' END AS verdict
+      FROM documents
+    )
+    """,
+)
+def denylist_scrub(spark, sf_dir):
+    """Deny-term policy filter: count word-boundary hits of a term
+    list per document, then drop heavy offenders, mask light ones,
+    and pass clean docs through untouched (the C4 bad-word rule plus
+    the production masking variant). Pure map over the scan — the
+    regex runs identically under Java regex and DuckDB's RE2 (word
+    boundaries + alternation only), and replacement is global on both
+    engines."""
+    d = load_table(spark, "documents", sf_dir)
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_DENY_RE), F.lit(0)))
+    d = d.select("doc_id", "source", "text", hits.cast("long").alias("n_hits"))
+    verdict = (
+        F.when(F.col("n_hits") > _DENY_DROP_ABOVE, "drop")
+        .when(F.col("n_hits") > 0, "mask")
+        .otherwise("keep")
+    )
+    d = d.withColumn("verdict", verdict)
+    out = F.when(
+        F.col("verdict") == "mask",
+        F.regexp_replace("text", _DENY_RE, "[MASKED]"),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", "source", "n_hits", "verdict", out.alias("out_text"))
+
+
+@register(
+    "repeated_span_removal",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    spans AS (
+      SELECT doc_id,
+             array_to_string(list_slice(ws, c * {_SPAN} + 1,
+                                        LEAST((c + 1) * {_SPAN}, LEN(ws))), ' ') AS span,
+             CAST(LEAST((c + 1) * {_SPAN}, LEN(ws)) - c * {_SPAN} AS BIGINT) AS span_tokens
+      FROM w, UNNEST(generate_series(0, CAST(CEIL(LEN(ws) / {_SPAN}.0) AS BIGINT) - 1)) AS t(c)
+    ),
+    df AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span)
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN df.n_docs >= {_SPAN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_spans,
+           CAST(SUM(CASE WHEN df.n_docs >= {_SPAN_DF} THEN 0 ELSE s.span_tokens END) AS BIGINT)
+             AS kept_tokens
+    FROM spans s JOIN df ON s.span = df.span
+    GROUP BY s.doc_id
+    """,
+)
+def repeated_span_removal(spark, sf_dir):
+    """C4/CCNet-style cross-document span dedup: split every document
+    into fixed 5-word windows, count how many DISTINCT documents each
+    span occurs in, and drop spans that appear in 2+ docs
+    (boilerplate); report per-document span/token yield.
+
+    Scale shape: the span explode is a pure flatMap (`sequence` +
+    `slice`, same as `doc_chunking`); span frequency is one groupBy on
+    the span text with a partial-aggregated distinct count; the join
+    back to spans is an equi-join on the same key, so a hot span seen
+    in d docs costs d join rows — linear, never the d^2 a pair
+    expansion would pay. At 100 TB the span key would be a 64-bit
+    xxhash of the text (collision-safe enough for frequency counting)
+    so the shuffle carries 8-byte keys; the text key here keeps the
+    oracle exactly expressible."""
+    d = load_table(spark, "documents", sf_dir)
+    d = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    n_spans = F.ceil(n / F.lit(float(_SPAN))).cast("long")
+    spans = d.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("c"),
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("ws", (F.col("c") * _SPAN + 1).cast("int"), F.lit(_SPAN)), " "
+        ).alias("span"),
+        F.least(F.lit(_SPAN).cast("long"), F.size("ws") - F.col("c") * _SPAN).alias(
+            "span_tokens"
+        ),
+    )
+    df = spans.groupBy("span").agg(F.countDistinct("doc_id").alias("n_docs"))
+    is_boiler = F.col("n_docs") >= _SPAN_DF
+    return (
+        spans.join(df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(is_boiler, 1).otherwise(0)).cast("long").alias("dropped_spans"),
+            F.sum(F.when(is_boiler, F.lit(0)).otherwise(F.col("span_tokens")))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "word_entropy_quality",
+    # Bit-stable float contract: both engines fold (c/n)*ln(c/n) over
+    # the SAME sorted distinct-word list left-to-right, so the double
+    # sums are identical before the final round.
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(ws) AS BIGINT) AS n_words,
+           CAST(LEN(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           ROUND(
+             -list_sum(list_transform(list_sort(list_distinct(ws)),
+                x -> (CAST(LEN(list_filter(ws, w -> w = x)) AS DOUBLE) / LEN(ws))
+                     * ln(CAST(LEN(list_filter(ws, w -> w = x)) AS DOUBLE) / LEN(ws))))
+             / ln(2.0), 4) AS entropy_bits
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """,
+)
+def word_entropy_quality(spark, sf_dir):
+    """Shannon entropy of the per-document word distribution (bits) —
+    the repetition/degenerate-text quality signal: looped or templated
+    text scores far below natural prose of the same length, which the
+    length and stopword-ratio rules cannot see.
+
+    Entirely inside one projection — no explode, no shuffle: the
+    distinct-word list, per-word counts, and the entropy fold are JVM
+    higher-order functions over the split array (O(distinct * words)
+    per row on 25-90-word docs). The fold iterates the SORTED distinct
+    list so the floating-point sum is order-identical to the oracle's
+    ``list_sum`` over the same sort."""
+    d = load_table(spark, "documents", sf_dir)
+    d = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ent = (
+        "-aggregate(array_sort(array_distinct(ws)), 0.0D, (acc, x) -> acc + "
+        "(CAST(size(filter(ws, w -> w = x)) AS DOUBLE) / size(ws)) "
+        "* ln(CAST(size(filter(ws, w -> w = x)) AS DOUBLE) / size(ws))) / ln(2.0)"
+    )
+    return d.selectExpr(
+        "doc_id",
+        "CAST(size(ws) AS BIGINT) AS n_words",
+        "CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct",
+        f"ROUND({ent}, 4) AS entropy_bits",
+    )

@@ -470,3 +470,63 @@ def neardup_keep_better(spark, sf_dir):
     return out.select(
         "id_a", "id_b", "cos_sim", "keep_a", "keep_b", survivor.alias("survivor")
     )
+
+
+@register(
+    "knn_join_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, {_CAST} AS e,
+                      sqrt(list_sum(list_transform({_CAST}, x -> x * x))) AS nm
+               FROM embeddings WHERE vec_id < 4),
+    c AS (SELECT vec_id AS nbr_id, {_CAST} AS e,
+                 sqrt(list_sum(list_transform({_CAST}, x -> x * x))) AS nm
+          FROM embeddings WHERE vec_id >= 4)
+    SELECT q_id, nbr_id, rank, cos_sim FROM (
+      SELECT a.q_id, b.nbr_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.q_id
+               ORDER BY {_DOT_AB} / (a.nm * b.nm) DESC, b.nbr_id ASC
+             ) AS rank,
+             ROUND({_DOT_AB} / (a.nm * b.nm), 6) AS cos_sim
+      FROM q a CROSS JOIN c b
+    ) WHERE rank <= 5
+    """,
+)
+def knn_join_bruteforce(spark, sf_dir):
+    """Batched k-NN JOIN: exact top-5 cosine neighbors for EVERY query
+    in a query set (here vec_id < 4), not a single probe vector — the
+    shape embedding-deduplication and retrieval-eval jobs actually run.
+
+    The query side is broadcast (a query batch is small by
+    construction), so the corpus scan never shuffles: each corpus
+    partition scores its rows against all queries and the per-query
+    window reduces to a partial top-k merged per query — at 100 TB
+    this is one scan regardless of query count, and the candidate side
+    of the window carries only (q_id, nbr_id, cos) rows. Both engines
+    fold the dot product left-to-right over the same double arrays, so
+    the unrounded ORDER BY key is bit-identical and the row_number
+    cut is deterministic (nbr_id breaks exact ties)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.where(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("nbr_id"), as_double_array("embedding").alias("e")
+    )
+    nq = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda a, x: a + x * x))
+    ne = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    q = q.withColumn("nmq", nq)
+    c = c.withColumn("nme", ne)
+    j = c.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v)
+    scored = j.select(
+        "q_id", "nbr_id", (dot / (F.col("nmq") * F.col("nme"))).alias("_cos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "nbr_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
