@@ -50,6 +50,8 @@ HEADLINE = [
     "ngram_counts_top",           # corpus bigram counts + TakeOrdered (round 2)
     "corpus_curation_stats",      # E2E quality + near-dup yield sheet (round 2)
     "event_funnel",               # conditional-min funnel, one groupBy (round 2)
+    "repeated_span_removal",      # C4-style cross-doc span dedup (round 2)
+    "knn_join_bruteforce",        # batched query-set top-k, broadcast scan (round 2)
 ]
 
 
