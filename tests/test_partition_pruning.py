@@ -61,9 +61,6 @@ def test_partition_scan_reads_fewer_files(spark, partitioned_events):
     one_type = all_types.where(F.col("event_type") == "click")
 
     def n_files(df):
-        scan = df._jdf.queryExecution().executedPlan().toString()
-        # selected-partition count appears in the scan metadata; fall
-        # back to comparing input file lists exposed to the DataFrame
         return df.select(F.input_file_name()).distinct().count()
 
     assert n_files(one_type) < n_files(all_types)

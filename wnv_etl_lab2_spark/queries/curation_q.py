@@ -160,7 +160,7 @@ def repeated_span_removal(spark, sf_dir):
              -list_sum(list_transform(list_sort(list_distinct(ws)),
                 x -> (CAST(LEN(list_filter(ws, w -> w = x)) AS DOUBLE) / LEN(ws))
                      * ln(CAST(LEN(list_filter(ws, w -> w = x)) AS DOUBLE) / LEN(ws))))
-             / ln(2.0), 4) AS entropy_bits
+             / ln(2.0) + 0.0, 4) AS entropy_bits
     FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
     """,
 )
@@ -178,10 +178,12 @@ def word_entropy_quality(spark, sf_dir):
     ``list_sum`` over the same sort."""
     d = load_table(spark, "documents", sf_dir)
     d = d.select("doc_id", F.split("text", " ").alias("ws"))
+    # `+ 0.0` normalizes the IEEE -0.0 an all-identical-words document
+    # would produce (−(1·ln 1) = −0.0) on BOTH engines before rounding
     ent = (
         "-aggregate(array_sort(array_distinct(ws)), 0.0D, (acc, x) -> acc + "
         "(CAST(size(filter(ws, w -> w = x)) AS DOUBLE) / size(ws)) "
-        "* ln(CAST(size(filter(ws, w -> w = x)) AS DOUBLE) / size(ws))) / ln(2.0)"
+        "* ln(CAST(size(filter(ws, w -> w = x)) AS DOUBLE) / size(ws))) / ln(2.0) + 0.0D"
     )
     return d.selectExpr(
         "doc_id",

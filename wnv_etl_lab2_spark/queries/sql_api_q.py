@@ -139,3 +139,106 @@ def window_navigation(spark, sf_dir):
     percent_rank, first/last value — deterministic via the unique
     tie-break in every ORDER BY."""
     return _sql(spark, sf_dir, ["orders"], _WINDOW_NAV)
+
+
+_TOP_SUPPLIER = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("top_supplier_revenue", oracle=_TOP_SUPPLIER)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: a view-over-aggregate (quarterly revenue per
+    supplier) filtered by a scalar subquery over ITSELF (the max).
+    Catalyst plans the CTE once per consumer; the max side reduces to
+    a one-row broadcast. The date window prunes the scan via pushed
+    timestamp filters."""
+    return _sql(spark, sf_dir, ["lineitem", "supplier"], _TOP_SUPPLIER)
+
+
+_SMALL_QTY = """
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
+@register("small_qty_part_revenue", oracle=_SMALL_QTY)
+def small_qty_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar aggregate in the predicate
+    (rows below 20% of their part's average quantity). Catalyst
+    decorrelates into an aggregate-then-join on l_partkey — one extra
+    pass over the (brand-filtered, broadcast-joined) lineitem slice,
+    never a per-row subquery execution."""
+    return _sql(spark, sf_dir, ["lineitem", "part"], _SMALL_QTY)
+
+
+_LARGE_ORDERS = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(SUM(l_quantity), 2) AS order_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register("large_volume_orders", oracle=_LARGE_ORDERS)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a HAVING'd aggregate (orders whose
+    total quantity clears a floor), re-joined to customer and
+    re-aggregated. The IN subquery plans as a semi-join against the
+    pre-aggregated keys — the lineitem scan happens twice but both
+    aggregations are partial before their single shuffle."""
+    return _sql(spark, sf_dir, ["customer", "orders", "lineitem"], _LARGE_ORDERS)
+
+
+_LATE_SHIPPER = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+"""
+
+
+@register("late_shipper_chain", oracle=_LATE_SHIPPER)
+def late_shipper_chain(spark, sf_dir):
+    """TPC-H Q21 shape (over l_shipdate — this corpus has no
+    commit/receipt dates): the EXISTS / NOT EXISTS chain finding the
+    supplier who shipped LAST on a multi-supplier order that shipped
+    60+ days late. Catalyst turns the chain into a semi-join plus an
+    anti-join on l_orderkey — two shuffles of the (pruned) lineitem
+    key columns, no nested-loop re-execution per outer row."""
+    return _sql(spark, sf_dir, ["supplier", "lineitem", "orders"], _LATE_SHIPPER)
