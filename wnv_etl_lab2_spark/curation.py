@@ -10,9 +10,14 @@ dedup-then-prune, matching the stats query: canonicalization runs on
 the FULL corpus (so the surviving representative of a duplicate group
 does not depend on which members pass quality), then the rule filter.
 
-One lazy plan end-to-end: nothing materializes until the sink action,
-and Catalyst optimizes across the stage boundaries (the quality
-predicate pushes below the dedup anti-join's probe side).
+Laziness caveat: the OUTPUT plan is lazy (the sink action streams the
+curated corpus), but BUILDING it is not free — `neardup_prune` calls
+`connected_components`, whose per-round convergence check runs the
+MinHash pair pipeline and label propagation eagerly (a driver-side
+count per round is inherent to the iterative algorithm). Build once
+and reuse the returned DataFrame; Catalyst still optimizes the final
+plan across stage boundaries (the quality predicate pushes below the
+dedup anti-join's probe side).
 """
 
 from __future__ import annotations
@@ -58,5 +63,7 @@ def curation_pipeline(sf_dir: str) -> Pipeline:
 
 
 def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The lazy curated-corpus DataFrame (no execution)."""
+    """The curated-corpus DataFrame. The returned plan is lazy, but
+    building it materializes the dedup component table (see module
+    docstring) — call once, reuse the result."""
     return curation_pipeline(sf_dir).build(spark)

@@ -41,3 +41,18 @@ def quality_keep(text_col: str = "text") -> Column:
         & mean_word_len(text_col).between(*MEAN_WORD_LEN_RANGE)
         & (stop_hits(text_col) >= MIN_STOP_HITS)
     )
+
+
+def keep_sql(text_expr: str = "text") -> str:
+    """The same conjunctive keep decision as DuckDB-oracle SQL, built
+    from THIS module's constants — every oracle that needs the quality
+    predicate interpolates this fragment, so a policy change here can
+    never leave an oracle stale."""
+    lo, hi = WORD_CNT_RANGE
+    mlo, mhi = MEAN_WORD_LEN_RANGE
+    return (
+        f"(LEN(string_split({text_expr}, ' ')) BETWEEN {lo} AND {hi}) "
+        f"AND (CAST(LENGTH(REPLACE({text_expr}, ' ', '')) AS DOUBLE) "
+        f"/ LEN(string_split({text_expr}, ' ')) BETWEEN {mlo} AND {mhi}) "
+        f"AND LEN(regexp_extract_all(LOWER({text_expr}), '{STOPWORD_RE}')) >= {MIN_STOP_HITS}"
+    )

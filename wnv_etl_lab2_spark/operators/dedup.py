@@ -228,6 +228,7 @@ def connected_components(
         .select(F.col("a").alias("id"), "comp")
         .localCheckpoint(eager=False)
     )
+    changed = 0
     for _ in range(max_iters):
         # message pass: each vertex hears its neighbors' current labels
         msgs = (
@@ -251,6 +252,19 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed:
+        # Fail loud, never return partial labels: a component whose
+        # diameter exceeds max_iters would otherwise keep multiple
+        # "canonical" docs from one duplicate group and silently
+        # diverge from the exact recursive-CTE oracle.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — the "
+            "component diameter exceeds it"
+        )
+    # Old rounds' checkpointed frames are dropped by Spark's
+    # ContextCleaner once `labels` rebinds (driver GC releases the
+    # JVM-side plan); storage stays O(1) frames per call, not O(rounds).
     return labels.select("id", F.col("comp").alias("comp_id"))
 
 

@@ -22,15 +22,18 @@ _TITLE_H = 50
 
 
 def _esc(text: str) -> str:
-    """Escape a PDF literal string."""
-    return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    """Escape a PDF literal string. Characters outside Latin-1 (the
+    encoding of the embedded standard-font text) degrade to '?' so an
+    arbitrary title can never crash the export."""
+    safe = text.encode("latin-1", errors="replace").decode("latin-1")
+    return safe.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
 def build_pdf(content_stream: str) -> bytes:
     """Assemble a one-page PDF around a content stream: catalog,
     pages, page, contents, the 50%-alpha ExtGState, and Helvetica —
     with the xref table's byte offsets computed exactly."""
-    stream = content_stream.encode("latin-1")
+    stream = content_stream.encode("latin-1", errors="replace")
     objects = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

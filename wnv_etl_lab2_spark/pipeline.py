@@ -41,7 +41,9 @@ class Pipeline:
         return Pipeline(self.source, [*self.transforms, *transforms], self.name)
 
     def build(self, spark: SparkSession) -> DataFrame:
-        """Compose the full lazy plan (no execution)."""
+        """Compose the full plan. Lazy for expression-only transforms;
+        a transform that is itself iterative (e.g. connected
+        components) may run its own jobs while composing."""
         df = self.source(spark)
         for t in self.transforms:
             df = t(df)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.functions.chunking import token_windows, token_windows_sql
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
 
@@ -81,13 +82,9 @@ def denylist_scrub(spark, sf_dir):
 @register(
     "repeated_span_removal",
     oracle=f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    spans AS (
-      SELECT doc_id,
-             array_to_string(list_slice(ws, c * {_SPAN} + 1,
-                                        LEAST((c + 1) * {_SPAN}, LEN(ws))), ' ') AS span,
-             CAST(LEAST((c + 1) * {_SPAN}, LEN(ws)) - c * {_SPAN} AS BIGINT) AS span_tokens
-      FROM w, UNNEST(generate_series(0, CAST(CEIL(LEN(ws) / {_SPAN}.0) AS BIGINT) - 1)) AS t(c)
+    WITH spans AS (
+      SELECT doc_id, w_text AS span, w_tokens AS span_tokens
+      FROM ({token_windows_sql(_SPAN)})
     ),
     df AS (SELECT span, COUNT(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span)
     SELECT s.doc_id,
@@ -116,21 +113,10 @@ def repeated_span_removal(spark, sf_dir):
     so the shuffle carries 8-byte keys; the text key here keeps the
     oracle exactly expressible."""
     d = load_table(spark, "documents", sf_dir)
-    d = d.select("doc_id", F.split("text", " ").alias("ws"))
-    n = F.size("ws")
-    n_spans = F.ceil(n / F.lit(float(_SPAN))).cast("long")
-    spans = d.select(
+    spans = token_windows(d, _SPAN).select(
         "doc_id",
-        "ws",
-        F.explode(F.sequence(F.lit(0).cast("long"), n_spans - 1)).alias("c"),
-    ).select(
-        "doc_id",
-        F.array_join(
-            F.slice("ws", (F.col("c") * _SPAN + 1).cast("int"), F.lit(_SPAN)), " "
-        ).alias("span"),
-        F.least(F.lit(_SPAN).cast("long"), F.size("ws") - F.col("c") * _SPAN).alias(
-            "span_tokens"
-        ),
+        F.col("w_text").alias("span"),
+        F.col("w_tokens").alias("span_tokens"),
     )
     df = spans.groupBy("span").agg(F.countDistinct("doc_id").alias("n_docs"))
     is_boiler = F.col("n_docs") >= _SPAN_DF

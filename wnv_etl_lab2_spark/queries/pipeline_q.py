@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from wnv_etl_lab2_spark.functions import quality as _Q
+from wnv_etl_lab2_spark.functions.chunking import token_windows, token_windows_sql
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
 
@@ -24,26 +26,31 @@ from wnv_etl_lab2_spark.sources.catalog import load_table
 _SEQ_LEN = 256  # packing target length, in whitespace tokens
 _CHUNK = 32  # chunking window, in whitespace tokens
 
+# Per-rule thresholds interpolated from functions/quality.py so the
+# auditable flags and the oracle can never drift from the Spark rules.
+_WC_LO, _WC_HI = _Q.WORD_CNT_RANGE
+_MWL_LO, _MWL_HI = _Q.MEAN_WORD_LEN_RANGE
+
 
 @register(
     "quality_rules_filter",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            word_cnt,
            ROUND(mean_word_len, 4) AS mean_word_len,
            stop_hits,
-           word_cnt BETWEEN 25 AND 90 AS ok_word_count,
-           mean_word_len BETWEEN 4.0 AND 5.0 AS ok_mean_len,
-           stop_hits >= 2 AS ok_stopwords,
-           (word_cnt BETWEEN 25 AND 90)
-             AND (mean_word_len BETWEEN 4.0 AND 5.0)
-             AND stop_hits >= 2 AS keep
+           word_cnt BETWEEN {_WC_LO} AND {_WC_HI} AS ok_word_count,
+           mean_word_len BETWEEN {_MWL_LO} AND {_MWL_HI} AS ok_mean_len,
+           stop_hits >= {_Q.MIN_STOP_HITS} AS ok_stopwords,
+           (word_cnt BETWEEN {_WC_LO} AND {_WC_HI})
+             AND (mean_word_len BETWEEN {_MWL_LO} AND {_MWL_HI})
+             AND stop_hits >= {_Q.MIN_STOP_HITS} AS keep
     FROM (
       SELECT doc_id,
              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS word_cnt,
              CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
                / LEN(string_split(text, ' ')) AS mean_word_len,
-             CAST(LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b')) AS BIGINT)
+             CAST(LEN(regexp_extract_all(LOWER(text), '{_Q.STOPWORD_RE}')) AS BIGINT)
                AS stop_hits
       FROM documents
     )
@@ -140,14 +147,9 @@ def sequence_packing(spark, sf_dir):
 @register(
     "doc_chunking",
     oracle=f"""
-    SELECT doc_id,
-           c AS chunk_id,
-           array_to_string(list_slice(words, c * {_CHUNK} + 1, LEAST((c + 1) * {_CHUNK}, LEN(words))), ' ')
-             AS chunk_text,
-           CAST(LEAST((c + 1) * {_CHUNK}, LEN(words)) - c * {_CHUNK} AS BIGINT) AS chunk_tokens
-    FROM (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
-    ), UNNEST(generate_series(0, CAST(CEIL(LEN(words) / {_CHUNK}.0) AS BIGINT) - 1)) AS t(c)
+    SELECT doc_id, w_idx AS chunk_id, w_text AS chunk_text,
+           w_tokens AS chunk_tokens
+    FROM ({token_windows_sql(_CHUNK)})
     """,
 )
 def doc_chunking(spark, sf_dir):
@@ -158,21 +160,11 @@ def doc_chunking(spark, sf_dir):
     output size is corpus_tokens/chunk rows regardless of document
     skew, and there is no shuffle at all (pure flatMap over the scan)."""
     d = load_table(spark, "documents", sf_dir)
-    d = d.select("doc_id", F.split("text", " ").alias("words"))
-    n = F.size("words")
-    n_chunks = F.ceil(n / F.lit(float(_CHUNK))).cast("long")
-    d = d.select(
-        "doc_id", "words", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id")
-    )
-    start = (F.col("chunk_id") * _CHUNK + 1).cast("int")
-    took = F.least(
-        F.lit(_CHUNK).cast("long"), F.size("words") - F.col("chunk_id") * _CHUNK
-    )
-    return d.select(
+    return token_windows(d, _CHUNK).select(
         "doc_id",
-        "chunk_id",
-        F.array_join(F.slice("words", start, F.lit(_CHUNK)), " ").alias("chunk_text"),
-        took.alias("chunk_tokens"),
+        F.col("w_idx").alias("chunk_id"),
+        F.col("w_text").alias("chunk_text"),
+        F.col("w_tokens").alias("chunk_tokens"),
     )
 
 

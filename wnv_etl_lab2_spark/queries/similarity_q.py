@@ -30,6 +30,12 @@ from wnv_etl_lab2_spark.sources.catalog import load_table
 _CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _DOT_AB = "list_sum(list_transform(range(1, LEN(a.e) + 1), i -> a.e[i] * b.e[i]))"
 
+from wnv_etl_lab2_spark.functions.quality import keep_sql as _keep_sql  # noqa: E402
+
+# The quality predicate every oracle here interpolates — derived from
+# functions/quality.py's constants so Spark plan and oracle cannot drift.
+_QUALITY_SQL = _keep_sql()
+
 
 @register(
     "embedding_norms",
@@ -341,11 +347,7 @@ def semantic_dedup_keep(spark, sf_dir):
     q AS (
       SELECT doc_id, source,
              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS wc,
-             (LEN(string_split(text, ' ')) BETWEEN 25 AND 90)
-               AND (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                    / LEN(string_split(text, ' ')) BETWEEN 4.0 AND 5.0)
-               AND LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b')) >= 2
-               AS passq
+             {_QUALITY_SQL} AS passq
       FROM documents
     ),
     j AS (SELECT q.*, c.comp_id FROM q LEFT JOIN comp c ON q.doc_id = c.id)
@@ -399,24 +401,6 @@ def corpus_curation_stats(spark, sf_dir):
         F.sum(F.when(is_kept, one).otherwise(F.lit(0))).cast("long").alias("kept_docs"),
         F.sum(F.when(is_kept, F.col("wc")).otherwise(F.lit(0))).cast("long").alias("kept_tokens"),
     )
-
-
-def _quality_sql() -> str:
-    """The shared quality predicate as oracle SQL, built from the SAME
-    constants functions/quality.py uses Spark-side."""
-    from wnv_etl_lab2_spark.functions import quality as Q
-
-    lo, hi = Q.WORD_CNT_RANGE
-    mlo, mhi = Q.MEAN_WORD_LEN_RANGE
-    return (
-        f"(LEN(string_split(text, ' ')) BETWEEN {lo} AND {hi}) "
-        f"AND (CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) "
-        f"/ LEN(string_split(text, ' ')) BETWEEN {mlo} AND {mhi}) "
-        f"AND LEN(regexp_extract_all(LOWER(text), '{Q.STOPWORD_RE}')) >= {Q.MIN_STOP_HITS}"
-    )
-
-
-_QUALITY_SQL = _quality_sql()
 
 
 @register(

@@ -390,10 +390,12 @@ def winnow_fingerprints(spark, sf_dir):
     candidate plagiarism/near-copy pairs the same inverted-index way
     ngram_jaccard_pairs does.
 
-    Pure map over the scan (no shuffle before the explode); the gram
-    array is let-bound so the window transform reads it once instead
-    of re-hashing the text per window (CollapseProject would otherwise
-    inline it)."""
+    Pure map over the scan at real scale; the gram array is let-bound
+    so the window transform reads it once instead of re-hashing the
+    text per window (CollapseProject would otherwise inline it). One
+    caveat below: if the input arrives with fewer splits than cores
+    (the single-file test parquet), a one-time spread repartition runs
+    first — skipped entirely when the scan is already parallel."""
     from wnv_etl_lab2_spark.operators.geometry import let_sql
 
     k, w = _WINNOW_K, _WINNOW_W
@@ -411,13 +413,13 @@ def winnow_fingerprints(spark, sf_dir):
         f"j -> array_min(slice(_G, j, {w})))) END",
     )
     d = load_table(spark, "documents", sf_dir)
-    # single-split testdata parquet: spread the md5-per-gram map stage
-    # (at real scale the scan is already parallel and this is a no-op
-    # cost next to the gram hashing)
+    # spread the md5-per-gram map stage ONLY when the scan has fewer
+    # splits than the shuffle parallelism (single-file test parquet);
+    # an already-parallel scan keeps its zero-shuffle plan
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return d.repartition(nparts, "doc_id").select(
-        "doc_id", F.explode(F.expr(fps)).alias("fp")
-    )
+    if d.rdd.getNumPartitions() < nparts:
+        d = d.repartition(nparts, "doc_id")
+    return d.select("doc_id", F.explode(F.expr(fps)).alias("fp"))
 
 
 @register(
