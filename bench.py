@@ -92,14 +92,14 @@ def main() -> None:
     for name in HEADLINE:
         q.REGISTRY[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # min of 2 timed runs per query: steady-state plan cost, robust to
+    # min of 3 timed runs per query: steady-state plan cost, robust to
     # one-off GC/JIT spikes (the plans are deterministic; variance is
-    # JVM noise, not data)
+    # JVM noise, not data — measured ~±20% between single runs)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
