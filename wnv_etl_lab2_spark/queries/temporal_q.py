@@ -379,3 +379,66 @@ def event_dedup_window(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "bucket", "event_id")
     )
+
+
+@register(
+    "decayed_rolling_features",
+    # Bit-stable float contract: both engines sort the collected frame
+    # by the (unique-per-user) event time and fold the same linear
+    # weights left-to-right, so the double sums are identical before
+    # the final round.
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch(ts) AS sec, value FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, sec,
+             list_sort(list(struct_pack(e := sec, v := value)) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) AS fr
+      FROM e
+    )
+    SELECT event_id, user_id,
+           CAST(LEN(fr) AS BIGINT) AS n_frame,
+           ROUND(list_sum(list_transform(fr,
+             p -> p.v * ((3600.0 - (sec - p.e)) / 3600.0))), 6) AS decayed_sum
+    FROM f
+    """,
+)
+def decayed_rolling_features(spark, sf_dir):
+    """Time-decayed rolling feature per event: the linearly-decayed
+    sum of each user's event values over the trailing hour (weight
+    (W - dt)/W, triangular kernel) plus the trailing-frame count — the
+    recency-feature shape online feature stores compute for CTR/fraud
+    models. A half-life exp(-dt/tau) kernel drops in by swapping the
+    weight expression; the linear kernel is registered because libm
+    exp() is not bit-portable across engines, which matters only for
+    the oracle, not the operator.
+
+    Scale shape: ONE shuffle on user_id (the same exchange
+    sessionization pays), then a range-frame window per user — state
+    is the trailing hour of one user's events, bounded by event rate x
+    window, never the corpus. The frame is array_sort'ed on the
+    unique event time so the fold order (and therefore the float sum)
+    is deterministic and engine-identical."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("double").alias("sec"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    frame = F.array_sort(
+        F.collect_list(F.struct(F.col("sec").alias("e"), F.col("value").alias("v"))).over(w)
+    )
+    dec = F.expr(
+        "aggregate(_f, 0.0D, (acc, p) -> acc + p.v * ((3600.0D - (sec - p.e)) / 3600.0D))"
+    )
+    return (
+        e.withColumn("_f", frame)
+        .select(
+            "event_id",
+            "user_id",
+            F.size("_f").cast("long").alias("n_frame"),
+            F.round(dec, 6).alias("decayed_sum"),
+        )
+    )
