@@ -113,11 +113,14 @@ _FRONT = [
     "groupwise_zscore_arrow",
     "source_mixture_weights",
     "salted_join_agg",
-    # reference-operator evidence (O12-O17 via the spray chain; O3/O4/
-    # O6-O8/O11 and the remaining spatial variants hold green round-1
-    # driver rows and rotate out per the note below)
-    "spatial_buffer_erase",
-    "spray_targets",
+    # late round-2 additions (span dedup / batched kNN); the remaining
+    # seven (denylist_scrub, word_entropy_quality, the four TPC-H
+    # shapes, decayed_rolling_features) rotate in next round
+    "repeated_span_removal",
+    "knn_join_bruteforce",
+    # reference-operator evidence: zone_overlay + polygon_clip_area
+    # carry the O12-O15 geometry family this round; the full spray
+    # chain (O12-O17) holds green round-1 driver rows and rotates out
     "zone_overlay",
     "polygon_clip_area",
     # Queries rotated OUT of this 50-entry block after earning a green
