@@ -407,3 +407,51 @@ def groupwise_zscore_arrow(spark, sf_dir):
     return ev.groupBy("user_id").applyInPandas(
         kernel, "user_id long, event_id long, z double"
     )
+
+
+@register(
+    "grouped_agg_pandas_udaf",
+    oracle="""
+    SELECT event_type,
+           ROUND(EXP(AVG(LN(value))), 4) AS geo_mean_value,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def grouped_agg_pandas_udaf(spark, sf_dir):
+    """Custom aggregate through the Arrow GROUPED_AGG pandas-UDF path
+    (the UDAF surface, completing the sanctioned Python triad next to
+    applyInPandas and mapInPandas): geometric mean of positive event
+    values per type, computed as exp(mean(log(x))) over each group's
+    Arrow batch. The oracle is the same identity in SQL; agreement to
+    4 decimals pins numpy's log/exp against DuckDB's. Scale cost,
+    stated honestly: unlike a JVM aggregate, a GROUPED_AGG udf does
+    NOT combine map-side — the whole group's column crosses the
+    shuffle — so the JVM expression EXP(AVG(LN(x))) is the plan to
+    prefer whenever the math is expressible; this query exists to keep
+    the UDAF surface itself tested."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit GROUPED_AGG eval type: type-hint inference can't resolve
+    # the pandas names under `from __future__ import annotations`
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geo_mean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark refuses to mix GROUPED_AGG UDFs with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT), so the count rides the same
+    # Arrow path
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def grp_count(v):
+        return len(v)
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(geo_mean("value"), 4).alias("geo_mean_value"),
+        grp_count("value").alias("n_events"),
+    )
