@@ -60,12 +60,21 @@ def parquet_source(path: str) -> Source:
     return lambda spark: spark.read.parquet(path)
 
 
-def csv_source(path: str, schema: str | None = None) -> Source:
+def csv_source(path: str, schema: str | None = None, mode: str = "PERMISSIVE") -> Source:
     """Header CSV source; pass an explicit DDL schema in production
-    (inference mirrors the reference's DictReader convenience path)."""
+    (inference mirrors the reference's DictReader convenience path).
+
+    ``mode`` is Spark's malformed-row policy — the remote-sheet feed
+    the reference ingests (O1) can always hand back a garbled line:
+    PERMISSIVE (default) nulls bad fields and captures the raw line in
+    a ``_corrupt_record`` column when the schema declares one,
+    DROPMALFORMED silently drops bad rows, FAILFAST raises on the
+    first one. Pick FAILFAST for pipelines that must not load partial
+    data, PERMISSIVE + a corrupt-record audit for ones that must keep
+    going."""
 
     def read(spark: SparkSession) -> DataFrame:
-        r = spark.read.option("header", True)
+        r = spark.read.option("header", True).option("mode", mode)
         return r.schema(schema).csv(path) if schema else r.option("inferSchema", True).csv(path)
 
     return read
