@@ -133,3 +133,22 @@ def test_repeated_span_removal_joins_on_span_key(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_late_shipper_chain_decorrelates_to_semi_anti(spark, sf_dir):
+    """The EXISTS / NOT EXISTS chain must plan as semi + anti joins on
+    l_orderkey — per-outer-row subquery re-execution would be a
+    nested loop over lineitem."""
+    plan = plan_of(spark, sf_dir, "late_shipper_chain")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_correlated_aggregate_decorrelates(spark, sf_dir):
+    """The correlated scalar AVG must decorrelate into an aggregate
+    joined on l_partkey (partial aggregation present), never a
+    re-executed subquery."""
+    plan = plan_of(spark, sf_dir, "small_qty_part_revenue")
+    assert "partial_avg" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
