@@ -148,6 +148,7 @@ def _ensure_loaded() -> None:
         sampling_q,
         pipeline_q,
         curation_q,
+        tpch_q,
     )
 
     missing = [n for n in _FRONT if n not in REGISTRY]
