@@ -115,6 +115,37 @@ def test_zero_and_degenerate_area(spark):
     assert rows.two == 0.0 and rows.empty == 0.0
 
 
+CONCAVE = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (1.0, 0.5), (0.0, 2.0)]  # dart
+CW_SQUARE = list(reversed(SQUARE))
+
+
+@pytest.mark.parametrize(
+    "name,bad_clip",
+    [("concave", CONCAVE), ("clockwise", CW_SQUARE), ("two_vertices", SQUARE[:2])],
+)
+def test_clip_area_rejects_invalid_clip_ring(spark, name, bad_clip):
+    """Sutherland-Hodgman precondition is guarded, not assumed: a
+    concave, CW, or degenerate clip ring fails loud at execution
+    instead of silently returning a wrong area."""
+    df = spark.range(1).select(
+        F.expr(poly_sql(TRIANGLE)).alias("s"), F.expr(poly_sql(bad_clip)).alias("c")
+    )
+    with pytest.raises(Exception, match="convex CCW ring"):
+        df.select(clip_area_col("s", "c").alias("a")).collect()
+
+
+def test_clip_area_guard_accepts_collinear_convex(spark):
+    """Collinear vertices (cross == 0) on an otherwise convex CCW ring
+    pass the guard and clip identically to the minimal ring."""
+    square_extra = [(0.0, 0.0), (0.5, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    df = spark.range(1).select(
+        F.expr(poly_sql(TRIANGLE)).alias("s"),
+        F.expr(poly_sql(square_extra)).alias("c"),
+    )
+    got = df.select(clip_area_col("s", "c", ndigits=12).alias("a")).collect()[0].a
+    assert got == pytest.approx(ref_area(ref_clip(TRIANGLE, SQUARE)), abs=1e-9)
+
+
 def test_polygon_clip_area_query_positive(spark, sf_dir):
     """Registry query sanity beyond the oracle: every clipped area is
     positive (the join demands positive overlap) and bounded by the

@@ -28,6 +28,26 @@ def test_asof_matches_latest_at_or_before(spark):
     assert out[4].matched_value is None  # key with no right rows at all
 
 
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Multiple right rows sharing (key, ts): the window's _tie hash
+    makes the pick stable across runs and partitionings — without it,
+    F.last returns whichever duplicate the shuffle ordered last."""
+    left = spark.createDataFrame(
+        [(1, 10, ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, ts(3), 7.0), (10, ts(3), 3.0), (10, ts(3), 11.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    picks = set()
+    for n_parts in (1, 4, 16):
+        out = asof_join(
+            left, right.repartition(n_parts), by="user_id"
+        ).collect()
+        picks.add(out[0].matched_value)
+    assert len(picks) == 1, f"nondeterministic asof pick: {picks}"
+
+
 def test_range_join_inner_and_left(spark):
     events = spark.createDataFrame(
         [(1, ts(10)), (2, ts(45)), (3, ts(59))], "event_id long, ts timestamp"

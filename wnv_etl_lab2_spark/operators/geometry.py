@@ -77,6 +77,38 @@ def poly_area_sql(p: str) -> str:
     return let_sql(mnx, "_mx", let_sql(mny, "_my", folded))
 
 
+def assert_convex_ccw_sql(clip: str) -> str:
+    """Guard the Sutherland–Hodgman precondition: evaluates to ``clip``
+    unchanged when it is a convex CCW ring (>= 3 vertices, every
+    consecutive-edge cross product >= 0), raises at execution time
+    otherwise. Without this, a concave or CW clip ring silently
+    produces wrong areas — the half-plane inside-test is only the
+    polygon interior when the ring is convex and counter-clockwise.
+
+    The scan is the standard cross-product sign sweep (collinear
+    vertices — cross == 0 — are allowed), O(m) per row over rings that
+    are small by construction. For arbitrary concave clip polygons the
+    general-case upgrade is ear-clipping triangulation (clip against
+    each triangle, sum areas); fail-loud here matches the repo policy
+    (`operators/dedup.py` connected-components non-convergence).
+    """
+    m = f"size({clip})"
+    a, b, c = f"{clip}[_k]", f"{clip}[(_k + 1) % {m}]", f"{clip}[(_k + 2) % {m}]"
+    cross = (
+        f"(({b}.x - {a}.x) * ({c}.y - {b}.y)"
+        f" - ({b}.y - {a}.y) * ({c}.x - {b}.x))"
+    )
+    convex_ccw = f"({m} >= 3 AND forall(sequence(0, {m} - 1), _k -> {cross} >= 0))"
+    # assert_true returns NULL when the predicate holds and raises
+    # otherwise, so the CASE always selects the untouched ring.
+    return (
+        f"CASE WHEN assert_true({convex_ccw}, "
+        f"'clip ring must be a convex CCW ring of >= 3 vertices "
+        f"(Sutherland-Hodgman precondition; triangulate concave clips)') "
+        f"IS NULL THEN {clip} END"
+    )
+
+
 def clip_convex_sql(subj: str, clip: str) -> str:
     """Sutherland–Hodgman: ``subj`` (any simple ring) clipped by
     convex CCW ring ``clip``; returns the intersection ring (possibly
@@ -128,11 +160,19 @@ def clip_convex_sql(subj: str, clip: str) -> str:
     return f"aggregate(sequence(0, {m} - 1), {subj}, (_P, _j) -> {one_edge})"
 
 
-def clip_area_col(subj: str, clip: str, ndigits: int = 8) -> "F.Column":
+def clip_area_col(
+    subj: str, clip: str, ndigits: int = 8, check_convex: bool = True
+) -> "F.Column":
     """ROUNDed intersection area of two polygon ring columns — the
     refine step of a polygon overlay (apply after bbox_overlap_join).
     The clipped ring is let-bound so the SH fold runs once, not once
-    per shoelace reference."""
+    per shoelace reference. ``check_convex`` (default on) fails loud on
+    a concave/CW clip ring instead of returning silently wrong areas;
+    pass False only when the clip column is convex by construction
+    (e.g. `rect_poly_sql` rectangles) and the per-row scan is measured
+    to matter."""
+    guarded = let_sql(assert_convex_ccw_sql(clip), "_G", clip_convex_sql(subj, "_G")) \
+        if check_convex else clip_convex_sql(subj, clip)
     return F.expr(
-        f"round({let_sql(clip_convex_sql(subj, clip), '_C', poly_area_sql('_C'))}, {ndigits})"
+        f"round({let_sql(guarded, '_C', poly_area_sql('_C'))}, {ndigits})"
     )

@@ -100,9 +100,12 @@ def quality_rules_filter(spark, sf_dir):
     FROM (
       SELECT doc_id, source,
              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             COALESCE(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
+             -- DuckDB SUM(BIGINT) returns HUGEINT, which pandas renders as
+             -- float64 and breaks the driver's representation-sensitive
+             -- value hash (0.0 != 0); the CAST pins int64 on both sides.
+             CAST(COALESCE(SUM(CAST(LEN(string_split(text, ' ')) AS BIGINT)) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
       FROM documents
     )
     """,
