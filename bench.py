@@ -65,16 +65,19 @@ def _previous_round_timings() -> dict[str, float]:
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return {}
-    path = max(rounds)[1]
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        prev = doc.get("parsed", doc).get("queries", {})
-        return {k: float(v) for k, v in prev.items()}
-    except (OSError, ValueError, AttributeError):
-        return {}
+    # newest round first, but skip rounds whose bench crashed (the
+    # driver records {"parsed": null} for those) so the regression
+    # report always compares against real timings
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            prev = doc.get("parsed", doc).get("queries", {})
+            if prev:
+                return {k: float(v) for k, v in prev.items()}
+        except (OSError, ValueError, AttributeError):
+            continue
+    return {}
 
 
 def main() -> None:
@@ -119,6 +122,14 @@ def main() -> None:
             name: round(t - prev[name], 3) for name, t in timings.items() if name in prev
         }
         out["prev_total"] = round(sum(prev.values()), 3)
+        # regression gate: flag (don't fail — the driver still needs
+        # the JSON line) any query that slowed >1.5x vs the last good
+        # round; an empty list is the expected state
+        out["regressions"] = sorted(
+            name
+            for name, t in timings.items()
+            if name in prev and prev[name] > 0.05 and t > 1.5 * prev[name]
+        )
     print(json.dumps(out))
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.functions.timeutil import epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -119,12 +121,12 @@ def bucketed_range_join(
             "null-extended rows; use inner or left (events side preserved)"
         )
     ev = events.withColumn(
-        "_bucket", F.floor(F.unix_micros(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000))
+        "_bucket", F.floor(epoch_us(F.col(ts_col)) / F.lit(bucket_seconds * 1_000_000))
     )
     iv = intervals.withColumn(
-        "_b0", F.floor(F.unix_micros(F.col(start_col)) / F.lit(bucket_seconds * 1_000_000))
+        "_b0", F.floor(epoch_us(F.col(start_col)) / F.lit(bucket_seconds * 1_000_000))
     ).withColumn(
-        "_b1", F.floor(F.unix_micros(F.col(end_col)) / F.lit(bucket_seconds * 1_000_000))
+        "_b1", F.floor(epoch_us(F.col(end_col)) / F.lit(bucket_seconds * 1_000_000))
     )
     iv = iv.withColumn("_bucket", F.explode(F.sequence("_b0", "_b1"))).drop("_b0", "_b1")
     # the range check rides IN the join condition (a post-join filter

@@ -86,25 +86,53 @@ def assert_convex_ccw_sql(clip: str) -> str:
     polygon interior when the ring is convex and counter-clockwise.
 
     The scan is the standard cross-product sign sweep (collinear
-    vertices — cross == 0 — are allowed), O(m) per row over rings that
-    are small by construction. For arbitrary concave clip polygons the
+    vertices — cross == 0 — are allowed) plus a signed-shoelace-area
+    check: all-left-or-straight turns alone would also accept fully
+    collinear rings, rings of repeated identical vertices, and CW
+    rings, so the signed area must additionally be strictly positive
+    (CCW orientation, nonzero extent). Known residual gap: a
+    multiply-wound all-left-turn ring passes both checks — detecting
+    it needs a total-turning-angle sum, out of scope for axis-aligned
+    and convex analytic clips. O(m) per row over rings that are small
+    by construction. For arbitrary concave clip polygons the
     general-case upgrade is ear-clipping triangulation (clip against
     each triangle, sum areas); fail-loud here matches the repo policy
     (`operators/dedup.py` connected-components non-convergence).
+
+    A NULL clip ring is short-circuited to NULL (matching the
+    unguarded path, where NULL propagates through clip/area
+    expressions) rather than tripping the assert with a misleading
+    message — relevant for clip columns produced by outer joins.
     """
     m = f"size({clip})"
-    a, b, c = f"{clip}[_k]", f"{clip}[(_k + 1) % {m}]", f"{clip}[(_k + 2) % {m}]"
+    m1 = f"greatest({m}, 1)"
+    a, b, c = f"{clip}[_k]", f"{clip}[(_k + 1) % {m1}]", f"{clip}[(_k + 2) % {m1}]"
     cross = (
         f"(({b}.x - {a}.x) * ({c}.y - {b}.y)"
         f" - ({b}.y - {a}.y) * ({c}.x - {b}.x))"
     )
-    convex_ccw = f"({m} >= 3 AND forall(sequence(0, {m} - 1), _k -> {cross} >= 0))"
+    # greatest(m, 1) keeps the sequence bound (and the % m indexing
+    # inside the lambda) well-defined for empty rings even if the
+    # size >= 3 conjunct were ever evaluated non-lazily; today Spark's
+    # AND short-circuits, but the guard must not depend on that.
+    idx = f"sequence(0, {m1} - 1)"
+    signed_area = (
+        f"aggregate({idx}, CAST(0.0 AS DOUBLE), (_ac, _k) -> _ac + "
+        f"({clip}[_k].x * {clip}[(_k + 1) % {m1}].y"
+        f" - {clip}[(_k + 1) % {m1}].x * {clip}[_k].y))"
+    )
+    convex_ccw = (
+        f"({m} >= 3 AND forall({idx}, _k -> {cross} >= 0)"
+        f" AND {signed_area} > 0)"
+    )
     # assert_true returns NULL when the predicate holds and raises
     # otherwise, so the CASE always selects the untouched ring.
     return (
-        f"CASE WHEN assert_true({convex_ccw}, "
+        f"CASE WHEN {clip} IS NULL THEN NULL "
+        f"WHEN assert_true({convex_ccw}, "
         f"'clip ring must be a convex CCW ring of >= 3 vertices "
-        f"(Sutherland-Hodgman precondition; triangulate concave clips)') "
+        f"with nonzero area (Sutherland-Hodgman precondition; "
+        f"triangulate concave clips)') "
         f"IS NULL THEN {clip} END"
     )
 

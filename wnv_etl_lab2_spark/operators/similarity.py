@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -263,46 +265,54 @@ def neardup_pairs_blocked(
     return pairs.select("id_a", "id_b", F.col("_blk").alias(block_col), "cos_sim")
 
 
-def lsh_band_bucket_exprs(
-    vec_col: str, dim: int, bands: int, rows_per_band: int, seed: int = 42
-) -> list[str]:
-    """One sign-bit bucket id per band (bit i of band b = sign of the
-    dot against plane ``b*rows_per_band + i``) — the banded form of
-    :func:`lsh_bucket_col`, as UNALIASED SQL expression strings over
-    the RAW vector column (element cast inlined in the lambda). Two
-    deliberate choices: strings parse once on the JVM instead of
-    bands*rows py4j lambda trees, and referencing the raw attribute —
-    never a computed double-array alias — keeps CollapseProject from
-    inlining a cast transform into every one of the bands*rows dot
-    products (measured ~5x slowdown of the whole pair job). The dot
-    stays an aggregate FOLD on purpose: higher-order functions run as
-    tight JVM array loops, while unrolled `v[0]*c0 + ...` sums were
-    measured SLOWER in every configuration tried — all bands*rows dots
-    flat in one projection exceeds janino's 64 KB method limit (codegen
-    disabled, interpreted tree, ~2x slower), and even a single
-    unrolled 64-term dot ran ~4x slower than the fold (giant method
-    off the JIT fast path). Pure map over the scan."""
-    # plane coords quantized to 2 decimals: a random direction stays a
-    # random direction, and the literal text drops from ~20 to ~6 chars
-    # per coordinate — the bands*rows*dim literals dominate the SQL
-    # parse cost of the signature stage otherwise (~1s at 48 planes).
-    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+def lsh_band_buckets_udf(dim: int, bands: int, rows_per_band: int, seed: int = 42):
+    """Arrow-vectorized banded LSH signatures: a pandas UDF mapping the
+    raw ``array<float>`` column to ``array<int>`` of ``bands`` bucket
+    ids (bit i of band b = sign of the dot against plane
+    ``b*rows_per_band + i``), computed as ONE NumPy matmul per Arrow
+    batch — batch_rows x dim  @  dim x (bands*rows).
 
-    def dot(plane: list[float]) -> str:
-        arr = "array(" + ", ".join(f"{round(v, 2)}D" for v in plane) + ")"
-        return (
-            f"aggregate(zip_with({vec_col}, {arr}, (a, x) -> CAST(a AS DOUBLE) * x), "
-            f"0.0D, (acc, v) -> acc + v)"
-        )
+    Why a UDF when the repo's policy is built-ins-first: the pure
+    Catalyst formulation was measured three ways at sf0.1 and every
+    variant lost —
+    - bands*rows separate aggregate-fold projections: higher-order
+      functions never enter whole-stage codegen, so 48 interpreted
+      folds per row dominated the whole pair job (~4.6 s of a 4.6 s
+      query); unrolled `v[0]*c0 + ...` sums were worse still (janino
+      64 KB method limit disables codegen outright).
+    - one 2D plane literal + `transform` producing all dots: fast
+      alone, but CollapseProject inlines the computed array into the
+      downstream posexplode/groupBy and re-evaluates the 48 dots per
+      EXPLODED row (measured 27 s — 6x worse than the baseline).
+    The Arrow batch transfer moves bands from per-row interpreted
+    folds to one BLAS matmul, and the UDF is an optimization barrier,
+    so the signature is computed exactly once per row. Still a pure
+    map over the scan — no shuffle, embarrassingly parallel at any
+    scale. Plane coords are quantized to 2 decimals (a random
+    direction stays random) so signatures are reproducible across
+    rounds and engines.
 
-    exprs = []
-    for b in range(bands):
-        bits = [
-            f"(CASE WHEN {dot(planes[b * rows_per_band + i])} > 0.0D THEN {1 << i} ELSE 0 END)"
-            for i in range(rows_per_band)
-        ]
-        exprs.append(" + ".join(bits))
-    return exprs
+    Bucket ids match the retired SQL formulation bit-for-bit except in
+    the measure-zero case of a dot product within float rounding of
+    0.0 (NumPy sums in a different order than a sequential fold);
+    bucketing only gates CANDIDATES — the verify stage is exact — so
+    this cannot change results, only (immeasurably) recall.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes = np.array(_hyperplanes(dim, bands * rows_per_band, seed)).round(2).T
+    bit_weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        signs = (m @ planes) > 0.0
+        ids = signs.reshape(len(v), bands, rows_per_band) @ bit_weights
+        return pd.Series(list(ids.astype(np.int32)))
+
+    return buckets
 
 
 def neardup_pairs_lsh_blocked(
@@ -329,9 +339,10 @@ def neardup_pairs_lsh_blocked(
     sf0.001/0.01/0.1 (tests/test_dedup.py pins it; r=3, b=32 also
     passed but costs ~1.7x the wall for a weaker bound).
 
-    Same shape as minhash_lsh_pairs: signature map -> (band_id,
-    bucket) rows -> groupBy block key + in-group pair expansion (one
-    shuffle) -> distinct candidate id-pairs -> exact verify join.
+    Same shape as minhash_lsh_pairs: signature map (Arrow matmul, see
+    :func:`lsh_band_buckets_udf`) -> posexplode to (band_id, bucket)
+    rows -> groupBy block key + in-group pair expansion (one shuffle)
+    -> distinct candidate id-pairs -> exact verify join.
     ``max_bucket`` caps degenerate buckets exactly like the minhash
     path. (A first-agreeing-band emission that avoids the distinct was
     benchmarked and LOST: carrying the band array through the groupBy
@@ -345,13 +356,10 @@ def neardup_pairs_lsh_blocked(
     # shuffle of every embedding, at this SF (one fewer stage) and at
     # 100 TB (a scan streams, an exchange materializes).
     raw = vectors.select(id_col, F.col(label_col).alias("_lbl"), vec_col)
-    bucket_sqls = lsh_band_bucket_exprs(vec_col, dim, bands, rows_per_band, seed)
-    sig = raw.selectExpr(
-        id_col, "_lbl", *[f"{s} AS bkt_{b}" for b, s in enumerate(bucket_sqls)]
-    )
-    stack_expr = ", ".join(f"{b}, bkt_{b}" for b in range(bands))
+    sig_udf = lsh_band_buckets_udf(dim, bands, rows_per_band, seed)
+    sig = raw.select(id_col, "_lbl", sig_udf(F.col(vec_col)).alias("_bkts"))
     buckets = sig.select(
-        id_col, "_lbl", F.expr(f"stack({bands}, {stack_expr}) AS (band_id, bucket)")
+        id_col, "_lbl", F.posexplode("_bkts").alias("band_id", "bucket")
     )
     grouped = (
         buckets.groupBy("_lbl", "band_id", "bucket")

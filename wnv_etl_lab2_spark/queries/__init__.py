@@ -61,72 +61,72 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 _FRONT = [
-    # Round-3 window. Rotation history: r1 = relational/spatial/SQL
-    # surface (50 greens), r2 = the LLM-pipeline + temporal block
-    # (49 greens, 1 red). This round: (a) re-earn the one red row,
-    # (b) every oracle-backed query that has never been in a driver
-    # window, (c) the rows-only set (driver records a weaker
-    # nonempty/schema check — still evidence), (d) flagship
-    # re-verifies so older greens don't go stale.
+    # Round-4 window. Rotation history: r1 = relational/spatial/SQL
+    # surface (50 greens); r2 = LLM-pipeline + temporal block (49
+    # greens, 1 red); r3 = remaining oracle-backed + the rows-only set
+    # + flagships (47 green, 2 red on an environment change, 7
+    # rows-only checks). Every registered query now has at least one
+    # driver row. This round: (a) re-earn the two r3 reds — both
+    # crashed on the new TIMESTAMP_NTZ testdata type, fixed via
+    # functions/timeutil.epoch_us; (b) new round-4 queries; (c) only
+    # oracle-backed entries (the rows-only set got its stability check
+    # in r3; keeping it out preserves the all-exact-oracles window
+    # invariant pinned by tests/test_entry.py), refreshed
+    # oldest-green-first so r1 evidence doesn't go stale.
     #
-    # (a) the only red driver row ever (oracle HUGEINT->float64 fixed)
-    "sequence_packing",
-    # (b) oracle-backed, never driver-checked: TPC-H-shaped analytics
-    "top_supplier_revenue",
-    "small_qty_part_revenue",
-    "large_volume_orders",
-    "late_shipper_chain",
-    "forecast_revenue_change",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "returned_item_ranking",
-    "disjunctive_predicate_revenue",
-    # (b) oracle-backed, never driver-checked: temporal/Arrow/curation
-    "decayed_rolling_features",
-    "grouped_agg_pandas_udaf",
-    "denylist_scrub",
-    "word_entropy_quality",
-    # (c) rows-only queries, never driver-checked (recall/ground-truth
-    # evidence lives in pytest; the driver adds run-to-run stability)
-    "approx_distinct_stats",
-    "text_quality_pandas_udf",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "dedup_simhash",
-    "semantic_dedup_keep",
-    "multimodal_binary_features",
-    # (d) flagship re-verifies (green r1; refresh so evidence is recent)
-    "spray_targets",
-    "pricing_summary",
-    "multiway_join_topk_revenue",
-    # (d) r1 re-verify padding — new round-3 queries displace entries
-    # from the END of this list (keep _FRONT at exactly 50)
-    "lookup_enrichment_join",
+    # (a) the two r3 reds (TIMESTAMP_NTZ fix)
     "sessionize_events",
-    "tumbling_window_batch",
-    "window_topk_per_group",
-    "pivot_agg",
-    "json_extraction",
-    "variant_extract",
-    "scalar_subquery",
-    "correlated_exists",
-    "spatial_buffer_erase",
-    "spatial_within_buffer",
-    "spatial_join_count",
-    "spatial_zone_rollup",
-    "rollup_agg",
-    "cube_agg",
-    "union_distinct",
-    "intersect_all_multiset",
-    "except_all_multiset",
-    "orderby_limit_topk",
-    "salted_groupby",
-    "argmax_per_group",
-    "stats_agg",
-    "regional_revenue",
-    "promo_revenue_share",
-    "collect_sorted_agg",
-    "regexp_null_funcs",
+    "decayed_rolling_features",
+    # (c) stale-green re-verifies, oldest (r1) first — new round-4
+    # queries displace entries from the END (keep _FRONT at exactly 50)
+    "sales_opportunity",
+    "nullsafe_join",
+    "order_count_histogram",
+    "order_priority_check",
+    "shipping_priority_buckets",
+    "projection_concat",
+    "clean_cast_filter",
+    "constant_column",
+    "row_count",
+    "groupby_agg",
+    "distinct_count",
+    "dedup_distinct_rows",
+    "scalar_string_date_funcs",
+    "intersect_keys",
+    "except_keys",
+    "anti_join_no_premium_order",
+    "semi_join_open_orders",
+    "outer_join_order_counts",
+    "window_running_sum",
+    "window_range_frame",
+    "misc_agg_filter_bool",
+    "salted_join_agg",
+    "window_rank_variants",
+    "zone_overlay",
+    "polygon_clip_area",
+    "grouping_sets_agg",
+    "window_navigation",
+    "asof_join_click_view",
+    "range_join_maintenance",
+    "percentile_agg",
+    "unpivot_part_metrics",
+    "array_functions",
+    "points_from_xy",
+    "sliding_window_batch",
+    "gap_fill_locf",
+    "event_funnel",
+    "cohort_retention",
+    "event_dedup_window",
+    "text_stats",
+    "token_count",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "decontamination_overlap",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.functions.timeutil import epoch_days, epoch_us
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
 
@@ -227,10 +228,7 @@ def window_range_frame(spark, sf_dir):
     ORDER-BY value's units — here epoch days — so same-day orders share
     a frame and the result is order-insensitive (no tie-break needed)."""
     o = load_table(spark, "orders", sf_dir).where(F.col("o_custkey") % 100 == 0)
-    # o_orderdate is TIMESTAMP_NTZ; cast is identity-valued under the
-    # catalog's pinned UTC session and unblocks unix_micros
-    days = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
-    w = W.partitionBy("o_custkey").orderBy(days.cast("long")).rangeBetween(-30, 0)
+    w = W.partitionBy("o_custkey").orderBy(epoch_days(F.col("o_orderdate"))).rangeBetween(-30, 0)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -265,7 +263,7 @@ def sessionize_events(spark, sf_dir):
     (double casts of timestamps round differently)."""
     ev = load_table(spark, "events", sf_dir)
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    micros = F.unix_micros(F.col("ts"))
+    micros = epoch_us(F.col("ts"))
     gaps = ev.select(
         "user_id",
         F.when(micros - F.lag(micros).over(w) > 1800000000, 1)

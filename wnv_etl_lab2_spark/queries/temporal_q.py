@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.functions.timeutil import epoch_seconds
 from wnv_etl_lab2_spark.operators.asof import asof_join, bucketed_range_join
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
@@ -424,7 +425,7 @@ def decayed_rolling_features(spark, sf_dir):
     from pyspark.sql import Window
 
     e = load_table(spark, "events", sf_dir).select(
-        "event_id", "user_id", F.col("ts").cast("double").alias("sec"), "value"
+        "event_id", "user_id", epoch_seconds(F.col("ts")).alias("sec"), "value"
     )
     w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
     frame = F.array_sort(
