@@ -238,3 +238,35 @@ def test_semantic_dedup_empty_input(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semantic_dedup(df).count() == 0
+
+
+def test_simhash_corpus_planted_recall(spark, sf_dir):
+    """Planted ground truth over the REAL sf corpus (not toy strings):
+    take 25 documents, plant a near-dup of each (exactly ONE token
+    swapped — a bounded edit, so the signature moves a bounded number
+    of bits), and require simhash_near_pairs to recover every planted
+    (original, copy) pair — recall 1.0 on known-near pairs.
+    Precision check: any OTHER pair the operator emits must be
+    genuinely near (token-Jaccard >= 0.5) — the corpus ships its own
+    near-dup clusters, so extra pairs are legitimate exactly when the
+    underlying texts overlap, and a hash-collision false positive
+    would fail this."""
+    docs = load_table(spark, "documents", sf_dir).limit(25).toPandas()
+    rows = []
+    for _, r in docs.iterrows():
+        rows.append((int(r.doc_id), r.text))
+        toks = r.text.split(" ")
+        toks[min(20, len(toks) - 1)] = "swapped"
+        rows.append((int(r.doc_id) + 1_000_000, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, max_hamming=8).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    planted = {(int(r.doc_id), int(r.doc_id) + 1_000_000) for _, r in docs.iterrows()}
+    missing = planted - found
+    assert not missing, f"simhash missed {len(missing)} planted near-dups: {sorted(missing)[:5]}"
+    # every emitted pair must be backed by real token overlap
+    text_of = {did: txt for did, txt in rows}
+    for a, b in found:
+        ta, tb = set(text_of[a].split()), set(text_of[b].split())
+        jac = len(ta & tb) / len(ta | tb)
+        assert jac >= 0.5, f"simhash paired dissimilar docs ({a},{b}): jaccard={jac:.3f}"

@@ -77,6 +77,10 @@ _FRONT = [
     # (a) the two r3 reds (TIMESTAMP_NTZ fix)
     "sessionize_events",
     "decayed_rolling_features",
+    # (b) upgraded rows-only -> exact oracle this round (the stub
+    # decode is deterministic byte arithmetic, so DuckDB can recompute
+    # every feature from the hex payload)
+    "multimodal_binary_features",
     # (c) stale-green re-verifies, oldest (r1) first — new round-4
     # queries displace entries from the END (keep _FRONT at exactly 50)
     "sales_opportunity",
@@ -126,7 +130,6 @@ _FRONT = [
     "ngram_jaccard_pairs",
     "tfidf_top_terms",
     "winnow_fingerprints",
-    "decontamination_overlap",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -1,9 +1,10 @@
 """Multimodal-column query: binary payload -> Arrow-batched features.
 
 The decode is stubbed (no media libs in the container; see
-operators/multimodal.py) so this is registered rows-only: the driver
-checks row count/schema stability, and tests/test_multimodal.py checks
-the feature values deterministically.
+operators/multimodal.py) — and because the stub is deterministic byte
+arithmetic, the feature extraction is exact-oracle-verified: DuckDB
+recomputes every feature from the hex encoding of the payload.
+tests/test_multimodal.py additionally checks the values directly.
 """
 
 from __future__ import annotations
@@ -15,7 +16,37 @@ from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
 
 
-@register("multimodal_binary_features")
+@register(
+    "multimodal_binary_features",
+    # The "decode" is the deterministic stub (payload-byte arithmetic),
+    # so the whole feature row IS SQL-expressible: DuckDB recomputes
+    # byte values from the hex encoding (instr over the nibble
+    # alphabet; '0' yields instr 0, which is its value) — this
+    # upgrades the query from rows-only to exact-oracle-verified.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, n,
+             list_transform(range(0, LEAST(n, 16)),
+               i -> instr('123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) * 16
+                  + instr('123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1))) AS head_bytes,
+             instr('123456789ABCDEF', substr(hx, 1, 1)) * 16
+               + instr('123456789ABCDEF', substr(hx, 2, 1)) AS b0,
+             instr('123456789ABCDEF', substr(hx, CAST(2*n-1 AS BIGINT), 1)) * 16
+               + instr('123456789ABCDEF', substr(hx, CAST(2*n AS BIGINT), 1)) AS bN
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(head_bytes), 0) % 256 AS BIGINT) AS checksum,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 64 + b0 % 64 END AS INTEGER) AS fake_width,
+           CAST(CASE WHEN n = 0 THEN 0 ELSE 64 + bN % 64 END AS INTEGER) AS fake_height
+    FROM v
+    """,
+)
 def multimodal_binary_features(spark, sf_dir):
     """Opaque-binary feature extraction over mapInPandas: byte length,
     checksum, stub-decoded dimensions. Payload bytes cross the Arrow
