@@ -77,10 +77,16 @@ _FRONT = [
     # (a) the two r3 reds (TIMESTAMP_NTZ fix)
     "sessionize_events",
     "decayed_rolling_features",
-    # (b) upgraded rows-only -> exact oracle this round (the stub
-    # decode is deterministic byte arithmetic, so DuckDB can recompute
-    # every feature from the hex payload)
+    # (b) upgraded rows-only -> exact oracle this round: the stub
+    # decode / pandas kernel are deterministic arithmetic, so DuckDB
+    # recomputes the features exactly
     "multimodal_binary_features",
+    "text_quality_pandas_udf",
+    # (b) new round-4 operators (incremental-crawl dedup, tokenizer
+    # induction statistics, batch-packing length deciles)
+    "incremental_dedup_new_docs",
+    "bpe_pair_merge_counts",
+    "ntile_length_buckets",
     # (c) stale-green re-verifies, oldest (r1) first — new round-4
     # queries displace entries from the END (keep _FRONT at exactly 50)
     "sales_opportunity",
@@ -126,10 +132,6 @@ _FRONT = [
     "lang_id_heuristic",
     "lang_quality_agg",
     "dedup_exact",
-    "dedup_fingerprint",
-    "ngram_jaccard_pairs",
-    "tfidf_top_terms",
-    "winnow_fingerprints",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

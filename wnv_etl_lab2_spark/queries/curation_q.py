@@ -177,3 +177,54 @@ def word_entropy_quality(spark, sf_dir):
         "CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct",
         f"ROUND({ent}, 4) AS entropy_bits",
     )
+
+
+@register(
+    "incremental_dedup_new_docs",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE LENGTH(source) = 4
+    ),
+    batch AS (
+      SELECT md5(text) AS fp, doc_id, source
+      FROM documents WHERE LENGTH(source) = 5
+    ),
+    intra AS (
+      SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+             MIN(source ORDER BY doc_id) AS source
+      FROM batch GROUP BY fp
+    )
+    SELECT i.doc_id, i.source, i.fp
+    FROM intra i ANTI JOIN hist h ON i.fp = h.fp
+    """,
+)
+def incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental-crawl dedup — the shape every recurring ingestion
+    runs: fingerprint the NEW batch (here sources src10..src19, i.e.
+    LENGTH(source)=5), dedup within the batch (keep the lowest doc_id
+    per content hash), then ANTI JOIN against the fingerprints of the
+    EXISTING corpus (src0..src9) so only genuinely novel documents
+    survive.
+
+    Scale shape: only 16-byte digests ever shuffle — the history side
+    projects to DISTINCT fingerprints (at 100 TB that's the dedup
+    index, a fraction of corpus bytes), the batch side is one scan +
+    hash groupBy, and the anti join is a digest equi-join AQE can
+    re-plan as broadcast whenever one side is small (a daily batch
+    against a big history: broadcast the BATCH fingerprints and stream
+    the history). A bloom-filter prefilter drops in ahead of the anti
+    join when the history index itself is too large to shuffle."""
+    d = load_table(spark, "documents", sf_dir)
+    hist = (
+        d.where(F.length("source") == 4)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch = d.where(F.length("source") == 5).select(
+        F.md5("text").alias("fp"), "doc_id", "source"
+    )
+    intra = batch.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+    )
+    return intra.join(hist, "fp", "left_anti").select("doc_id", "source", "fp")

@@ -458,3 +458,41 @@ def grouped_agg_pandas_udaf(spark, sf_dir):
         F.round(geo_mean("value"), 4).alias("geo_mean_value"),
         grp_count("value").alias("n_events"),
     )
+
+
+@register(
+    "ntile_length_buckets",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    )
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY lang, bucket
+    """,
+)
+def ntile_length_buckets(spark, sf_dir):
+    """Length-decile bucketing per language — the batch-packing /
+    curriculum sharding precursor (group same-length docs so padding
+    waste per batch is bounded). NTILE ties are broken by doc_id so
+    the assignment is deterministic on both engines.
+
+    Scale shape: one shuffle on lang for the window; per-language
+    ordering is the cost (a per-partition sort, NOT a global one).
+    Language skew (en >> others) is the known hazard — at corpus
+    scale this becomes NTILE within (lang, shard) with shard =
+    pmod(doc_id, k), trading exact global deciles for bounded
+    partition size; the exact form is registered because the oracle
+    must match it bit-for-bit."""
+    d = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    b = d.select("lang", "n_chars", F.ntile(10).over(w).alias("bucket"))
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -114,11 +114,25 @@ def lang_quality_agg(spark, sf_dir):
     )
 
 
-@register("text_quality_pandas_udf")  # Arrow UDF — rows-only; math checked in test_udfs.py
+@register(
+    "text_quality_pandas_udf",
+    # The pandas kernel is plain float arithmetic over character
+    # counts, so DuckDB can recompute it exactly (verified bit-equal
+    # at sf0.001/0.01/0.1): length saturation x alpha-density, same
+    # operation order as the kernel so the doubles agree pre-round.
+    oracle="""
+    SELECT doc_id,
+           ROUND(LEAST(LENGTH(text) / 500.0, 1.0)
+                 * ((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z ]', '', 'g')))
+                    / GREATEST(LENGTH(text), 1)), 6) AS quality
+    FROM documents
+    """,
+)
 def text_quality_pandas_udf(spark, sf_dir):
     """Vectorized quality scoring through the Arrow pandas-UDF path
     (functions/udfs.py) — the sanctioned slow-path surface, kept out
-    of every other hot query on purpose."""
+    of every other hot query on purpose. The kernel math is checked
+    directly in test_udfs.py and cross-engine via the oracle."""
     from wnv_etl_lab2_spark.functions.udfs import with_quality_score
 
     d = load_table(spark, "documents", sf_dir)
@@ -570,5 +584,49 @@ def ngram_counts_top(spark, sf_dir):
         ex.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
         .orderBy(F.col("n_occ").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "bpe_pair_merge_counts",
+    oracle="""
+    WITH w AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    p AS (
+      SELECT UNNEST(list_transform(range(1, CAST(LENGTH(w) AS BIGINT)),
+                    i -> substr(w, CAST(i AS BIGINT), 2))) AS pair
+      FROM w WHERE LENGTH(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_counts(spark, sf_dir):
+    """The first step of BPE/WordPiece vocabulary induction: global
+    frequencies of ADJACENT CHARACTER PAIRS within words, top-20 —
+    the statistic each merge round of tokenizer training maximizes
+    (the full trainer iterates this same job on re-segmented corpora).
+
+    Scale shape: two explodes (word, then character pair) feeding one
+    hash aggregate with map-side partial combine — the pair alphabet
+    is tiny (<= |charset|^2 keys), so the shuffle is a few KB of
+    partial counts per task regardless of corpus size; the top-20 is a
+    TakeOrdered, never a global sort."""
+    d = load_table(spark, "documents", sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
