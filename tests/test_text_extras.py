@@ -42,3 +42,34 @@ def test_quantize_error_bound(spark, sf_dir):
         # 5.1e-7 slack: max_abs_err is ROUNDed to 6 dp in the query
         assert r.max_abs_err <= 0.5 / r.scale + 5.1e-7
         assert r.n_saturated >= 1  # the absmax element itself hits +-127
+
+
+def test_pareto_frontier_two_phase_equals_naive(spark):
+    """The corpus frontier is near-degenerate (quality correlates with
+    length), so exercise the two-phase skyline on adversarial
+    anti-correlated points with a known frontier: y = -x staircase
+    plus dominated interior points and exact duplicates (both copies
+    of a frontier point must survive — neither strictly dominates)."""
+    from wnv_etl_lab2_spark.queries.curation_q import _frontier_keep
+    from pyspark.sql import functions as F
+
+    rows = []
+    # staircase frontier: (i, 100 - i) for i in 0..99
+    rows += [(i, "en", i, float(100 - i)) for i in range(100)]
+    # dominated interior: strictly inside the staircase
+    rows += [(1000 + i, "en", i, float(50 - i)) for i in range(40)]
+    # duplicate frontier point
+    rows += [(2000, "en", 50, 50.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, x long, y double")
+    s = df.withColumn("_shard", F.pmod("doc_id", F.lit(16)))
+    local = (
+        s.withColumn("_keep", _frontier_keep("x", "y", "lang", "_shard"))
+        .where("_keep").drop("_keep", "_shard")
+    )
+    got = {
+        (r.doc_id, r.x)
+        for r in local.withColumn("_keep", _frontier_keep("x", "y", "lang"))
+        .where("_keep").collect()
+    }
+    want = {(i, i) for i in range(100)} | {(2000, 50)}
+    assert got == want, f"missing={sorted(want-got)[:5]} extra={sorted(got-want)[:5]}"

@@ -228,3 +228,93 @@ def incremental_dedup_new_docs(spark, sf_dir):
         F.min_by("source", "doc_id").alias("source"),
     )
     return intra.join(hist, "fp", "left_anti").select("doc_id", "source", "fp")
+
+
+def _frontier_keep(x: str, y: str, *parts: str):
+    """Non-dominated predicate over (maximize x, maximize y) within a
+    window partitioned by ``parts``: a row is dominated iff some row
+    with STRICTLY larger x has y >= mine, or some row with my exact x
+    has y > mine (x is integral, so 'strictly larger' is the range
+    frame starting at x+1)."""
+    from pyspark.sql import Window as W
+
+    w_higher = (
+        W.partitionBy(*parts).orderBy(F.col(x).asc()).rangeBetween(1, W.unboundedFollowing)
+    )
+    w_same = W.partitionBy(*parts, x)
+    best_higher = F.max(F.col(y)).over(w_higher)
+    best_same = F.max(F.col(y)).over(w_same)
+    return ~(
+        F.coalesce(best_higher >= F.col(y), F.lit(False)) | (best_same > F.col(y))
+    )
+
+
+@register(
+    "pareto_frontier_curation",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(LENGTH(text) AS BIGINT) AS x,
+             ROUND(LEAST(LENGTH(text) / 500.0, 1.0)
+                   * ((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z ]', '', 'g')))
+                      / GREATEST(LENGTH(text), 1)), 6) AS y
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.x AS n_chars, d.y AS quality
+    FROM s d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s o
+      WHERE o.lang = d.lang AND o.x >= d.x AND o.y >= d.y
+        AND (o.x > d.x OR o.y > d.y)
+    )
+    """,
+)
+def pareto_frontier_curation(spark, sf_dir):
+    """Per-language Pareto frontier (skyline) of (length, quality) —
+    the data-selection question "which documents are not strictly
+    worse than some other document on both axes". The oracle is the
+    textbook O(n^2) NOT-EXISTS dominance query; the Spark plan is the
+    scale-safe O(n log n) two-phase form:
+
+    1. local frontier within (lang, shard=pmod(doc_id, 16)) — a
+       range-frame window per shard computes "best quality among
+       strictly longer docs"; survivors are a tiny superset of the
+       answer,
+    2. global frontier over the survivors with the SAME predicate,
+       now partitioned only by lang.
+
+    Correct because frontier() is merge-associative: a globally
+    non-dominated point is non-dominated in its own shard, so
+    frontier(S) = frontier(union of per-shard frontiers). That
+    identity is what lets the skyline scale — phase 1 never needs a
+    global sort, phase 2 sees only candidate rows (pathological worst
+    case: everything survives phase 1, e.g. already-sorted distinct
+    points; then phase 2 IS the per-lang sort, same as the naive
+    form — no regression, just no win)."""
+    d = load_table(spark, "documents", sf_dir)
+    s = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("x"),
+        F.round(
+            F.least(F.length("text") / F.lit(500.0), F.lit(1.0))
+            * (
+                (F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z ]", "")))
+                / F.greatest(F.length("text"), F.lit(1))
+            ),
+            6,
+        ).alias("y"),
+        F.pmod("doc_id", F.lit(16)).alias("_shard"),
+    )
+    # window predicates must be projected before the filter (Spark
+    # disallows window functions in WHERE)
+    local = (
+        s.withColumn("_keep", _frontier_keep("x", "y", "lang", "_shard"))
+        .where("_keep")
+        .drop("_keep", "_shard")
+    )
+    return (
+        local.withColumn("_keep", _frontier_keep("x", "y", "lang"))
+        .where("_keep")
+        .select("doc_id", "lang", F.col("x").alias("n_chars"), F.col("y").alias("quality"))
+    )
