@@ -271,24 +271,36 @@ def connected_components(
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens (width fixed
-    at 64 — it is the xxhash64 output width; a ``bits`` knob would
-    silently alias shifts past 64).
+    """64-bit SimHash per document over whitespace tokens.
 
-    Per token one xxhash64; bit j of the signature is set iff the sum
-    of (+1/-1) contributions of bit j across tokens is positive. The
-    per-bit sums are 64 long aggregates — all codegen, one shuffle on
-    the doc id. Signature returned as two 32-bit halves (hi, lo) to
-    avoid signed-64 overflow in the bit-assembly expression.
+    The 64 token-hash bits are two 32-bit words parsed from the md5
+    hex digest (chars 1-8 -> high word, 9-16 -> low word) rather than
+    xxhash64: md5 is the one hash both Spark and DuckDB implement
+    bit-identically, which makes the whole signature SQL-expressible
+    and lets the driver verify it against an exact oracle (the
+    engine-portability trick the exact-dedup queries already rely
+    on). Bit j of the signature is set iff the sum of (+1/-1)
+    contributions of bit j across tokens is positive. The per-bit
+    sums are 64 long aggregates — all codegen, one shuffle on the doc
+    id. Signature returned as two 32-bit halves (hi, lo) to avoid
+    signed-64 overflow in the bit-assembly expression.
     """
     toks = (
         docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
         .where(F.col("_tok") != "")
-        .withColumn("_h", F.xxhash64("_tok"))
+        .withColumn("_md5", F.md5("_tok"))
+        .withColumn("_hhi", F.conv(F.substring("_md5", 1, 8), 16, 10).cast("long"))
+        .withColumn("_hlo", F.conv(F.substring("_md5", 9, 8), 16, 10).cast("long"))
     )
     bit_sums = [
         F.sum(
-            F.when(F.expr(f"(_h >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            F.when(
+                F.expr(
+                    f"(_hlo >> {j}) & 1" if j < 32 else f"(_hhi >> {j - 32}) & 1"
+                )
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"s{j}")
         for j in range(64)
     ]

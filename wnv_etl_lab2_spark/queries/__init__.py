@@ -82,6 +82,7 @@ _FRONT = [
     # recomputes the features exactly
     "multimodal_binary_features",
     "text_quality_pandas_udf",
+    "dedup_simhash",
     # (b) new round-4 operators (incremental-crawl dedup, tokenizer
     # induction statistics, batch-packing length deciles)
     "incremental_dedup_new_docs",
@@ -131,7 +132,6 @@ _FRONT = [
     "text_stats",
     "token_count",
     "lang_id_heuristic",
-    "lang_quality_agg",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

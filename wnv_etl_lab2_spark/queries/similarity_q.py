@@ -2,10 +2,12 @@
 
 SQL-expressible ones carry a DuckDB oracle with the embedding cast to
 double on BOTH sides (the parquet stores float32; doing the math in
-float would make the engines drift). The LSH/SimHash queries are
-deterministic (seeded, xxhash64) but not SQL-expressible — the driver
-records the rows-only check for those, and tests/test_dedup.py proves
-them against exact ground truth instead.
+float would make the engines drift). SimHash signatures are oracle-
+verified (md5-word token hash, shared by both engines). The remaining
+LSH/IVF queries are deterministic (seeded planes/centroids) but not
+SQL-expressible — the driver records the rows-only check for those,
+and tests/test_dedup.py proves them against exact ground truth
+instead.
 """
 
 from __future__ import annotations
@@ -239,9 +241,52 @@ def dedup_components(spark, sf_dir):
     )
 
 
-@register("dedup_simhash")  # signatures; near-pair property tested in pytest
+def _simhash_oracle() -> str:
+    """DuckDB twin of operators/dedup.simhash_signatures: same md5
+    word split, same per-bit (+1/-1) sums, same >0 bit assembly. The
+    64 sum expressions are generated, not hand-typed, so the bit
+    layout cannot drift from the Spark side's generated aggregates."""
+    def bit(j: int) -> str:
+        return f"(hlo >> {j}) & 1" if j < 32 else f"(hhi >> {j - 32}) & 1"
+
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN ({bit(j)}) = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(64)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN s{j + 32} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::UBIGINT AS hhi,
+             ('0x' || substr(md5(tok), 9, 8))::UBIGINT AS hlo
+      FROM t WHERE tok <> ''
+    ),
+    s AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({hi} AS BIGINT) AS simhash_hi,
+           CAST({lo} AS BIGINT) AS simhash_lo
+    FROM s
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signature per document (two 32-bit halves)."""
+    """64-bit SimHash signature per document (two 32-bit halves).
+    Exact-oracle-verified since the token hash moved from xxhash64 to
+    md5 words (the one hash both engines share bit-for-bit)."""
     docs = load_table(spark, "documents", sf_dir)
     return simhash_signatures(docs)
 
