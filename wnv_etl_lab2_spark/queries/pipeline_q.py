@@ -490,7 +490,9 @@ def ntile_length_buckets(spark, sf_dir):
     must match it bit-for-bit."""
     d = load_table(spark, "documents", sf_dir)
     w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    b = d.select("lang", "n_chars", F.ntile(10).over(w).alias("bucket"))
+    # DuckDB's NTILE returns BIGINT while Spark's is int32 — cast so
+    # the driver's representation-sensitive value hash sees one type
+    b = d.select("lang", "n_chars", F.ntile(10).over(w).cast("long").alias("bucket"))
     return b.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
