@@ -89,6 +89,7 @@ _FRONT = [
     "bpe_pair_merge_counts",
     "ntile_length_buckets",
     "pareto_frontier_curation",
+    "containment_pairs",
     # (c) stale-green re-verifies, oldest (r1) first — new round-4
     # queries displace entries from the END (keep _FRONT at exactly 50)
     "sales_opportunity",
@@ -131,7 +132,6 @@ _FRONT = [
     "event_dedup_window",
     "text_stats",
     "token_count",
-    "lang_id_heuristic",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

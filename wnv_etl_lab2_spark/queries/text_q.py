@@ -630,3 +630,92 @@ def bpe_pair_merge_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS n_common,
+           ROUND(inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup detection: CONTAINMENT of the smaller
+    shingle set in the larger, |A n B| / min(|A|, |B|) >= 0.8 —
+    catches partial duplication Jaccard misses by construction (a
+    short document quoted verbatim inside a long one has tiny Jaccard
+    but containment ~1; the boilerplate-wrapper and excerpt cases a
+    crawl corpus is full of). Resemblance vs containment is the
+    classic Broder distinction; the production approximation replaces
+    the exact count with MinHash the same way dedup_minhash_lsh does
+    for Jaccard.
+
+    Same scale shape as ngram_jaccard_pairs — df-capped inverted
+    index, pair expansion bounded per group, digests-only shuffle —
+    the final metric is the only difference."""
+    d = load_table(spark, "documents", sf_dir)
+    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = F.split("text", " ")
+    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
+        F.size("words") >= 3
+    )
+    ex = docs.select("doc_id", F.explode(hashed_word_shingles("words")).alias("shingle"))
+    index = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
+        .where(F.size("L") <= _DF_CAP)
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        index.select(F.explode("L").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
+        "y -> struct(x AS da, y AS db))))"
+    )
+    pairs = (
+        index.where(F.size("L") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb"))
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        .where(cont >= 0.8)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("inter").alias("n_common"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
