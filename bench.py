@@ -52,6 +52,9 @@ HEADLINE = [
     "event_funnel",               # conditional-min funnel, one groupBy (round 2)
     "repeated_span_removal",      # C4-style cross-doc span dedup (round 2)
     "knn_join_bruteforce",        # batched query-set top-k, broadcast scan (round 2)
+    "containment_pairs",          # Broder containment over capped inverted index (round 4)
+    "incremental_dedup_new_docs", # new-batch anti-join vs corpus dedup index (round 4)
+    "pareto_frontier_curation",   # two-phase merge-associative skyline (round 4)
 ]
 
 
