@@ -69,3 +69,46 @@ def stratified_sample_topk(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
     )
+
+
+@register(
+    "deterministic_shuffle_order",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, md5('shuf42-' || CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(('0x' || substr(hk, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(hk, 1, 8))::UBIGINT % 8
+             ORDER BY hk, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM h
+    """,
+)
+def deterministic_shuffle_order(spark, sf_dir):
+    """Training-order preparation: a seeded, engine-portable global
+    shuffle of the corpus plus shard assignment — the step right
+    before writing training shards, where order must be random-like
+    but REPRODUCIBLE (resume a run, re-emit shard k, audit a batch).
+    Key = md5 of a seeded doc-id string, shard = 32 bits of the key
+    mod n_shards, position = rank of the key within the shard.
+
+    Scale shape: one shuffle on shard (the write partitioning you
+    want anyway), per-shard sort for positions — no global sort, no
+    driver involvement; shards are balanced by construction (hash
+    mod). Changing the seed string re-deals the entire order."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window
+
+    hk = F.md5(F.concat(F.lit("shuf42-"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(hk, 1, 8), 16, 10).cast("long") % 8).alias("shard")
+    h = d.select("doc_id", "source", hk.alias("hk"), shard)
+    w = Window.partitionBy("shard").orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    return h.select(
+        "doc_id",
+        "source",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
