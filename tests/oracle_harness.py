@@ -40,7 +40,41 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse dtype class for the cross-engine drift check: the
+    external driver's value hash is representation-sensitive across
+    CLASSES (the only red row it ever produced was DuckDB HUGEINT ->
+    pandas float64 hashed against Spark int64: 0.0 != 0), while
+    within-class width (int32 vs int64) and datetime-unit (ns vs us)
+    differences are proven tolerated by three rounds of green rows."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str) -> None:
+    # dtype-class drift check BEFORE normalize() coerces widths: an
+    # int column on one engine vs float on the other passes a naive
+    # value compare (0 == 0.0) but fails the driver's hash.
+    for c in set(spark_df.columns) & set(oracle_df.columns):
+        sc, oc = _dtype_class(spark_df[c].dtype), _dtype_class(oracle_df[c].dtype)
+        if {sc, oc} == {"object", "datetime"}:
+            # Spark DATE columns reach pandas as object(datetime.date)
+            # while DuckDB DATE arrives as datetime64 — green driver
+            # rows since r2 prove this pairing hashes equal.
+            continue
+        assert sc == oc, (
+            f"{name}.{c}: dtype-class drift spark={spark_df[c].dtype}({sc}) "
+            f"oracle={oracle_df[c].dtype}({oc}) — values may compare equal "
+            f"locally but the driver's representation-sensitive hash will "
+            f"mismatch; CAST the oracle (or Spark) side"
+        )
     s, o = normalize(spark_df), normalize(oracle_df)
     assert list(s.columns) == list(o.columns), (
         f"{name}: column mismatch spark={list(s.columns)} oracle={list(o.columns)}"

@@ -112,3 +112,70 @@ def deterministic_shuffle_order(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+@register(
+    "mixture_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, LEN(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    src AS (
+      SELECT source, SUM(n_words) AS src_words FROM w GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(src_words) * 1.0 / COUNT(*) AS target_words FROM src
+    ),
+    f AS (
+      SELECT s.source, t.target_words / s.src_words AS factor
+      FROM src s CROSS JOIN tot t
+    )
+    SELECT w.doc_id, w.source,
+           CAST(FLOOR(f.factor) +
+                CASE WHEN ('0x' || substr(md5('mix42-' || CAST(w.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                          < (f.factor - FLOOR(f.factor)) * 4294967296.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM w JOIN f ON w.source = f.source
+    """,
+)
+def mixture_resample(spark, sf_dir):
+    """Source-mixture materialization: turn target weights into a
+    concrete, deterministic per-document COPY COUNT — the step between
+    'we want every source to contribute equal tokens' and an actual
+    resampled corpus. factor = target_tokens / source_tokens; each doc
+    gets floor(factor) guaranteed copies plus one more iff a seeded
+    per-doc hash falls under the fractional part — stochastic rounding
+    with zero RNG state, so the resample is reproducible and the
+    expected token share is exact.
+
+    Scale shape: the per-source token totals are a tiny aggregate
+    broadcast back onto the scan (the join key has ~|sources| rows);
+    the copy decision is then a pure map. The downstream explode
+    (sequence(1, n_copies)) is the one fan-out and is bounded by the
+    max upsample factor a mixture config would ever declare."""
+    d = load_table(spark, "documents", sf_dir)
+    w = d.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_words"))
+    src = w.groupBy("source").agg(F.sum("n_words").alias("src_words"))
+    tot = src.agg(
+        (F.sum("src_words") * 1.0 / F.count(F.lit(1))).alias("target_words")
+    )
+    f = src.crossJoin(F.broadcast(tot)).select(
+        "source", (F.col("target_words") / F.col("src_words")).alias("factor")
+    )
+    frac_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix42-"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    n_copies = (
+        F.floor("factor")
+        + F.when(
+            frac_hash < (F.col("factor") - F.floor("factor")) * F.lit(4294967296.0),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        w.join(F.broadcast(f), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+    )
