@@ -24,6 +24,9 @@ from wnv_etl_lab2_spark import queries as q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# timed repetitions per query (min is reported); overridable so the
+# test suite can smoke the full harness contract in one pass
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 # Headline set: the heaviest representative of each operator family.
 HEADLINE = [
@@ -105,7 +108,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = q.REGISTRY[name].fn
         runs = []
-        for _ in range(3):
+        for _ in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)

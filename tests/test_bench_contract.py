@@ -1,0 +1,49 @@
+"""The driver runs `python bench.py` once per round and parses its
+LAST stdout line as JSON — pin that contract (one line, required keys,
+every headline query present and registered) so a refactor can't
+silently break the round artifact."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_contract_json(sf_dir):
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,  # smallest SF the fixture provides
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_RUNS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["metric"] == "headline_queries_total_wall"
+    assert doc["unit"] == "sec"
+    assert doc["value"] > 0
+    from bench import HEADLINE
+
+    assert set(doc["queries"]) == set(HEADLINE)
+    assert all(v >= 0 for v in doc["queries"].values())
+    # regression report present whenever history exists
+    if "delta_vs_prev" in doc:
+        assert isinstance(doc["regressions"], list)
+
+
+def test_headline_queries_are_registered():
+    from bench import HEADLINE
+    import wnv_etl_lab2_spark.queries as q
+
+    q._ensure_loaded()
+    missing = [n for n in HEADLINE if n not in q.REGISTRY]
+    assert not missing, f"bench names unregistered queries: {missing}"
