@@ -356,8 +356,39 @@ def neardup_pairs_lsh_blocked(
     # shuffle of every embedding, at this SF (one fewer stage) and at
     # 100 TB (a scan streams, an exchange materializes).
     raw = vectors.select(id_col, F.col(label_col).alias("_lbl"), vec_col)
+
+    # --- stage 0, EXACT-DEDUP-FIRST (the duplicate-pileup defense,
+    # standard in production fuzzy-dedup pipelines): bit-identical
+    # vectors agree on every band, so k copies of a vector make every
+    # one of its buckets k deep and the candidate stage
+    # quadratic-times-bands in k — tools/scale_smoke.py measured 58x
+    # wall for a 16x corpus of exact copies. Identical vectors are
+    # grouped by a 128-bit content digest (two seeded xxhash64s;
+    # collision odds ~2^-128, the same exactness budget as hashed
+    # shingles), ONLY the min-id representative enters the LSH/verify
+    # machinery, and verified rep pairs fan back out through the
+    # member lists at the end. The detection shuffle carries digests,
+    # never vectors; a corpus with no duplicates pays one digest
+    # aggregation and keeps exactly the old plan shape.
+    h1, h2 = F.xxhash64(F.col(vec_col)), F.xxhash64(F.lit(1), F.col(vec_col))
+    dup_groups = (
+        raw.select(id_col, "_lbl", h1.alias("_h1"), h2.alias("_h2"))
+        .groupBy("_lbl", "_h1", "_h2")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_members"))
+        .where(F.size("_members") >= 2)
+        .select(F.element_at("_members", 1).alias("_rep"), "_lbl", "_members")
+        .localCheckpoint(eager=False)  # feeds anti-join + both expansions
+    )
+    redundant = dup_groups.select(
+        F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias(id_col)
+    )
+    # AQE broadcasts this anti-join when duplicates are rare (the
+    # common corpus); under heavy pileup the id-keyed shuffle is the
+    # linear cost that buys back the quadratic candidate explosion.
+    canon = raw.join(redundant, id_col, "left_anti")
+
     sig_udf = lsh_band_buckets_udf(dim, bands, rows_per_band, seed)
-    sig = raw.select(id_col, "_lbl", sig_udf(F.col(vec_col)).alias("_bkts"))
+    sig = canon.select(id_col, "_lbl", sig_udf(F.col(vec_col)).alias("_bkts"))
     buckets = sig.select(
         id_col, "_lbl", F.posexplode("_bkts").alias("band_id", "bucket")
     )
@@ -381,18 +412,63 @@ def neardup_pairs_lsh_blocked(
     # SLOWER here (the giant generated method falls off the JIT fast
     # path). Broadcast-sized join sides carry the pre-cast double
     # arrays once per row, not per pair.
-    w = raw.select(id_col, as_double_array(vec_col).alias("_e"))
+    w = canon.select(id_col, as_double_array(vec_col).alias("_e"))
     nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
     w = w.withColumn("_n", nrm)
     a = w.select(F.col(id_col).alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na"))
     b = w.select(F.col(id_col).alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb"))
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
-    return (
+    verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.col("_lbl").alias(label_col), "cos_sim")
+        .select("id_a", "id_b", "_lbl", "cos_sim")
+    )
+
+    # --- expansion 1: verified rep pairs fan back out to member pairs
+    # (cosine unchanged — members are bit-identical to their rep)
+    ma = dup_groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma"))
+    mb = dup_groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb"))
+    cross = (
+        verified.join(ma, "id_a", "left")
+        .join(mb, "id_b", "left")
+        .withColumn("_ma", F.coalesce("_ma", F.array("id_a")))
+        .withColumn("_mb", F.coalesce("_mb", F.array("id_b")))
+        .select(F.explode("_ma").alias("_xa"), "_mb", "_lbl", "cos_sim")
+        .select("_xa", F.explode("_mb").alias("_xb"), "_lbl", "cos_sim")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "_lbl",
+            "cos_sim",
+        )
+    )
+    # --- expansion 2: within-group pairs (guaranteed duplicates; the
+    # self-cosine comes from the rep's own vector through the SAME
+    # fold the verify stage uses, so the rounded double matches what
+    # the oracle computes for any member pair)
+    self_cos = F.round(
+        F.aggregate(
+            F.zip_with("_e", "_e", lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+        / (F.col("_n") * F.col("_n")),
+        6,
+    )
+    intra_pairs_arr = F.expr(
+        "flatten(transform(_members, (x, i) -> transform("
+        "slice(_members, i + 2, size(_members) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    intra = (
+        dup_groups.join(w.select(F.col(id_col).alias("_rep"), "_e", "_n"), "_rep")
+        .withColumn("cos_sim", self_cos)
+        .where(F.col("cos_sim") >= threshold)
+        .select("_lbl", "cos_sim", F.explode(intra_pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "_lbl", "cos_sim")
+    )
+    return cross.unionByName(intra).select(
+        "id_a", "id_b", F.col("_lbl").alias(label_col), "cos_sim"
     )
 
 
