@@ -128,9 +128,34 @@ def minhash_lsh_pairs(
     final exact verify touches only candidate pairs.
 
     Returns (doc_a, doc_b, jaccard) with exact jaccard >= threshold.
+
+    EXACT-DEDUP-FIRST (same duplicate-pileup defense as
+    operators/similarity.neardup_pairs_lsh_blocked, where
+    tools/scale_smoke.py measured the failure mode): identical texts
+    agree on every band, so k exact copies make every bucket k deep —
+    quadratic candidates AND, past ``max_bucket``, silently DROPPED
+    buckets (a >1024-copy boilerplate page would lose all its pairs).
+    Identical texts are grouped by a 128-bit content digest first,
+    only min-id representatives enter the LSH machinery, and verified
+    rep pairs fan back out through the member lists (identical shingle
+    sets: intra-group Jaccard is exactly 1.0, cross-group pairs
+    inherit the rep pair's Jaccard bit-for-bit).
     """
     r = num_hashes // bands
-    shingled = _shingled(docs, id_col, text_col)
+    h1, h2 = F.xxhash64(F.col(text_col)), F.xxhash64(F.lit(1), F.col(text_col))
+    dup_groups = (
+        docs.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
+        .groupBy("_h1", "_h2")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_members"))
+        .where(F.size("_members") >= 2)
+        .select(F.element_at("_members", 1).alias("_rep"), "_members")
+        .localCheckpoint(eager=False)  # feeds anti-join + both expansions
+    )
+    redundant = dup_groups.select(
+        F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias(id_col)
+    )
+    canon = docs.join(redundant, id_col, "left_anti")
+    shingled = _shingled(canon, id_col, text_col)
     sig = shingled.selectExpr(
         id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
     ).selectExpr(id_col, *_signature_exprs(num_hashes))
@@ -187,8 +212,42 @@ def minhash_lsh_pairs(
         .withColumn("_union", F.size("sh_a") + F.size("sh_b") - F.col("_inter"))
         .withColumn("jaccard", F.col("_inter") * 1.0 / F.col("_union"))
         .where(F.col("jaccard") >= threshold)
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+    # expansion 1: verified rep pairs -> member pairs (identical
+    # shingle sets, so the Jaccard carries over bit-for-bit)
+    ma = dup_groups.select(F.col("_rep").alias("doc_a"), F.col("_members").alias("_ma"))
+    mb = dup_groups.select(F.col("_rep").alias("doc_b"), F.col("_members").alias("_mb"))
+    cross = (
+        verified.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .withColumn("_ma", F.coalesce("_ma", F.array("doc_a")))
+        .withColumn("_mb", F.coalesce("_mb", F.array("doc_b")))
+        .select(F.explode("_ma").alias("_xa"), "_mb", "jaccard")
+        .select("_xa", F.explode("_mb").alias("_xb"), "jaccard")
+        .select(
+            F.least("_xa", "_xb").alias("doc_a"),
+            F.greatest("_xa", "_xb").alias("doc_b"),
+            "jaccard",
+        )
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    # expansion 2: within-group pairs are guaranteed duplicates with
+    # Jaccard exactly |S|/|S| = 1.0 — but only for groups that HAVE a
+    # shingle set (_shingled drops <3-word docs, and the whole group
+    # shares its rep's word count), hence the semi-join on the rep.
+    intra_pairs_arr = F.expr(
+        "flatten(transform(_members, (x, i) -> transform("
+        "slice(_members, i + 2, size(_members) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    intra = (
+        dup_groups.join(
+            shingled.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
+        )
+        .select(F.explode(intra_pairs_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
 
 
 def connected_components(
