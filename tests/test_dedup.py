@@ -287,3 +287,45 @@ def test_simhash_corpus_planted_recall(spark, sf_dir):
         ta, tb = set(text_of[a].split()), set(text_of[b].split())
         jac = len(ta & tb) / len(ta | tb)
         assert jac >= 0.5, f"simhash paired dissimilar docs ({a},{b}): jaccard={jac:.3f}"
+
+
+def test_neardup_pairs_under_duplicate_pileup(spark, sf_dir):
+    """Correctness of the exact-dedup-first fan-out (the scale_smoke
+    fix): replicate the embeddings 3x (bit-identical copies, remapped
+    ids) and require the operator's pair set to EQUAL brute-force
+    ground truth computed in NumPy — intra-group pairs, cross-group
+    expanded pairs, and the no-duplicate originals all at once."""
+    import numpy as np
+    from wnv_etl_lab2_spark.operators.similarity import neardup_pairs_lsh_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    k = 3
+    rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
+    big = (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") * k + F.col("_rep"))
+        .drop("_rep")
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in neardup_pairs_lsh_blocked(big, threshold=0.3).collect()
+    }
+    rows = big.collect()
+    ids = np.array([r.vec_id for r in rows])
+    labs = np.array([r.label for r in rows])
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(nrm, nrm)
+    want = set()
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if labs[i] == labs[j] and round(cos[i, j], 6) >= 0.3:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b))
+    assert got == want, (
+        f"missing={len(want - got)} extra={len(got - want)} "
+        f"sample_missing={sorted(want - got)[:3]} sample_extra={sorted(got - want)[:3]}"
+    )
+    # sanity: the fixture genuinely exercises the pileup paths
+    assert any(a // k == b // k for a, b in want), "no intra-group pair in fixture"
