@@ -101,18 +101,22 @@ def main() -> None:
     for name in HEADLINE:
         q.REGISTRY[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # min of 3 timed runs per query: steady-state plan cost, robust to
-    # one-off GC/JIT spikes (the plans are deterministic; variance is
-    # JVM noise, not data — measured ~±20% between single runs)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = q.REGISTRY[name].fn
-        runs = []
-        for _ in range(RUNS):
+    # min over RUNS timed passes per query: steady-state plan cost,
+    # robust to one-off GC/JIT spikes (the plans are deterministic;
+    # variance is JVM noise, not data — measured ~±20% between single
+    # runs). The passes are INTERLEAVED — every query once, then the
+    # whole list again — so session-level pressure (heap growth,
+    # codegen-cache churn over 28 plans) lands on every query's sample
+    # set instead of only on whichever queries run late; per-query
+    # deltas across rounds stay attributable to code.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            fn = q.REGISTRY[name].fn
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(runs), 3) for name, runs in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prev = _previous_round_timings()
