@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, functions as F
 from wnv_etl_lab2_spark import get_spark
 from wnv_etl_lab2_spark.operators.dedup import minhash_lsh_pairs, simhash_signatures
 from wnv_etl_lab2_spark.operators.similarity import neardup_pairs_lsh_blocked
+from wnv_etl_lab2_spark.operators.spatial import within_distance_anti_join
+from wnv_etl_lab2_spark.queries import geo
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -55,10 +57,50 @@ def timed(label: str, make_df) -> float:
     return min(runs)
 
 
+# Re-emitted on every run so regeneration can't lose the context that
+# makes the numbers meaningful.
+_HISTORY = """
+History — this smoke caught a real quadratic, then verified the fix:
+
+- Before the exact-dedup-first stage, x16 `embedding_neardup_pairs`
+  measured **177 s (58x)**: bit-identical replicas agree on every LSH
+  band, so every bucket got 16x deep and the candidate stage exploded
+  quadratic-times-bands. With identical vectors grouped by content
+  digest and only representatives entering LSH
+  (`operators/similarity.py`), x16 is ~3 s (~1x).
+- `minhash_lsh_pairs` had the same latent hazard plus a worse one: a
+  duplicate group deeper than ``max_bucket`` would have its buckets
+  silently DROPPED (recall loss for exactly the boilerplate pages a
+  crawl duplicates most). Same dedup-first treatment
+  (`operators/dedup.py`): x16 went from 3.5x to ~1x (flat —
+  candidate work is per unique text).
+- The replication smoke is adversarial by construction (every doc has
+  k exact copies — the crawl-corpus duplicate-pileup case). The
+  mildly superlinear `simhash_signatures` curve is the per-doc
+  64-aggregate signature meeting deeper reduce-side groups, not pair
+  expansion — it emits one row per doc, so no pileup quadratic exists
+  in it. `spatial_distance_anti_join` replicates BOTH point sides
+  into the same grid cells (k^2 candidate growth in-cell) yet stays
+  ~linear in input because the anti/semi join short-circuits on first
+  match instead of enumerating matches.
+"""
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-smoke", cpus=CPUS, shuffle_partitions=CPUS)
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    # spatial family: the grid-bucketed distance anti-join under
+    # coordinate pileup (replicated points land in the same cells —
+    # the analogue of boilerplate-page duplicates for geometry)
+    spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).createOrReplaceTempView(
+        "customer"
+    )
+    spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet")).createOrReplaceTempView(
+        "supplier"
+    )
+    pts = spark.sql(geo.CUST_POINTS_CTE)
+    avoid = spark.sql(geo.SUPP_POINTS_CTE)
 
     ops = {
         "exact_dedup_groupby": lambda d, e: d.select(
@@ -74,6 +116,7 @@ def main() -> None:
     }
 
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
+    results["spatial_distance_anti_join"] = {}
     rows: dict[int, int] = {}
     for k in FACTORS:
         d = replicate(docs, "doc_id", k).localCheckpoint()  # materialize the
@@ -82,6 +125,19 @@ def main() -> None:
         for name, make in ops.items():
             results[name][k] = timed(name, lambda m=make, d=d, e=e: m(d, e))
             print(f"k={k} {name}: {results[name][k]:.2f}s", flush=True)
+        p = replicate(pts, "addr_id", k).localCheckpoint()
+        av = replicate(avoid, avoid.columns[0], k).localCheckpoint()
+        results["spatial_distance_anti_join"][k] = timed(
+            "spatial",
+            lambda p=p, av=av: within_distance_anti_join(
+                p, av, geo.RADIUS_DEG, "addr_id"
+            ),
+        )
+        print(
+            f"k={k} spatial_distance_anti_join: "
+            f"{results['spatial_distance_anti_join'][k]:.2f}s",
+            flush=True,
+        )
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "SCALE_SMOKE.md"), "w") as f:
@@ -104,8 +160,9 @@ def main() -> None:
             )
         f.write(
             f"\nRows: x1 = {rows[1]:,} docs, x16 = {rows[16]:,} docs "
-            f"(embeddings scale identically).\n"
+            f"(embeddings and points scale identically).\n"
         )
+        f.write(_HISTORY)
     print("wrote SCALE_SMOKE.md", flush=True)
 
 
