@@ -341,7 +341,13 @@ def simhash_signatures(
     on). Bit j of the signature is set iff the sum of (+1/-1)
     contributions of bit j across tokens is positive. The per-bit
     sums are 64 long aggregates — all codegen, one shuffle on the doc
-    id. Signature returned as two 32-bit halves (hi, lo) to avoid
+    id (a doc's tokens never leave their partition, so partial
+    aggregation collapses map-side and the exchange carries one
+    64-long row per doc). A shuffle-free in-row fold variant
+    (aggregate over the token array with a 64-int accumulator) was
+    measured 5x SLOWER at 80k docs — per-bit lambda work is
+    interpreted, while these aggregates stay in whole-stage codegen.
+    Signature returned as two 32-bit halves (hi, lo) to avoid
     signed-64 overflow in the bit-assembly expression.
     """
     toks = (
