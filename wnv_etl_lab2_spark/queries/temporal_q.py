@@ -443,3 +443,69 @@ def decayed_rolling_features(spark, sf_dir):
             F.round(dec, 6).alias("decayed_sum"),
         )
     )
+
+
+@register(
+    "incremental_agg_merge",
+    # The oracle recomputes from scratch — which is precisely the
+    # correctness CONTRACT of incremental maintenance: merge(state,
+    # delta) must equal recompute(all).
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental view maintenance WITHOUT streaming — the nightly-
+    batch shape: a persisted per-user aggregate STATE (events before
+    the cutoff day) is merged with the new partition's DELTA aggregate
+    via one full-outer join, instead of recomputing over all history.
+    Count/sum merge by addition, max by greatest — the classic
+    'aggregates form a monoid' requirement; avg would be carried as
+    (sum, count).
+
+    Scale shape: the delta aggregation touches ONE day of data
+    (partition-pruned on the date column in a partitioned table); the
+    merge join shuffles state and delta on user_id — both already
+    aggregates (one row per user), never raw history. The recompute
+    the oracle performs — a full-history scan — is exactly the cost
+    this pattern exists to avoid.
+
+    The split here is the corpus's last day vs everything before it;
+    the oracle recomputes over all events, so the driver hash verifies
+    merge(state, delta) == recompute(all) exactly."""
+    e = load_table(spark, "events", sf_dir)
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp_ntz")
+    agg = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("_sv"),
+        F.max("ts").alias("last_ts"),
+    ]
+    state = e.where(F.col("ts") < cutoff).groupBy("user_id").agg(*agg)
+    delta = e.where(F.col("ts") >= cutoff).groupBy("user_id").agg(*agg)
+    s = state.select(
+        "user_id",
+        F.col("n_events").alias("n_s"),
+        F.col("_sv").alias("sv_s"),
+        F.col("last_ts").alias("ts_s"),
+    )
+    d = delta.select(
+        "user_id",
+        F.col("n_events").alias("n_d"),
+        F.col("_sv").alias("sv_d"),
+        F.col("last_ts").alias("ts_d"),
+    )
+    return s.join(d, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
+        F.round(
+            F.coalesce("sv_s", F.lit(0.0)) + F.coalesce("sv_d", F.lit(0.0)), 2
+        ).alias("sum_value"),
+        F.greatest(
+            F.coalesce("ts_s", "ts_d"), F.coalesce("ts_d", "ts_s")
+        ).alias("last_ts"),
+    )
