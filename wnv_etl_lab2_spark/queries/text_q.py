@@ -202,6 +202,62 @@ def dedup_fingerprint(spark, sf_dir):
 _DF_CAP = 16
 
 
+
+def _capped_pair_counts(spark, sf_dir):
+    """Shared backbone of the exact near-dup metrics
+    (`ngram_jaccard_pairs`, `containment_pairs`): the df-capped
+    inverted index over hashed word-3-gram shingles, reduced to
+    (pairs with intersection counts, per-doc capped set sizes).
+
+    Shingles are hashed to longs INSIDE the lambda (see
+    operators/dedup.hashed_word_shingles — one shared expression for
+    the Jaccard and MinHash paths): the 30-byte shingle strings never
+    materialize and the groupBy keys on a long; xxhash64 collisions at
+    this cardinality are negligible (~2^-40), so counts match the
+    string-keyed oracles exactly. One groupBy on the shingle hash
+    builds the capped index; it feeds BOTH the per-doc set sizes and
+    the pair expansion, so it is checkpointed to evaluate the
+    scan+shingle pipeline once. The synthetic corpus arrives as one
+    small parquet split; at real scale the scan is already parallel,
+    so the explicit spread of the shingle stage is harmless there and
+    necessary here."""
+    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = F.split("text", " ")
+    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
+        F.size("words") >= 3
+    )
+    ex = docs.select("doc_id", F.explode(hashed_word_shingles("words")).alias("shingle"))
+    index = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
+        .where(F.size("L") <= _DF_CAP)
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        index.select(F.explode("L").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs_arr = F.expr(
+        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
+        "y -> struct(x AS da, y AS db))))"
+    )
+    pairs = (
+        index.where(F.size("L") >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select("p.*")
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+    )
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -243,54 +299,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
     with it every inverted-index group is O(K^2). Jaccard is computed
     as if stop-shingles don't exist (sizes AND intersections), the same
     semantics as the oracle's HAVING on the inverted index."""
-    d = load_table(spark, "documents", sf_dir)
-    # The synthetic corpus arrives as one small parquet split; at real
-    # scale the scan is already parallel, so an explicit spread of the
-    # expensive shingle stage is harmless there and necessary here.
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    words = F.split("text", " ")
-    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
-        F.size("words") >= 3
-    )
-    # Shingles are hashed to longs INSIDE the lambda (see
-    # operators/dedup.hashed_word_shingles — one shared expression for
-    # the Jaccard and MinHash paths): the 30-byte shingle strings never
-    # materialize and the groupBy below keys on a long. xxhash64
-    # collisions at this cardinality are negligible (~2^-40), so counts
-    # match the string-keyed oracle exactly.
-    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
-
-    shingles = hashed_word_shingles("words")
-    ex = docs.select("doc_id", F.explode(shingles).alias("shingle"))
-    # One groupBy on the shingle hash builds the capped inverted index;
-    # it feeds BOTH the per-doc capped set sizes and the pair expansion,
-    # so it is checkpointed to evaluate the scan+shingle pipeline once.
-    index = (
-        ex.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
-        .where(F.size("L") <= _DF_CAP)
-        .localCheckpoint(eager=False)
-    )
-    sizes = (
-        index.select(F.explode("L").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pairs_arr = F.expr(
-        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x AS da, y AS db))))"
-    )
-    pairs = (
-        index.where(F.size("L") >= 2)
-        .select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        _capped_pair_counts(spark, sf_dir)
         .where(jac >= 0.5)
         .select(
             F.col("da").alias("doc_a"),
@@ -676,41 +687,9 @@ def containment_pairs(spark, sf_dir):
     Same scale shape as ngram_jaccard_pairs — df-capped inverted
     index, pair expansion bounded per group, digests-only shuffle —
     the final metric is the only difference."""
-    d = load_table(spark, "documents", sf_dir)
-    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
-
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    words = F.split("text", " ")
-    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
-        F.size("words") >= 3
-    )
-    ex = docs.select("doc_id", F.explode(hashed_word_shingles("words")).alias("shingle"))
-    index = (
-        ex.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
-        .where(F.size("L") <= _DF_CAP)
-        .localCheckpoint(eager=False)
-    )
-    sizes = (
-        index.select(F.explode("L").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
-    pairs_arr = F.expr(
-        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x AS da, y AS db))))"
-    )
-    pairs = (
-        index.where(F.size("L") >= 2)
-        .select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     cont = F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb"))
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        _capped_pair_counts(spark, sf_dir)
         .where(cont >= 0.8)
         .select(
             F.col("da").alias("doc_a"),
