@@ -191,7 +191,7 @@ def word_entropy_quality(spark, sf_dir):
     ),
     intra AS (
       SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
-             MIN(source ORDER BY doc_id) AS source
+             arg_min(source, doc_id) AS source
       FROM batch GROUP BY fp
     )
     SELECT i.doc_id, i.source, i.fp
