@@ -93,6 +93,7 @@ _FRONT = [
     "deterministic_shuffle_order",
     "mixture_resample",
     "incremental_agg_merge",
+    "skew_key_diagnosis",
     # (c) stale-green re-verifies, oldest (r1) first — new round-4
     # queries displace entries from the END (keep _FRONT at exactly 50)
     "sales_opportunity",
@@ -131,7 +132,6 @@ _FRONT = [
     "sliding_window_batch",
     "gap_fill_locf",
     "event_funnel",
-    "cohort_retention",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -179,3 +179,49 @@ def mixture_resample(spark, sf_dir):
         w.join(F.broadcast(f), "source")
         .select("doc_id", "source", n_copies.alias("n_copies"))
     )
+
+
+@register(
+    "skew_key_diagnosis",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys, MAX(n) AS max_n FROM f)
+    SELECT f.key, f.n,
+           ROUND(f.n * 1.0 / t.total, 6) AS share,
+           ROUND(f.n * t.n_keys * 1.0 / t.total, 4) AS x_mean,
+           CAST(t.max_n AS BIGINT) AS max_key_n
+    FROM f CROSS JOIN t
+    ORDER BY f.n DESC, f.key LIMIT 20
+    """,
+)
+def skew_key_diagnosis(spark, sf_dir):
+    """Shuffle-skew diagnosis: the top-20 heaviest join/agg keys with
+    their share of all rows and their multiple of the mean key size —
+    the numbers that decide between plain hash partitioning, AQE skew
+    splitting, and salting (operators/skew.py), read off BEFORE a job
+    melts an executor rather than after.
+
+    Scale shape: one map-side-combined count per key, a one-row global
+    total broadcast back, TakeOrdered for the top-20 — the diagnosis
+    never costs more than the aggregation it is diagnosing."""
+    o = load_table(spark, "orders", sf_dir)
+    f = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    t = f.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        f.crossJoin(F.broadcast(t))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") * 1.0 / F.col("total"), 4).alias("x_mean"),
+            F.col("max_n").cast("long").alias("max_key_n"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key"))
+        .limit(20)
+    )
