@@ -38,9 +38,15 @@ def test_embedding_neardup_lsh_blocking_recall_100(spark, sf_dir):
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    lsh = neardup_pairs_lsh_blocked(emb, threshold=0.3).toPandas()
     exact = neardup_pairs_blocked(emb, threshold=0.3, block_col="label").toPandas()
     assert len(exact) > 0
+    # default adaptive routing (small blocks -> direct all-pairs)
+    adaptive = neardup_pairs_lsh_blocked(emb, threshold=0.3).toPandas()
+    assert set(zip(adaptive.id_a, adaptive.id_b)) == set(zip(exact.id_a, exact.id_b))
+    # forced banded-LSH route (direct_block_max=0): the banding itself
+    # must lose zero qualifying pairs — this is what licenses the
+    # exact SQL oracle when a block is big enough to take this path
+    lsh = neardup_pairs_lsh_blocked(emb, threshold=0.3, direct_block_max=0).toPandas()
     assert set(zip(lsh.id_a, lsh.id_b)) == set(zip(exact.id_a, exact.id_b))
 
 

@@ -14,11 +14,11 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path, sf_di
     src = str(tmp_path / "fragmented")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     docs.repartition(64).write.parquet(src)  # simulate micro-batch litter
-    assert data_file_count(src) >= 32
+    assert data_file_count(spark, src) >= 32
 
     dst = str(tmp_path / "compacted")
     n_out = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
-    assert n_out < data_file_count(src)
+    assert n_out < data_file_count(spark, src)
     a = spark.read.parquet(src).orderBy("doc_id").toPandas()
     b = spark.read.parquet(dst).orderBy("doc_id").toPandas()
     assert a.equals(b)

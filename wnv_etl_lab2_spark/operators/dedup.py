@@ -65,6 +65,27 @@ def hashed_word_shingles(words_col: str = "_words", n: int = 3):
     return F.expr(shingle_expr(words_col))
 
 
+def pair_explode(
+    df: DataFrame, arr_col: str, a_name: str, b_name: str, keep: list[str]
+) -> DataFrame:
+    """All ordered pairs (x, y) with x before y from a sorted array
+    column, via posexplode -> slice -> explode. The pair OUTPUT is
+    inherently quadratic in the array length, but each intermediate
+    row carries at most one O(k) slice — unlike the single-row
+    ``flatten(transform(...))`` form, which materializes all C(k,2)
+    structs of a group as ONE array in ONE row and so turns a
+    pathologically deep group (millions of copies of a boilerplate
+    page) into a per-row memory spike before the explode can split
+    it. ``keep`` columns are carried through unchanged."""
+    rest = "slice(_pe_arr, _pe_i + 2, size(_pe_arr) - _pe_i - 1)"
+    return (
+        df.select(*keep, F.col(arr_col).alias("_pe_arr"))
+        .select(*keep, "_pe_arr", F.posexplode("_pe_arr").alias("_pe_i", a_name))
+        .select(*keep, a_name, F.expr(rest).alias("_pe_rest"))
+        .select(*keep, a_name, F.explode("_pe_rest").alias(b_name))
+    )
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, _sh) — the hashed-shingle array per document. This ONE
     subtree feeds both the signature stage and the exact-verify stage
@@ -180,15 +201,7 @@ def minhash_lsh_pairs(
     grouped = buckets.groupBy("band_id", "band_sig").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("L")
     ).where((F.size("L") >= 2) & (F.size("L") <= max_bucket))
-    pairs_arr = F.expr(
-        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    cand = (
-        grouped.select(F.explode(pairs_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    cand = pair_explode(grouped, "L", "doc_a", "doc_b", keep=[]).distinct()
     # The candidate set feeds two consumers (the id filter and the
     # verify join); checkpoint it so the signature->banding->pairing
     # pipeline runs once — the standard multi-pass materialization
@@ -235,18 +248,15 @@ def minhash_lsh_pairs(
     # Jaccard exactly |S|/|S| = 1.0 — but only for groups that HAVE a
     # shingle set (_shingled drops <3-word docs, and the whole group
     # shares its rep's word count), hence the semi-join on the rep.
-    intra_pairs_arr = F.expr(
-        "flatten(transform(_members, (x, i) -> transform("
-        "slice(_members, i + 2, size(_members) - i - 1), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    intra = (
+    intra = pair_explode(
         dup_groups.join(
             shingled.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
-        )
-        .select(F.explode(intra_pairs_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", F.lit(1.0).alias("jaccard"))
-    )
+        ),
+        "_members",
+        "doc_a",
+        "doc_b",
+        keep=[],
+    ).withColumn("jaccard", F.lit(1.0))
     return cross.unionByName(intra)
 
 

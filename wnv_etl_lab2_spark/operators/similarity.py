@@ -315,6 +315,65 @@ def lsh_band_buckets_udf(dim: int, bands: int, rows_per_band: int, seed: int = 4
     return buckets
 
 
+def _direct_block_pairs(small: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Exact all-pairs cosine scoring of SMALL blocks as one Arrow
+    grouped-map kernel (`applyInPandas` over the block key).
+
+    Bit-exactness contract: the dot product is accumulated
+    DIMENSION-sequentially (`acc += E[i,d] * E[j,d]` for d = 0..dim-1),
+    vectorized across pairs — each pair's additions happen in exactly
+    the order of the JVM `zip_with`/`aggregate` fold and DuckDB's
+    `list_sum`, so the unrounded double is bit-identical to what those
+    engines compute (numpy's pairwise-summed `dot`/`matmul` would NOT
+    be). Norms are passed through from the shared frame, not
+    recomputed. The kernel only PRE-filters with a slack margin and
+    returns the raw quotient; the caller applies the engine's own
+    `F.round` + threshold so the emitted cos_sim is the JVM's.
+
+    Memory per group is bounded by the route's block-size cutoff
+    (pairs <= direct_block_max^2 / 2), which is what makes this safe
+    at any corpus scale."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", small.schema[id_col].dataType),
+            StructField("id_b", small.schema[id_col].dataType),
+            StructField("_lbl", small.schema["_lbl"].dataType),
+            StructField("_raw", DoubleType()),
+        ]
+    )
+    # round6(x) >= t  <=>  x >= t - 5e-7; widen by a few ulps so the
+    # JVM-side exact filter below is the only decision point
+    margin = threshold - 5.0e-7 - 1.0e-9
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "_lbl", "_raw"])
+        E = np.vstack(pdf["_e"].to_numpy()).astype(np.float64)
+        n = pdf["_n"].to_numpy().astype(np.float64)
+        i, j = np.triu_indices(k, 1)
+        acc = np.zeros(len(i), dtype=np.float64)
+        for d in range(E.shape[1]):
+            acc += E[i, d] * E[j, d]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = acc / (n[i] * n[j])
+        keep = cos >= margin
+        ia, jb = ids[i[keep]], ids[j[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, jb),
+                "id_b": np.maximum(ia, jb),
+                "_lbl": pdf["_lbl"].iloc[0],
+                "_raw": cos[keep],
+            }
+        )
+
+    return small.groupBy("_lbl").applyInPandas(kern, out_schema)
+
+
 def neardup_pairs_lsh_blocked(
     vectors: DataFrame,
     threshold: float,
@@ -326,6 +385,7 @@ def neardup_pairs_lsh_blocked(
     rows_per_band: int = 2,
     seed: int = 42,
     max_bucket: int = 4096,
+    direct_block_max: int = 512,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on a hyperplane-LSH
     band bucket: the pair join keys on (label, band_id, bucket), never
@@ -339,22 +399,36 @@ def neardup_pairs_lsh_blocked(
     sf0.001/0.01/0.1 (tests/test_dedup.py pins it; r=3, b=32 also
     passed but costs ~1.7x the wall for a weaker bound).
 
-    Same shape as minhash_lsh_pairs: signature map (Arrow matmul, see
-    :func:`lsh_band_buckets_udf`) -> posexplode to (band_id, bucket)
-    rows -> groupBy block key + in-group pair expansion (one shuffle)
-    -> distinct candidate id-pairs -> exact verify join.
-    ``max_bucket`` caps degenerate buckets exactly like the minhash
-    path. (A first-agreeing-band emission that avoids the distinct was
-    benchmarked and LOST: carrying the band array through the groupBy
-    plus the per-candidate fold costs more than a distinct over id
-    pairs, which shuffles ~16 bytes per candidate.)
+    BLOCK-SIZE-ADAPTIVE ROUTING (``direct_block_max``): banding only
+    pays for itself when a block is big enough that pruning beats the
+    candidate machinery's overhead. A block of n rows costs ~n^2/2
+    exact dots on the direct path, vs bands*n explode rows + groupBy +
+    pair-distinct + the same verified dots on the banded path — and at
+    a weak threshold (cos 0.3 => per-band agree probability ~0.36) the
+    bands prune almost nothing, so for small blocks the banded path is
+    strictly overhead (measured at sf0.1: 199,307 of 199,000 possible
+    pairs survived banding — 0% pruning for ~1.6 s of candidate work).
+    Blocks with <= ``direct_block_max`` rows therefore take the exact
+    all-pairs equi-join on the block key; only larger blocks enter the
+    LSH signature -> band-bucket -> verify pipeline. This is the
+    production fuzzy-dedup layout: the quadratic risk LSH exists to
+    kill only materializes past a block size, and below it all-pairs
+    is both exact and cheaper. ``direct_block_max=0`` forces every
+    block through LSH (the recall test pins that route's equality).
+
+    Banded route, same shape as minhash_lsh_pairs: signature map
+    (Arrow matmul, see :func:`lsh_band_buckets_udf`) -> posexplode to
+    (band_id, bucket) rows -> groupBy block key + in-group pair
+    expansion (one shuffle) -> distinct candidate id-pairs -> exact
+    verify join. ``max_bucket`` caps degenerate buckets exactly like
+    the minhash path. (A first-agreeing-band emission that avoids the
+    distinct was benchmarked and LOST: carrying the band array through
+    the groupBy plus the per-candidate fold costs more than a distinct
+    over id pairs, which shuffles ~16 bytes per candidate.)
     """
-    check_dim(vectors, vec_col, dim)
-    # NO repartition here: the signature path and the two verify sides
-    # each re-scan the (column-pruned) source instead of sharing one
-    # full-vector exchange — three pruned scans are cheaper than one
-    # shuffle of every embedding, at this SF (one fewer stage) and at
-    # 100 TB (a scan streams, an exchange materializes).
+    if direct_block_max <= 0:
+        # the probe below subsumes this check on the adaptive path
+        check_dim(vectors, vec_col, dim)
     raw = vectors.select(id_col, F.col(label_col).alias("_lbl"), vec_col)
 
     # --- stage 0, EXACT-DEDUP-FIRST (the duplicate-pileup defense,
@@ -387,44 +461,105 @@ def neardup_pairs_lsh_blocked(
     # linear cost that buys back the quadratic candidate explosion.
     canon = raw.join(redundant, id_col, "left_anti")
 
-    sig_udf = lsh_band_buckets_udf(dim, bands, rows_per_band, seed)
-    sig = canon.select(id_col, "_lbl", sig_udf(F.col(vec_col)).alias("_bkts"))
-    buckets = sig.select(
-        id_col, "_lbl", F.posexplode("_bkts").alias("band_id", "bucket")
+    # ONE shared post-anti-join frame feeds the signature stage, both
+    # verify sides, and the intra-group expansion: the pre-cast double
+    # array + norm are computed once and localCheckpoint'ed, so the
+    # parquet scan + anti-join run once instead of three times (the
+    # prior three-pruned-scans layout re-executed the anti-join per
+    # consumer — measured ~35% of the query's wall at sf0.1). The
+    # checkpoint carries (id, label, vector, norm) — exactly what a
+    # production job would persist between the signature and verify
+    # passes of an LSH dedup; it is bounded by the canonical corpus
+    # size, never by pair count.
+    nrm_raw = F.sqrt(
+        F.aggregate(as_double_array(vec_col), F.lit(0.0), lambda a, x: a + x * x)
     )
-    grouped = (
-        buckets.groupBy("_lbl", "band_id", "bucket")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("L"))
-        .where((F.size("L") >= 2) & (F.size("L") <= max_bucket))
+    w = (
+        canon.select(
+            id_col,
+            "_lbl",
+            as_double_array(vec_col).alias("_e"),
+            nrm_raw.alias("_n"),
+        )
+        .localCheckpoint(eager=False)
     )
-    pairs_arr = F.expr(
-        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        grouped.select("_lbl", F.explode(pairs_arr).alias("p"))
-        .select("_lbl", "p.id_a", "p.id_b")
-        .distinct()
-    )
-    # verify stage: zip_with/aggregate FOLDS on purpose — Spark's
-    # higher-order functions run as tight JVM array loops, while an
-    # unrolled 64-term `a[0]*b[0] + ...` expression was measured ~4x
-    # SLOWER here (the giant generated method falls off the JIT fast
-    # path). Broadcast-sized join sides carry the pre-cast double
-    # arrays once per row, not per pair.
-    w = canon.select(id_col, as_double_array(vec_col).alias("_e"))
-    nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
-    w = w.withColumn("_n", nrm)
-    a = w.select(F.col(id_col).alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na"))
-    b = w.select(F.col(id_col).alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb"))
+
+    # Route probe: ONE driver action reads (a) how many blocks exceed
+    # the direct cutoff — decides whether the banded subplan exists at
+    # all — and (b) the min/max vector width, subsuming check_dim's
+    # separate probe job. One aggregated row regardless of label
+    # cardinality or corpus size.
+    if direct_block_max > 0:
+        sizes = w.groupBy("_lbl").agg(
+            F.count(F.lit(1)).alias("_bn"), F.first(F.size("_e")).alias("_d")
+        )
+        probe = sizes.agg(
+            F.sum((F.col("_bn") > direct_block_max).cast("int")).alias("nbig"),
+            F.min("_d").alias("dmin"),
+            F.max("_d").alias("dmax"),
+        ).head()
+        if probe["dmax"] is not None and (probe["dmin"] != dim or probe["dmax"] != dim):
+            bad = probe["dmax"] if probe["dmax"] != dim else probe["dmin"]
+            raise ValueError(
+                f"{vec_col!r} has {bad} elements but dim={dim} was declared"
+            )
+        n_big = int(probe["nbig"] or 0)
+        sizes = sizes.drop("_d")
+    else:
+        n_big = 1
+    wt = w.join(sizes, "_lbl") if (direct_block_max > 0 and n_big > 0) else w
+
+    # exact dot for the banded verify join: zip_with/aggregate FOLDS
+    # on purpose — Spark's higher-order functions run as tight JVM
+    # array loops, while an unrolled 64-term `a[0]*b[0] + ...`
+    # expression was measured ~4x SLOWER (the giant generated method
+    # falls off the JIT fast path). Join sides read the shared
+    # checkpointed frame, which carries the pre-cast double arrays
+    # once per row, not per pair.
     dot = F.aggregate(F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t)
-    verified = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", "_lbl", "cos_sim")
-    )
+
+    verified = None
+    if direct_block_max > 0:
+        # direct route: exact all-pairs within each small block via the
+        # Arrow gram-matrix kernel; the engine-side round + threshold
+        # here is the decision point (the kernel pre-filters with slack)
+        small = wt.where(F.col("_bn") <= direct_block_max).drop("_bn") if n_big > 0 else wt
+        verified = (
+            _direct_block_pairs(small, id_col, threshold)
+            .withColumn("cos_sim", F.round("_raw", 6))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "_lbl", "cos_sim")
+        )
+
+    if n_big > 0:
+        big = wt.where(F.col("_bn") > direct_block_max).drop("_bn") if direct_block_max > 0 else wt
+        sig_udf = lsh_band_buckets_udf(dim, bands, rows_per_band, seed)
+        sig = big.select(id_col, "_lbl", sig_udf(F.col("_e")).alias("_bkts"))
+        buckets = sig.select(
+            id_col, "_lbl", F.posexplode("_bkts").alias("band_id", "bucket")
+        )
+        grouped = (
+            buckets.groupBy("_lbl", "band_id", "bucket")
+            .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("L"))
+            .where((F.size("L") >= 2) & (F.size("L") <= max_bucket))
+        )
+        from wnv_etl_lab2_spark.operators.dedup import pair_explode
+
+        cand = pair_explode(grouped, "L", "id_a", "id_b", keep=["_lbl"]).distinct()
+        va = w.select(
+            F.col(id_col).alias("id_a"), F.col("_e").alias("ea"), F.col("_n").alias("na")
+        )
+        vb = w.select(
+            F.col(id_col).alias("id_b"), F.col("_e").alias("eb"), F.col("_n").alias("nb")
+        )
+        banded = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cos_sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "_lbl", "cos_sim")
+        )
+        verified = banded if verified is None else verified.unionByName(banded)
 
     # --- expansion 1: verified rep pairs fan back out to member pairs
     # (cosine unchanged — members are bit-identical to their rep)
@@ -455,18 +590,16 @@ def neardup_pairs_lsh_blocked(
         / (F.col("_n") * F.col("_n")),
         6,
     )
-    intra_pairs_arr = F.expr(
-        "flatten(transform(_members, (x, i) -> transform("
-        "slice(_members, i + 2, size(_members) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
-    intra = (
+    from wnv_etl_lab2_spark.operators.dedup import pair_explode
+
+    intra_src = (
         dup_groups.join(w.select(F.col(id_col).alias("_rep"), "_e", "_n"), "_rep")
         .withColumn("cos_sim", self_cos)
         .where(F.col("cos_sim") >= threshold)
-        .select("_lbl", "cos_sim", F.explode(intra_pairs_arr).alias("p"))
-        .select("p.id_a", "p.id_b", "_lbl", "cos_sim")
     )
+    intra = pair_explode(
+        intra_src, "_members", "id_a", "id_b", keep=["_lbl", "cos_sim"]
+    ).select("id_a", "id_b", "_lbl", "cos_sim")
     return cross.unionByName(intra).select(
         "id_a", "id_b", F.col("_lbl").alias(label_col), "cos_sim"
     )

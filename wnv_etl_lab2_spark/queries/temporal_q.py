@@ -453,7 +453,7 @@ def decayed_rolling_features(spark, sf_dir):
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            MAX(ts) AS last_ts
     FROM events
     GROUP BY user_id
@@ -477,12 +477,21 @@ def incremental_agg_merge(spark, sf_dir):
 
     The split here is the corpus's last day vs everything before it;
     the oracle recomputes over all events, so the driver hash verifies
-    merge(state, delta) == recompute(all) exactly."""
+    merge(state, delta) == recompute(all) exactly.
+
+    The sum is carried as DECIMAL(18,2), not double: double addition
+    is non-associative, so a double-summed merge(state, delta) could
+    round differently from recompute(all) within ~1 ulp of a .005
+    boundary and flip the representation-sensitive driver hash.
+    ``value`` holds 2-decimal money-like values, so the decimal cast
+    is exact on both engines and decimal addition makes the monoid
+    merge literally associative — merge == recompute bit-for-bit, by
+    construction rather than by luck."""
     e = load_table(spark, "events", sf_dir)
     cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp_ntz")
     agg = [
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("_sv"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
         F.max("ts").alias("last_ts"),
     ]
     state = e.where(F.col("ts") < cutoff).groupBy("user_id").agg(*agg)
@@ -502,9 +511,12 @@ def incremental_agg_merge(spark, sf_dir):
     return s.join(d, "user_id", "full_outer").select(
         "user_id",
         (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_events"),
-        F.round(
-            F.coalesce("sv_s", F.lit(0.0)) + F.coalesce("sv_d", F.lit(0.0)), 2
-        ).alias("sum_value"),
+        (
+            F.coalesce(F.col("sv_s"), F.lit("0").cast("decimal(18,2)"))
+            + F.coalesce(F.col("sv_d"), F.lit("0").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("sum_value"),
         F.greatest(
             F.coalesce("ts_s", "ts_d"), F.coalesce("ts_d", "ts_s")
         ).alias("last_ts"),

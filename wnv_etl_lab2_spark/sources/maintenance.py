@@ -17,27 +17,39 @@ number.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 
 
-def _tree_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(name, bytes) of every data file under ``path``, resolved
+    through Hadoop's FileSystem API so the SAME code sizes local dirs,
+    hdfs:// and s3a:// tables — an ``os.walk`` here silently returned
+    0 bytes for any non-local URI, which made compaction rewrite the
+    whole dataset through ``repartition(1)``: one task, one giant
+    file, exactly the failure the module exists to prevent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise ValueError(f"compaction source does not exist: {path}")
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append((name, int(st.getLen())))
+    return out
 
 
-def data_file_count(path: str, suffix: str = ".parquet") -> int:
-    return sum(
-        1
-        for root, _dirs, files in os.walk(path)
-        for f in files
-        if f.endswith(suffix) and not f.startswith(("_", "."))
-    )
+def _tree_bytes(spark: SparkSession, path: str) -> int:
+    return sum(b for _n, b in _list_data_files(spark, path))
+
+
+def data_file_count(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> int:
+    return sum(1 for n, _b in _list_data_files(spark, path) if n.endswith(suffix))
 
 
 def compact_parquet(
@@ -58,11 +70,11 @@ def compact_parquet(
     repartition) — cheap data clustering so min/max footer stats prune
     better on the named columns.
     """
-    n_bytes = _tree_bytes(src_path)
+    n_bytes = _tree_bytes(spark, src_path)
     n_files = max(1, round(n_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)
     out = df.repartition(n_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     out.write.mode("overwrite").parquet(dst_path)
-    return data_file_count(dst_path)
+    return data_file_count(spark, dst_path)
