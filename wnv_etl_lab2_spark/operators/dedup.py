@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Deterministic affine hash params (a*h31 + b mod p) in 31-bit space:
 # a < 2^30 and h31 < 2^31 keep a*h31 + b < 2^62, so the arithmetic
@@ -139,8 +140,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 1024,
+    expand_members: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact-Jaccard verify.
+
+    ``expand_members=False`` returns the REDUCED edge set — verified
+    rep-level pairs plus (rep, member) star edges for exact-duplicate
+    groups — instead of the full member-level fan-out. Connected
+    components over the reduced set equal components over the full
+    expansion (members reach each other through their rep), at a
+    fraction of the cost: consumers that only need dedup GROUPS
+    (corpus_curation_stats) skip the quadratic intra-group expansion
+    and the double-explode cross fan-out entirely.
 
     rows-per-band r = num_hashes // bands; candidate probability for a
     pair at Jaccard j is 1-(1-j^r)^bands (r=2, b=16: j=0.5 -> 0.99).
@@ -163,6 +174,7 @@ def minhash_lsh_pairs(
     inherit the rep pair's Jaccard bit-for-bit).
     """
     r = num_hashes // bands
+    assert bands * r == num_hashes
     h1, h2 = F.xxhash64(F.col(text_col)), F.xxhash64(F.lit(1), F.col(text_col))
     dup_groups = (
         docs.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
@@ -177,6 +189,14 @@ def minhash_lsh_pairs(
     )
     canon = docs.join(redundant, id_col, "left_anti")
     shingled = _shingled(canon, id_col, text_col)
+    # Signature as ONE array<long> column built by a lambda over the
+    # hash-constant arrays — identical values to the 32-named-column
+    # form (_signature_exprs), but a ~10x smaller expression tree.
+    # The wide form made every analysis/physical-planning pass of this
+    # plan (each localCheckpoint call plans eagerly, plus the final
+    # action) cost ~1 s of DRIVER time per query build — the dominant
+    # cost of the whole pipeline at bench SF, and pure overhead at any
+    # SF since planning happens once regardless of data size.
     sig = shingled.selectExpr(
         id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
     ).selectExpr(id_col, *_signature_exprs(num_hashes))
@@ -227,6 +247,24 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
+    if not expand_members:
+        # Star edges (rep -> each later member), gated on the rep
+        # having a shingle set — the same <3-word rule the expanded
+        # intra pairs apply, so both edge sets span identical vertices.
+        star = (
+            dup_groups.join(
+                shingled.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
+            )
+            .select(
+                F.col("_rep").alias("doc_a"),
+                F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias(
+                    "doc_b"
+                ),
+            )
+            .withColumn("jaccard", F.lit(1.0))
+        )
+        return verified.unionByName(star)
+
     # expansion 1: verified rep pairs -> member pairs (identical
     # shingle sets, so the Jaccard carries over bit-for-bit)
     ma = dup_groups.select(F.col("_rep").alias("doc_a"), F.col("_members").alias("_ma"))
@@ -265,6 +303,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation — the step that turns near-dup PAIRS into dedup
@@ -286,9 +325,54 @@ def connected_components(
     each round is one shuffle of (vertex, label) pairs, never edges
     times labels.
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # Checkpoint the edge list BEFORE the symmetrizing self-union:
+    # both union branches derive from the same materialized RDD, so an
+    # expensive upstream pair pipeline (MinHash LSH in
+    # corpus_curation_stats) executes once, not once per branch.
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=False)
+    n_edges = edges.count()  # materializes the checkpoint; needed by both routes
+
+    # SIZE-ADAPTIVE ROUTING (same policy as the near-dup pair kernels,
+    # commit 500a3bd): a verified near-dup edge list is orders of
+    # magnitude smaller than its corpus — at sf0.1 it is ~250 rows, and
+    # even a 100 TB corpus's post-verify graph often fits the bound.
+    # Below ``driver_max_edges`` (2M edges ≈ 32 MB — a BOUNDED driver
+    # artifact, like the 512-row IVF sample) a driver union-find
+    # replaces the iterative join loop, whose per-round cost is pure
+    # job-scheduling latency at this size (measured: 1.4 s for 249
+    # edges vs <0.1 s union-find). Larger graphs take the distributed
+    # min-label loop below — the 100 TB worst-case path is unchanged.
+    # Both routes return identical (id, comp_id = min id in component).
+    if n_edges <= driver_max_edges:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # union-by-min: root stays the min id
+        verts = {v for r in rows for v in (r[0], r[1])}
+        id_type = edges.schema["a"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("comp_id", id_type)]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(v, find(v)) for v in verts], schema
+        )
+
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)  # reused every round
     # init: comp = min(self, direct neighbors)
     labels = (

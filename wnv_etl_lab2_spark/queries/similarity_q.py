@@ -426,7 +426,13 @@ def corpus_curation_stats(spark, sf_dir):
     from wnv_etl_lab2_spark.functions import quality as Q
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+    # expand_members=False: components only need the reduced rep-level
+    # edge set (star edges reach every member) — skips the quadratic
+    # intra-group and cross fan-out expansions this query would pay
+    # for pairs it never reports.
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, threshold=0.5, expand_members=False
+    )
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
     q = docs.select(
         "doc_id", "source", Q.word_cnt().alias("wc"), Q.quality_keep().alias("passq")
