@@ -61,77 +61,66 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 _FRONT = [
-    # Round-4 window. Rotation history: r1 = relational/spatial/SQL
-    # surface (50 greens); r2 = LLM-pipeline + temporal block (49
-    # greens, 1 red); r3 = remaining oracle-backed + the rows-only set
-    # + flagships (47 green, 2 red on an environment change, 7
-    # rows-only checks). Every registered query now has at least one
-    # driver row. This round: (a) re-earn the two r3 reds — both
-    # crashed on the new TIMESTAMP_NTZ testdata type, fixed via
-    # functions/timeutil.epoch_us; (b) new round-4 queries; (c) only
-    # oracle-backed entries (the rows-only set got its stability check
-    # in r3; keeping it out preserves the all-exact-oracles window
-    # invariant pinned by tests/test_entry.py), refreshed
-    # oldest-green-first so r1 evidence doesn't go stale.
-    #
-    # (a) the two r3 reds (TIMESTAMP_NTZ fix)
-    "sessionize_events",
-    "decayed_rolling_features",
-    # (b) upgraded rows-only -> exact oracle this round: the stub
-    # decode / pandas kernel are deterministic arithmetic, so DuckDB
-    # recomputes the features exactly
-    "multimodal_binary_features",
-    "text_quality_pandas_udf",
-    "dedup_simhash",
-    # (b) new round-4 operators (incremental-crawl dedup, tokenizer
-    # induction statistics, batch-packing length deciles)
-    "incremental_dedup_new_docs",
-    "bpe_pair_merge_counts",
-    "ntile_length_buckets",
-    "pareto_frontier_curation",
-    "containment_pairs",
-    "deterministic_shuffle_order",
-    "mixture_resample",
-    "incremental_agg_merge",
-    "skew_key_diagnosis",
-    # (c) stale-green re-verifies, oldest (r1) first — new round-4
-    # queries displace entries from the END (keep _FRONT at exactly 50)
-    "sales_opportunity",
-    "nullsafe_join",
-    "order_count_histogram",
-    "order_priority_check",
-    "shipping_priority_buckets",
-    "projection_concat",
-    "clean_cast_filter",
-    "constant_column",
-    "row_count",
-    "groupby_agg",
-    "distinct_count",
-    "dedup_distinct_rows",
-    "scalar_string_date_funcs",
-    "intersect_keys",
-    "except_keys",
-    "anti_join_no_premium_order",
-    "semi_join_open_orders",
-    "outer_join_order_counts",
-    "window_running_sum",
-    "window_range_frame",
-    "misc_agg_filter_bool",
-    "salted_join_agg",
-    "window_rank_variants",
-    "zone_overlay",
-    "polygon_clip_area",
-    "grouping_sets_agg",
-    "window_navigation",
-    "asof_join_click_view",
-    "range_join_maintenance",
-    "percentile_agg",
-    "unpivot_part_metrics",
-    "array_functions",
-    "points_from_xy",
-    "sliding_window_batch",
-    "gap_fill_locf",
-    "event_funnel",
+    # Round-5 window (oldest-green-first; all exact-oracle entries —
+    # the invariant tests/test_entry.py pins). Rotation history: r1 =
+    # relational/spatial/SQL surface; r2 = LLM-pipeline + temporal; r3 =
+    # remaining oracle-backed + rows-only; r4 = new ops + the whole
+    # r1-stale block. After r4 every query's newest green is r2+, so
+    # this window = ALL 34 queries whose last green is r2 (three rounds
+    # old), plus the 16 highest-value r3-green entries (flagship
+    # spatial slice, TPC-H heads, packing, pandas-UDF surfaces).
+    # (a) the 34 r2-stale queries
+    "cohort_retention",
+    "event_dedup_window",
+    "text_stats",
+    "token_count",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "decontamination_overlap",
+    "repetition_filter",
+    "ngram_counts_top",
+    "embedding_norms",
+    "ann_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "embedding_quantize_int8",
+    "corpus_curation_stats",
+    "neardup_keep_better",
+    "knn_join_bruteforce",
+    "binary_frame_fingerprints",
+    "deterministic_sample",
+    "stratified_sample_topk",
+    "quality_rules_filter",
+    "doc_chunking",
+    "embedding_centroid_stats",
+    "source_mixture_weights",
+    "vocab_coverage",
+    "stable_doc_ids",
+    "groupwise_zscore_arrow",
+    "repeated_span_removal",
+    # (b) 16 r3-stale re-verifies
+    "pricing_summary",
+    "multiway_join_topk_revenue",
+    "window_topk_per_group",
+    "tumbling_window_batch",
+    "spatial_buffer_erase",
+    "spatial_within_buffer",
+    "spatial_join_count",
+    "spatial_zone_rollup",
+    "spray_targets",
+    "sequence_packing",
+    "salted_groupby",
+    "lookup_enrichment_join",
+    "grouped_agg_pandas_udaf",
+    "denylist_scrub",
+    "word_entropy_quality",
+    "stats_agg",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order
