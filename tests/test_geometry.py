@@ -157,3 +157,65 @@ def test_polygon_clip_area_query_positive(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r.clip_area <= 0.005 * 0.005 + 1e-12
+
+
+# --- general (concave) clip: signed fan decomposition -----------------
+
+from wnv_etl_lab2_spark.operators.geometry import clip_area_general_col  # noqa: E402
+
+# L-shape: [0,4]x[0,2] ∪ [0,2]x[2,4] (area 12). Concave at (2,2).
+L_SHAPE = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0)]
+# Comb: [0,6]x[0,4] minus slots [2,3]x[1,4] and [4,5]x[1,4] (area 18).
+# NOT star-shaped from any vertex — the case plain fan triangulation
+# (unsigned) gets wrong and ear clipping exists to solve.
+COMB = [
+    (0.0, 0.0), (6.0, 0.0), (6.0, 4.0), (5.0, 4.0), (5.0, 1.0), (4.0, 1.0),
+    (4.0, 4.0), (3.0, 4.0), (3.0, 1.0), (2.0, 1.0), (2.0, 4.0), (0.0, 4.0),
+]
+
+GENERAL_CASES = [
+    # (name, subject, clip, expected area) — goldens by rectilinear
+    # decomposition: intersection = sum of box-overlap interval products
+    ("L_x_square", [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)], L_SHAPE, 3.0),
+    ("L_cw_ring", [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)], list(reversed(L_SHAPE)), 3.0),
+    ("comb_contained", [(-1.0, -1.0), (7.0, -1.0), (7.0, 5.0), (-1.0, 5.0)], COMB, 18.0),
+    ("comb_x_slab", [(1.5, 0.5), (4.5, 0.5), (4.5, 2.0), (1.5, 2.0)], COMB, 3.0),
+    ("comb_disjoint", [(10.0, 10.0), (11.0, 10.0), (10.5, 11.0)], COMB, 0.0),
+    ("comb_inside_slot", [(2.2, 2.0), (2.8, 2.0), (2.8, 3.0), (2.2, 3.0)], COMB, 0.0),
+]
+
+
+@pytest.mark.parametrize(
+    "name,subj,clip,want", GENERAL_CASES, ids=[c[0] for c in GENERAL_CASES]
+)
+def test_general_clip_concave_goldens(spark, name, subj, clip, want):
+    df = spark.range(1).select(
+        F.expr(poly_sql(subj)).alias("s"), F.expr(poly_sql(clip)).alias("c")
+    )
+    got = df.select(clip_area_general_col("s", "c", ndigits=9).alias("a")).collect()[0].a
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.parametrize("name,subj,clip", CASES, ids=[c[0] for c in CASES])
+def test_general_clip_agrees_with_convex_path(spark, name, subj, clip):
+    """On convex clip rings the general path must reproduce the
+    SH-direct result exactly (same SH kernel under the fan)."""
+    df = spark.range(1).select(
+        F.expr(poly_sql(subj)).alias("s"), F.expr(poly_sql(clip)).alias("c")
+    )
+    a_gen = df.select(clip_area_general_col("s", "c", ndigits=12).alias("a")).collect()[0].a
+    a_cvx = df.select(clip_area_col("s", "c", ndigits=12).alias("a")).collect()[0].a
+    assert a_gen == pytest.approx(a_cvx, abs=1e-10)
+
+
+def test_general_clip_null_and_degenerate(spark):
+    df = spark.range(1).select(
+        F.expr(poly_sql(SQUARE)).alias("s"),
+        F.expr("CAST(NULL AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)").alias("cnull"),
+        F.expr(poly_sql([(0.0, 0.0), (1.0, 1.0)])).alias("c2"),
+    )
+    row = df.select(
+        clip_area_general_col("s", "cnull").alias("an"),
+        clip_area_general_col("s", "c2").alias("a2"),
+    ).collect()[0]
+    assert row.an is None and row.a2 is None

@@ -94,9 +94,9 @@ def assert_convex_ccw_sql(clip: str) -> str:
     multiply-wound all-left-turn ring passes both checks — detecting
     it needs a total-turning-angle sum, out of scope for axis-aligned
     and convex analytic clips. O(m) per row over rings that are small
-    by construction. For arbitrary concave clip polygons the
-    general-case upgrade is ear-clipping triangulation (clip against
-    each triangle, sum areas); fail-loud here matches the repo policy
+    by construction. For arbitrary concave clip polygons use
+    `clip_area_general_sql` (signed fan decomposition — no convexity
+    precondition); fail-loud here matches the repo policy
     (`operators/dedup.py` connected-components non-convergence).
 
     A NULL clip ring is short-circuited to NULL (matching the
@@ -186,6 +186,75 @@ def clip_convex_sql(subj: str, clip: str) -> str:
         f"flatten(transform(sequence(0, size(_P) - 1), _i -> {edge_out})) END"
     )
     return f"aggregate(sequence(0, {m} - 1), {subj}, (_P, _j) -> {one_edge})"
+
+
+def clip_area_general_sql(subj: str, clip: str) -> str:
+    """Intersection AREA of simple subject ring ``subj`` with an
+    ARBITRARY simple polygon ring ``clip`` — concave rings included —
+    as one pure-Catalyst expression. This closes the general-polygon
+    gap vs the reference's `arcpy.analysis.Intersect`
+    (`GSheetsETL_Lab2.py:125-133`), which accepts concave layers the
+    convex-only Sutherland–Hodgman path rejects via
+    `assert_convex_ccw_sql`.
+
+    Method — signed fan decomposition: for any simple ring C with
+    vertices v0..v(m-1), the fan triangles T_i = (v0, v_i, v_i+1)
+    satisfy  sum_i sign(T_i) * 1_{T_i}(x) = winding_C(x)  for a.e. x
+    (winding numbers are additive), and winding is +-1 inside a
+    simple ring, 0 outside. Hence
+
+        area(P ∩ C) = | sum_i sign(T_i) * area(P ∩ |T_i|) |
+
+    where |T_i| is the triangle as a convex set. Each term is the
+    existing convex machinery: orient the triangle CCW, SH-clip the
+    subject against it, shoelace the result. Unlike ear clipping this
+    needs NO iterative geometry — it is a fold over m-2 triangles, so
+    it stays a per-row JVM expression with no Python and no state,
+    and it is orientation-independent (a CW ring flips every term's
+    sign; the outer abs() absorbs it). Degenerate (collinear)
+    triangles contribute exactly 0 and are skipped.
+
+    Cost is O(m) SH folds per row instead of one — use
+    `clip_area_col` when the clip layer is convex by construction.
+    Self-intersecting clip rings are out of contract (the identity
+    above needs a simple ring).
+    """
+    v0 = f"{clip}[0]"
+    vi = f"{clip}[_ti]"
+    vj = f"{clip}[_ti + 1]"
+    cr = (
+        f"(({vi}.x - {v0}.x) * ({vj}.y - {v0}.y)"
+        f" - ({vi}.y - {v0}.y) * ({vj}.x - {v0}.x))"
+    )
+    tri_ccw = (
+        f"CASE WHEN _tcr > 0 THEN array({v0}, {vi}, {vj}) "
+        f"ELSE array({v0}, {vj}, {vi}) END"
+    )
+    term = let_sql(
+        tri_ccw,
+        "_tri",
+        let_sql(
+            clip_convex_sql(subj, "_tri"),
+            "_CC",
+            f"CASE WHEN _tcr > 0 THEN {poly_area_sql('_CC')} "
+            f"ELSE -{poly_area_sql('_CC')} END",
+        ),
+    )
+    body = f"CASE WHEN _tcr = 0 THEN CAST(0.0 AS DOUBLE) ELSE {term} END"
+    folded = (
+        f"CASE WHEN {clip} IS NULL OR size({clip}) < 3 THEN NULL ELSE "
+        f"abs(aggregate(sequence(1, size({clip}) - 2), CAST(0.0 AS DOUBLE), "
+        f"(_tac, _ti) -> _tac + {let_sql(cr, '_tcr', body)})) END"
+    )
+    return folded
+
+
+def clip_area_general_col(subj: str, clip: str, ndigits: int = 8) -> "F.Column":
+    """ROUNDed general-polygon intersection area column (see
+    clip_area_general_sql). Both operands should be simple column
+    references — pre-project computed rings first (let_sql rationale).
+    """
+    return F.expr(f"round({clip_area_general_sql(subj, clip)}, {ndigits})")
 
 
 def clip_area_col(

@@ -104,7 +104,10 @@ _FRONT = [
     "stable_doc_ids",
     "groupwise_zscore_arrow",
     "repeated_span_removal",
-    # (b) 16 r3-stale re-verifies
+    # (b) new round-5 operator: concave polygon overlay (the general
+    # arcpy.Intersect form; signed fan decomposition)
+    "concave_zone_clip",
+    # (c) 15 r3-stale re-verifies
     "pricing_summary",
     "multiway_join_topk_revenue",
     "window_topk_per_group",
@@ -120,7 +123,6 @@ _FRONT = [
     "grouped_agg_pandas_udaf",
     "denylist_scrub",
     "word_entropy_quality",
-    "stats_agg",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -14,7 +14,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from wnv_etl_lab2_spark.operators.geometry import clip_area_col, rect_poly_sql
+from wnv_etl_lab2_spark.operators.geometry import (
+    clip_area_col,
+    clip_area_general_col,
+    rect_poly_sql,
+)
 from wnv_etl_lab2_spark.operators.spatial import (
     bbox_containment_join,
     bbox_overlap_join,
@@ -174,6 +178,65 @@ def polygon_clip_area(spark, sf_dir):
     pairs = bbox_overlap_join(zones, parcels, cell=0.02)
     return pairs.select(
         "zone_id", "parcel_id", clip_area_col("ppoly", "zpoly").alias("clip_area")
+    )
+
+
+@register(
+    "concave_zone_clip",
+    # Oracle by rectilinear decomposition: the L-shaped zone is exactly
+    # R1 = [xmin,xmax]x[ymin,ym]  ∪  R2 = [xmin,xm]x[ym,ymax] with
+    # disjoint interiors, so area(parcel ∩ L) is the sum of two
+    # interval products — exact in DuckDB without any geometry code.
+    oracle=f"""
+    WITH zones AS ({geo.ZONES_CTE}),
+    parcels AS ({geo.PARCELS_CTE}),
+    z AS (
+      SELECT zone_id, xmin, ymin, xmax, ymax,
+             (xmin + xmax) / 2 AS xm, (ymin + ymax) / 2 AS ym
+      FROM zones
+    )
+    SELECT zone_id, parcel_id,
+           ROUND(
+             greatest(0, least(xmax, pxmax) - greatest(xmin, pxmin))
+               * greatest(0, least(ym, pymax) - greatest(ymin, pymin))
+             + greatest(0, least(xm, pxmax) - greatest(xmin, pxmin))
+               * greatest(0, least(ymax, pymax) - greatest(ym, pymin)),
+           8) AS clip_area
+    FROM z JOIN parcels p
+      ON xmin < pxmax AND pxmin < xmax AND ymin < pymax AND pymin < ymax
+    """,
+)
+def concave_zone_clip(spark, sf_dir):
+    """CONCAVE polygon overlay — the general form of the reference's
+    `arcpy.analysis.Intersect` (`GSheetsETL_Lab2.py:125-133`), which
+    accepts arbitrary polygon layers, not just convex ones. Each risk
+    zone becomes an L-shaped 6-vertex ring (its bbox minus the
+    top-right quadrant — concave at the inner corner); parcels stay
+    rectangles. The refine step is the signed-fan-decomposition
+    kernel (operators/geometry.clip_area_general_sql): pure Catalyst,
+    orientation-independent, valid for any simple clip ring. Pairs
+    come from the same grid-bucketed bbox_overlap_join as the convex
+    overlay, so the scale shape is unchanged; pairs overlapping only
+    the removed quadrant legitimately report area 0."""
+    xm, ym = "(xmin + xmax) / 2", "(ymin + ymax) / 2"
+    lring = (
+        "array("
+        "named_struct('x', xmin, 'y', ymin), "
+        "named_struct('x', xmax, 'y', ymin), "
+        f"named_struct('x', xmax, 'y', {ym}), "
+        f"named_struct('x', {xm}, 'y', {ym}), "
+        f"named_struct('x', {xm}, 'y', ymax), "
+        "named_struct('x', xmin, 'y', ymax))"
+    )
+    zones = geo.risk_zones(spark, sf_dir).withColumn("zring", F.expr(lring))
+    parcels = geo.parcel_boxes(spark, sf_dir).withColumn(
+        "pring", F.expr(rect_poly_sql("pxmin", "pymin", "pxmax", "pymax"))
+    )
+    pairs = bbox_overlap_join(zones, parcels, cell=0.02)
+    return pairs.select(
+        "zone_id",
+        "parcel_id",
+        clip_area_general_col("pring", "zring").alias("clip_area"),
     )
 
 
