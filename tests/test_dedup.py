@@ -335,3 +335,29 @@ def test_neardup_pairs_under_duplicate_pileup(spark, sf_dir):
     )
     # sanity: the fixture genuinely exercises the pileup paths
     assert any(a // k == b // k for a, b in want), "no intra-group pair in fixture"
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"])
+def test_ann_recall_floors_across_sf(spark, sf):
+    """Recall floors at the driver's own SFs, not just the tiny test
+    fixture: bucket geometry shifts with corpus size (more vectors per
+    hyperplane cell / IVF cluster), so a probing or banding regression
+    can hide at sf0.001 and only surface at sf0.1. Measured recall@10:
+    sf0.01 lsh 4, ivf 6; sf0.1 lsh 7, ivf 7 — floors one below."""
+    import os
+    if not os.path.isdir(sf):
+        pytest.skip(f"{sf} not present")
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    exact = REGISTRY["ann_topk_bruteforce"].fn(spark, sf).toPandas()
+    lsh = REGISTRY["ann_topk_lsh"].fn(spark, sf).toPandas()
+    ivf = REGISTRY["ann_topk_ivf"].fn(spark, sf).toPandas()
+    lsh_r = len(set(lsh.vec_id) & set(exact.vec_id))
+    ivf_r = len(set(ivf.vec_id) & set(exact.vec_id))
+    assert lsh_r >= 3, f"LSH recall@10 regressed at {sf}: {lsh_r}/10"
+    assert ivf_r >= 5, f"IVF recall@10 regressed at {sf}: {ivf_r}/10"
+    # exact re-rank invariants hold at every SF
+    assert list(lsh.cos_sim) == sorted(lsh.cos_sim, reverse=True)
+    assert lsh.cos_sim.max() <= exact.cos_sim.max()
+    assert ivf.cos_sim.max() <= exact.cos_sim.max()
