@@ -116,3 +116,47 @@ def test_format_roundtrips_preserve_values(spark, sf_dir, tmp_path):
         got_df = Pipeline(source_fn(path, **src_kwargs) if src_kwargs else source_fn(path)).build(spark)
         got = sorted(map(tuple, got_df.select("n_nationkey", "n_name", "n_regionkey").toPandas().values.tolist()))
         assert got == want, f"{sink_fn.__name__} roundtrip drifted"
+
+
+def test_recorded_redirect_flow_end_to_end(spark, tmp_path):
+    """Byte-replay of the reference's recorded sheet fetch
+    (`Nonewnv.log:3-6`): publish URL answers 307 with a Location to
+    the googleusercontent host, which serves the CSV 200. The full
+    fetch -> landing -> spark.read path runs against the recording."""
+    from wnv_etl_lab2_spark.sources.http import read_http_csv, replay_opener
+
+    pub = "https://docs.example/spreadsheets/d/e/KEY/pub?output=csv"
+    real = "https://doc-14-0c.sheets.example/pub/KEY?output=csv"
+    csv = b"ADDRESS,CITY\n825 Walnut St,Boulder\n633 S Broadway,Boulder\n"
+    opener = replay_opener(
+        {
+            pub: (307, {"Location": real}, b""),
+            real: (200, {"Content-Type": "text/csv"}, csv),
+        }
+    )
+    landing = str(tmp_path / "landing" / "wnv.csv")
+    df = read_http_csv(spark, pub, landing, opener, "ADDRESS string, CITY string")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].ADDRESS == "825 Walnut St"
+    with open(landing, "rb") as f:
+        assert f.read() == csv  # landing file is the verbatim body
+
+
+def test_replay_opener_error_semantics():
+    from wnv_etl_lab2_spark.sources.http import replay_opener
+
+    import pytest as _pytest
+
+    loop = replay_opener({"u": (307, {"Location": "u"}, b"")})
+    with _pytest.raises(RuntimeError, match="redirect loop"):
+        loop("u")
+    missing_loc = replay_opener({"u": (302, {}, b"")})
+    with _pytest.raises(ValueError, match="without Location"):
+        missing_loc("u")
+    err = replay_opener({"u": (404, {}, b"not found")})
+    with _pytest.raises(RuntimeError, match="HTTP 404"):
+        err("u")
+    unknown = replay_opener({})
+    with _pytest.raises(KeyError):
+        unknown("u")

@@ -26,6 +26,44 @@ from wnv_etl_lab2_spark.pipeline import csv_source
 Opener = Callable[[str], bytes]
 
 
+def replay_opener(
+    responses: dict[str, tuple[int, dict[str, str], bytes]],
+    max_redirects: int = 5,
+) -> Opener:
+    """Recorded-response opener: replays ``url -> (status, headers,
+    body)`` with the same observable semantics a requests/urllib
+    opener has — 3xx follows the ``Location`` header (the reference's
+    published-sheet GET is answered with a 307 to googleusercontent
+    before the 200 CSV, `Nonewnv.log:3-6`), 2xx returns the body,
+    anything else raises. This closes the gap between "opener
+    contract tested" and "redirect-following opener tested" without a
+    socket: integration tests drive fetch -> landing -> spark.read
+    end-to-end against the recorded flow, and a capture of real
+    traffic can be replayed byte-for-byte.
+    """
+
+    def opener(url: str) -> bytes:
+        seen = 0
+        while True:
+            if url not in responses:
+                raise KeyError(f"no recorded response for {url!r}")
+            status, headers, body = responses[url]
+            if 300 <= status < 400:
+                seen += 1
+                if seen > max_redirects:
+                    raise RuntimeError(f"redirect loop at {url!r}")
+                loc = {k.lower(): v for k, v in headers.items()}.get("location")
+                if not loc:
+                    raise ValueError(f"{status} response without Location: {url!r}")
+                url = loc
+                continue
+            if 200 <= status < 300:
+                return body
+            raise RuntimeError(f"HTTP {status} for {url!r}")
+
+    return opener
+
+
 def fetch_to_landing(url: str, landing_path: str, opener: Opener) -> str:
     """GET ``url`` and write the body verbatim (reference parity:
     overwrite any prior landing file, `Lab2ETL.py:54-60`)."""
