@@ -132,63 +132,6 @@ def minhash_signatures(
     return base.selectExpr(id_col, *_signature_exprs(num_hashes))
 
 
-def minhash_band_buckets(
-    shingled: DataFrame, id_col: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """(id, band_id, band_sig) LSH bucket rows from the (id, _sh)
-    shingle frame, computed in one Arrow-vectorized mapInPandas pass:
-    h31 = shingle-hash mod 2^31 (bitmask — the modulus is a power of
-    two), minhash matrix (n_shingles x num_hashes) via the affine
-    re-hash, per-doc np.minimum.reduceat, bands combined r-at-a-time.
-    Values are bit-identical to the SQL form in `_signature_exprs`
-    (same constants, same arithmetic); see minhash_lsh_pairs for why
-    the kernel replaced the 48-wide-column Catalyst pipeline."""
-    import numpy as np
-    import pandas as pd
-
-    r = num_hashes // bands
-    A = np.array(_A[:num_hashes], dtype=np.uint64)
-    B = np.array(_B[:num_hashes], dtype=np.uint64)
-    P = np.uint64(_P)
-    id_dt = shingled.schema[id_col].dataType.simpleString()
-
-    def _kernel(batches):
-        band_ids = np.arange(bands, dtype=np.int32)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            lens = pdf["_sh"].map(len).to_numpy()
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            h = np.concatenate(pdf["_sh"].to_numpy()).astype(np.int64)
-            h31 = (h.astype(np.uint64)) & np.uint64(0x7FFFFFFF)
-            vals = (h31[:, None] * A[None, :] + B[None, :]) % P
-            mh = np.minimum.reduceat(vals, offsets, axis=0)  # (n_docs, nh)
-            grouped = mh.reshape(len(lens), bands, r)
-            if r == 1:
-                sig = grouped[:, :, 0].astype(np.int64)
-            elif r == 2:
-                sig = (
-                    grouped[:, :, 0] * np.uint64(1 << 31) + grouped[:, :, 1]
-                ).astype(np.int64)
-            else:
-                sig = np.zeros((len(lens), bands), dtype=np.uint64)
-                for k in range(r):
-                    sig = sig * np.uint64(0x9E3779B97F4A7C15) + grouped[:, :, k]
-                sig = sig.astype(np.int64)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), bands),
-                    "band_id": np.tile(band_ids, len(lens)),
-                    "band_sig": sig.reshape(-1),
-                }
-            )
-
-    return shingled.mapInPandas(
-        _kernel, schema=f"{id_col} {id_dt}, band_id int, band_sig bigint"
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -254,21 +197,21 @@ def minhash_lsh_pairs(
     # action) cost ~1 s of DRIVER time per query build — the dominant
     # cost of the whole pipeline at bench SF, and pure overhead at any
     # SF since planning happens once regardless of data size.
-    # Signature + banding as an Arrow kernel (same rationale as
-    # simhash_signatures): the equivalent Catalyst form — 32 named
-    # array_min(transform(...)) columns + 16 xxhash64 band columns +
-    # a stack() unpivot — made every physical-planning pass of this
-    # plan cost ~1 s of DRIVER time (localCheckpoint plans eagerly,
-    # plus the final action), pure overhead at any data size; and the
-    # HOF per-element evaluation is interpreted anyway, so numpy is
-    # the faster row path too. Same affine constants => identical
-    # minhash values => identical band r-tuples => identical buckets.
-    # The band signature only needs tuple-equality preservation
-    # (candidates are exactly verified downstream); for r == 2 the
-    # combiner mh0 * 2^31 + mh1 is INJECTIVE (each mh < 2^31 - 1, the
-    # sum < 2^62), for r > 2 a splitmix-style fold can only merge
-    # buckets, which adds candidates but never loses a true pair.
-    buckets = minhash_band_buckets(shingled, id_col, num_hashes, bands)
+    sig = shingled.selectExpr(
+        id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
+    ).selectExpr(id_col, *_signature_exprs(num_hashes))
+    # band signature = one long (xxhash64 of the band's minhashes):
+    # joins on (int, long), never on strings.
+    band_cols = [
+        f"xxhash64({', '.join(f'mh_{band * r + i}' for i in range(r))}) AS band_{band}"
+        for band in range(bands)
+    ]
+    banded = sig.selectExpr(id_col, *band_cols)
+    # unpivot to (doc, band_id, band_sig): one row per band
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    buckets = banded.select(
+        id_col, F.expr(f"stack({bands}, {stack_expr}) AS (band_id, band_sig)")
+    )
     # candidate pairs via groupBy bucket + in-group pair expansion:
     # one shuffle, one evaluation of the signature pipeline (a
     # self-join would do both twice). ``max_bucket`` caps degenerate
