@@ -58,6 +58,8 @@ HEADLINE = [
     "containment_pairs",          # Broder containment over capped inverted index (round 4)
     "incremental_dedup_new_docs", # new-batch anti-join vs corpus dedup index (round 4)
     "pareto_frontier_curation",   # two-phase merge-associative skyline (round 4)
+    "dedup_simhash",              # shuffle-free Arrow bit-count kernel (round 5)
+    "concave_zone_clip",          # concave overlay via signed fan decomposition (round 5)
 ]
 
 

@@ -67,8 +67,9 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 16 highest-value r3-green entries (flagship
-    # spatial slice, TPC-H heads, packing, pandas-UDF surfaces).
+    # old), plus the 5 new round-5 operators, plus the 11 highest-value
+    # r3-green entries (flagship spatial slice, TPC-H heads, packing,
+    # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
     "cohort_retention",
     "event_dedup_window",
@@ -104,10 +105,16 @@ _FRONT = [
     "stable_doc_ids",
     "groupwise_zscore_arrow",
     "repeated_span_removal",
-    # (b) new round-5 operator: concave polygon overlay (the general
-    # arcpy.Intersect form; signed fan decomposition)
+    # (b) new round-5 operators: concave polygon overlay (the general
+    # arcpy.Intersect form; signed fan decomposition), LSH-tuning
+    # threshold sweep, Zipf head profile, cross-source near-dup
+    # matrix, column profiler
     "concave_zone_clip",
-    # (c) 15 r3-stale re-verifies
+    "neardup_threshold_sweep",
+    "zipf_top_words",
+    "cross_source_duplication",
+    "table_profile",
+    # (c) 11 r3-stale re-verifies
     "pricing_summary",
     "multiway_join_topk_revenue",
     "window_topk_per_group",
@@ -118,11 +125,7 @@ _FRONT = [
     "spatial_zone_rollup",
     "spray_targets",
     "sequence_packing",
-    "salted_groupby",
-    "lookup_enrichment_join",
     "grouped_agg_pandas_udaf",
-    "denylist_scrub",
-    "word_entropy_quality",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -318,3 +318,79 @@ def pareto_frontier_curation(spark, sf_dir):
         .where("_keep")
         .select("doc_id", "lang", F.col("x").alias("n_chars"), F.col("y").alias("quality"))
     )
+
+
+@register(
+    "cross_source_duplication",
+    # Which sources duplicate each other: for every unordered source
+    # pair (same-source duplication on the diagonal), the number of
+    # NEAR-dup pairs (exact Jaccard >= 0.5 over the df-capped shingle
+    # universe) whose two documents come from those sources. Exact
+    # content duplication is a special case (jaccard = 1) and this
+    # corpus has none below sf0.1, so the near-dup graph is the
+    # non-degenerate definition at every SF.
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= 16),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+    FROM nd JOIN documents da ON nd.doc_a = da.doc_id
+            JOIN documents db ON nd.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_duplication(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup pair counts per
+    unordered source pair — the audit that decides which crawl feeds
+    mirror each other and which deserve their own mixture weight.
+    Shape: the capped-inverted-index pair backbone (shared with
+    ngram_jaccard_pairs); the (doc_id, source) lookup is semi-
+    filtered to pair MEMBERS before it is broadcast — the near-dup
+    pair set is orders of magnitude smaller than the corpus, so the
+    broadcast is bounded by the dedup yield, not the corpus size.
+    Only ids and source labels shuffle, never text."""
+    from wnv_etl_lab2_spark.queries.text_q import _capped_pair_counts
+
+    jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    nd = _capped_pair_counts(spark, sf_dir).where(jac >= 0.5).select("da", "db")
+    nd = nd.localCheckpoint(eager=False)  # feeds the id filter + both joins
+    ids = nd.select(F.explode(F.array("da", "db")).alias("doc_id")).distinct()
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source")
+        .join(F.broadcast(ids), "doc_id", "left_semi")
+    )
+    sa = d.select(F.col("doc_id").alias("da"), F.col("source").alias("_sa"))
+    sb = d.select(F.col("doc_id").alias("db"), F.col("source").alias("_sb"))
+    return (
+        nd.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
+    )

@@ -423,3 +423,71 @@ def pivot_agg(spark, sf_dir):
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     return pv
+
+
+# Column profile spec for `table_profile`: (column, min/max eligible).
+# Doubles are profiled for nulls/distinct only — their string
+# rendering differs across engines (shortest-roundtrip formats), so
+# cross-engine min/max equality cannot be asserted for them, while
+# counts are representation-independent.
+_PROFILE_COLS = [
+    ("l_orderkey", True),
+    ("l_partkey", True),
+    ("l_suppkey", True),
+    ("l_linenumber", True),
+    ("l_quantity", False),
+    ("l_extendedprice", False),
+    ("l_discount", False),
+    ("l_tax", False),
+    ("l_returnflag", True),
+    ("l_linestatus", True),
+    ("l_shipdate", True),
+]
+
+
+def _profile_oracle() -> str:
+    branches = []
+    for col, mm in _PROFILE_COLS:
+        mn = f"MIN(CAST({col} AS VARCHAR))" if mm else "CAST(NULL AS VARCHAR)"
+        mx = f"MAX(CAST({col} AS VARCHAR))" if mm else "CAST(NULL AS VARCHAR)"
+        branches.append(
+            f"SELECT '{col}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT CAST({col} AS VARCHAR)) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_val, {mx} AS max_val FROM lineitem"
+        )
+    return " UNION ALL ".join(branches)
+
+
+@register("table_profile", oracle=_profile_oracle())
+def table_profile(spark, sf_dir):
+    """Column-level profile of lineitem — nulls, exact distinct
+    cardinality, lexicographic min/max of the string rendering (the
+    DESCRIBE-style convention; the reference's observability surface
+    O22 logs row counts, this is its per-column generalization).
+
+    ONE scan: every column is unpivoted to (column_name, value-as-
+    string, minmax-eligible) rows via stack(), then a single groupBy
+    per column computes all four statistics — no per-column scan and
+    no multi-distinct expand. At 100 TB the same plan holds (the
+    shuffle carries one row per non-null cell, the classic profile
+    cost); production profiling would swap COUNT(DISTINCT) for
+    approx_count_distinct, which the exact oracle here cannot check —
+    exactness is the point of this query."""
+    li = load_table(spark, "lineitem", sf_dir)
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING), {'true' if mm else 'false'}"
+        for c, mm in _PROFILE_COLS
+    )
+    ex = li.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, sval, mm)"
+        )
+    )
+    return ex.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("sval").isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
+        F.countDistinct("sval").cast("long").alias("n_distinct"),
+        F.min(F.when(F.col("mm"), F.col("sval"))).alias("min_val"),
+        F.max(F.when(F.col("mm"), F.col("sval"))).alias("max_val"),
+    )

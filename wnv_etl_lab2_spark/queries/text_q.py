@@ -698,3 +698,125 @@ def containment_pairs(spark, sf_dir):
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "neardup_threshold_sweep",
+    # Exact Jaccard distribution over the capped pair universe at the
+    # thresholds an LSH banding would be tuned against — the
+    # measurement that picks (bands, rows-per-band) before a 100 TB
+    # dedup run. Thresholds with zero surviving pairs still report a
+    # row (conditional aggregation, not a filter).
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jac
+        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    t AS (SELECT UNNEST([0.3, 0.5, 0.7, 0.9]) AS threshold)
+    SELECT threshold,
+           CAST(COUNT(CASE WHEN jac >= threshold THEN 1 END) AS BIGINT) AS n_pairs,
+           ROUND(COALESCE(AVG(CASE WHEN jac >= threshold THEN jac END), 0.0), 6)
+             AS avg_jaccard
+    FROM t CROSS JOIN j
+    GROUP BY threshold
+    """,
+)
+def neardup_threshold_sweep(spark, sf_dir):
+    """Threshold sweep over the EXACT near-dup pair graph: for each
+    candidate dedup threshold, how many pairs survive and their mean
+    Jaccard — the tuning table consulted before committing a banding
+    scheme (1-(1-j^r)^b) to a full-corpus run. One pass over the
+    capped-inverted-index backbone shared with `ngram_jaccard_pairs`;
+    the 4-row threshold table is the scalar-broadcast crossJoin
+    pattern, and conditional aggregation keeps zero-pair thresholds
+    in the output."""
+    jac = (F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+        "jac"
+    )
+    pairs = _capped_pair_counts(spark, sf_dir).select(jac)
+    thresholds = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    hit = F.col("jac") >= F.col("threshold")
+    return (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_pairs"),
+            F.round(
+                F.coalesce(F.avg(F.when(hit, F.col("jac"))), F.lit(0.0)), 6
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
+@register(
+    "zipf_top_words",
+    # Corpus Zipf profile: top-20 words by frequency with corpus share
+    # and cumulative share — the measurement behind stop-word lists
+    # and the df-cap (_DF_CAP) the near-dup index relies on.
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (SELECT w, COUNT(*) AS cnt FROM toks WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(cnt) AS t FROM c),
+    ranked AS (
+        SELECT w, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank,
+               SUM(cnt) OVER (ORDER BY cnt DESC, w) AS cum
+        FROM c
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, w AS word,
+           CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / t, 6) AS share,
+           ROUND(cum * 1.0 / t, 6) AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rank <= 20
+    """,
+)
+def zipf_top_words(spark, sf_dir):
+    """Zipf head of the corpus: top-20 words with rank, corpus share,
+    and cumulative share (deterministic tie-break by word). The word
+    counts and the corpus total are combinable aggregates; the window
+    runs over the tiny distinct-word frame, and the total joins back
+    as a broadcast scalar — the ranking never shuffles token rows."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("t"))
+    from pyspark.sql import Window
+
+    order = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    ranked = c.select(
+        "w",
+        "cnt",
+        F.row_number().over(order).alias("rank"),
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).where(F.col("rank") <= 20)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("w").alias("word"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") * 1.0 / F.col("t"), 6).alias("share"),
+        F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("cum_share"),
+    )
