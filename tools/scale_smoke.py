@@ -74,15 +74,22 @@ History — this smoke caught a real quadratic, then verified the fix:
   crawl duplicates most). Same dedup-first treatment
   (`operators/dedup.py`): x16 went from 3.5x to ~1x (flat —
   candidate work is per unique text).
+- `simhash_signatures` was the last superlinear curve (6.6x wall at
+  16x in round 4): the 64-per-bit-SUM aggregate form paid rows x 64
+  aggregate updates per TOKEN through a groupBy shuffle. Rebuilt as a
+  pure map (JVM in-row token hashing + Arrow numpy bit-count kernel,
+  `operators/dedup.py simhash_signatures`): x16 8.13 -> ~2 s and the
+  shuffle is gone entirely.
+- `spatial_distance_anti_join` (round 5): the old form ENUMERATED
+  every in-cell candidate pair via inner join + distinct + join-back
+  — under coordinate pileup (replicated points in the same cells)
+  that is k^2 in-cell, measured 9x wall at 16x. Rewritten as a
+  single anti/semi join with the exact distance predicate in the
+  join CONDITION (true per-row short-circuit) plus distinct-first on
+  avoid coordinates (duplicate avoid points cannot change a
+  verdict): x16 went 2.7 s -> ~0.3 s, ~1x.
 - The replication smoke is adversarial by construction (every doc has
-  k exact copies — the crawl-corpus duplicate-pileup case). The
-  mildly superlinear `simhash_signatures` curve is the per-doc
-  64-aggregate signature meeting deeper reduce-side groups, not pair
-  expansion — it emits one row per doc, so no pileup quadratic exists
-  in it. `spatial_distance_anti_join` replicates BOTH point sides
-  into the same grid cells (k^2 candidate growth in-cell) yet stays
-  ~linear in input because the anti/semi join short-circuits on first
-  match instead of enumerating matches.
+  k exact copies — the crawl-corpus duplicate-pileup case).
 """
 
 

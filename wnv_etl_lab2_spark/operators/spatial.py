@@ -64,21 +64,33 @@ def _gridded(df: DataFrame, x: str, y: str, cell: float, explode_neighbors: bool
     )
 
 
-def _within_distance_matches(
+def _distance_join(
     points: DataFrame,
     avoid: DataFrame,
     radius: float,
-    point_key: str,
+    how: str,
     x: str = "x",
     y: str = "y",
     avoid_x: str = "x",
     avoid_y: str = "y",
 ) -> DataFrame:
-    """Distinct ``point_key`` values having >=1 avoid-point within
-    ``radius`` (planar Euclidean). Grid-bucketed candidate join."""
-    p = _gridded(points.select(point_key, x, y), x, y, radius, explode_neighbors=False)
+    """Grid-bucketed distance semi/anti join: points joined to the
+    3x3-neighbor-exploded avoid cells with the EXACT distance
+    predicate inside the join condition. A semi/anti join with a join
+    filter short-circuits per left row — the first in-cell avoid
+    point within radius settles the verdict — where the former
+    inner-join + distinct + join-back form ENUMERATED every in-cell
+    pair first (quadratic in cell density; the scale smoke measured
+    9x wall at a 16x coincident-point pileup). Avoid coordinates are
+    also distinct-ed first — duplicate avoid points cannot change any
+    verdict, so a pileup of identical opt-outs collapses before the
+    join (same exact-dedup-first defense as the text/embedding LSH
+    paths). One join, no distinct on matches, no join-back."""
+    p = _gridded(points, x, y, radius, explode_neighbors=False)
     a = _gridded(
-        avoid.select(F.col(avoid_x).alias("_ax"), F.col(avoid_y).alias("_ay")),
+        avoid.select(
+            F.col(avoid_x).alias("_ax"), F.col(avoid_y).alias("_ay")
+        ).distinct(),
         "_ax",
         "_ay",
         radius,
@@ -89,12 +101,12 @@ def _within_distance_matches(
     dx = F.col(x) - F.col("_ax")
     dy = F.col(y) - F.col("_ay")
     d2 = dx * dx + dy * dy
-    return (
-        p.join(a, ["_cx", "_cy"], "inner")
-        .where(d2 <= F.lit(radius) * F.lit(radius))
-        .select(point_key)
-        .distinct()
+    cond = (
+        (p["_cx"] == a["_cx"])
+        & (p["_cy"] == a["_cy"])
+        & (d2 <= F.lit(radius) * F.lit(radius))
     )
+    return p.join(a, cond, how).drop("_cx", "_cy")
 
 
 def within_distance_anti_join(
@@ -107,10 +119,11 @@ def within_distance_anti_join(
     """Keep points farther than ``radius`` from EVERY avoid point.
 
     Semantics of the reference's Buffer(1500ft) + Erase chain
-    (`GSheetsETL_Lab2.py:129-133`) on point inputs.
+    (`GSheetsETL_Lab2.py:129-133`) on point inputs. ``point_key`` is
+    retained for API stability; the anti join needs no key column —
+    every point row is kept or dropped wholesale.
     """
-    matches = _within_distance_matches(points, avoid, radius, point_key, **kw)
-    return points.join(matches, point_key, "left_anti")
+    return _distance_join(points, avoid, radius, "left_anti", **kw)
 
 
 def within_distance_semi_join(
@@ -123,8 +136,7 @@ def within_distance_semi_join(
     """Keep points within ``radius`` of at least one avoid point
     (the complementary semi-join; the reference's implicit 'inside the
     buffer' set)."""
-    matches = _within_distance_matches(points, avoid, radius, point_key, **kw)
-    return points.join(matches, point_key, "left_semi")
+    return _distance_join(points, avoid, radius, "left_semi", **kw)
 
 
 def bbox_containment_join(
