@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 5 new round-5 operators, plus the 11 highest-value
+    # old), plus the 7 new round-5 operators, plus the 9 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -114,15 +114,15 @@ _FRONT = [
     "zipf_top_words",
     "cross_source_duplication",
     "table_profile",
-    # (c) 11 r3-stale re-verifies
+    "upsert_snapshot_merge",
+    "temperature_mixture_weights",
+    # (c) 9 r3-stale re-verifies
     "pricing_summary",
     "multiway_join_topk_revenue",
-    "window_topk_per_group",
     "tumbling_window_batch",
     "spatial_buffer_erase",
     "spatial_within_buffer",
     "spatial_join_count",
-    "spatial_zone_rollup",
     "spray_targets",
     "sequence_packing",
     "grouped_agg_pandas_udaf",

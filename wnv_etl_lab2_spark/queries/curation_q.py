@@ -394,3 +394,43 @@ def cross_source_duplication(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"))
     )
+
+
+@register(
+    "temperature_mixture_weights",
+    # Temperature-scaled source sampling weights (the GPT-3/PaLM
+    # mixture trick): w_s ∝ n_s^(1/T) with T = 2 flattens the natural
+    # distribution toward small sources. POW over doubles is IEEE-
+    # identical across engines for these magnitudes after ROUND 6.
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS tot, SUM(POW(n, 0.5)) AS scaled_tot FROM c)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           ROUND(n * 1.0 / tot, 6) AS natural_share,
+           ROUND(POW(n, 0.5) / scaled_tot, 6) AS t2_share,
+           ROUND((POW(n, 0.5) / scaled_tot) / (n * 1.0 / tot), 6) AS boost
+    FROM c CROSS JOIN t
+    """,
+)
+def temperature_mixture_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights per source: natural share,
+    T=2 share (w ∝ n^(1/2)), and the resulting up/down-sampling boost
+    — the knob that keeps small high-quality sources from being
+    drowned by bulk crawl at pre-training time. One count per source
+    plus a broadcast scalar join; pairs with `mixture_resample`, which
+    turns these weights into deterministic per-doc copy counts."""
+    d = load_table(spark, "documents", sf_dir)
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("tot"), F.sum(F.pow("n", 0.5)).alias("scaled_tot")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("natural_share"),
+        F.round(F.pow("n", 0.5) / F.col("scaled_tot"), 6).alias("t2_share"),
+        F.round(
+            (F.pow("n", 0.5) / F.col("scaled_tot")) / (F.col("n") * 1.0 / F.col("tot")),
+            6,
+        ).alias("boost"),
+    )

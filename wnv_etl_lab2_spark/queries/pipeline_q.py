@@ -498,3 +498,59 @@ def ntile_length_buckets(spark, sf_dir):
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "upsert_snapshot_merge",
+    # MERGE INTO semantics (SCD type 1) expressed engine-portably: the
+    # deterministic "updates batch" is derived from orders itself
+    # (keys ending in 3 get a status flip and a 10% price bump; a
+    # shifted key range arrives as inserts), so both engines build the
+    # same batch and the merged snapshot is hash-comparable.
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 1000000, 'N', ROUND(o_totalprice, 2)
+        FROM orders WHERE o_orderkey % 100 = 7
+    )
+    SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_orderstatus, o.o_orderstatus) AS status,
+           COALESCE(u.o_totalprice, ROUND(o.o_totalprice, 2)) AS total
+    FROM orders o FULL OUTER JOIN upd u USING (o_orderkey)
+    """,
+)
+def upsert_snapshot_merge(spark, sf_dir):
+    """MERGE INTO / upsert (SCD type 1): a full-outer join of the
+    current snapshot with an updates batch, update columns winning by
+    COALESCE — matched keys are updated, unmatched update keys are
+    inserts, unmatched snapshot keys pass through. This is the
+    incremental-snapshot maintenance shape Delta/Iceberg MERGE
+    executes under the hood; at 100 TB both sides shuffle on the
+    primary key once (or co-located by bucketing), and the small-
+    batch case becomes a broadcast outer join automatically via AQE.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    upd = (
+        o.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("u_status"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("u_total"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 100 == 7).select(
+                (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+                F.lit("N").alias("u_status"),
+                F.round("o_totalprice", 2).alias("u_total"),
+            )
+        )
+    )
+    merged = o.join(upd, "o_orderkey", "full")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce("u_status", "o_orderstatus").alias("status"),
+        F.coalesce("u_total", F.round("o_totalprice", 2)).alias("total"),
+    )
