@@ -103,13 +103,16 @@ def scd2_apply(
         F.col("_first_from").alias("valid_to"),
         F.lit(False).alias("is_current"),
     )
+    # END_OF_TIME takes the change column's OWN type: the testdata's
+    # event-time columns are TIMESTAMP_NTZ (see functions/timeutil),
+    # and a hard cast to "timestamp" (LTZ) would make the coalesce
+    # branches type-mismatch for NTZ inputs.
+    end_lit = F.lit(END_OF_TIME).cast(ch.schema["_new_from"].dataType)
     opened = ch.select(
         key,
         *[F.col(c) for c in tracked],
         F.col("_new_from").alias("valid_from"),
-        F.coalesce(F.col("_next_from"), F.lit(END_OF_TIME).cast("timestamp")).alias(
-            "valid_to"
-        ),
+        F.coalesce(F.col("_next_from"), end_lit).alias("valid_to"),
         F.col("_next_from").isNull().alias("is_current"),
     )
     cols = [key, *tracked, "valid_from", "valid_to", "is_current"]

@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 7 new round-5 operators, plus the 9 highest-value
+    # old), plus the 8 new round-5 operators, plus the 8 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -115,8 +115,9 @@ _FRONT = [
     "cross_source_duplication",
     "table_profile",
     "upsert_snapshot_merge",
+    "scd2_customer_history",
     "temperature_mixture_weights",
-    # (c) 9 r3-stale re-verifies
+    # (c) 8 r3-stale re-verifies
     "pricing_summary",
     "multiway_join_topk_revenue",
     "tumbling_window_batch",
@@ -124,7 +125,6 @@ _FRONT = [
     "spatial_within_buffer",
     "spatial_join_count",
     "spray_targets",
-    "sequence_packing",
     "grouped_agg_pandas_udaf",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local

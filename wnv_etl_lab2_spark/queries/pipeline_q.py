@@ -523,34 +523,123 @@ def ntile_length_buckets(spark, sf_dir):
     """,
 )
 def upsert_snapshot_merge(spark, sf_dir):
-    """MERGE INTO / upsert (SCD type 1): a full-outer join of the
-    current snapshot with an updates batch, update columns winning by
-    COALESCE — matched keys are updated, unmatched update keys are
-    inserts, unmatched snapshot keys pass through. This is the
-    incremental-snapshot maintenance shape Delta/Iceberg MERGE
-    executes under the hood; at 100 TB both sides shuffle on the
-    primary key once (or co-located by bucketing), and the small-
-    batch case becomes a broadcast outer join automatically via AQE.
-    """
+    """MERGE INTO / upsert (SCD type 1) through the shared
+    `operators/scd.merge_upsert` operator (anti-join the untouched
+    snapshot rows + union the updates — the decomposition Delta/
+    Iceberg MERGE executes under the hood): matched keys are
+    updated, unmatched update keys are inserts, the rest pass
+    through. The oracle expresses the same result as a full-outer
+    join with COALESCE-wins — two formulations, one answer. At
+    100 TB both sides shuffle on the primary key once (or co-locate
+    by bucketing), and a small batch becomes a broadcast join via
+    AQE."""
+    from wnv_etl_lab2_spark.operators.scd import merge_upsert
+
     o = load_table(spark, "orders", sf_dir)
+    target = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
     upd = (
         o.where(F.col("o_orderkey") % 10 == 3)
         .select(
             "o_orderkey",
-            F.lit("U").alias("u_status"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("u_total"),
+            F.lit("U").alias("status"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("total"),
         )
         .unionByName(
             o.where(F.col("o_orderkey") % 100 == 7).select(
                 (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
-                F.lit("N").alias("u_status"),
-                F.round("o_totalprice", 2).alias("u_total"),
+                F.lit("N").alias("status"),
+                F.round("o_totalprice", 2).alias("total"),
             )
         )
     )
-    merged = o.join(upd, "o_orderkey", "full")
-    return merged.select(
-        "o_orderkey",
-        F.coalesce("u_status", "o_orderstatus").alias("status"),
-        F.coalesce("u_total", F.round("o_totalprice", 2)).alias("total"),
+    return merge_upsert(target, upd, "o_orderkey")
+
+
+@register(
+    "scd2_customer_history",
+    # SCD2 dimension maintenance: an all-current customer dimension
+    # (mktsegment tracked, open since 1992) receives the per-(cust,
+    # orderdate) priority changes derived from orders; the oracle
+    # re-derives the version chain with window functions. min_by per
+    # (key, ts) makes the change batch unique BEFORE the apply, so
+    # the operator's dropDuplicates sees no ambiguity.
+    oracle="""
+    WITH ch0 AS (
+      SELECT o_custkey AS c_custkey,
+             arg_min(o_orderpriority, o_orderkey) AS trk,
+             o_orderdate AS ts
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    ch AS (
+      SELECT c_custkey, trk, ts,
+             LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS nxt
+      FROM ch0
+    ),
+    first AS (SELECT c_custkey, MIN(ts) AS f FROM ch0 GROUP BY c_custkey),
+    -- intervals rendered as VARCHAR: the 9999-12-31 open-end sentinel
+    -- overflows nanosecond timestamps in the Arrow->pandas hop on BOTH
+    -- engines; the string form ('YYYY-MM-DD HH:MM:SS') is identical
+    -- across them and range-free
+    vers AS (
+      SELECT c.c_custkey, c.c_mktsegment AS trk,
+             TIMESTAMP '1992-01-01' AS valid_from, f.f AS valid_to,
+             false AS is_current
+      FROM customer c JOIN first f USING (c_custkey)
+      UNION ALL
+      SELECT c.c_custkey, c.c_mktsegment, TIMESTAMP '1992-01-01',
+             TIMESTAMP '9999-12-31', true
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM ch0 WHERE ch0.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, trk, ts, COALESCE(nxt, TIMESTAMP '9999-12-31'),
+             nxt IS NULL
+      FROM ch
+    )
+    SELECT c_custkey, trk,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to,
+           is_current
+    FROM vers
+    """
+,
+)
+def scd2_customer_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 through the shared
+    `operators/scd.scd2_apply` operator: the current version of each
+    changed customer closes at its earliest change, successive
+    changes chain into consecutive [from, to) intervals, only the
+    latest stays current, and customers with no orders pass through
+    open-ended. Change timestamps are the order dates (TIMESTAMP_NTZ
+    — the apply's END_OF_TIME sentinel takes the change column's own
+    type). One shuffle on the key; version chaining is a per-key
+    window over the small change batch."""
+    from wnv_etl_lab2_spark.operators.scd import scd2_apply
+
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    start = F.expr("CAST('1992-01-01 00:00:00' AS TIMESTAMP_NTZ)")
+    end = F.expr("CAST('9999-12-31 00:00:00' AS TIMESTAMP_NTZ)")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("trk"),
+        start.alias("valid_from"),
+        end.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = o.groupBy(
+        F.col("o_custkey").alias("c_custkey"), F.col("o_orderdate").alias("change_ts")
+    ).agg(F.expr("min_by(o_orderpriority, o_orderkey)").alias("trk"))
+    vers = scd2_apply(dim, changes, "c_custkey", "change_ts", ("trk",))
+    # string-rendered intervals: see the oracle note (year-9999 open
+    # end overflows Arrow ns timestamps on the pandas hop)
+    return vers.select(
+        "c_custkey",
+        "trk",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
     )
