@@ -521,3 +521,83 @@ def incremental_agg_merge(spark, sf_dir):
             F.coalesce("ts_s", "ts_d"), F.coalesce("ts_d", "ts_s")
         ).alias("last_ts"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    # Last-touch marketing attribution: each purchase attributes its
+    # revenue to the user's most recent click/view within a 1-hour
+    # lookback, else to 'none'. Touches are collapsed to one per
+    # (user, ts) — MIN(event_type) — BEFORE the as-of match, so both
+    # engines resolve same-timestamp ties identically without
+    # depending on the operator's hash tie-break.
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t1 AS (
+      SELECT user_id, ts, MIN(event_type) AS touch_type FROM events
+      WHERE event_type IN ('click', 'view') GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT p.event_id, p.ts, p.value, l.ts AS touch_ts, l.touch_type,
+             date_diff('microsecond', l.ts, p.ts) / 1000000.0 AS latency_s
+      FROM p LEFT JOIN LATERAL (
+        SELECT ts, touch_type FROM t1
+        WHERE t1.user_id = p.user_id AND t1.ts <= p.ts
+        ORDER BY ts DESC LIMIT 1
+      ) l ON true
+    ),
+    c AS (
+      SELECT CASE WHEN touch_ts IS NULL OR latency_s > 3600
+                  THEN 'none' ELSE touch_type END AS channel,
+             value,
+             CASE WHEN touch_ts IS NOT NULL AND latency_s <= 3600
+                  THEN latency_s END AS latency_s
+      FROM m
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_revenue,
+           ROUND(AVG(latency_s), 2) AS avg_latency_s
+    FROM c GROUP BY channel
+    """,
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution through the shared as-of join
+    (`operators/asof.py`): purchases match the latest preceding
+    click/view per user, revenue rolls up per touch channel with
+    'none' for purchases with no touch inside the 1-hour lookback.
+    The as-of is the union-window form (one shuffle on the user key,
+    no range explosion); touches collapse to one row per (user, ts)
+    first so the match is tie-free by construction."""
+    e = load_table(spark, "events", sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("touch_type"))
+    )
+    m = asof_join(
+        purchases, touches, by="user_id", value_cols=("touch_type",)
+    )
+    # microsecond diff scaled to seconds: engines disagree on how a
+    # whole-unit date_diff treats sub-second components (boundary
+    # count vs truncation); the microsecond diff is exact on both
+    latency = F.expr("timestampdiff(MICROSECOND, matched_ts, ts) / CAST(1000000 AS DOUBLE)")
+    attributed = F.col("matched_ts").isNotNull() & (latency <= 3600)
+    c = m.select(
+        F.when(attributed, F.col("matched_touch_type"))
+        .otherwise(F.lit("none"))
+        .alias("channel"),
+        "value",
+        F.when(attributed, latency).alias("latency_s"),
+    )
+    return c.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_revenue"),
+        F.round(F.avg("latency_s"), 2).alias("avg_latency_s"),
+    )
