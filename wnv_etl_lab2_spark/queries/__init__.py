@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 9 new round-5 operators, plus the 7 highest-value
+    # old), plus the 10 new round-5 operators, plus the 6 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -117,15 +117,15 @@ _FRONT = [
     "upsert_snapshot_merge",
     "scd2_customer_history",
     "attribution_last_touch",
+    "rolling_median_value",
     "temperature_mixture_weights",
-    # (c) 7 r3-stale re-verifies
+    # (c) 6 r3-stale re-verifies
     "pricing_summary",
     "multiway_join_topk_revenue",
     "spatial_buffer_erase",
     "spatial_within_buffer",
     "spatial_join_count",
     "spray_targets",
-    "grouped_agg_pandas_udaf",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -601,3 +601,41 @@ def attribution_last_touch(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("attributed_revenue"),
         F.round(F.avg("latency_s"), 2).alias("avg_latency_s"),
     )
+
+
+@register(
+    "rolling_median_value",
+    # Exact rolling median over the trailing 10 events per user —
+    # Spark `percentile(0.5)` and DuckDB `quantile_cont(0.5)` share
+    # the linear-interpolation (type-7) definition, so the window
+    # medians agree bit-for-bit before the final round.
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
+    FROM events
+    """,
+)
+def rolling_median_value(spark, sf_dir):
+    """Exact rolling median of the trailing 10 event values per user
+    (fraud/anomaly baselining). A ROWS window with the exact
+    `percentile` aggregate: the frame holds <= 10 doubles, so exact
+    is affordable at any corpus size — the state is O(frame) per
+    partition, and the shuffle is the usual one exchange on the
+    window key. (Contrast `approx_distinct_stats`, where the
+    approximate sketch is the scale path: a trailing-frame median
+    has no growing state to approximate away.)"""
+    e = load_table(spark, "events", sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med10"),
+    )
