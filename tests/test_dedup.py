@@ -189,11 +189,22 @@ def test_connected_components_match_union_find(spark, sf_dir):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     expected = {v: find(v) for v in parent}
+    # Both routes of the size-adaptive operator must agree with the
+    # reference: the driver union-find (default at this edge count)
+    # AND the distributed min-label loop (forced via a zero bound —
+    # without it the small test graph never exercises the 100 TB
+    # path, and the default route would be union-find checked against
+    # union-find).
     got = {
         r.id: r.comp_id for r in connected_components(pairs).collect()
     }
     assert got == expected
     assert len(got) > 0
+    got_dist = {
+        r.id: r.comp_id
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_connected_components_chain(spark):
@@ -204,8 +215,14 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame(
         [(3, 4), (2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
     got = {r.id: r.comp_id for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    got_dist = {
+        r.id: r.comp_id
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_semantic_dedup_prunes_planted_duplicates(spark):
