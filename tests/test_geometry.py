@@ -219,3 +219,50 @@ def test_general_clip_null_and_degenerate(spark):
         clip_area_general_col("s", "c2").alias("a2"),
     ).collect()[0]
     assert row.an is None and row.a2 is None
+
+
+def test_general_clip_random_staircase_polygons(spark):
+    """Randomized (seeded) property check: 40 random CONCAVE
+    rectilinear 'histogram outline' polygons clipped by random boxes.
+    The reference value is independent interval arithmetic — the
+    histogram is a union of disjoint columns, so the intersection
+    area is a sum of per-column box overlaps, computed without any
+    polygon code."""
+    import random
+
+    rng = random.Random(421)
+    cases = []
+    for _ in range(40):
+        W = rng.randint(3, 7)
+        hs = [round(rng.uniform(0.5, 5.0), 3) for _ in range(W)]
+        ring = [(0.0, 0.0), (float(W), 0.0), (float(W), hs[W - 1])]
+        for i in range(W - 1, 0, -1):
+            ring.append((float(i), hs[i]))
+            ring.append((float(i), hs[i - 1]))
+        ring.append((0.0, hs[0]))
+        # drop consecutive duplicates (equal adjacent heights)
+        dedup = [p for k, p in enumerate(ring) if p != ring[(k - 1) % len(ring)]]
+        x0 = round(rng.uniform(-1.0, W - 0.5), 3)
+        x1 = round(x0 + rng.uniform(0.5, W + 1.0), 3)
+        y0 = round(rng.uniform(-1.0, 4.0), 3)
+        y1 = round(y0 + rng.uniform(0.5, 6.0), 3)
+        box = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        want = sum(
+            max(0.0, min(x1, i + 1.0) - max(x0, float(i)))
+            * max(0.0, min(y1, hs[i]) - max(y0, 0.0))
+            for i in range(W)
+        )
+        cases.append((box, dedup, want))
+
+    df = spark.createDataFrame(
+        [(s, c) for s, c, _ in cases],
+        "s array<struct<x:double,y:double>>, c array<struct<x:double,y:double>>",
+    )
+    got = [
+        r.a
+        for r in df.select(
+            clip_area_general_col("s", "c", ndigits=12).alias("a")
+        ).collect()
+    ]
+    for (box, ring, want), a in zip(cases, got):
+        assert a == pytest.approx(want, abs=1e-8), (box, ring, want, a)
