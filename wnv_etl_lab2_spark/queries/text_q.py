@@ -796,23 +796,28 @@ def neardup_threshold_sweep(spark, sf_dir):
 )
 def zipf_top_words(spark, sf_dir):
     """Zipf head of the corpus: top-20 words with rank, corpus share,
-    and cumulative share (deterministic tie-break by word). The word
-    counts and the corpus total are combinable aggregates; the window
-    runs over the tiny distinct-word frame, and the total joins back
-    as a broadcast scalar — the ranking never shuffles token rows."""
+    and cumulative share (deterministic tie-break by word). Scale
+    shape: the head is selected FIRST by a distributed top-k
+    (TakeOrdered over the partial-aggregated word counts — a 100 TB
+    corpus has a 10-100M-word vocabulary, so a global rank window
+    over the full count frame would funnel it through one
+    partition); the rank/cumulative window then runs over only the
+    20 survivors, and the corpus total joins back as a broadcast
+    scalar."""
     d = load_table(spark, "documents", sf_dir)
     toks = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
     c = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     tot = c.agg(F.sum("cnt").alias("t"))
+    top = c.orderBy(F.desc("cnt"), F.asc("w")).limit(20)
     from pyspark.sql import Window
 
     order = Window.orderBy(F.desc("cnt"), F.asc("w"))
-    ranked = c.select(
+    ranked = top.select(
         "w",
         "cnt",
         F.row_number().over(order).alias("rank"),
         F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    ).where(F.col("rank") <= 20)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         F.col("rank").cast("long").alias("rank"),
         F.col("w").alias("word"),
