@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 10 new round-5 operators, plus the 6 highest-value
+    # old), plus the 11 new round-5 operators, plus the 5 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -118,10 +118,10 @@ _FRONT = [
     "scd2_customer_history",
     "attribution_last_touch",
     "rolling_median_value",
+    "neardup_graph_stats",
     "temperature_mixture_weights",
-    # (c) 6 r3-stale re-verifies
+    # (c) 5 r3-stale re-verifies
     "pricing_summary",
-    "multiway_join_topk_revenue",
     "spatial_buffer_erase",
     "spatial_within_buffer",
     "spatial_join_count",

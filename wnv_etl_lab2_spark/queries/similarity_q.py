@@ -565,3 +565,78 @@ def knn_join_bruteforce(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("q_id", "nbr_id", "rank", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "neardup_graph_stats",
+    # Integer-exact graph analytics over the near-dup graph (the
+    # iterative-neighborhood family beyond connected components):
+    # per-vertex degree and distinct 2-hop neighborhood size. Counts
+    # are integers, so the oracle comparison is exact — no float-fold
+    # ordering concerns as a PageRank oracle would have.
+    # plain WITH (not RECURSIVE): under WITH RECURSIVE, DuckDB 1.0
+    # stops deduplicating UNION inside CTE bodies (measured: a
+    # 4-clique's 2-hop set came back 9, not 3); nothing here recurses,
+    # and the dedup is explicit anyway.
+    oracle=f"""
+    WITH {_EXACT_PAIR_CTES},
+    p AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE inter * 1.0 / (na + nb - inter) >= 0.5
+    ),
+    sym AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL
+          SELECT doc_b, doc_a FROM p
+        )
+    ),
+    two AS (
+        SELECT DISTINCT a, b FROM (
+          SELECT e1.a AS a, e2.b AS b FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+          WHERE e2.b <> e1.a
+          UNION ALL
+          SELECT a, b FROM sym
+        )
+    ),
+    deg AS (SELECT a, COUNT(DISTINCT b) AS degree FROM sym GROUP BY a),
+    reach AS (SELECT a, COUNT(*) AS n2 FROM two GROUP BY a)
+    SELECT d.a AS doc_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(r.n2 AS BIGINT) AS n_within_2hops
+    FROM deg d JOIN reach r ON d.a = r.a
+    """,
+)
+def neardup_graph_stats(spark, sf_dir):
+    """Near-dup graph neighborhood profile: per-vertex degree and
+    distinct <=2-hop neighborhood size — the cluster-density signal
+    that distinguishes a pairwise near-dup from a boilerplate hub
+    before canonicalization. Shape: one self-equi-join of the
+    symmetric edge list on the shared vertex (never vertex x vertex),
+    distinct, one count per vertex; at 100 TB the 2-hop expansion is
+    bounded by sum(degree^2), the standard neighborhood-join cost,
+    and hub vertices are exactly the ones the upstream max_bucket /
+    df caps bound."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("doc_a", "doc_b")
+    pairs = pairs.localCheckpoint(eager=False)  # feeds sym twice + join
+    sym = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=False)  # degree + both join sides
+    e2 = sym.select(F.col("a").alias("_m"), F.col("b").alias("nb2"))
+    two = (
+        sym.select("a", F.col("b").alias("_m"))
+        .join(e2, "_m")
+        .where(F.col("nb2") != F.col("a"))
+        .select("a", F.col("nb2").alias("b"))
+        .unionByName(sym)
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.countDistinct("b").cast("long").alias("degree"))
+    reach = two.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_within_2hops"))
+    return deg.join(reach, "a").select(
+        F.col("a").alias("doc_id"), "degree", "n_within_2hops"
+    )
