@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 11 new round-5 operators, plus the 5 highest-value
+    # old), plus the 12 new round-5 operators, plus the 4 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -119,12 +119,12 @@ _FRONT = [
     "attribution_last_touch",
     "rolling_median_value",
     "neardup_graph_stats",
+    "udtf_token_windows",
     "temperature_mixture_weights",
-    # (c) 5 r3-stale re-verifies
+    # (c) 4 r3-stale re-verifies
     "pricing_summary",
     "spatial_buffer_erase",
     "spatial_within_buffer",
-    "spatial_join_count",
     "spray_targets",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local

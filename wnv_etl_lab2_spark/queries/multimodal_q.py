@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from wnv_etl_lab2_spark.functions.chunking import token_windows_sql
 from wnv_etl_lab2_spark.operators.multimodal import binary_features, documents_as_binary
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
@@ -93,4 +94,48 @@ def binary_frame_fingerprints(spark, sf_dir):
         "doc_id",
         "frame_idx",
         F.md5(F.encode(frame_hex, "UTF-8")).alias("frame_md5"),
+    )
+
+
+@register(
+    "udtf_token_windows",
+    # Same clipping arithmetic as doc_chunking's pure-SQL twin, so the
+    # UDTF's row-generation is exactly oracle-checkable.
+    oracle=f"""
+    SELECT doc_id, w_idx AS win_idx, w_text AS win_text,
+           w_tokens AS win_tokens
+    FROM ({token_windows_sql(16)})
+    """,
+)
+def udtf_token_windows(spark, sf_dir):
+    """Python UDTF surface (Spark 4 `@udtf` + LATERAL join): each
+    document row expands into 16-token windows from a user-defined
+    TABLE function — the API a user reaches for when the row
+    expansion has imperative logic a `sequence`/`slice` expression
+    can't express (here it can, which is exactly what makes the
+    exact DuckDB oracle possible; `doc_chunking` is the pure-
+    Catalyst twin). The UDTF runs per input partition with Arrow
+    transfer — no shuffle; the expansion cost is the same
+    corpus_tokens/width rows as the built-in explode. For anything
+    vectorizable prefer mapInPandas (batch-at-a-time); the UDTF's
+    per-row `eval` is the slowest Python surface, which is why this
+    is the API-coverage demo, not a hot path."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="win_idx bigint, win_text string, win_tokens bigint")
+    class TokenWindows:
+        def eval(self, text: str, width: int):
+            toks = [t for t in text.split(" ")]
+            for i in range(0, max(1, (len(toks) + width - 1) // width)):
+                chunk = toks[i * width : (i + 1) * width]
+                if not chunk:
+                    break
+                yield i, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("token_windows_udtf", TokenWindows)
+    d = load_table(spark, "documents", sf_dir)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.win_idx, t.win_text, t.win_tokens "
+        "FROM _udtf_docs d, LATERAL token_windows_udtf(d.text, 16) t"
     )
