@@ -36,7 +36,12 @@ def neardup_prune(docs: DataFrame) -> DataFrame:
     component's min doc_id survives). The non-canonical set is tiny
     relative to the corpus, so the anti-join broadcasts it — the
     corpus side never shuffles."""
-    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.5)
+    # expand_members=False: components only need the reduced
+    # rep-level edge set (star edges reach every member) — skips the
+    # member fan-out expansions this consumer never reports.
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=16, threshold=0.5, expand_members=False
+    )
     comp = connected_components(pairs)
     losers = comp.where(F.col("comp_id") != F.col("id")).select(
         F.col("id").alias("doc_id")
