@@ -332,7 +332,11 @@ def connected_components(
     edges = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=False)
-    n_edges = edges.count()  # materializes the checkpoint; needed by both routes
+    # ONE capped collect decides the route AND feeds the driver path:
+    # <= bound rows come back in full (no separate count job); a
+    # (bound+1)-th row proves the graph is large and the rows are
+    # discarded in favor of the distributed loop.
+    probe = edges.limit(driver_max_edges + 1).collect()
 
     # SIZE-ADAPTIVE ROUTING (same policy as the near-dup pair kernels,
     # commit 500a3bd): a verified near-dup edge list is orders of
@@ -345,8 +349,8 @@ def connected_components(
     # edges vs <0.1 s union-find). Larger graphs take the distributed
     # min-label loop below — the 100 TB worst-case path is unchanged.
     # Both routes return identical (id, comp_id = min id in component).
-    if n_edges <= driver_max_edges:
-        rows = edges.collect()
+    if len(probe) <= driver_max_edges:
+        rows = probe
         parent: dict = {}
 
         def find(x):
