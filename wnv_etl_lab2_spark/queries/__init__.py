@@ -67,7 +67,7 @@ _FRONT = [
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
     # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 12 new round-5 operators, plus the 4 highest-value
+    # old), plus the 13 new round-5 operators, plus the 3 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
     # (a) the 34 r2-stale queries
@@ -120,9 +120,9 @@ _FRONT = [
     "rolling_median_value",
     "neardup_graph_stats",
     "udtf_token_windows",
+    "data_quality_checks",
     "temperature_mixture_weights",
-    # (c) 4 r3-stale re-verifies
-    "pricing_summary",
+    # (c) 3 r3-stale re-verifies
     "spatial_buffer_erase",
     "spatial_within_buffer",
     "spray_targets",

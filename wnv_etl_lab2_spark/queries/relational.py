@@ -491,3 +491,85 @@ def table_profile(spark, sf_dir):
         F.min(F.when(F.col("mm"), F.col("sval"))).alias("min_val"),
         F.max(F.when(F.col("mm"), F.col("sval"))).alias("max_val"),
     )
+
+
+@register(
+    "data_quality_checks",
+    # Constraint-audit surface (dbt tests / expectations): each row is
+    # one named check with its population and violation count — the
+    # per-table generalization of the reference's row-count logging
+    # (O22). Checks are chosen to exercise FK, uniqueness, range, and
+    # null-rate shapes.
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders_totalprice_nonneg',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+    """,
+)
+def data_quality_checks(spark, sf_dir):
+    """Declarative data-quality audit: named constraint checks (FK
+    integrity via LEFT-join null probes, key uniqueness, value range,
+    null rate), one row each with population and violation counts —
+    the expectations/dbt-test surface an engine needs around its
+    pipelines. Every check is a combinable aggregate; the FK probes
+    broadcast the dimension side under AQE, and the union branches
+    run as independent stages, so the audit costs one scan per
+    participating table at any corpus size."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+
+    def check(name, df, viol_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(viol_col, 1).otherwise(0)).cast("long").alias("n_violations"),
+        )
+
+    fk1 = o.join(
+        c.select(F.col("c_custkey").alias("_ck")),
+        o["o_custkey"] == F.col("_ck"),
+        "left",
+    )
+    fk2 = li.join(
+        o.select(F.col("o_orderkey").alias("_ok")),
+        li["l_orderkey"] == F.col("_ok"),
+        "left",
+    )
+    uniq = c.agg(
+        F.lit("customer_custkey_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    return (
+        check("orders_custkey_fk", fk1, F.col("_ck").isNull())
+        .unionByName(check("lineitem_orderkey_fk", fk2, F.col("_ok").isNull()))
+        .unionByName(uniq)
+        .unionByName(check("orders_totalprice_nonneg", o, F.col("o_totalprice") < 0))
+        .unionByName(check("events_value_nonnull", ev, F.col("value").isNull()))
+    )
