@@ -507,18 +507,22 @@ def ntile_length_buckets(spark, sf_dir):
     # (keys ending in 3 get a status flip and a 10% price bump; a
     # shifted key range arrives as inserts), so both engines build the
     # same batch and the merged snapshot is hash-comparable.
+    # No ROUND anywhere: Spark (BigDecimal HALF_UP) and DuckDB round
+    # doubles differently within 1 ulp of a .005 boundary (observed at
+    # sf0.1); the update bump is +10.00 — pure double addition, which
+    # is bit-identical across engines.
     oracle="""
     WITH upd AS (
         SELECT o_orderkey, 'U' AS o_orderstatus,
-               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+               o_totalprice + 10.0 AS o_totalprice
         FROM orders WHERE o_orderkey % 10 = 3
         UNION ALL
-        SELECT o_orderkey + 1000000, 'N', ROUND(o_totalprice, 2)
+        SELECT o_orderkey + 1000000, 'N', o_totalprice
         FROM orders WHERE o_orderkey % 100 = 7
     )
     SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS o_orderkey,
            COALESCE(u.o_orderstatus, o.o_orderstatus) AS status,
-           COALESCE(u.o_totalprice, ROUND(o.o_totalprice, 2)) AS total
+           COALESCE(u.o_totalprice, o.o_totalprice) AS total
     FROM orders o FULL OUTER JOIN upd u USING (o_orderkey)
     """,
 )
@@ -539,20 +543,20 @@ def upsert_snapshot_merge(spark, sf_dir):
     target = o.select(
         "o_orderkey",
         F.col("o_orderstatus").alias("status"),
-        F.round("o_totalprice", 2).alias("total"),
+        F.col("o_totalprice").alias("total"),
     )
     upd = (
         o.where(F.col("o_orderkey") % 10 == 3)
         .select(
             "o_orderkey",
             F.lit("U").alias("status"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("total"),
+            (F.col("o_totalprice") + 10.0).alias("total"),
         )
         .unionByName(
             o.where(F.col("o_orderkey") % 100 == 7).select(
                 (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
                 F.lit("N").alias("status"),
-                F.round("o_totalprice", 2).alias("total"),
+                F.col("o_totalprice").alias("total"),
             )
         )
     )
