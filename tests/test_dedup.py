@@ -378,3 +378,29 @@ def test_ann_recall_floors_across_sf(spark, sf):
     assert list(lsh.cos_sim) == sorted(lsh.cos_sim, reverse=True)
     assert lsh.cos_sim.max() <= exact.cos_sim.max()
     assert ivf.cos_sim.max() <= exact.cos_sim.max()
+
+
+def test_reduced_edges_give_identical_components(spark, sf_dir):
+    """expand_members=False returns star edges + rep pairs; connected
+    components over that reduced set must equal components over the
+    full member-level expansion (the equivalence corpus_curation_stats
+    relies on)."""
+    from wnv_etl_lab2_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # plant exact duplicates so the member-expansion machinery engages
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(dup)
+    full = minhash_lsh_pairs(corpus, expand_members=True)
+    red = minhash_lsh_pairs(corpus, expand_members=False)
+    comp_full = {
+        r.id: r.comp_id for r in connected_components(full).collect()
+    }
+    comp_red = {r.id: r.comp_id for r in connected_components(red).collect()}
+    assert comp_full == comp_red
+    assert len(comp_full) > 0
