@@ -41,3 +41,13 @@ def test_rows_only_queries_nonempty_and_deterministic(spark, sf_dir):
         assert len(a) > 0, f"{name}: empty result"
         assert list(a.columns) == list(b.columns), f"{name}: unstable schema"
         assert len(a) == len(b), f"{name}: nondeterministic row count"
+
+
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
+    """approx_count_distinct ships exact counts side-by-side; pin the
+    sketch's relative error well inside 3x the default rsd (5%) so a
+    regression in column hashing or sketch config fails loudly."""
+    out = _specs()["approx_distinct_stats"].fn(spark, sf_dir).toPandas()
+    assert (out.exact_users > 0).all()
+    rel = ((out.approx_users - out.exact_users).abs() / out.exact_users).max()
+    assert rel <= 0.15, f"HLL relative error {rel:.3f} exceeds bound"
