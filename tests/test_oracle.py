@@ -51,3 +51,12 @@ def test_approx_distinct_within_hll_error_bound(spark, sf_dir):
     assert (out.exact_users > 0).all()
     rel = ((out.approx_users - out.exact_users).abs() / out.exact_users).max()
     assert rel <= 0.15, f"HLL relative error {rel:.3f} exceeds bound"
+
+
+def test_approx_percentile_within_sketch_error(spark, sf_dir):
+    """approx_percentile's p50/p95 must land within 5% relative (or
+    tiny absolute) of the exact percentile carried beside it."""
+    out = _specs()["approx_percentile_stats"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        for a, e in zip(r.approx_p, r.exact_p):
+            assert abs(a - e) <= max(0.05 * abs(e), 1e-6), (r.event_type, a, e)

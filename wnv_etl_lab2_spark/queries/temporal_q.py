@@ -639,3 +639,18 @@ def rolling_median_value(spark, sf_dir):
         "user_id",
         F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med10"),
     )
+
+
+@register("approx_percentile_stats")  # sketch internals differ -> rows-only
+def approx_percentile_stats(spark, sf_dir):
+    """approx_percentile (KLL-style quantile sketch) next to the
+    exact percentile — the 100 TB quantile path, mirrored on
+    `approx_distinct_stats`'s pattern of carrying its own exactness
+    evidence. Deterministic for fixed data but not oracle-matchable
+    (engine-specific sketch); tests/test_oracle.py pins the sketch's
+    relative error against the exact column."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
+        F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
+    )
