@@ -160,3 +160,20 @@ def test_replay_opener_error_semantics():
     unknown = replay_opener({})
     with _pytest.raises(KeyError):
         unknown("u")
+
+
+def test_cluster_conf_profile(spark):
+    """The 100 TB submission profile is well-formed: every value a
+    string (spark-submit contract), partitions ~2x cores, and the
+    profile is accepted verbatim by a builder config pass."""
+    from wnv_etl_lab2_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=5000, executor_cores=5)
+    assert all(isinstance(v, str) for v in conf.values())
+    assert conf["spark.sql.shuffle.partitions"] == "10000"
+    assert conf["spark.executor.instances"] == "1000"
+    # settable on a live session where dynamic (runtime-changeable):
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", conf["spark.sql.files.maxPartitionBytes"]
+    )
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "192m"

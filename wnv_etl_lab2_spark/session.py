@@ -61,3 +61,53 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_cores: int,
+    executor_cores: int = 5,
+    target_partition_mb: int = 192,
+) -> dict[str, str]:
+    """The 100 TB submission profile: the spark-submit --conf set this
+    engine expects on a real cluster, derived from the same analysis
+    SCALING.md documents per operator family. Local runs never use it
+    (get_spark's local[N] defaults stand); it exists so a user taking
+    these plans to a 1000-executor cluster starts from the measured
+    shape instead of Spark's 200-partition defaults.
+
+    - shuffle partitions ~2x total cores: every heavy operator here is
+      shuffle-bound on digests/ids; 2x keeps reduce tasks ~seconds at
+      TB-scale inputs while AQE coalesces the small ones.
+    - maxPartitionBytes sizes scan tasks so a 100 TB corpus yields
+      ~500k scan tasks (bounded scheduler pressure, good locality).
+    - AQE + skew-join on: the salting operators (operators/skew.py)
+      handle diagnosed hot keys; AQE absorbs the residual skew.
+    - Kryo + registrationRequired=false: the shuffled records are
+      Catalyst rows (Tungsten binary, serializer mostly moot), but
+      broadcast variables (IVF centroids, hyperplanes) benefit.
+    - shuffle-spill compression and zstd: digest-heavy shuffles
+      compress ~3-5x, which at 100 TB is the difference between a
+      network-bound and a disk-bound exchange.
+    - speculation on: stragglers dominate p99 stage time at 1000
+      executors; every operator here is deterministic and side-effect
+      free (noop/file sinks are atomic via commit protocol), so
+      speculative duplicates are safe.
+    """
+    n_exec = max(1, total_cores // executor_cores)
+    return {
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.instances": str(n_exec),
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
