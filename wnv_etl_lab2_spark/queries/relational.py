@@ -526,6 +526,11 @@ def table_profile(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM events
+    UNION ALL
+    SELECT 'documents_have_embeddings',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
     """,
 )
 def data_quality_checks(spark, sf_dir):
@@ -566,10 +571,16 @@ def data_quality_checks(spark, sf_dir):
         .cast("long")
         .alias("n_violations"),
     )
+    d = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    fk3 = d.join(
+        emb.select(F.col("vec_id").alias("_vk")), d["doc_id"] == F.col("_vk"), "left"
+    )
     return (
         check("orders_custkey_fk", fk1, F.col("_ck").isNull())
         .unionByName(check("lineitem_orderkey_fk", fk2, F.col("_ok").isNull()))
         .unionByName(uniq)
         .unionByName(check("orders_totalprice_nonneg", o, F.col("o_totalprice") < 0))
         .unionByName(check("events_value_nonnull", ev, F.col("value").isNull()))
+        .unionByName(check("documents_have_embeddings", fk3, F.col("_vk").isNull()))
     )
