@@ -654,3 +654,94 @@ def approx_percentile_stats(spark, sf_dir):
         F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
         F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
     )
+
+
+@register(
+    "gap_fill_interpolate",
+    # Linear interpolation between the surrounding observations:
+    # interp = prev + (next - prev) * gap_frac with integer day
+    # fractions, so both engines compute the identical double before
+    # the final round. Edge days are observed by construction (the
+    # grid spans each key's own [min, max] day), so prev/next always
+    # exist for interior gaps.
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS day_avg
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.day_avg,
+             CASE WHEN d.day_avg IS NOT NULL THEN g.day END AS obs_day
+      FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    w AS (
+      SELECT user_id, day, day_avg,
+             LAST_VALUE(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(obs_day IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             FIRST_VALUE(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(obs_day IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           day_avg IS NULL AS is_gap,
+           ROUND(CASE WHEN day_avg IS NOT NULL THEN day_avg
+                      ELSE pv + (nv - pv)
+                           * (date_diff('day', pd, day) * 1.0
+                              / date_diff('day', pd, nd)) END, 6) AS value_interp
+    FROM w
+    """,
+)
+def gap_fill_interpolate(spark, sf_dir):
+    """Time-series gap filling by LINEAR INTERPOLATION between the
+    surrounding observations (the resample primitive complementing
+    `gap_fill_locf`'s step-fill): per-user dense daily grid, interior
+    gaps get prev + (next-prev) * elapsed-fraction. Same scale shape
+    as LOCF — per-key span table, grid explode, two ignore-nulls
+    windows over the user partition; one co-partitioned exchange
+    feeds the join and both windows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_avg")
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").withColumn(
+        "obs_day", F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    )
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    pv = F.last("day_avg", ignorenulls=True).over(back)
+    pd_ = F.last("obs_day", ignorenulls=True).over(back)
+    nv = F.first("day_avg", ignorenulls=True).over(fwd)
+    nd = F.first("obs_day", ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), pd_) * 1.0 / F.datediff(nd, pd_)
+    interp = F.when(F.col("day_avg").isNotNull(), F.col("day_avg")).otherwise(
+        pv + (nv - pv) * frac
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("day_avg").isNull().alias("is_gap"),
+        F.round(interp, 6).alias("value_interp"),
+    )
