@@ -225,3 +225,53 @@ def skew_key_diagnosis(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("key"))
         .limit(20)
     )
+
+
+@register(
+    "weighted_sample_es",
+    # Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    # per-row key ln(u)/w (monotone transform of u^(1/w)); the top-k
+    # keys ARE the weighted sample. u derives from the md5 word both
+    # engines share bit-for-bit, so the whole draw is deterministic
+    # and exactly oracle-checkable.
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                / 4294967296.0) / n_chars AS es_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           ROUND(es_key, 9) AS es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id ASC
+    LIMIT 25
+    """,
+)
+def weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    each row draws key = ln(u)/w from a deterministic md5-derived
+    uniform u and its weight w (n_chars — length-proportional
+    sampling); the k largest keys are exactly a weighted sample
+    without replacement. THE distributed-reservoir primitive: at
+    100 TB the plan is a pure map plus one TakeOrdered(k) — no
+    shuffle of data rows, no state, and re-running it reproduces the
+    identical sample (seeded by the id hash, not an RNG)."""
+    d = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        + 1
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(key, 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
