@@ -275,3 +275,57 @@ def weighted_sample_es(spark, sf_dir):
         .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+@register(
+    "train_val_test_split",
+    # Deterministic 80/10/10 split by md5-hash bucket (engine-shared),
+    # reported as the per-(source, split) yield sheet. The assignment
+    # is a pure function of doc_id — stable across runs, machines, and
+    # partitionings, which is what makes a split REPRODUCIBLE.
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source, text,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS b
+        FROM documents
+      )
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Reproducible 80/10/10 train/val/test assignment by hash bucket
+    (md5 of the doc id — a pure function of the row, so the split is
+    identical across runs, partitionings, and engines), reported as
+    the per-(source, split) doc and token yield. A pure map plus one
+    combinable aggregate: at 100 TB the assignment costs nothing
+    beyond the scan, and downstream jobs re-derive membership from
+    the id instead of joining a membership table."""
+    d = load_table(spark, "documents", sf_dir)
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            split.alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
