@@ -329,3 +329,78 @@ def train_val_test_split(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "split_leakage_check",
+    # Decontamination of the HASH SPLIT itself: for each test-split
+    # document, the fraction of its distinct word-3-grams that appear
+    # in the train split — the audit run after train_val_test_split
+    # and before training. Same hash-bucket assignment, same inverted-
+    # index shape as decontamination_overlap (whose split key is the
+    # source label instead).
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, split, string_split(text, ' ') AS words FROM assigned),
+    sh AS (
+        SELECT doc_id, split,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, split, UNNEST(shingles) AS shingle FROM sh),
+    train AS (SELECT DISTINCT shingle FROM ex WHERE split = 'train'),
+    test_g AS (SELECT doc_id, shingle FROM ex WHERE split = 'test'),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM test_g GROUP BY doc_id),
+    hit AS (SELECT doc_id, COUNT(*) AS n_shared
+            FROM test_g e JOIN train t USING (shingle) GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(COALESCE(h.n_shared, 0) * 1.0 / t.n_grams, 6) AS leakage
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def split_leakage_check(spark, sf_dir):
+    """Leakage audit of the hash split: per test-split document, the
+    fraction of its distinct word-3-grams found anywhere in the train
+    split — run after `train_val_test_split`, before training. The
+    train side collapses to a DISTINCT hashed-gram vocabulary and the
+    probe is a gram equi-join (inverted-index shape, never doc x
+    doc), identical scale behavior to `decontamination_overlap`."""
+    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    b = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    words = F.split("text", " ")
+    docs = d.select("doc_id", split.alias("split"), words.alias("words")).where(
+        F.size("words") >= 3
+    )
+    ex = docs.select(
+        "doc_id", "split", F.explode(hashed_word_shingles("words")).alias("shingle")
+    )
+    train = ex.where(F.col("split") == "train").select("shingle").distinct()
+    test_g = ex.where(F.col("split") == "test").select("doc_id", "shingle")
+    tot = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = test_g.join(train, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.round(
+            F.coalesce("n_shared", F.lit(0)) * 1.0 / F.col("n_grams"), 6
+        ).alias("leakage"),
+    )
