@@ -434,3 +434,89 @@ def temperature_mixture_weights(spark, sf_dir):
             6,
         ).alias("boost"),
     )
+
+
+@register(
+    "corpus_dashboard",
+    # One-row corpus overview: the numbers a data lead reads first.
+    # Every statistic is a combinable aggregate over one scan (plus
+    # the digest distinct for the exact-dup rate); mixture entropy is
+    # the per-source share entropy folded over the sorted source list
+    # so the double sum is order-identical across engines.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, lang, md5(text) AS digest,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM base
+    ),
+    shares AS (
+      SELECT source, COUNT(*) * 1.0 AS c FROM base GROUP BY source
+    ),
+    ent AS (
+      SELECT ROUND(-list_sum(list_transform(
+               list_sort(list(c / (SELECT n_docs FROM tot))),
+               p -> p * ln(p))) / ln(2.0), 6) AS mixture_entropy_bits
+      FROM shares
+    )
+    SELECT n_docs, n_tokens, n_unique_texts,
+           ROUND((n_docs - n_unique_texts) * 1.0 / n_docs, 6) AS exact_dup_rate,
+           n_sources, n_langs, mixture_entropy_bits
+    FROM tot CROSS JOIN ent
+    """,
+)
+def corpus_dashboard(spark, sf_dir):
+    """One-row corpus overview: docs, tokens, unique texts and the
+    exact-duplication rate (content digest), source/lang cardinality,
+    and the source-mixture entropy in bits (how evenly the corpus
+    spreads over its sources — the number temperature sampling
+    moves). One scan of combinable aggregates; the entropy folds over
+    the SORTED per-source shares so the float sum matches the oracle
+    bit-for-bit. The capstone read-out over the curation family."""
+    d = load_table(spark, "documents", sf_dir)
+    base = d.select(
+        "source",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    base = base.localCheckpoint(eager=False)  # feeds totals + shares
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("digest").cast("long").alias("n_unique_texts"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    shares = base.groupBy("source").agg((F.count(F.lit(1)) * 1.0).alias("c"))
+    ent = (
+        shares.crossJoin(F.broadcast(tot.select("n_docs")))
+        .agg(F.sort_array(F.collect_list(F.col("c") / F.col("n_docs"))).alias("ps"))
+        .select(
+            F.round(
+                -F.expr(
+                    "aggregate(ps, CAST(0.0 AS DOUBLE), (a, p) -> a + p * ln(p))"
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("mixture_entropy_bits")
+        )
+    )
+    return tot.crossJoin(F.broadcast(ent)).select(
+        "n_docs",
+        "n_tokens",
+        "n_unique_texts",
+        F.round(
+            (F.col("n_docs") - F.col("n_unique_texts")) * 1.0 / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        "n_sources",
+        "n_langs",
+        "mixture_entropy_bits",
+    )
