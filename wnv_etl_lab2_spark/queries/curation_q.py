@@ -520,3 +520,51 @@ def corpus_dashboard(spark, sf_dir):
         "n_langs",
         "mixture_entropy_bits",
     )
+
+
+@register(
+    "chunk_dedup_stats",
+    # Chunk-granularity exact duplication: documents are cut into the
+    # same 32-token windows doc_chunking emits, chunks are grouped by
+    # md5 digest, and the per-source duplication rate reported — the
+    # metric behind chunk-level dedup decisions (a doc can be unique
+    # while half its chunks are boilerplate).
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, w_text FROM ({token_windows_sql(32)})
+    ),
+    j AS (
+      SELECT d.source, md5(c.w_text) AS digest
+      FROM chunks c JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_chunks,
+           ROUND((COUNT(*) - COUNT(DISTINCT digest)) * 1.0 / COUNT(*), 6)
+             AS chunk_dup_rate
+    FROM j GROUP BY source
+    """,
+)
+def chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level exact-duplication rate per source over the same
+    32-token windows `doc_chunking` emits: a document can be globally
+    unique while half its chunks are boilerplate, and chunk-level
+    dedup is what catches it. Pure flatMap explode -> digest groupBy
+    (16-byte keys); the source join is a broadcast of the tiny
+    (doc_id, source) projection relative to the chunk explosion."""
+    from wnv_etl_lab2_spark.functions.chunking import token_windows
+
+    d = load_table(spark, "documents", sf_dir)
+    chunks = token_windows(d, 32).select("doc_id", F.md5("w_text").alias("digest"))
+    src = d.select("doc_id", "source")
+    j = chunks.join(src, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.countDistinct("digest").cast("long").alias("n_unique_chunks"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("digest"))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("chunk_dup_rate"),
+    )

@@ -640,3 +640,54 @@ def neardup_graph_stats(spark, sf_dir):
     return deg.join(reach, "a").select(
         F.col("a").alias("doc_id"), "degree", "n_within_2hops"
     )
+
+
+@register(
+    "label_cohesion_stats",
+    # Mean pairwise dot product per label in O(n) via the identity
+    #   sum_{i<j} v_i . v_j = (||sum v||^2 - sum ||v||^2) / 2
+    # — no pair join at ANY scale; the per-dimension vector sums are
+    # combinable aggregates. The fold iterates dimensions in index
+    # order on both engines, so the doubles agree bit-for-bit.
+    oracle=f"""
+    WITH c AS (SELECT vec_id, label, {_CAST} AS e FROM embeddings),
+    dims AS (
+      SELECT label, u.pos AS pos, u.val AS val
+      FROM c, LATERAL (SELECT UNNEST(e) AS val,
+                              generate_subscripts(e, 1) AS pos) AS u
+    ),
+    sv AS (SELECT label, pos, SUM(val) AS s FROM dims GROUP BY label, pos),
+    sv2 AS (SELECT label, SUM(s * s) AS ss FROM sv GROUP BY label),
+    base AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(list_sum(list_transform(e, x -> x * x))) AS sq
+      FROM c GROUP BY label
+    )
+    SELECT b.label, CAST(b.n AS BIGINT) AS n_vectors,
+           ROUND((v.ss - b.sq) / (b.n * (b.n - 1)), 6) AS mean_pair_dot
+    FROM base b JOIN sv2 v USING (label) WHERE b.n >= 2
+    """,
+)
+def label_cohesion_stats(spark, sf_dir):
+    """Cluster tightness per label: the MEAN PAIRWISE dot product of
+    all same-label embedding pairs, computed WITHOUT any pair join
+    via (||sum v||^2 - sum ||v||^2) / (n(n-1)) — the algebraic
+    identity that turns an O(n^2) cohesion measure into one
+    combinable aggregate per label. This is the audit that ranks
+    labels by internal similarity before semantic dedup; at 100 TB
+    it costs one scan and a 64-double-per-label shuffle."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select("label", as_double_array("embedding").alias("e"))
+    sq = F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+    per_dim = [F.sum(F.element_at("e", i + 1)).alias(f"s{i}") for i in range(64)]
+    agg = c.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(sq).alias("sq"), *per_dim
+    )
+    sv2 = sum(F.col(f"s{i}") * F.col(f"s{i}") for i in range(64))
+    return agg.where(F.col("n") >= 2).select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round((sv2 - F.col("sq")) / (F.col("n") * (F.col("n") - 1)), 6).alias(
+            "mean_pair_dot"
+        ),
+    )
