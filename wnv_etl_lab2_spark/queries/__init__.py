@@ -66,17 +66,15 @@ _FRONT = [
     # relational/spatial/SQL surface; r2 = LLM-pipeline + temporal; r3 =
     # remaining oracle-backed + rows-only; r4 = new ops + the whole
     # r1-stale block. After r4 every query's newest green is r2+, so
-    # this window = ALL 34 queries whose last green is r2 (three rounds
-    # old), plus the 13 new round-5 operators, plus the 3 highest-value
+    # this window = 27 of the 34 r2-stale queries, plus the 20 new
+    # round-5 operators (first driver evidence wins over re-verifies),
+    # plus the 3 highest-value
     # r3-green entries (flagship spatial slice, TPC-H heads, packing,
     # pandas-UDF surfaces).
-    # (a) the 34 r2-stale queries
+    # (a) 27 r2-stale queries (7 pure-map r2 greens yielded their slots
+    # to first-evidence round-5 operators; they keep local-gate coverage)
     "cohort_retention",
     "event_dedup_window",
-    "text_stats",
-    "token_count",
-    "lang_id_heuristic",
-    "lang_quality_agg",
     "dedup_exact",
     "dedup_fingerprint",
     "ngram_jaccard_pairs",
@@ -85,7 +83,6 @@ _FRONT = [
     "decontamination_overlap",
     "repetition_filter",
     "ngram_counts_top",
-    "embedding_norms",
     "ann_topk_bruteforce",
     "embedding_neardup_pairs",
     "dedup_minhash_lsh",
@@ -95,13 +92,11 @@ _FRONT = [
     "neardup_keep_better",
     "knn_join_bruteforce",
     "binary_frame_fingerprints",
-    "deterministic_sample",
     "stratified_sample_topk",
     "quality_rules_filter",
     "doc_chunking",
     "embedding_centroid_stats",
     "source_mixture_weights",
-    "vocab_coverage",
     "stable_doc_ids",
     "groupwise_zscore_arrow",
     "repeated_span_removal",
@@ -121,6 +116,13 @@ _FRONT = [
     "neardup_graph_stats",
     "udtf_token_windows",
     "data_quality_checks",
+    "gap_fill_interpolate",
+    "weighted_sample_es",
+    "train_val_test_split",
+    "split_leakage_check",
+    "corpus_dashboard",
+    "chunk_dedup_stats",
+    "label_cohesion_stats",
     "temperature_mixture_weights",
     # (c) 3 r3-stale re-verifies
     "spatial_buffer_erase",
