@@ -745,3 +745,50 @@ def gap_fill_interpolate(spark, sf_dir):
         F.col("day_avg").isNull().alias("is_gap"),
         F.round(interp, 6).alias("value_interp"),
     )
+
+
+@register(
+    "rolling_zscore_events",
+    # Rolling anomaly score over the trailing-10 frame, with variance
+    # computed EXPLICITLY from SUM and SUM(x^2) — engines implement
+    # stddev differently (Welford vs sum-of-squares), but the shared
+    # formula text makes the doubles identical before rounding.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER fr AS n,
+             SUM(value) OVER fr AS s,
+             SUM(value * value) OVER fr AS s2
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN n >= 2 AND (s2 - s * s / n) / (n - 1) > 0
+                      THEN (value - s / n)
+                           / sqrt((s2 - s * s / n) / (n - 1)) END, 6) AS zscore
+    FROM w
+    """,
+)
+def rolling_zscore_events(spark, sf_dir):
+    """Rolling z-score of each event's value against the PRECEDING 10
+    events of the same user (anomaly baselining that never peeks at
+    the current value). Variance comes from the trailing SUM and
+    SUM(x^2) frames via the explicit (s2 - s^2/n)/(n-1) formula — the
+    one form both engines evaluate bit-identically; NULL where the
+    baseline has <2 points or zero variance. One exchange on the
+    user key, O(1) state per frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-10, -1)
+    )
+    n = F.count("value").over(fr)
+    s = F.sum("value").over(fr)
+    s2 = F.sum(F.col("value") * F.col("value")).over(fr)
+    var = (s2 - s * s / n) / (n - 1)
+    z = F.when((n >= 2) & (var > 0), (F.col("value") - s / n) / F.sqrt(var))
+    return ev.select("event_id", "user_id", F.round(z, 6).alias("zscore"))

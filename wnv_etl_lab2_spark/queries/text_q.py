@@ -825,3 +825,72 @@ def zipf_top_words(spark, sf_dir):
         F.round(F.col("cnt") * 1.0 / F.col("t"), 6).alias("share"),
         F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "bigram_pmi_top",
+    # Collocation mining: pointwise mutual information of adjacent
+    # word pairs, min-count 5, top-20 by PMI (tie-break bigram text).
+    # ln of exact integer-count ratios — identical doubles on both
+    # engines before the round.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w, i FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE b.w <> ''
+    ),
+    cxy AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+    nb AS (SELECT SUM(c) AS n FROM cxy),
+    cx AS (SELECT w1 AS w, SUM(c) AS cnt FROM cxy GROUP BY w1),
+    cy AS (SELECT w2 AS w, SUM(c) AS cnt FROM cxy GROUP BY w2)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           ROUND(ln(c * 1.0 * n / (cx.cnt * 1.0 * cy.cnt)), 6) AS pmi
+    FROM cxy JOIN cx ON cxy.w1 = cx.w JOIN cy ON cxy.w2 = cy.w
+             CROSS JOIN nb
+    WHERE c >= 5
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def bigram_pmi_top(spark, sf_dir):
+    """Collocation mining: top-20 adjacent word pairs by pointwise
+    mutual information, PMI = ln(c_xy * N / (c_x * c_y)) over bigram
+    counts with a min-count floor — the statistic behind multiword-
+    expression and tokenizer-merge decisions. Bigrams come from an
+    in-row zip of the token array with its tail (pure flatMap — no
+    positional self-join); marginals are two groupBys over the
+    bigram counts (already far smaller than the corpus), the total
+    is a broadcast scalar, and the head is a distributed TakeOrdered.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with(split(text, ' '), "
+                "slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)), "
+                "(x, y) -> struct(x AS w1, y AS w2)), p -> p.w1 <> '' AND p.w2 <> '')"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cxy = cxy.localCheckpoint(eager=False)  # feeds marginals + total + join
+    nb = cxy.agg(F.sum("c").alias("n"))
+    cx = cxy.groupBy("w1").agg(F.sum("c").alias("cx"))
+    cy = cxy.groupBy("w2").agg(F.sum("c").alias("cy"))
+    pmi = F.log(F.col("c") * 1.0 * F.col("n") / (F.col("cx") * 1.0 * F.col("cy")))
+    return (
+        cxy.where(F.col("c") >= 5)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", F.col("c").cast("long").alias("c"), F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
