@@ -894,3 +894,54 @@ def bigram_pmi_top(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(20)
     )
+
+
+@register(
+    "stop_shingle_report",
+    # The audit behind the _DF_CAP knob: the highest-document-
+    # frequency word-3-grams, each flagged if the near-dup index
+    # drops it as a stop-shingle. Grams stay STRINGS here (this is a
+    # human-facing report and the df ranking needs no joins), so the
+    # oracle shares them verbatim.
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, LEN(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+      FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    df AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle)
+    SELECT shingle, CAST(df AS BIGINT) AS df, df > {_DF_CAP} AS is_dropped
+    FROM df
+    ORDER BY df DESC, shingle ASC
+    LIMIT 20
+    """,
+)
+def stop_shingle_report(spark, sf_dir):
+    """Stop-shingle audit: the 20 highest-document-frequency word-3-
+    grams with their df and whether the near-dup inverted index drops
+    them under the _DF_CAP ({_DF_CAP}) — the evidence a reviewer
+    checks before trusting the cap (it must bite boilerplate, not
+    content). Distinct-shingle explode, one partial-aggregated
+    groupBy, TakeOrdered head — no joins, linear at any corpus size.
+    """
+    d = load_table(spark, "documents", sf_dir)
+    words = F.split("text", " ")
+    docs = d.select("doc_id", words.alias("words")).where(F.size("words") >= 3)
+    sh = docs.selectExpr(
+        "doc_id",
+        "array_distinct(transform(sequence(0, size(words) - 3), "
+        "i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))) AS shingles",
+    )
+    ex = sh.select(F.explode("shingles").alias("shingle"))
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .select("shingle", "df", (F.col("df") > _DF_CAP).alias("is_dropped"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
