@@ -416,3 +416,60 @@ def salted_join_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "customer_rfm_segments",
+    # Recency-Frequency-Monetary segmentation: per customer the last
+    # order date, order count, and total spend, quartiled per metric
+    # with a deterministic custkey tie-break, concatenated into the
+    # classic 'RFM' segment code. NTILE ties are broken identically
+    # on both engines by the explicit ORDER BY.
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             SUM(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT CONCAT(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+             AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quartile scores of recency,
+    frequency, and monetary value (deterministic custkey tie-break),
+    concatenated into the 64 classic segment codes with customer
+    counts. The NTILE windows run over the per-customer aggregate
+    (one row per customer — orders of magnitude below the fact
+    table); a 100 TB deployment quartiles per region/shard or swaps
+    NTILE for approx-quantile cutpoints, the documented trade."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, "orders", sf_dir)
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    r = F.ntile(4).over(W.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+    f = F.ntile(4).over(W.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+    m = F.ntile(4).over(W.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+    scored = rfm.select(
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment")
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )

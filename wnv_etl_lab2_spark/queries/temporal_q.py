@@ -792,3 +792,53 @@ def rolling_zscore_events(spark, sf_dir):
     var = (s2 - s * s / n) / (n - 1)
     z = F.when((n >= 2) & (var > 0), (F.col("value") - s / n) / F.sqrt(var))
     return ev.select("event_id", "user_id", F.round(z, 6).alias("zscore"))
+
+
+@register(
+    "event_transition_matrix",
+    # First-order Markov transition counts between consecutive event
+    # types per user, with row-normalized probabilities — integer
+    # counts plus one exact division, deterministic tie-break via
+    # (ts, event_id) ordering.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (SELECT from_type, SUM(n) AS row_n FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           ROUND(c.n * 1.0 / t.row_n, 6) AS p
+    FROM c JOIN tot t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order behavioral transition matrix: counts and
+    row-normalized probabilities of consecutive event-type pairs per
+    user ((ts, event_id) ordering makes the sequence deterministic).
+    One window over the user partition, one groupBy over the tiny
+    (from, to) space, marginals joined back — the Markov-chain
+    summary behind funnel and next-action models."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return c.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("row_n"), 6).alias("p"),
+    )
