@@ -266,3 +266,19 @@ def test_general_clip_random_staircase_polygons(spark):
     ]
     for (box, ring, want), a in zip(cases, got):
         assert a == pytest.approx(want, abs=1e-8), (box, ring, want, a)
+
+
+def test_general_clip_self_intersecting_is_winding_signed(spark):
+    """Out-of-contract input, documented behavior: a self-intersecting
+    bow-tie has lobes of winding +1 and -1, so the signed-fan sum is
+    their DIFFERENCE (here exactly 0), not the geometric union — the
+    identity the kernel is built on only equals area for simple
+    rings. This test pins the documented failure mode so a future
+    'fix' cannot silently change it without reading the contract."""
+    bowtie = [(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (2.0, 2.0)]
+    big = [(-1.0, -1.0), (3.0, -1.0), (3.0, 3.0), (-1.0, 3.0)]
+    df = spark.range(1).select(
+        F.expr(poly_sql(big)).alias("s"), F.expr(poly_sql(bowtie)).alias("c")
+    )
+    got = df.select(clip_area_general_col("s", "c", ndigits=9).alias("a")).collect()[0].a
+    assert got == pytest.approx(0.0, abs=1e-9)
