@@ -139,3 +139,63 @@ def udtf_token_windows(spark, sf_dir):
         "SELECT d.doc_id, t.win_idx, t.win_text, t.win_tokens "
         "FROM _udtf_docs d, LATERAL token_windows_udtf(d.text, 16) t"
     )
+
+
+@register(
+    "frame_overlap_pairs",
+    # Video-dedup shape over the decode-free frame fingerprints:
+    # document pairs sharing >= 2 identical aligned frames, with the
+    # shared-frame count. Inverted index on the frame hash with a
+    # document-frequency cap (same pileup defense as the shingle
+    # index), pair expansion within capped postings only.
+    oracle="""
+    WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    f AS (
+      SELECT doc_id, hx,
+             UNNEST(generate_series(0, CAST(FLOOR(LENGTH(hx) / 64) AS BIGINT) - 1))
+               AS frame_idx
+      FROM p WHERE LENGTH(hx) >= 64
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             md5(substring(hx, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS h
+      FROM f
+    ),
+    keep AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 16),
+    kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_frames
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(shared_frames AS BIGINT) AS shared_frames
+    FROM pairs WHERE shared_frames >= 2
+    """,
+)
+def frame_overlap_pairs(spark, sf_dir):
+    """Binary near-dup detection at FRAME granularity: document pairs
+    sharing >= 2 identical aligned 32-byte frames (the video-dedup
+    shape — shared scenes survive container-level re-encoding of
+    everything around them). Distinct frame fingerprints feed a
+    df-capped inverted index (2..16 — singletons pair with nothing,
+    ubiquitous frames are boilerplate); candidate pairs come from the
+    capped postings only, never a doc x doc join — the same scale
+    defense as the shingle index."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = binary_frame_fingerprints(spark, sf_dir).select(
+        "doc_id", F.col("frame_md5").alias("h")
+    ).distinct()
+    fp = fp.localCheckpoint(eager=False)  # feeds the cap + both join sides
+    keep = fp.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df").between(2, 16)
+    )
+    kept = fp.join(keep.select("h"), "h")
+    a = kept.select("h", F.col("doc_id").alias("doc_a"))
+    b = kept.select("h", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_frames"))
+        .where(F.col("shared_frames") >= 2)
+    )
