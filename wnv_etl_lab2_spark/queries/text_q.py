@@ -924,7 +924,7 @@ def bigram_pmi_top(spark, sf_dir):
 def stop_shingle_report(spark, sf_dir):
     """Stop-shingle audit: the 20 highest-document-frequency word-3-
     grams with their df and whether the near-dup inverted index drops
-    them under the _DF_CAP ({_DF_CAP}) — the evidence a reviewer
+    them under the _DF_CAP (16) — the evidence a reviewer
     checks before trusting the cap (it must bite boilerplate, not
     content). Distinct-shingle explode, one partial-aggregated
     groupBy, TakeOrdered head — no joins, linear at any corpus size.
