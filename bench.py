@@ -14,6 +14,7 @@ import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -24,9 +25,10 @@ from wnv_etl_lab2_spark import queries as q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# timed repetitions per query (min is reported); overridable so the
-# test suite can smoke the full harness contract in one pass
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# timed repetitions per query (min is the primary stat; the median is
+# also published). Overridable so the test suite can smoke the full
+# harness contract in one pass.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 # Headline set: the heaviest representative of each operator family.
 HEADLINE = [
@@ -60,6 +62,7 @@ HEADLINE = [
     "pareto_frontier_curation",   # two-phase merge-associative skyline (round 4)
     "dedup_simhash",              # shuffle-free Arrow bit-count kernel (round 5)
     "concave_zone_clip",          # concave overlay via signed fan decomposition (round 5)
+    "holed_zone_clip",            # polygon-with-holes overlay, winding additivity (round 6)
 ]
 
 
@@ -106,11 +109,15 @@ def main() -> None:
     # min over RUNS timed passes per query: steady-state plan cost,
     # robust to one-off GC/JIT spikes (the plans are deterministic;
     # variance is JVM noise, not data — measured ~±20% between single
-    # runs). The passes are INTERLEAVED — every query once, then the
-    # whole list again — so session-level pressure (heap growth,
-    # codegen-cache churn over 28 plans) lands on every query's sample
-    # set instead of only on whichever queries run late; per-query
-    # deltas across rounds stay attributable to code.
+    # runs, so the noise floor — the min — is the most reproducible
+    # statistic; the median is published alongside so the spread is
+    # visible in the artifact). The passes are INTERLEAVED — every
+    # query once, then the whole list again — so session-level
+    # pressure (heap growth, codegen-cache churn over ~30 plans)
+    # lands on every query's sample set instead of only on whichever
+    # queries run late; per-query deltas across rounds stay
+    # attributable to code. `delta_vs_prev` compares min to prior
+    # rounds' min — same statistic, same protocol, since round 3.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(RUNS):
         for name in HEADLINE:
@@ -119,6 +126,9 @@ def main() -> None:
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             samples[name].append(time.perf_counter() - t0)
     timings = {name: round(min(runs), 3) for name, runs in samples.items()}
+    medians = {
+        name: round(statistics.median(runs), 3) for name, runs in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     prev = _previous_round_timings()
@@ -127,6 +137,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "stat": f"min_of_{RUNS}",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if prev:

@@ -404,3 +404,22 @@ def test_reduced_edges_give_identical_components(spark, sf_dir):
     comp_red = {r.id: r.comp_id for r in connected_components(red).collect()}
     assert comp_full == comp_red
     assert len(comp_full) > 0
+
+
+def test_minhash_band_survivors_greedy_semantics(spark):
+    """Planted ground truth for the greedy first-id-wins rule: the
+    smaller id of a near-dup pair survives, unrelated docs survive,
+    and exact-duplicate pileup keeps exactly the min id with no pair
+    explosion. Short (<3-word) docs have no bands and always survive."""
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_survivors
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this sentence about spark engines"
+    rows = [(1, base), (2, near), (3, far), (4, "tiny doc")]
+    # pileup: 10 exact copies of another text
+    boiler = "boilerplate page repeated across the crawl many many times over"
+    rows += [(10 + k, boiler) for k in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in minhash_band_survivors(df).collect()}
+    assert kept == {1, 3, 4, 10}

@@ -22,9 +22,10 @@ def test_every_oracle_key_has_query(spark):
 
 
 # External correctness harnesses may only sample a prefix of the
-# registry, so the LLM-pipeline / temporal / reference-operator queries
-# must sit in the first 50 entries and every one of those must carry an
-# exact oracle (a rows-only entry there would waste a verified slot).
+# registry, so the rotation window's queries must sit in the first 50
+# entries and every one of those must carry an exact oracle — except
+# the explicitly allowlisted rows-only entries spending a slot on
+# their FIRST driver evidence (queries.FRONT_ROWS_ONLY_OK).
 def test_high_value_queries_in_driver_window(spark):
     from wnv_etl_lab2_spark import queries as q
 
@@ -32,17 +33,21 @@ def test_high_value_queries_in_driver_window(spark):
     window = names[:50]
     assert set(q._FRONT) <= set(window), sorted(set(q._FRONT) - set(window))
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in window if n not in oracles]
+    missing = [n for n in window if n not in oracles and n not in q.FRONT_ROWS_ONLY_OK]
     assert not missing, f"rows-only queries inside the 50-entry window: {missing}"
 
 
 def test_registry_prefix_window_fully_oracle_backed():
     """External harnesses may only correctness-check a prefix of the
     registry — every query in the first 50 positions must carry an
-    exact oracle, so a future registration can't silently displace an
+    exact oracle (or be an allowlisted first-evidence rows-only
+    entry), so a future registration can't silently displace an
     oracle-backed query out of the checked window."""
     import __spark_entry__ as m
+    from wnv_etl_lab2_spark import queries as q
 
     qs, osql = m.queries(), m.oracle_sql()
-    missing = [n for n in list(qs)[:50] if n not in osql]
+    missing = [
+        n for n in list(qs)[:50] if n not in osql and n not in q.FRONT_ROWS_ONLY_OK
+    ]
     assert not missing, f"oracle-less queries inside the window: {missing}"

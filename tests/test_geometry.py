@@ -282,3 +282,102 @@ def test_general_clip_self_intersecting_is_winding_signed(spark):
     )
     got = df.select(clip_area_general_col("s", "c", ndigits=9).alias("a")).collect()[0].a
     assert got == pytest.approx(0.0, abs=1e-9)
+
+
+# --- polygon-with-holes clip: winding additivity ----------------------
+
+from wnv_etl_lab2_spark.operators.geometry import (  # noqa: E402
+    clip_area_with_holes_col,
+)
+
+# Square [0,4]^2 with center hole [1,3]^2 (net area 12).
+SQ4 = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)]
+HOLE_C = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0)]
+# Comb (area 18) with a hole in its left tooth: [0.5,1.5]x[1.5,3.5].
+COMB_HOLE = [(0.5, 1.5), (1.5, 1.5), (1.5, 3.5), (0.5, 3.5)]
+
+HOLED_CASES = [
+    # (name, subject, outer, holes, expected) — goldens by rectilinear
+    # decomposition (outer overlap minus per-hole overlaps).
+    ("contains_all", [(-1.0, -1.0), (5.0, -1.0), (5.0, 5.0), (-1.0, 5.0)],
+     SQ4, [HOLE_C], 12.0),
+    ("inside_hole", [(1.5, 1.5), (2.5, 1.5), (2.5, 2.5), (1.5, 2.5)],
+     SQ4, [HOLE_C], 0.0),
+    # box [0.5,2.5]x[0.5,2.5]: outer overlap 4.0, hole overlap 1.5^2
+    ("straddles_hole", [(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5)],
+     SQ4, [HOLE_C], 4.0 - 2.25),
+    ("cw_hole_ring", [(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5)],
+     SQ4, [list(reversed(HOLE_C))], 4.0 - 2.25),
+    # two disjoint holes [1,1.5]x[1,3] and [2.5,3]x[1,3] under a
+    # containing subject: 16 - 1 - 1 = 14
+    ("two_holes", [(-1.0, -1.0), (5.0, -1.0), (5.0, 5.0), (-1.0, 5.0)], SQ4,
+     [[(1.0, 1.0), (1.5, 1.0), (1.5, 3.0), (1.0, 3.0)],
+      [(2.5, 1.0), (3.0, 1.0), (3.0, 3.0), (2.5, 3.0)]], 14.0),
+    # concave OUTER with a hole: comb fully covered minus tooth hole
+    ("comb_with_hole", [(-1.0, -1.0), (7.0, -1.0), (7.0, 5.0), (-1.0, 5.0)],
+     COMB, [COMB_HOLE], 18.0 - 2.0),
+    # slab y in [0.5, 2.0] across the comb with the tooth hole:
+    # comb∩slab = 3 teeth * 1.0 wide... decomposition: comb∩slab area
+    # (from comb_x_slab logic over full width): columns [0,2],[3,4],
+    # [5,6] full height in slab: [0,2]x[0.5,2]=3.0, [2,3]x[0.5,1]=0.5,
+    # [3,4]x... comb = [0,6]x[0,4] minus slots [2,3]x[1,4], [4,5]x[1,4]
+    # slab [0,6]x[0.5,2]: full 9.0 minus slot overlaps 2*(1x1)=2 -> 7.0
+    # hole overlap: [0.5,1.5]x[1.5,2] = 0.5 -> 6.5
+    ("comb_slab_hole", [(0.0, 0.5), (6.0, 0.5), (6.0, 2.0), (0.0, 2.0)],
+     COMB, [COMB_HOLE], 6.5),
+]
+
+
+@pytest.mark.parametrize(
+    "name,subj,outer,holes,want", HOLED_CASES, ids=[c[0] for c in HOLED_CASES]
+)
+def test_holed_clip_goldens(spark, name, subj, outer, holes, want):
+    df = spark.createDataFrame(
+        [(subj, outer, holes)],
+        "s array<struct<x:double,y:double>>, o array<struct<x:double,y:double>>, "
+        "h array<array<struct<x:double,y:double>>>",
+    )
+    got = df.select(
+        clip_area_with_holes_col("s", "o", "h", ndigits=9).alias("a")
+    ).collect()[0].a
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_holed_clip_null_empty_degenerate_holes(spark):
+    """NULL holes column == no holes == empty array; degenerate
+    (<3-vertex) or NULL hole entries contribute exactly 0; and the
+    no-holes form agrees with clip_area_general_col."""
+    df = spark.createDataFrame(
+        [([(0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5)], SQ4)],
+        "s array<struct<x:double,y:double>>, o array<struct<x:double,y:double>>",
+    ).selectExpr(
+        "s", "o",
+        "CAST(NULL AS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) AS hnull",
+        "CAST(array() AS ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>) AS hempty",
+        "array(CAST(NULL AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>), "
+        "array(named_struct('x', 1.0D, 'y', 1.0D), named_struct('x', 2.0D, 'y', 2.0D))"
+        ") AS hdegen",
+    )
+    row = df.select(
+        clip_area_with_holes_col("s", "o", "hnull", ndigits=9).alias("an"),
+        clip_area_with_holes_col("s", "o", "hempty", ndigits=9).alias("ae"),
+        clip_area_with_holes_col("s", "o", "hdegen", ndigits=9).alias("ad"),
+        clip_area_general_col("s", "o", ndigits=9).alias("ag"),
+    ).collect()[0]
+    assert row.an == row.ae == row.ad == row.ag == pytest.approx(4.0, abs=1e-9)
+
+
+def test_holed_zone_clip_query_matches_oracle(spark, sf_dir):
+    """End-to-end registry query vs its DuckDB interval-arithmetic
+    oracle at the pytest SF (the same compare the driver runs)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tests")
+    import oracle_harness as oh
+    from wnv_etl_lab2_spark import queries as q
+
+    q._ensure_loaded()
+    spec = q.REGISTRY["holed_zone_clip"]
+    sdf = spec.fn(spark, sf_dir).toPandas()
+    odf = oh.run_oracle(spec.oracle, sf_dir)
+    oh.compare(sdf, odf, "holed_zone_clip")

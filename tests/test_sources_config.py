@@ -172,8 +172,15 @@ def test_cluster_conf_profile(spark):
     assert all(isinstance(v, str) for v in conf.values())
     assert conf["spark.sql.shuffle.partitions"] == "10000"
     assert conf["spark.executor.instances"] == "1000"
-    # settable on a live session where dynamic (runtime-changeable):
-    spark.conf.set(
-        "spark.sql.files.maxPartitionBytes", conf["spark.sql.files.maxPartitionBytes"]
-    )
-    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "192m"
+    # settable on a live session where dynamic (runtime-changeable);
+    # restored afterwards so the shared session fixture's scan
+    # partitioning is unchanged for later tests
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            conf["spark.sql.files.maxPartitionBytes"],
+        )
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == "192m"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

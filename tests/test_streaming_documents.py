@@ -82,3 +82,71 @@ def test_streaming_curation_dedups_across_batches(spark, tmp_path):
     ).toPandas()
     # both texts pass quality; the duplicate content keeps ONE row
     assert sorted(out.digest.value_counts().tolist()) == [1, 1]
+
+
+# --- streaming NEAR-dup (MinHash band index across micro-batches) -----
+
+from wnv_etl_lab2_spark.operators.dedup import minhash_band_survivors  # noqa: E402
+from wnv_etl_lab2_spark.streaming.documents import (  # noqa: E402
+    stage_documents_id_ranged,
+    streaming_neardup_curation,
+)
+
+
+def _run_neardup_stream(spark, path, tmp_path):
+    index_dir = str(tmp_path / "band_index")
+    out_dir = str(tmp_path / "kept_docs")
+    q = (
+        streaming_neardup_curation(
+            read_documents_stream(spark, path), index_dir, out_dir
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "neardup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
+def test_streaming_neardup_replay_equals_batch_survivors(spark, sf_dir, tmp_path):
+    """Replaying the corpus in id order through the band-index stream
+    keeps EXACTLY the batch greedy-survivor set (quality filter then
+    minhash_band_survivors) — doc-id-for-doc-id, not just counts."""
+    path = stage_documents_id_ranged(
+        spark, sf_dir, str(tmp_path / "iddocs"), n_files=4
+    )
+    got = {r[0] for r in _run_neardup_stream(spark, path, tmp_path).select("doc_id").collect()}
+    batch = minhash_band_survivors(
+        load_table(spark, "documents", sf_dir).where(Q.quality_keep())
+    )
+    want = {r[0] for r in batch.select("doc_id").collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_neardup_drops_across_batches(spark, tmp_path):
+    """A near-duplicate (one substituted word) arriving in a LATER
+    micro-batch must be dropped by the persisted band index — the
+    cross-batch property a per-batch dedup cannot have — while a
+    genuinely different later doc survives."""
+    import os
+    import time
+
+    base = "the torch spark query table always " * 8
+    near = base.replace("always", "seldom", 1)
+    other = "the write flame crane spoke pivot mill of stone " * 6
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path / "nd_batches")
+    b1 = spark.createDataFrame([(1, base, "en", "a", len(base))], schema)
+    b2 = spark.createDataFrame(
+        [(5, near, "en", "b", len(near)), (6, other, "en", "b", len(other))], schema
+    )
+    now = time.time()
+    for k, b in enumerate((b1, b2)):
+        before = set(os.listdir(p)) if os.path.isdir(p) else set()
+        b.coalesce(1).write.mode("append").parquet(p)
+        for f in set(os.listdir(p)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(p, f), (now + k, now + k))
+    kept = _run_neardup_stream(spark, p, tmp_path).select("doc_id").toPandas()
+    assert set(kept.doc_id) == {1, 6}

@@ -109,7 +109,12 @@ def _signature_exprs(num_hashes: int) -> list[str]:
     """mh_i = min over shingles of the i-th affine re-hash, as SQL
     expression STRINGS: one parse on the JVM instead of num_hashes
     nested Python-lambda column trees (the py4j round trips to build
-    those dominated plan-construction time — ~1s/query at 32 hashes)."""
+    those dominated plan-construction time — ~1s/query at 32 hashes).
+    An Arrow mapInArrow numpy kernel for the same arithmetic was
+    measured SLOWER end-to-end at bench SF (+~0.2 s fixed Python
+    stage round-trip, and it splits the scan->signature->banding map
+    stage that otherwise runs as one JVM pass), so the SQL form
+    stays."""
     assert num_hashes <= len(_A)
     return [
         f"array_min(transform(_h31, h -> ({a}L * h + {b}L) % {_P}L)) AS mh_{i}"
@@ -130,6 +135,89 @@ def minhash_signatures(
         id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
     )
     return base.selectExpr(id_col, *_signature_exprs(num_hashes))
+
+
+def _banded_from_shingled(
+    shingled: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_id, band_sig) from a `_shingled` frame: affine
+    MinHash signature (in-row, `_signature_exprs`), band signature =
+    xxhash64 of each band's r minhashes (joins on (int, long), never
+    strings), unpivoted to one row per (doc, band) via `stack`."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes
+    sig = shingled.selectExpr(
+        id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
+    ).selectExpr(id_col, *_signature_exprs(num_hashes))
+    band_cols = [
+        f"xxhash64({', '.join(f'mh_{band * r + i}' for i in range(r))}) AS band_{band}"
+        for band in range(bands)
+    ]
+    banded = sig.selectExpr(id_col, *band_cols)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
+    return banded.select(
+        id_col, F.expr(f"stack({bands}, {stack_expr}) AS (band_id, band_sig)")
+    )
+
+
+def minhash_band_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """One row per (doc, LSH band): (id, band_id, band_sig). The
+    building block of bucket-level near-dup machinery — candidate
+    joins (minhash_lsh_pairs), the greedy survivor rule below, and the
+    STREAMING band index (streaming/documents.py appends these rows
+    per micro-batch as its cross-batch state). Pure map over the scan
+    except `_shingled`'s spreading repartition; <3-word docs have no
+    shingle set and produce no rows."""
+    return _banded_from_shingled(
+        _shingled(docs, id_col, text_col), id_col, num_hashes, bands
+    )
+
+
+def minhash_band_survivors(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Greedy first-id-wins near-dup SUPPRESSION: a doc is dropped iff
+    some LSH band bucket contains a smaller doc id; returns the
+    surviving docs (all input columns). This is the order-greedy
+    variant of near-dup canonicalization — exactly the decision an
+    INCREMENTAL/streaming dedup makes when docs arrive in id order
+    ("drop if similar to anything seen before"), which is why the
+    streaming path (streaming/documents.streaming_neardup_curation)
+    replay-matches this operator bit-for-bit (pinned in
+    tests/test_streaming_documents.py). It differs from component
+    canonicalization (`connected_components`) only on similarity
+    CHAINS: a doc whose every direct neighbor has a larger id survives
+    here even if a transitive chain reaches a smaller id.
+
+    Scale shape: band rows -> min-id per bucket -> min over a doc's
+    buckets — two shuffles of (id, band) rows, NO pair expansion at
+    all, so exact-duplicate pileup (k copies of a boilerplate page)
+    costs k band rows, never k^2 candidates; the deepest bucket is as
+    cheap as the shallowest. Docs with no shingle set (<3 words) are
+    never similar to anything and survive.
+    """
+    b = minhash_band_signatures(docs, id_col, text_col, num_hashes, bands)
+    mn = b.groupBy("band_id", "band_sig").agg(F.min(id_col).alias("_bmn"))
+    doc_min = (
+        b.join(mn, ["band_id", "band_sig"])
+        .groupBy(id_col)
+        .agg(F.min("_bmn").alias("_mn"))
+    )
+    return (
+        docs.join(doc_min, id_col, "left")
+        .where(F.col("_mn").isNull() | (F.col("_mn") == F.col(id_col)))
+        .drop("_mn")
+    )
 
 
 def minhash_lsh_pairs(
@@ -172,46 +260,45 @@ def minhash_lsh_pairs(
     rep pairs fan back out through the member lists (identical shingle
     sets: intra-group Jaccard is exactly 1.0, cross-group pairs
     inherit the rep pair's Jaccard bit-for-bit).
+
+    SHARING: the multi-consumer subtrees (dup_groups, the candidate
+    pipeline, shingled) are deliberately NOT checkpointed. Under AQE,
+    `localCheckpoint(eager=False)` is not lazy in practice — toRdd
+    materializes every upstream query stage as separate jobs
+    (measured: the round-5 checkpointed form spent 1.1-1.6 s of its
+    2.0 s bench wall inside the two "lazy" checkpoint calls). Left as
+    ONE query, AQE's runtime stage reuse dedups the identical
+    exchanges (the dup-groups aggregate, the shingle repartition, the
+    candidate distinct), so each shuffle still executes once at any
+    scale — same shuffle-once property, fewer jobs, no eager
+    materialization barrier. Measured 2.00 s -> ~1.5 s at sf0.1.
     """
     r = num_hashes // bands
     assert bands * r == num_hashes
     h1, h2 = F.xxhash64(F.col(text_col)), F.xxhash64(F.lit(1), F.col(text_col))
+    # _wc rides along so the group expansions below can apply the
+    # same >= 3-words gate `_shingled` applies — as a FILTER on the
+    # (tiny) group table instead of a semi join back against the
+    # shingle pipeline (which would re-run a corpus scan + shingle
+    # pass just to learn each rep's word count). Identical texts have
+    # identical word counts, so min() is exact.
+    wc = F.size(F.split(F.col(text_col), " "))
     dup_groups = (
-        docs.select(id_col, h1.alias("_h1"), h2.alias("_h2"))
+        docs.select(id_col, h1.alias("_h1"), h2.alias("_h2"), wc.alias("_wc"))
         .groupBy("_h1", "_h2")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_members"))
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("_members"),
+            F.min("_wc").alias("_wc"),
+        )
         .where(F.size("_members") >= 2)
-        .select(F.element_at("_members", 1).alias("_rep"), "_members")
-        .localCheckpoint(eager=False)  # feeds anti-join + both expansions
+        .select(F.element_at("_members", 1).alias("_rep"), "_members", "_wc")
     )
     redundant = dup_groups.select(
         F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias(id_col)
     )
     canon = docs.join(redundant, id_col, "left_anti")
     shingled = _shingled(canon, id_col, text_col)
-    # Signature as ONE array<long> column built by a lambda over the
-    # hash-constant arrays — identical values to the 32-named-column
-    # form (_signature_exprs), but a ~10x smaller expression tree.
-    # The wide form made every analysis/physical-planning pass of this
-    # plan (each localCheckpoint call plans eagerly, plus the final
-    # action) cost ~1 s of DRIVER time per query build — the dominant
-    # cost of the whole pipeline at bench SF, and pure overhead at any
-    # SF since planning happens once regardless of data size.
-    sig = shingled.selectExpr(
-        id_col, "transform(_sh, x -> pmod(x, 2147483648)) AS _h31"
-    ).selectExpr(id_col, *_signature_exprs(num_hashes))
-    # band signature = one long (xxhash64 of the band's minhashes):
-    # joins on (int, long), never on strings.
-    band_cols = [
-        f"xxhash64({', '.join(f'mh_{band * r + i}' for i in range(r))}) AS band_{band}"
-        for band in range(bands)
-    ]
-    banded = sig.selectExpr(id_col, *band_cols)
-    # unpivot to (doc, band_id, band_sig): one row per band
-    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(bands))
-    buckets = banded.select(
-        id_col, F.expr(f"stack({bands}, {stack_expr}) AS (band_id, band_sig)")
-    )
+    buckets = _banded_from_shingled(shingled, id_col, num_hashes, bands)
     # candidate pairs via groupBy bucket + in-group pair expansion:
     # one shuffle, one evaluation of the signature pipeline (a
     # self-join would do both twice). ``max_bucket`` caps degenerate
@@ -222,21 +309,16 @@ def minhash_lsh_pairs(
         F.sort_array(F.collect_list(F.col(id_col))).alias("L")
     ).where((F.size("L") >= 2) & (F.size("L") <= max_bucket))
     cand = pair_explode(grouped, "L", "doc_a", "doc_b", keep=[]).distinct()
-    # The candidate set feeds two consumers (the id filter and the
-    # verify join); checkpoint it so the signature->banding->pairing
-    # pipeline runs once — the standard multi-pass materialization
-    # point of an LSH dedup job (tiny: one row per candidate pair).
-    cand = cand.localCheckpoint(eager=False)
     # exact verify on the candidate pairs only (hashed shingle sets:
     # same intersection/union sizes as the string sets). The shingle
     # arrays are semi-filtered to candidate docs FIRST — at corpus
     # scale the verify side must carry arrays only for the (small)
     # candidate set, never the whole corpus. The filter applies to the
-    # SAME shingled subtree the signatures came from, so the scan +
-    # shingle pipeline and its exchange are planned once and reused.
-    cand_ids = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias(id_col)
-    ).distinct()
+    # SAME shingled subtree the signatures came from, so its exchange
+    # is stage-reused at runtime. cand_ids is NOT distinct'd:
+    # duplicate build rows cannot change a semi-join verdict, and the
+    # distinct would cost one more shuffle + AQE stage barrier.
+    cand_ids = cand.select(F.explode(F.array("doc_a", "doc_b")).alias(id_col))
     sh = shingled.join(F.broadcast(cand_ids), id_col, "left_semi")
     verified = (
         cand.join(sh.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("sh_a")), "doc_a")
@@ -250,11 +332,10 @@ def minhash_lsh_pairs(
     if not expand_members:
         # Star edges (rep -> each later member), gated on the rep
         # having a shingle set — the same <3-word rule the expanded
-        # intra pairs apply, so both edge sets span identical vertices.
+        # intra pairs apply (via the carried _wc, not a join), so
+        # both edge sets span identical vertices.
         star = (
-            dup_groups.join(
-                shingled.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
-            )
+            dup_groups.where(F.col("_wc") >= 3)
             .select(
                 F.col("_rep").alias("doc_a"),
                 F.explode(F.expr("slice(_members, 2, size(_members) - 1)")).alias(
@@ -266,9 +347,17 @@ def minhash_lsh_pairs(
         return verified.unionByName(star)
 
     # expansion 1: verified rep pairs -> member pairs (identical
-    # shingle sets, so the Jaccard carries over bit-for-bit)
-    ma = dup_groups.select(F.col("_rep").alias("doc_a"), F.col("_members").alias("_ma"))
-    mb = dup_groups.select(F.col("_rep").alias("doc_b"), F.col("_members").alias("_mb"))
+    # shingle sets, so the Jaccard carries over bit-for-bit). The
+    # member tables are duplicate GROUPS — orders of magnitude smaller
+    # than the corpus — so they broadcast; without the hint the
+    # left joins sort-merge and pay two extra shuffles of the
+    # verified pair set.
+    ma = F.broadcast(
+        dup_groups.select(F.col("_rep").alias("doc_a"), F.col("_members").alias("_ma"))
+    )
+    mb = F.broadcast(
+        dup_groups.select(F.col("_rep").alias("doc_b"), F.col("_members").alias("_mb"))
+    )
     cross = (
         verified.join(ma, "doc_a", "left")
         .join(mb, "doc_b", "left")
@@ -285,11 +374,9 @@ def minhash_lsh_pairs(
     # expansion 2: within-group pairs are guaranteed duplicates with
     # Jaccard exactly |S|/|S| = 1.0 — but only for groups that HAVE a
     # shingle set (_shingled drops <3-word docs, and the whole group
-    # shares its rep's word count), hence the semi-join on the rep.
+    # shares its rep's word count), hence the carried-_wc filter.
     intra = pair_explode(
-        dup_groups.join(
-            shingled.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
-        ),
+        dup_groups.where(F.col("_wc") >= 3),
         "_members",
         "doc_a",
         "doc_b",
@@ -328,27 +415,35 @@ def connected_components(
     # Checkpoint the edge list BEFORE the symmetrizing self-union:
     # both union branches derive from the same materialized RDD, so an
     # expensive upstream pair pipeline (MinHash LSH in
-    # corpus_curation_stats) executes once, not once per branch.
+    # corpus_curation_stats) executes once, not once per branch. NOTE:
+    # under AQE this call is effectively eager — toRdd materializes
+    # the upstream stages as Spark jobs right here, which is exactly
+    # what the probe collect below needs anyway.
     edges = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).localCheckpoint(eager=False)
     # ONE capped collect decides the route AND feeds the driver path:
     # <= bound rows come back in full (no separate count job); a
     # (bound+1)-th row proves the graph is large and the rows are
-    # discarded in favor of the distributed loop.
-    probe = edges.limit(driver_max_edges + 1).collect()
+    # discarded in favor of the distributed loop. Collected via Arrow
+    # (toArrow -> python lists), not as pyspark Rows: at the bound
+    # that is ~tens of MB of ints instead of hundreds of MB of Row
+    # objects (each Row is ~100+ bytes of wrapper).
+    probe_tbl = edges.limit(driver_max_edges + 1).toArrow()
+    probe = list(zip(probe_tbl.column(0).to_pylist(), probe_tbl.column(1).to_pylist()))
 
     # SIZE-ADAPTIVE ROUTING (same policy as the near-dup pair kernels,
     # commit 500a3bd): a verified near-dup edge list is orders of
     # magnitude smaller than its corpus — at sf0.1 it is ~250 rows, and
     # even a 100 TB corpus's post-verify graph often fits the bound.
-    # Below ``driver_max_edges`` (2M edges ≈ 32 MB — a BOUNDED driver
-    # artifact, like the 512-row IVF sample) a driver union-find
-    # replaces the iterative join loop, whose per-round cost is pure
-    # job-scheduling latency at this size (measured: 1.4 s for 249
-    # edges vs <0.1 s union-find). Larger graphs take the distributed
-    # min-label loop below — the 100 TB worst-case path is unchanged.
-    # Both routes return identical (id, comp_id = min id in component).
+    # Below ``driver_max_edges`` (2M int pairs ≈ 100-150 MB of python
+    # objects — a BOUNDED driver artifact, like the 512-row IVF
+    # sample) a driver union-find replaces the iterative join loop,
+    # whose per-round cost is pure job-scheduling latency at this size
+    # (measured: 1.4 s for 249 edges vs <0.1 s union-find). Larger
+    # graphs take the distributed min-label loop below — the 100 TB
+    # worst-case path is unchanged. Both routes return identical
+    # (id, comp_id = min id in component).
     if len(probe) <= driver_max_edges:
         rows = probe
         parent: dict = {}
@@ -439,12 +534,20 @@ def simhash_signatures(
     on). Bit j of the signature is set iff the sum of (+1/-1)
     contributions of bit j across tokens is positive.
 
-    Shape: a PURE MAP — the token hashes are computed in-row on the
-    JVM (one transform over the split array per 32-bit word; md5 is
-    C-side and cheap), and the per-bit counts + bit assembly
-    run in an Arrow-vectorized mapInPandas kernel (numpy unpackbits +
-    segmented reduce). No explode, NO SHUFFLE: at 100 TB each
-    partition maps scan -> signature with nothing crossing the wire.
+    Shape: a PURE MAP over each partition — the token hashes are
+    computed in-row on the JVM (md5 is C-side and cheap), and the
+    per-bit counts + bit assembly run in an Arrow-vectorized
+    mapInPandas kernel (numpy unpackbits + segmented reduce). No
+    explode, no groupBy; the only exchange is a row-level spreading
+    repartition that is SKIPPED whenever the input already has
+    adequate parallelism — at 100 TB a parquet scan arrives in
+    thousands of splits and nothing crosses the wire; locally a
+    single-file scan (1 partition) is spread once so all 32 cores
+    hash. The md5 digest array is projected in its OWN select and the
+    hi/lo word parses reference it from the next select: the digest
+    is referenced twice, so CollapseProject keeps the binding and md5
+    runs ONCE per token (measured 2.24 s -> 1.40 s at x16 vs the
+    per-word double-md5 form).
     History (SCALE_SMOKE.md): the previous 64-per-bit-SUM codegen
     aggregate form emitted one row per TOKEN into a groupBy and grew
     6.6x wall at 16x input — per-token work was rows x 64 aggregate
@@ -456,21 +559,19 @@ def simhash_signatures(
     import numpy as np
     import pandas as pd
 
-    # md5(t) bound once per token; hi/lo words parsed from one digest.
-    word = (
-        "transform(array(md5(t)), m -> named_struct("
-        "'hi', CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), "
-        "'lo', CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)))[0]"
-    )
     tok = f"filter(split({text_col}, ' '), t -> t <> '')"
     nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Spread only under-parallel inputs (single-file local scans);
+    # getNumPartitions is a plan inspection, not a job.
+    if docs.rdd.getNumPartitions() < nparts:
+        docs = docs.repartition(nparts, id_col)
     base = (
-        docs.repartition(nparts, id_col)  # spread single-file inputs
-        .where(F.expr(f"exists(split({text_col}, ' '), t -> t <> '')"))
+        docs.where(F.expr(f"exists(split({text_col}, ' '), t -> t <> '')"))
+        .selectExpr(id_col, f"transform({tok}, t -> md5(t)) AS _m")
         .selectExpr(
             id_col,
-            f"transform({tok}, t -> {word}.hi) AS _hhi",
-            f"transform({tok}, t -> {word}.lo) AS _hlo",
+            "transform(_m, m -> CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)) AS _hhi",
+            "transform(_m, m -> CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)) AS _hlo",
         )
     )
     id_dt = docs.schema[id_col].dataType.simpleString()

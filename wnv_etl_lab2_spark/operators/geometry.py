@@ -273,3 +273,54 @@ def clip_area_col(
     return F.expr(
         f"round({let_sql(guarded, '_C', poly_area_sql('_C'))}, {ndigits})"
     )
+
+
+def clip_area_with_holes_sql(subj: str, outer: str, holes: str) -> str:
+    """Intersection AREA of simple subject ring ``subj`` with a
+    POLYGON-WITH-HOLES clip — outer ring ``outer`` (any simple ring,
+    concave included) minus the interior rings in ``holes`` (an
+    ``array<array<struct<x,y>>>`` column) — as one pure-Catalyst
+    expression. This closes the interior-ring gap vs the reference's
+    `arcpy.analysis.Intersect` / Buffer / Erase surface
+    (`GSheetsETL_Lab2.py:129-133`, `final_project2.py:226-231`):
+    arcpy polygon layers (wetlands with lakes, zones with exclusion
+    islands) carry interior rings as first-class geometry.
+
+    Method — winding additivity one level up from the fan
+    decomposition: for holes H_k that are simple, pairwise disjoint
+    (disjoint interiors; shared boundary points are measure-zero and
+    fine), and contained in the closure of outer ring C,
+
+        area(P intersect (C - union H_k))
+            = area(P intersect C) - sum_k area(P intersect H_k)
+
+    and each term is the existing orientation-independent
+    `clip_area_general_sql` kernel. The hole terms fold over the
+    array with a plain `aggregate`, so the whole thing stays a
+    per-row JVM expression — no Python, no shuffle; callers pair rows
+    with `bbox_overlap_join` exactly as for the single-ring overlay.
+
+    Contract: holes inside outer and pairwise disjoint (the standard
+    OGC valid-polygon interior-ring rule); a NULL holes column means
+    no holes; an empty array contributes 0. Hole orientation is free
+    (each term is abs'd). Degenerate (<3-vertex) or NULL holes
+    contribute exactly 0 — a degenerate hole removes no area. NULL
+    subject/outer propagates NULL as in the single-ring kernel.
+    """
+    hole_term = clip_area_general_sql(subj, "_HR")
+    holes_sum = (
+        f"CASE WHEN {holes} IS NULL THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"aggregate({holes}, CAST(0.0 AS DOUBLE), "
+        f"(_hac, _HR) -> _hac + CASE WHEN _HR IS NULL OR size(_HR) < 3 "
+        f"THEN CAST(0.0 AS DOUBLE) ELSE {hole_term} END) END"
+    )
+    return f"({clip_area_general_sql(subj, outer)} - {holes_sum})"
+
+
+def clip_area_with_holes_col(
+    subj: str, outer: str, holes: str, ndigits: int = 8
+) -> "F.Column":
+    """ROUNDed polygon-with-holes intersection area column (see
+    clip_area_with_holes_sql). All three operands should be simple
+    column references — pre-project computed rings first."""
+    return F.expr(f"round({clip_area_with_holes_sql(subj, outer, holes)}, {ndigits})")

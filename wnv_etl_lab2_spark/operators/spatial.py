@@ -119,9 +119,16 @@ def within_distance_anti_join(
     """Keep points farther than ``radius`` from EVERY avoid point.
 
     Semantics of the reference's Buffer(1500ft) + Erase chain
-    (`GSheetsETL_Lab2.py:129-133`) on point inputs. ``point_key`` is
-    retained for API stability; the anti join needs no key column —
-    every point row is kept or dropped wholesale.
+    (`GSheetsETL_Lab2.py:129-133`) on point inputs.
+
+    .. deprecated:: round 6
+        ``point_key`` is ignored (retained for call-site stability
+        only) — the verdict is ROW-level: each point row is kept or
+        dropped by its own coordinates. The pre-round-5 form applied
+        a KEY-level verdict (all rows sharing a matched key dropped);
+        callers that feed duplicate keys with differing coordinates
+        and want key-level semantics must aggregate to one row per
+        key first.
     """
     return _distance_join(points, avoid, radius, "left_anti", **kw)
 

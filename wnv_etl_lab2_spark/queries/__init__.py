@@ -60,74 +60,80 @@ _LOADED = False
 # import order. Everything not listed keeps its import-order position
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
+# Rows-only queries allowed inside the 50-entry window THIS round:
+# the driver's weaker rows-only check is still its FIRST driver
+# evidence for these (they have only local pytest pins so far), which
+# the round-5 verdict asked to close. tests/test_entry.py enforces
+# that everything else in the window carries an exact oracle.
+FRONT_ROWS_ONLY_OK = {"approx_percentile_stats"}
+
 _FRONT = [
-    # Round-5 window (oldest-green-first; all exact-oracle entries —
-    # the invariant tests/test_entry.py pins). Rotation history: r1 =
-    # relational/spatial/SQL surface; r2 = LLM-pipeline + temporal; r3 =
-    # remaining oracle-backed + rows-only; r4 = new ops + the whole
-    # r1-stale block. After r4 every query's newest green is r2+, so
-    # this window = 27 of the 34 r2-stale queries, plus the 20 new
-    # round-5 operators (first driver evidence wins over re-verifies),
-    # plus the 3 highest-value
-    # r3-green entries (flagship spatial slice, TPC-H heads, packing,
-    # pandas-UDF surfaces).
-    # (a) 27 r2-stale queries (7 pure-map r2 greens yielded their slots
-    # to first-evidence round-5 operators; they keep local-gate coverage)
-    "cohort_retention",
-    "event_dedup_window",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "ngram_jaccard_pairs",
-    "tfidf_top_terms",
-    "winnow_fingerprints",
-    "decontamination_overlap",
-    "repetition_filter",
-    "ngram_counts_top",
-    "ann_topk_bruteforce",
-    "embedding_neardup_pairs",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "embedding_quantize_int8",
-    "corpus_curation_stats",
-    "neardup_keep_better",
-    "knn_join_bruteforce",
-    "binary_frame_fingerprints",
-    "stratified_sample_topk",
-    "quality_rules_filter",
-    "doc_chunking",
-    "embedding_centroid_stats",
-    "source_mixture_weights",
-    "stable_doc_ids",
-    "groupwise_zscore_arrow",
-    "repeated_span_removal",
-    # (b) new round-5 operators: concave polygon overlay (the general
-    # arcpy.Intersect form; signed fan decomposition), LSH-tuning
-    # threshold sweep, Zipf head profile, cross-source near-dup
-    # matrix, column profiler
-    "concave_zone_clip",
-    "neardup_threshold_sweep",
-    "zipf_top_words",
-    "cross_source_duplication",
-    "table_profile",
-    "upsert_snapshot_merge",
-    "scd2_customer_history",
-    "attribution_last_touch",
-    "rolling_median_value",
-    "neardup_graph_stats",
-    "udtf_token_windows",
-    "data_quality_checks",
-    "gap_fill_interpolate",
-    "weighted_sample_es",
-    "train_val_test_split",
-    "split_leakage_check",
-    "corpus_dashboard",
-    "chunk_dedup_stats",
-    "label_cohesion_stats",
-    "temperature_mixture_weights",
-    # (c) 3 r3-stale re-verifies
-    "spatial_buffer_erase",
-    "spatial_within_buffer",
-    "spray_targets",
+    # Round-6 window — evidence-freshness rotation (verdict r5 #3).
+    # Rotation history: r1 = relational/spatial/SQL surface; r2 =
+    # LLM-pipeline + temporal; r3 = remaining oracle-backed +
+    # rows-only; r4 = new ops + the whole r1-stale block; r5 = new ops
+    # + the r2-stale block. This window = the 7 round-5 additions the
+    # r5 driver window never reached (judge-verified only), the new
+    # round-6 operators, the 7 oldest (r2) re-verifies, and 35 of the
+    # 38 r3-stale queries. Deferred to round 7 (lowest drift risk —
+    # trivial set-algebra/limit plans): union_distinct,
+    # orderby_limit_topk, regexp_null_funcs.
+    # (a) round-5 additions with no driver row yet (first evidence;
+    # approx_percentile_stats is rows-only by design — see
+    # FRONT_ROWS_ONLY_OK)
+    "bigram_pmi_top",
+    "customer_rfm_segments",
+    "event_transition_matrix",
+    "frame_overlap_pairs",
+    "rolling_zscore_events",
+    "stop_shingle_report",
+    "approx_percentile_stats",
+    # (b) new round-6 operators (first evidence)
+    "holed_zone_clip",
+    # (c) the 7 oldest driver greens (r2)
+    "text_stats",
+    "token_count",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "vocab_coverage",
+    "embedding_norms",
+    "deterministic_sample",
+    # (d) r3-stale re-verifies (35 of 38)
+    "argmax_per_group",
+    "collect_sorted_agg",
+    "correlated_exists",
+    "cube_agg",
+    "denylist_scrub",
+    "disjunctive_predicate_revenue",
+    "except_all_multiset",
+    "forecast_revenue_change",
+    "grouped_agg_pandas_udaf",
+    "intersect_all_multiset",
+    "json_extraction",
+    "large_volume_orders",
+    "late_shipper_chain",
+    "lookup_enrichment_join",
+    "multiway_join_topk_revenue",
+    "nation_market_share",
+    "nation_volume_shipping",
+    "pivot_agg",
+    "pricing_summary",
+    "promo_revenue_share",
+    "regional_revenue",
+    "returned_item_ranking",
+    "rollup_agg",
+    "salted_groupby",
+    "scalar_subquery",
+    "sequence_packing",
+    "small_qty_part_revenue",
+    "spatial_join_count",
+    "spatial_zone_rollup",
+    "stats_agg",
+    "top_supplier_revenue",
+    "tumbling_window_batch",
+    "variant_extract",
+    "window_topk_per_group",
+    "word_entropy_quality",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

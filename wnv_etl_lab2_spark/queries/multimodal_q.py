@@ -120,11 +120,13 @@ def udtf_token_windows(spark, sf_dir):
     vectorizable prefer mapInPandas (batch-at-a-time); the UDTF's
     per-row `eval` is the slowest Python surface, which is why this
     is the API-coverage demo, not a hot path."""
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="win_idx bigint, win_text string, win_tokens bigint")
     class TokenWindows:
         def eval(self, text: str, width: int):
+            if text is None:  # match the Catalyst twin: NULL expands to no rows
+                return
             toks = [t for t in text.split(" ")]
             for i in range(0, max(1, (len(toks) + width - 1) // width)):
                 chunk = toks[i * width : (i + 1) * width]

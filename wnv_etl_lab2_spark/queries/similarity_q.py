@@ -356,6 +356,23 @@ def embedding_quantize_int8(spark, sf_dir):
     return emb.select("vec_id", F.expr(f"inline({chain})"))
 
 
+@register("neardup_band_survivors")  # greedy band rule on xxhash64 sigs — rows-only;
+# replay-equivalence vs the STREAMING near-dup path pinned in
+# tests/test_streaming_documents.py, planted-dup behavior in tests/test_dedup.py
+def neardup_band_survivors(spark, sf_dir):
+    """Greedy first-id-wins near-dup suppression over MinHash LSH band
+    buckets (operators/dedup.minhash_band_survivors): the BATCH twin
+    of the streaming near-dup curation — a doc is dropped iff some
+    band bucket contains a smaller doc id. No pair expansion at any
+    bucket depth (min-per-bucket, not pairs), so duplicate pileup is
+    linear. Not SQL-expressible (xxhash64 band signatures), hence
+    rows-only here."""
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_survivors
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_band_survivors(docs).select("doc_id", "source", "n_chars")
+
+
 @register("semantic_dedup_keep")  # driver-trained quantizer -> rows-only check
 def semantic_dedup_keep(spark, sf_dir):
     """SemDeDup semantic pruning end-to-end: IVF-cluster the corpus,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from wnv_etl_lab2_spark.operators.geometry import (
     clip_area_col,
     clip_area_general_col,
+    clip_area_with_holes_col,
     rect_poly_sql,
 )
 from wnv_etl_lab2_spark.operators.spatial import (
@@ -237,6 +238,105 @@ def concave_zone_clip(spark, sf_dir):
         "zone_id",
         "parcel_id",
         clip_area_general_col("pring", "zring").alias("clip_area"),
+    )
+
+
+# Shared hole-bound fragments for holed_zone_clip: evaluated by
+# F.expr on the Spark side and pasted verbatim into the DuckDB oracle,
+# so the bounds arithmetic is bit-identical on both engines. Hole 1
+# sits in the L-zone's lower-right lobe, hole 2 in its upper-left arm
+# — pairwise disjoint, strictly interior (OGC interior-ring contract).
+_H1 = {
+    "x0": "(xmin + 0.55 * (xmax - xmin))",
+    "x1": "(xmin + 0.85 * (xmax - xmin))",
+    "y0": "(ymin + 0.05 * (ymax - ymin))",
+    "y1": "(ymin + 0.35 * (ymax - ymin))",
+}
+_H2 = {
+    "x0": "(xmin + 0.05 * (xmax - xmin))",
+    "x1": "(xmin + 0.35 * (xmax - xmin))",
+    "y0": "(ymin + 0.55 * (ymax - ymin))",
+    "y1": "(ymin + 0.85 * (ymax - ymin))",
+}
+
+
+def _rect_clip_product(x0: str, y0: str, x1: str, y1: str) -> str:
+    """Oracle fragment: area of parcel-box ∩ [x0,x1]x[y0,y1]."""
+    return (
+        f"greatest(0, least({x1}, pxmax) - greatest({x0}, pxmin))"
+        f" * greatest(0, least({y1}, pymax) - greatest({y0}, pymin))"
+    )
+
+
+@register(
+    "holed_zone_clip",
+    # Oracle by rectilinear decomposition + hole subtraction: the
+    # L-shaped outer ring is R1 ∪ R2 with disjoint interiors (as in
+    # concave_zone_clip), the two rectangular holes are interior and
+    # disjoint, so area(parcel ∩ (L − H1 − H2)) is four interval
+    # products — exact in DuckDB without geometry code.
+    oracle=f"""
+    WITH zones AS ({geo.ZONES_CTE}),
+    parcels AS ({geo.PARCELS_CTE}),
+    z AS (
+      SELECT zone_id, xmin, ymin, xmax, ymax,
+             (xmin + xmax) / 2 AS xm, (ymin + ymax) / 2 AS ym
+      FROM zones
+    )
+    SELECT zone_id, parcel_id,
+           ROUND(
+             {_rect_clip_product('xmin', 'ymin', 'xmax', 'ym')}
+             + {_rect_clip_product('xmin', 'ym', 'xm', 'ymax')}
+             - {_rect_clip_product(_H1['x0'], _H1['y0'], _H1['x1'], _H1['y1'])}
+             - {_rect_clip_product(_H2['x0'], _H2['y0'], _H2['x1'], _H2['y1'])},
+           8) AS clip_area
+    FROM z JOIN parcels p
+      ON xmin < pxmax AND pxmin < xmax AND ymin < pymax AND pymin < ymax
+    """,
+)
+def holed_zone_clip(spark, sf_dir):
+    """POLYGON-WITH-HOLES overlay — the interior-ring form of the
+    reference's `arcpy.analysis.Intersect` (`GSheetsETL_Lab2.py:125-
+    133`): arcpy polygon layers carry interior rings (a wetland with
+    lakes, a zone with exclusion islands) and Buffer/Erase/Intersect
+    all respect them. Each risk zone becomes the concave L-ring of
+    `concave_zone_clip` MINUS two rectangular interior rings (one per
+    lobe); parcels stay rectangles. The refine step is
+    operators/geometry.clip_area_with_holes_col — winding additivity:
+    the outer term minus a per-hole fold of the same signed-fan
+    kernel, all one pure-Catalyst per-row expression. Pairs come from
+    the same grid-bucketed bbox_overlap_join, so the scale shape is
+    unchanged from the single-ring overlays."""
+    xm, ym = "(xmin + xmax) / 2", "(ymin + ymax) / 2"
+    lring = (
+        "array("
+        "named_struct('x', xmin, 'y', ymin), "
+        "named_struct('x', xmax, 'y', ymin), "
+        f"named_struct('x', xmax, 'y', {ym}), "
+        f"named_struct('x', {xm}, 'y', {ym}), "
+        f"named_struct('x', {xm}, 'y', ymax), "
+        "named_struct('x', xmin, 'y', ymax))"
+    )
+    holes = (
+        "array("
+        + rect_poly_sql(_H1["x0"], _H1["y0"], _H1["x1"], _H1["y1"])
+        + ", "
+        + rect_poly_sql(_H2["x0"], _H2["y0"], _H2["x1"], _H2["y1"])
+        + ")"
+    )
+    zones = (
+        geo.risk_zones(spark, sf_dir)
+        .withColumn("zring", F.expr(lring))
+        .withColumn("zholes", F.expr(holes))
+    )
+    parcels = geo.parcel_boxes(spark, sf_dir).withColumn(
+        "pring", F.expr(rect_poly_sql("pxmin", "pymin", "pxmax", "pymax"))
+    )
+    pairs = bbox_overlap_join(zones, parcels, cell=0.02)
+    return pairs.select(
+        "zone_id",
+        "parcel_id",
+        clip_area_with_holes_col("pring", "zring", "zholes").alias("clip_area"),
     )
 
 

@@ -46,6 +46,45 @@ def stage_documents_for_streaming(
     return out_path
 
 
+def stage_documents_id_ranged(
+    spark: SparkSession, sf_dir: str, out_path: str, n_files: int = 4
+) -> str:
+    """Re-stage documents as ``n_files`` parquet files of CONSECUTIVE
+    doc_id ranges, written sequentially so modification times strictly
+    increase — the file source (latestFirst=false, oldest first)
+    replays them as id-ordered micro-batches. This is the arrival
+    order of a corpus whose ids are assigned at ingest (monotonic ids
+    are exactly what `stable_doc_ids` produces), and the order under
+    which greedy streaming near-dup equals the batch
+    `minhash_band_survivors` rule."""
+    import os
+    import time
+
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    ids = [r[0] for r in docs.selectExpr("doc_id").orderBy("doc_id").collect()]
+    step = max(1, (len(ids) + n_files - 1) // n_files)
+    bounds = [ids[i] for i in range(0, len(ids), step)] + [ids[-1] + 1]
+    now = time.time()
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        before = set(os.listdir(out_path)) if os.path.isdir(out_path) else set()
+        (
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        # FileStreamSource orders by mtime (latestFirst=false -> oldest
+        # first); force a strict, range-ordered increase even on
+        # coarse-granularity filesystems
+        for f in set(os.listdir(out_path)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(out_path, f), (now + k, now + k))
+    return out_path
+
+
 def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over staged documents parquet, one file per
     micro-batch (declared schema — streaming sources never infer)."""
@@ -68,3 +107,80 @@ def streaming_curation(docs: DataFrame) -> DataFrame:
 
     kept = docs.where(Q.quality_keep())
     return kept.withColumn("digest", F.md5("text")).dropDuplicates(["digest"])
+
+
+def streaming_neardup_curation(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+):
+    """Incremental NEAR-dup curation: quality-rule filter, then greedy
+    MinHash-band suppression across micro-batches — the streaming twin
+    of `operators/dedup.minhash_band_survivors` (exact digest dedup is
+    `streaming_curation`; this closes the near-dup family).
+
+    Per micro-batch (foreachBatch — the Structured Streaming surface
+    for stateful logic that needs a JOIN against accumulated state,
+    which no single-keyed stateful operator can express: a doc's
+    verdict spans its 16 band keys):
+
+      1. band-signature the quality-passing docs
+         (`minhash_band_signatures`),
+      2. drop docs sharing ANY band with the persisted index
+         (left-semi join — earlier-batch similarity) or with a
+         smaller-id doc in the same batch (min-id per bucket),
+      3. append ALL new band rows to the index (dropped docs' bands
+         included — anything similar to a dropped doc is also
+         similar-transitively to the corpus seen so far, matching the
+         batch rule's "any smaller id" semantics),
+      4. append the survivors to the output.
+
+    With id-ordered arrival (`stage_documents_id_ranged`), "earlier
+    batch" == "smaller id", so replaying the corpus reproduces the
+    batch `minhash_band_survivors` answer bit-for-bit
+    (tests/test_streaming_documents.py). At 100 TB the parquet
+    index/output become Delta/Iceberg appends and the per-batch
+    semi-join prunes on band_sig bucketing; the logical plan is
+    identical. The index grows one row per (quality-passing doc,
+    band) — the same asymptotic state as the digest index, times
+    ``bands``.
+
+    Returns a DataStreamWriter ready to ``.start()`` (caller adds
+    trigger/checkpoint options).
+    """
+    import os
+
+    from wnv_etl_lab2_spark.functions import quality as Q
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_signatures
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        kept_q = batch_df.where(Q.quality_keep())
+        bands_new = minhash_band_signatures(
+            kept_q, num_hashes=num_hashes, bands=bands
+        ).localCheckpoint()  # 3 consumers below; batch-sized, bounded
+        dropped = None
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            index = spark.read.parquet(index_dir)
+            dropped = (
+                bands_new.join(index, ["band_id", "band_sig"], "left_semi")
+                .select("doc_id")
+            )
+        mnb = bands_new.groupBy("band_id", "band_sig").agg(
+            F.min("doc_id").alias("_bmn")
+        )
+        intra = (
+            bands_new.join(mnb, ["band_id", "band_sig"])
+            .where(F.col("_bmn") < F.col("doc_id"))
+            .select("doc_id")
+        )
+        dropped_ids = intra if dropped is None else intra.union(dropped)
+        survivors = kept_q.join(dropped_ids.distinct(), "doc_id", "left_anti")
+        bands_new.write.mode("append").parquet(index_dir)
+        survivors.write.mode("append").parquet(out_dir)
+
+    return docs_stream.writeStream.foreachBatch(_process).outputMode("append")
