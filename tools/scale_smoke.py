@@ -88,6 +88,13 @@ History — this smoke caught a real quadratic, then verified the fix:
   join CONDITION (true per-row short-circuit) plus distinct-first on
   avoid coordinates (duplicate avoid points cannot change a
   verdict): x16 went 2.7 s -> ~0.3 s, ~1x.
+- `simhash_signatures` round 6: the remaining x16 growth was the
+  token md5 computed TWICE per token (once per 32-bit half);
+  projecting the digest array once and parsing both halves from it
+  (CollapseProject keeps a twice-referenced non-cheap binding) cut
+  the JVM hash stage 2.24 s -> 1.40 s at x16 and the curve to
+  ~2.4x, and the spreading repartition is now skipped whenever the
+  input is already parallel (at 100 TB there is no exchange at all).
 - The replication smoke is adversarial by construction (every doc has
   k exact copies — the crawl-corpus duplicate-pileup case).
 """
@@ -121,6 +128,15 @@ def main() -> None:
             e, threshold=0.3
         ),
     }
+
+    # Warm every operator once (x1 shape) so the k=1 measurements are
+    # steady-state plan cost, not first-call codegen/class-loading —
+    # an inflated x1 flatters every ratio.
+    for make in ops.values():
+        make(docs, emb).write.mode("overwrite").format("noop").save()
+    within_distance_anti_join(pts, avoid, geo.RADIUS_DEG, "addr_id").write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
     results["spatial_distance_anti_join"] = {}

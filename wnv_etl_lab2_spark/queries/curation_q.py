@@ -375,7 +375,7 @@ def cross_source_duplication(spark, sf_dir):
     from wnv_etl_lab2_spark.queries.text_q import _capped_pair_counts
 
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
-    nd = _capped_pair_counts(spark, sf_dir).where(jac >= 0.5).select("da", "db")
+    nd = _capped_pair_counts(spark, sf_dir, jaccard_floor=0.5).where(jac >= 0.5).select("da", "db")
     nd = nd.localCheckpoint(eager=False)  # feeds the id filter + both joins
     ids = nd.select(F.explode(F.array("da", "db")).alias("doc_id")).distinct()
     d = (

@@ -203,58 +203,196 @@ _DF_CAP = 16
 
 
 
-def _capped_pair_counts(spark, sf_dir):
+def _capped_pair_counts(
+    spark, sf_dir, jaccard_floor: float | None = None,
+    containment_floor: float | None = None,
+):
     """Shared backbone of the exact near-dup metrics
-    (`ngram_jaccard_pairs`, `containment_pairs`): the df-capped
-    inverted index over hashed word-3-gram shingles, reduced to
-    (pairs with intersection counts, per-doc capped set sizes).
+    (`ngram_jaccard_pairs`, `containment_pairs`,
+    `neardup_threshold_sweep`): (da, db, inter, na, nb) for every
+    document pair that can reach the caller's similarity floor, over
+    the df-capped hashed word-3-gram shingle universe. Exactly one of
+    ``jaccard_floor`` / ``containment_floor`` must be given; the
+    returned pair set is a SUPERSET of the pairs meeting that floor
+    (callers re-filter on the exact metric) and inter/na/nb are exact
+    over the capped universe, so caller outputs match the inverted-
+    index oracles bit-for-bit.
 
-    Shingles are hashed to longs INSIDE the lambda (see
-    operators/dedup.hashed_word_shingles — one shared expression for
-    the Jaccard and MinHash paths): the 30-byte shingle strings never
-    materialize and the groupBy keys on a long; xxhash64 collisions at
-    this cardinality are negligible (~2^-40), so counts match the
-    string-keyed oracles exactly. One groupBy on the shingle hash
-    builds the capped index; it feeds BOTH the per-doc set sizes and
-    the pair expansion, so it is checkpointed to evaluate the
-    scan+shingle pipeline once. The synthetic corpus arrives as one
-    small parquet split; at real scale the scan is already parallel,
-    so the explicit spread of the shingle stage is harmless there and
-    necessary here."""
-    from wnv_etl_lab2_spark.operators.dedup import hashed_word_shingles
+    Shape (the round-6 rebuild — the previous form shuffled every
+    posting into an inverted index and then every co-occurrence row
+    into a pair count: 15.8 MB ≈ 95% of the sf0.1 corpus, flagged in
+    MEASUREMENTS.md):
 
+    1. EXACT stop-shingle set: shingle-only count aggregate (map-side
+       partial agg — the shuffle carries (shingle, partial_count)
+       rows, never doc ids) -> df > cap -> one broadcast array. The
+       cap is part of the query semantics, so this pass is the
+       irreducible exact-df floor. At production cap values the stop
+       set is the Zipf head of the shingle vocabulary (df above a
+       corpus-proportional cap) — ~10^6-10^7 longs at 100 TB, a
+       normal-sized broadcast; swap for a bloom-filter semi-join if a
+       corpus ever breaks that.
+    2. Per-doc CAPPED sorted array `_shc` = array_sort(array_except
+       (shingles, stop)) — a pure map, so set sizes (na/nb) are
+       size(_shc) with NO per-doc aggregation shuffle (the old
+       backbone paid a second posting-sized groupBy for them).
+    3. PREFIX-FILTERED candidates (AllPairs/PPJoin prefix lemma,
+       Bayardo et al., WWW'07): under a global token order, a pair at
+       jaccard >= t must share its globally-smallest common token
+       within the first n - ceil(t*n) + 1 tokens of BOTH sorted sets
+       (the smallest common token leaves >= ceil(t*n) common tokens
+       at-or-after it in each set). So only each doc's PREFIX posts
+       into the candidate index — ~(1-t) of the postings — and the
+       in-bucket pair expansion runs over prefix buckets only. For a
+       containment floor (inter >= t*min(na, nb)) the lemma binds
+       only the SMALLER side, so prefixes join against FULL postings
+       instead. The floor+1e-6 guard rounds the prefix length UP
+       under float error — a longer prefix can only add candidates,
+       never lose one.
+    4. Exact verify: candidate ids semi-filter `_shc`, one join per
+       side, inter = size(array_intersect) — candidates only, never
+       the corpus.
+
+    Every bucket is <= cap deep by construction (stop shingles are
+    gone before posting), so no silent bucket drop exists anywhere.
+    Shingles are hashed to longs inside the lambda (see
+    operators/dedup.hashed_word_shingles): the 30-byte strings never
+    materialize, xxhash64 collisions (~2^-40) are negligible, and the
+    numeric order is the global total order the prefix lemma needs.
+    The synthetic corpus arrives as one small parquet split; at real
+    scale the scan is already parallel, so the explicit spread of the
+    shingle stage is harmless there and necessary here."""
+    from wnv_etl_lab2_spark.operators.dedup import (
+        hashed_word_shingles,
+        pair_explode,
+        shingle_expr,
+    )
+
+    assert (jaccard_floor is None) != (containment_floor is None)
+    floor = jaccard_floor if jaccard_floor is not None else containment_floor
     d = load_table(spark, "documents", sf_dir)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     words = F.split("text", " ")
     docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
         F.size("words") >= 3
     )
-    ex = docs.select("doc_id", F.explode(hashed_word_shingles("words")).alias("shingle"))
-    index = (
-        ex.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("L"))
-        .where(F.size("L") <= _DF_CAP)
+    # Both consumers of the shingle transform take it as an inline
+    # EXPRESSION, never through a projected `_sh` attribute: exploding
+    # a projected array attribute makes InferFiltersFromGenerate add
+    # size/notnull filters on it, and predicate pushdown then inlines
+    # the whole split+transform+hash pipeline into the scan filter —
+    # measured 3 evaluations per row, ~9x the map-stage cost (same
+    # hazard family as shingle_expr's CollapseProject note).
+    stop = (
+        docs.select(F.explode(hashed_word_shingles("words")).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _DF_CAP)
+        .agg(F.sort_array(F.collect_list("shingle")).alias("_stop"))
+    )
+    # The capped-array frame feeds 3-4 consumers (prefix postings,
+    # [full postings], the verify semi + both array joins); ONE
+    # materialization point keeps the scan+shingle+df-agg pipeline
+    # from re-running per consumer. No size(_shc) filter: an empty
+    # capped array explodes to no postings and can never be a
+    # candidate.
+    shc = (
+        docs.crossJoin(F.broadcast(stop))
+        .selectExpr(
+            "doc_id",
+            f"array_sort(array_except({shingle_expr('words')}, _stop)) AS _shc",
+        )
         .localCheckpoint(eager=False)
     )
-    sizes = (
-        index.select(F.explode("L").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
+    # Postings are ONE packed long: doc*2^21 + fits*2^20 + n*2^10 +
+    # pos (pos 1-based within the sorted capped array; `fits` set when
+    # n < 1024 so both 10-bit fields are exact). Packing keeps the
+    # posting row at (shingle, long) — same shuffle bytes as a bare
+    # doc id — while carrying what the PPJoin positional filters below
+    # need at pair-emission time. Oversized docs (n >= 1024, or any
+    # future id collision with the 2^42 doc budget) drop `fits` and
+    # are emitted UNconditionally — the filters only ever prune, so
+    # losing them costs redundancy, never recall.
+    p_len = f"CAST(floor((1.0 - {floor}) * size(_shc) + 1e-6) AS INT) + 1"
+    fits = "CAST(size(_shc) < 1024 AS BIGINT)"
+    packed = (
+        f"doc_id * 2097152 + {fits} * 1048576 "
+        f"+ {fits} * (CAST(size(_shc) AS BIGINT) * 1024 + CAST(_pp + 1 AS BIGINT))"
     )
-    pairs_arr = F.expr(
-        "flatten(transform(L, (x, i) -> transform(slice(L, i + 2, size(L) - i - 1), "
-        "y -> struct(x AS da, y AS db))))"
+    prefix = shc.selectExpr(
+        "doc_id", "_shc", f"posexplode(slice(_shc, 1, {p_len})) AS (_pp, shingle)"
+    ).selectExpr(f"{packed} AS pk", "shingle")
+
+    # PPJoin-style pair-emission filters (lossless): for the pair's
+    # globally-SMALLEST common token s*, every common token sits at or
+    # after s* in both sorted sets, so
+    #   overlap <= 1 + min(nx - posx, ny - posy)        (ubound)
+    # and the similarity floor lower-bounds the overlap:
+    #   jaccard t:      o >= t*(nx+ny)/(1+t)
+    #   containment t:  o >= t*min(nx, ny)
+    # A pair passes at its s*-emission whenever it can reach the
+    # floor, so filtering EVERY emission by `ubound >= alpha` keeps
+    # recall and prunes the redundant later-witness emissions (a
+    # near-dup pair otherwise re-emits from every shared prefix
+    # token — measured ~14x candidate duplication). The epsilons round
+    # alpha DOWN, weakening the filter under float error, never
+    # strengthening it. Emissions with either side's `fits` bit off
+    # pass unconditionally.
+    unpack = (
+        "CASE WHEN (pmod(x div 1048576, 2) = 0) OR (pmod(y div 1048576, 2) = 0) "
+        "THEN true ELSE {pred} END"
     )
-    pairs = (
-        index.where(F.size("L") >= 2)
-        .select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    nx, px = "pmod(x div 1024, 1024)", "pmod(x, 1024)"
+    ny, py = "pmod(y div 1024, 1024)", "pmod(y, 1024)"
+    ub = f"(1 + least({nx} - {px}, {ny} - {py}))"
+    if jaccard_floor is not None:
+        alpha = f"ceil({floor} * ({nx} + {ny}) / (1.0 + {floor}) - 1e-9)"
+        buckets = (
+            prefix.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("pk")).alias("L"))
+            .where(F.size("L") >= 2)
+        )
+        cand = (
+            pair_explode(buckets, "L", "x", "y", keep=[])
+            .where(F.expr(unpack.format(pred=f"{ub} >= {alpha}")))
+            .selectExpr("x div 2097152 AS da", "y div 2097152 AS db")
+            .distinct()
+        )
+    else:
+        alpha = f"ceil({floor} * least({nx}, {ny}) - 1e-9)"
+        full = shc.selectExpr(
+            "doc_id", "_shc", "posexplode(_shc) AS (_pp, shingle)"
+        ).selectExpr(f"{packed} AS y", "shingle")
+        cand = (
+            prefix.withColumnRenamed("pk", "x")
+            .join(full, "shingle")
+            .where(F.expr("x div 2097152 != y div 2097152"))
+            .where(F.expr(unpack.format(pred=f"{ub} >= {alpha}")))
+            .selectExpr(
+                "least(x div 2097152, y div 2097152) AS da",
+                "greatest(x div 2097152, y div 2097152) AS db",
+            )
+            .distinct()
+        )
+    # Exact verify: the (tiny, verified-small) candidate set
+    # broadcasts into two map-side joins against the checkpointed
+    # capped arrays — the candidate pipeline executes once (broadcast
+    # build), the corpus never shuffles, and no second checkpoint
+    # barrier is paid. Same broadcast-bounded-candidate assumption as
+    # the MinHash verify stage; a larger-than-broadcast candidate set
+    # would shuffle-join instead.
     return (
-        pairs.join(sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
-        .join(sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        F.broadcast(cand)
+        .join(shc.select(F.col("doc_id").alias("da"), F.col("_shc").alias("_sa")), "da")
+        .join(shc.select(F.col("doc_id").alias("db"), F.col("_shc").alias("_sb")), "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("na"),
+            F.size("_sb").cast("long").alias("nb"),
+        )
+        .where(F.col("inter") >= 1)
     )
 
 
@@ -301,7 +439,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     semantics as the oracle's HAVING on the inverted index."""
     jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        _capped_pair_counts(spark, sf_dir)
+        _capped_pair_counts(spark, sf_dir, jaccard_floor=0.5)
         .where(jac >= 0.5)
         .select(
             F.col("da").alias("doc_a"),
@@ -689,7 +827,7 @@ def containment_pairs(spark, sf_dir):
     the final metric is the only difference."""
     cont = F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb"))
     return (
-        _capped_pair_counts(spark, sf_dir)
+        _capped_pair_counts(spark, sf_dir, containment_floor=0.8)
         .where(cont >= 0.8)
         .select(
             F.col("da").alias("doc_a"),
@@ -752,7 +890,7 @@ def neardup_threshold_sweep(spark, sf_dir):
     jac = (F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
         "jac"
     )
-    pairs = _capped_pair_counts(spark, sf_dir).select(jac)
+    pairs = _capped_pair_counts(spark, sf_dir, jaccard_floor=0.3).select(jac)
     thresholds = spark.createDataFrame(
         [(0.3,), (0.5,), (0.7,), (0.9,)], "threshold double"
     )
