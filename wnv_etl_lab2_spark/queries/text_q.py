@@ -1083,3 +1083,139 @@ def stop_shingle_report(spark, sf_dir):
         .orderBy(F.col("df").desc(), F.col("shingle").asc())
         .limit(20)
     )
+
+
+# Fixed retrieval query for the BM25 demo — terms from the corpus
+# vocabulary, pinned so the query (and its oracle) is deterministic.
+_BM25_TERMS = ("spark", "query", "join", "vector", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+# One shared scoring fragment evaluated by F.expr on the Spark side
+# and pasted verbatim into the DuckDB oracle: identical literal text
+# -> identical IEEE operation order -> bit-equal doubles pre-round.
+_BM25_SCORE = (
+    f"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ({_BM25_K1} + 1)) "
+    f"/ (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks
+        WHERE w IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, w
+    ),
+    idf AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT tf.doc_id, ROUND(SUM({_BM25_SCORE}), 6) AS bm25
+        FROM tf JOIN idf USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25 FROM (
+        SELECT doc_id, bm25,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus for a fixed term query — the
+    lexical-search operator of a RAG / data-curation stack (Robertson-
+    Sparck Jones IDF, k1=1.2 b=0.75). Scale shape: term-frequency
+    rows exist only for docs matching a query term (the IN filter
+    runs before the groupBy), document length and corpus stats are a
+    map-side projection plus one broadcast scalar, the per-term df
+    table broadcasts, and the final top-20 is a distributed
+    TakeOrdered on the ROUNDED score (ranking on rounded values is
+    what makes the cutoff engine-portable) — never a global sort.
+    The scoring arithmetic is one shared SQL fragment on both engines
+    (_BM25_SCORE), so the doubles agree bit-for-bit pre-round."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    dl = d.selectExpr(
+        "doc_id", "size(filter(split(text, ' '), t -> t <> '')) AS dl"
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.expr(_BM25_SCORE)), 6).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    order = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(order).cast("long").alias("rank"), "doc_id", "bm25"
+    )
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    t AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+    corpus AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(AVG(ln((cnt + 1.0) / (total + v))), 6) AS avg_logprob
+    FROM t JOIN vocab USING (w) CROSS JOIN corpus
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Unigram-LM quality score: train add-1-smoothed token
+    probabilities on the corpus itself, score each document by its
+    mean token log-probability — the CCNet-style LM-perplexity proxy
+    a curation pipeline thresholds on (implausible token mixes score
+    low). Scale shape: the vocabulary aggregate is one partial-
+    combined groupBy on the token (counts only — never doc ids); the
+    trained table broadcasts back (a 10M-word vocab is ~100 MB — the
+    normal LM-scoring deployment), so scoring is a map-side join plus
+    one per-doc digest aggregate. Mean-of-logs over ~50 doubles
+    differs across engines only in summation order (~1e-15); both
+    sides round at 6 dp."""
+    d = load_table(spark, "documents", sf_dir)
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    vocab = t.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    corpus = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    return (
+        t.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg(F.expr("ln((cnt + 1.0) / (total + v))")), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
