@@ -412,23 +412,20 @@ def connected_components(
     each round is one shuffle of (vertex, label) pairs, never edges
     times labels.
     """
-    # Checkpoint the edge list BEFORE the symmetrizing self-union:
-    # both union branches derive from the same materialized RDD, so an
-    # expensive upstream pair pipeline (MinHash LSH in
-    # corpus_curation_stats) executes once, not once per branch. NOTE:
-    # under AQE this call is effectively eager — toRdd materializes
-    # the upstream stages as Spark jobs right here, which is exactly
-    # what the probe collect below needs anyway.
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=False)
+    edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # ONE capped collect decides the route AND feeds the driver path:
     # <= bound rows come back in full (no separate count job); a
     # (bound+1)-th row proves the graph is large and the rows are
     # discarded in favor of the distributed loop. Collected via Arrow
     # (toArrow -> python lists), not as pyspark Rows: at the bound
     # that is ~tens of MB of ints instead of hundreds of MB of Row
-    # objects (each Row is ~100+ bytes of wrapper).
+    # objects (each Row is ~100+ bytes of wrapper). The edge pipeline
+    # is NOT checkpointed before this probe: the driver route (the
+    # common case) consumes the collected rows and never touches the
+    # Spark frame again, so a checkpoint there is a pure extra
+    # materialization pass; the distributed route below checkpoints
+    # before its iterations instead (one acceptable re-execution on
+    # the rare big-graph path).
     probe_tbl = edges.limit(driver_max_edges + 1).toArrow()
     probe = list(zip(probe_tbl.column(0).to_pylist(), probe_tbl.column(1).to_pylist()))
 
@@ -471,6 +468,10 @@ def connected_components(
             [(v, find(v)) for v in verts], schema
         )
 
+    # Distributed route: materialize the (expensive) upstream pair
+    # pipeline once before the symmetrizing self-union and the
+    # iteration loop.
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)  # reused every round
     # init: comp = min(self, direct neighbors)

@@ -670,3 +670,84 @@ def semantic_dedup(
         F.col("_cluster").alias("cluster"),
         (F.col("comp_id").isNull() | (F.col("comp_id") == F.col(id_col))).alias("keep"),
     )
+
+
+def ivf_index_build(
+    vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_size: int = 512,
+    seed: int = 42,
+) -> None:
+    """Build and PERSIST an IVF index: the trained coarse quantizer
+    (one parquet of (cluster_id, centroid)) plus the corpus assigned
+    to clusters, written `partitionBy(_cl)` — so a probe-limited
+    query reads only the probed clusters' FILES via partition
+    pruning, not a post-scan filter. This is the
+    build-once/query-many deployment shape of production ANN (train
+    on a bounded sample, assign distributed at ingest, serve from the
+    partitioned layout); `ivf_ann_topk` is the same math inline.
+
+    At 100 TB the vectors write is one full pass (pure map after the
+    driver-side quantizer training — same 512-row bounded sample as
+    the inline path) and each query touches nprobe/n_clusters of the
+    storage. Deterministic: same seed + corpus -> identical index.
+    """
+    import os
+
+    v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+    sample = [
+        [float(x) for x in r["_e"]]
+        for r in v.orderBy(id_col).limit(sample_size).collect()
+    ]
+    if not sample:
+        raise ValueError("cannot build an IVF index over an empty corpus")
+    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(cents)],
+        "cluster_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    (
+        v.withColumn("_cl", ivf_assign_col(F.col("_e"), cents))
+        .write.mode("overwrite")
+        .partitionBy("_cl")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+
+def ivf_index_query(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index (see ivf_index_build): rank
+    centroids driver-side (they ARE the bounded artifact), read ONLY
+    the ``nprobe`` probed cluster partitions (partition pruning — the
+    scan lists nprobe directories, verified in tests via inputFiles),
+    exact cosine re-rank of the candidates. Identical results to the
+    inline `ivf_ann_topk` for the same corpus/seed, pinned in
+    tests/test_ann_index.py."""
+    import os
+
+    cents_rows = (
+        spark.read.parquet(os.path.join(index_dir, "centroids"))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    cents = [[float(x) for x in r["centroid"]] for r in cents_rows]
+    qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in cents]
+    probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: t[1])[:nprobe]]
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("_cl").isin(probes)
+    )
+    nv = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
+    sim = vecs.where(nv > 0).select(
+        id_col, F.round(cosine_to_query(F.col("_e"), query_vec), 6).alias("cos_sim")
+    )
+    return sim.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
