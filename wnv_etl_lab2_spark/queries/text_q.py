@@ -276,32 +276,38 @@ def _capped_pair_counts(
     docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
         F.size("words") >= 3
     )
-    # Both consumers of the shingle transform take it as an inline
-    # EXPRESSION, never through a projected `_sh` attribute: exploding
-    # a projected array attribute makes InferFiltersFromGenerate add
-    # size/notnull filters on it, and predicate pushdown then inlines
-    # the whole split+transform+hash pipeline into the scan filter —
-    # measured 3 evaluations per row, ~9x the map-stage cost (same
-    # hazard family as shingle_expr's CollapseProject note).
+    # The shingle arrays are computed ONCE and materialized: the exact
+    # df pass and the capped-array build both consume them, and
+    # without the checkpoint the scan+split+shingle pipeline runs once
+    # per consumer (measured +0.5 s and a much noisier wall). At
+    # 100 TB this caches a corpus-sized (id, shingle-array) frame to
+    # executor memory/disk; the alternative — recompute from a second
+    # scan — trades that storage for one more full scan pass, a knob
+    # a cluster deployment can flip by dropping the checkpoint. Note
+    # the explode takes `_sh` as a stored ATTRIBUTE of the checkpoint,
+    # which is exactly what makes it safe: exploding a computed array
+    # expression through a projection lets InferFiltersFromGenerate +
+    # pushdown inline the whole transform into the scan filter
+    # (measured 3 evaluations per row, ~9x the map cost — the hazard
+    # shingle_expr documents).
+    sh = docs.selectExpr(
+        "doc_id", f"{shingle_expr('words')} AS _sh"
+    ).localCheckpoint(eager=False)
     stop = (
-        docs.select(F.explode(hashed_word_shingles("words")).alias("shingle"))
+        sh.select(F.explode("_sh").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > _DF_CAP)
         .agg(F.sort_array(F.collect_list("shingle")).alias("_stop"))
     )
-    # The capped-array frame feeds 3-4 consumers (prefix postings,
-    # [full postings], the verify semi + both array joins); ONE
-    # materialization point keeps the scan+shingle+df-agg pipeline
-    # from re-running per consumer. No size(_shc) filter: an empty
-    # capped array explodes to no postings and can never be a
-    # candidate.
+    # The capped-array frame feeds the prefix postings, [full
+    # postings], and both verify joins; its own materialization point
+    # keeps the except+sort from re-running per consumer. No
+    # size(_shc) filter: an empty capped array explodes to no postings
+    # and can never be a candidate.
     shc = (
-        docs.crossJoin(F.broadcast(stop))
-        .selectExpr(
-            "doc_id",
-            f"array_sort(array_except({shingle_expr('words')}, _stop)) AS _shc",
-        )
+        sh.crossJoin(F.broadcast(stop))
+        .selectExpr("doc_id", "array_sort(array_except(_sh, _stop)) AS _shc")
         .localCheckpoint(eager=False)
     )
     # Postings are ONE packed long: doc*2^21 + fits*2^20 + n*2^10 +

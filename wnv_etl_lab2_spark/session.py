@@ -49,6 +49,17 @@ def get_spark(
         # type, so read as long and convert in the catalog (lossless:
         # the data is microsecond-aligned).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The default whole-stage-codegen class cache holds 100
+        # entries (LRU); this workload runs a 160-query registry whose
+        # stages generate well over that, so under an interleaved
+        # bench/correctness sweep every query's generated classes are
+        # evicted before its next run and janino recompiles on EVERY
+        # execution — measured ~2x wall on the expression-heaviest
+        # queries and the likely source of prior rounds' ±15%
+        # unexplained drift. A few thousand compiled classes are a
+        # few hundred MB of metaspace at most; static conf, so it
+        # must be set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config(
