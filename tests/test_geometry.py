@@ -381,3 +381,65 @@ def test_holed_zone_clip_query_matches_oracle(spark, sf_dir):
     sdf = spec.fn(spark, sf_dir).toPandas()
     odf = oh.run_oracle(spec.oracle, sf_dir)
     oh.compare(sdf, odf, "holed_zone_clip")
+
+
+def test_holed_clip_random_staircase_with_holes(spark):
+    """Randomized (seeded) property check for the polygon-with-holes
+    kernel: random concave 'histogram outline' outers with 1-2 random
+    rectangular interior holes (disjoint by construction — sampled in
+    disjoint x-bands under the local column height), clipped by random
+    boxes. Reference = per-column interval arithmetic minus per-hole
+    box overlaps — no polygon code."""
+    import random
+
+    rng = random.Random(4206)
+    cases = []
+    for _ in range(30):
+        W = rng.randint(4, 7)
+        hs = [round(rng.uniform(1.5, 5.0), 3) for _ in range(W)]
+        ring = [(0.0, 0.0), (float(W), 0.0), (float(W), hs[W - 1])]
+        for i in range(W - 1, 0, -1):
+            ring.append((float(i), hs[i]))
+            ring.append((float(i), hs[i - 1]))
+        ring.append((0.0, hs[0]))
+        outer = [p for k, p in enumerate(ring) if p != ring[(k - 1) % len(ring)]]
+        # holes: one per chosen column, strictly inside that column's
+        # rectangle [i, i+1] x [0, hs[i]] -> pairwise disjoint
+        holes = []
+        for i in rng.sample(range(W), rng.randint(1, 2)):
+            x0 = round(i + rng.uniform(0.1, 0.4), 3)
+            x1 = round(x0 + rng.uniform(0.1, min(0.5, i + 0.9 - x0)), 3)
+            y0 = round(rng.uniform(0.1, hs[i] * 0.4), 3)
+            y1 = round(y0 + rng.uniform(0.1, hs[i] * 0.5), 3)
+            holes.append([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+        bx0 = round(rng.uniform(-1.0, W - 0.5), 3)
+        bx1 = round(bx0 + rng.uniform(0.5, W + 1.0), 3)
+        by0 = round(rng.uniform(-1.0, 4.0), 3)
+        by1 = round(by0 + rng.uniform(0.5, 6.0), 3)
+        box = [(bx0, by0), (bx1, by0), (bx1, by1), (bx0, by1)]
+
+        def overlap(x0, y0, x1, y1):
+            return max(0.0, min(bx1, x1) - max(bx0, x0)) * max(
+                0.0, min(by1, y1) - max(by0, y0)
+            )
+
+        want = sum(overlap(float(i), 0.0, i + 1.0, hs[i]) for i in range(W))
+        for h in holes:
+            want -= overlap(h[0][0], h[0][1], h[2][0], h[2][1])
+        cases.append((box, outer, holes, want))
+
+    df = spark.createDataFrame(
+        [(s, o, h) for s, o, h, _ in cases],
+        "s array<struct<x:double,y:double>>, o array<struct<x:double,y:double>>, "
+        "h array<array<struct<x:double,y:double>>>",
+    )
+    from wnv_etl_lab2_spark.operators.geometry import clip_area_with_holes_col
+
+    got = [
+        r.a
+        for r in df.select(
+            clip_area_with_holes_col("s", "o", "h", ndigits=12).alias("a")
+        ).collect()
+    ]
+    for (box, outer, holes, want), a in zip(cases, got):
+        assert a == pytest.approx(want, abs=1e-8), (box, outer, holes, want, a)
