@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_simhash",              # shuffle-free Arrow bit-count kernel (round 5)
     "concave_zone_clip",          # concave overlay via signed fan decomposition (round 5)
     "holed_zone_clip",            # polygon-with-holes overlay, winding additivity (round 6)
+    "bm25_topk",                  # lexical retrieval: tf/df/avgdl + rounded top-k (round 6)
+    "unigram_logprob_quality",    # corpus LM scoring via broadcast vocab join (round 6)
 ]
 
 
