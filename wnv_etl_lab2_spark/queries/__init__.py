@@ -74,11 +74,11 @@ _FRONT = [
     # rows-only; r4 = new ops + the whole r1-stale block; r5 = new ops
     # + the r2-stale block. This window = the 7 round-5 additions the
     # r5 driver window never reached (judge-verified only), the new
-    # round-6 operators, the 7 oldest (r2) re-verifies, and 33 of the
+    # round-6 operators, the 7 oldest (r2) re-verifies, and 32 of the
     # 38 r3-stale queries. Deferred to round 7 (lowest drift risk —
-    # trivial set-algebra/limit/typed-literal plans): union_distinct,
-    # orderby_limit_topk, regexp_null_funcs, stats_agg,
-    # variant_extract.
+    # trivial set-algebra/limit/typed-literal/scalar plans):
+    # union_distinct, orderby_limit_topk, regexp_null_funcs,
+    # stats_agg, variant_extract, scalar_subquery.
     # (a) round-5 additions with no driver row yet (first evidence;
     # approx_percentile_stats is rows-only by design — see
     # FRONT_ROWS_ONLY_OK)
@@ -93,6 +93,7 @@ _FRONT = [
     "holed_zone_clip",
     "bm25_topk",
     "unigram_logprob_quality",
+    "semantic_decontamination",
     # (c) the 7 oldest driver greens (r2)
     "text_stats",
     "token_count",
@@ -101,7 +102,7 @@ _FRONT = [
     "vocab_coverage",
     "embedding_norms",
     "deterministic_sample",
-    # (d) r3-stale re-verifies (33 of 38)
+    # (d) r3-stale re-verifies (32 of 38)
     "argmax_per_group",
     "collect_sorted_agg",
     "correlated_exists",
@@ -126,7 +127,6 @@ _FRONT = [
     "returned_item_ranking",
     "rollup_agg",
     "salted_groupby",
-    "scalar_subquery",
     "sequence_packing",
     "small_qty_part_revenue",
     "spatial_join_count",

@@ -708,3 +708,84 @@ def label_cohesion_stats(spark, sf_dir):
             "mean_pair_dot"
         ),
     )
+
+
+@register(
+    "semantic_decontamination",
+    # Exact oracle: brute-force cosine of every corpus vector against
+    # the (small) benchmark subset, max per corpus vector, min-id
+    # tie-break on the ROUNDED cosine — the same shared-fragment
+    # arithmetic as the other embedding oracles.
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+          FROM c),
+    bench AS (SELECT vec_id AS bid, e AS bv, nm AS bn
+              FROM n WHERE vec_id % 50 = 0 AND nm > 0),
+    corp AS (SELECT vec_id, e, nm FROM n WHERE vec_id % 50 <> 0 AND nm > 0),
+    scored AS (
+      SELECT corp.vec_id, bench.bid,
+             ROUND(list_sum(list_transform(range(1, LEN(corp.e) + 1),
+                   i -> corp.e[i] * bench.bv[i])) / (corp.nm * bench.bn), 6) AS cs
+      FROM corp CROSS JOIN bench
+    ),
+    mx AS (SELECT vec_id, MAX(cs) AS max_cos FROM scored GROUP BY vec_id)
+    SELECT s.vec_id, m.max_cos,
+           CAST(MIN(s.bid) AS BIGINT) AS nearest_benchmark,
+           m.max_cos >= 0.3 AS contaminated
+    FROM scored s JOIN mx m ON s.vec_id = m.vec_id AND s.cs = m.max_cos
+    GROUP BY s.vec_id, m.max_cos
+    """,
+)
+def semantic_decontamination(spark, sf_dir):
+    """SEMANTIC decontamination: score every corpus embedding against
+    the benchmark/eval subset (vec_id % 50 == 0 — the held-out suite)
+    and flag near-matches — the embedding-space complement of the
+    n-gram `decontamination_overlap` (paraphrased test questions leak
+    past exact n-grams; cosine catches them). The production shape at
+    100 TB: benchmark suites are SMALL (thousands of vectors), so the
+    whole suite broadcasts with precomputed norms and scoring is a
+    PURE MAP over the corpus scan — max over a per-row HOF loop, no
+    join, no shuffle, no candidate generation at all. Output: per
+    corpus vector, its max benchmark cosine (6 dp), the nearest
+    benchmark id (min-id tie-break on the rounded value), and the
+    contaminated flag at threshold 0.3. Zero-norm vectors are
+    excluded on both sides (no cosine exists)."""
+    from wnv_etl_lab2_spark.operators.geometry import let_sql
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    nm = "sqrt(aggregate(_e, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"
+    n = emb.selectExpr("vec_id", f"transform(embedding, v -> CAST(v AS DOUBLE)) AS _e").selectExpr(
+        "vec_id", "_e", f"{nm} AS _nm"
+    )
+    bench = (
+        n.where((F.col("vec_id") % 50 == 0) & (F.col("_nm") > 0))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id").alias("bid"),
+                    F.col("_e").alias("bv"),
+                    F.col("_nm").alias("bn"),
+                )
+            ).alias("_bench")
+        )
+    )
+    corp = n.where((F.col("vec_id") % 50 != 0) & (F.col("_nm") > 0))
+    dot = (
+        "aggregate(zip_with(_e, _b.bv, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    scored = f"transform(_bench, _b -> named_struct('cs', round({dot} / (_nm * _b.bn), 6), 'bid', _b.bid))"
+    body = (
+        "named_struct("
+        "'max_cos', _mx, "
+        "'nearest_benchmark', array_min(transform(filter(_sc, s -> s.cs = _mx), s -> s.bid)), "
+        "'contaminated', _mx >= 0.3)"
+    )
+    chain = let_sql(
+        scored, "_sc", let_sql("array_max(transform(_sc, s -> s.cs))", "_mx", body)
+    )
+    return corp.crossJoin(F.broadcast(bench)).select(
+        "vec_id", F.expr(f"inline(array({chain}))")
+    )
