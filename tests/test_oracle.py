@@ -60,3 +60,22 @@ def test_approx_percentile_within_sketch_error(spark, sf_dir):
     for _, r in out.iterrows():
         for a, e in zip(r.approx_p, r.exact_p):
             assert abs(a - e) <= max(0.05 * abs(e), 1e-6), (r.event_type, a, e)
+
+
+def test_cms_estimates_within_bounds(spark, sf_dir):
+    """Count-Min guarantees: estimate never undercounts, and
+    overcounts by at most eps * total token mass (eps=0.001, so the
+    bound is tight enough to bite at every SF)."""
+    out = _specs()["heavy_hitters_cms"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert (out.est_cnt >= out.exact_cnt).all()
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, "documents", sf_dir)
+    n_tokens = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .count()
+    )
+    assert (out.est_cnt - out.exact_cnt <= 0.001 * n_tokens + 1).all()

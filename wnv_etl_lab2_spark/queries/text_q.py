@@ -1225,3 +1225,49 @@ def unigram_logprob_quality(spark, sf_dir):
             ),
         )
     )
+
+
+@register("heavy_hitters_cms")  # sketch internals are engine-specific -> rows-only;
+# the CMS guarantees (est >= exact, est <= exact + eps*N) are pinned in
+# tests/test_oracle.py::test_cms_estimates_within_bounds
+def heavy_hitters_cms(spark, sf_dir):
+    """Heavy-hitter word counts via a Count-Min sketch, shipped
+    side-by-side with the exact counts (the `approx_distinct_stats`
+    pattern: the approximate operator is the 100 TB path, the exact
+    twin is the local validation). The sketch aggregates DISTRIBUTED
+    (count_min_sketch is a partial-merge aggregate — counter matrices
+    add, so the merge is order-independent and the seeded sketch is
+    deterministic); only the ~11 KB serialized sketch reaches the
+    driver, which probes it for the exact top-20 words through the
+    JVM sketch library — a bounded driver artifact in the same class
+    as the 512-row IVF sample. At corpus scale the exact count
+    aggregate is the expensive side; a production deployment keeps
+    ONLY the sketch (fixed bytes at any corpus size) and serves
+    point-frequency queries from it.
+
+    Sketch: eps=0.001 (error <= 0.1% of total token mass), conf=0.99,
+    seed=42. Output: (word, exact_cnt, est_cnt), top-20 by exact
+    count with deterministic word tie-break."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.col("w") != "")
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("w"))
+        .limit(20)
+    )
+    sketch_bytes = bytes(
+        toks.selectExpr(
+            "count_min_sketch(w, 0.001d, 0.99d, 42) AS cms"
+        ).head()["cms"]
+    )
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(sketch_bytes)
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    rows = [
+        (r["w"], r["exact_cnt"], int(cms.estimateCount(r["w"])))
+        for r in top.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "word string, exact_cnt bigint, est_cnt bigint"
+    )
