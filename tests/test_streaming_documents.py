@@ -150,3 +150,31 @@ def test_streaming_neardup_drops_across_batches(spark, tmp_path):
                 os.utime(os.path.join(p, f), (now + k, now + k))
     kept = _run_neardup_stream(spark, p, tmp_path).select("doc_id").toPandas()
     assert set(kept.doc_id) == {1, 6}
+
+
+def test_neardup_batch_retry_is_idempotent(spark, tmp_path):
+    """A retried micro-batch (same batch_id, same data — the failure
+    recovery case) must REPLACE its batch output, not double-append:
+    survivors and index rows are written to batch_id-deterministic
+    paths with overwrite."""
+    from wnv_etl_lab2_spark.streaming.documents import neardup_batch_processor
+
+    base = "the torch spark query table always " * 8
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame([(1, base, "en", "a", len(base))], schema)
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "out")
+    process = neardup_batch_processor(index_dir, out_dir)
+    process(b0, 0)
+    first = spark.read.parquet(out_dir).select("doc_id").toPandas()
+    idx_first = spark.read.parquet(index_dir).count()
+    process(b0, 0)  # retry of the SAME batch
+    again = spark.read.parquet(out_dir).select("doc_id").toPandas()
+    assert sorted(again.doc_id) == sorted(first.doc_id) == [1]
+    assert spark.read.parquet(index_dir).count() == idx_first
+    # and a genuinely NEW batch still sees batch 0's index
+    near = base.replace("always", "seldom", 1)
+    b1 = spark.createDataFrame([(5, near, "en", "b", len(near))], schema)
+    process(b1, 1)
+    final = spark.read.parquet(out_dir).select("doc_id").toPandas()
+    assert sorted(final.doc_id) == [1]  # 5 dropped as near-dup of 1

@@ -131,11 +131,16 @@ def streaming_neardup_curation(
       2. drop docs sharing ANY band with the persisted index
          (left-semi join — earlier-batch similarity) or with a
          smaller-id doc in the same batch (min-id per bucket),
-      3. append ALL new band rows to the index (dropped docs' bands
+      3. write ALL new band rows to the index (dropped docs' bands
          included — anything similar to a dropped doc is also
          similar-transitively to the corpus seen so far, matching the
          batch rule's "any smaller id" semantics),
-      4. append the survivors to the output.
+      4. write the survivors to the output.
+
+    Both writes are idempotent per micro-batch (overwrite of a
+    batch_id=N subdirectory — see `neardup_batch_processor`), so a
+    retried batch replaces its partial output instead of
+    double-appending.
 
     With id-ordered arrival (`stage_documents_id_ranged`), "earlier
     batch" == "smaller id", so replaying the corpus reproduces the
@@ -150,6 +155,30 @@ def streaming_neardup_curation(
     Returns a DataStreamWriter ready to ``.start()`` (caller adds
     trigger/checkpoint options).
     """
+    return docs_stream.writeStream.foreachBatch(
+        neardup_batch_processor(index_dir, out_dir, num_hashes, bands)
+    ).outputMode("append")
+
+
+def neardup_batch_processor(
+    index_dir: str, out_dir: str, num_hashes: int = 32, bands: int = 16
+):
+    """The foreachBatch body of `streaming_neardup_curation`, exposed
+    so retry semantics are testable directly. Writes are IDEMPOTENT
+    per micro-batch: each batch overwrites its own
+    ``batch_id=N`` subdirectory of the index and the output (the
+    epoch-deterministic-path pattern), so a failed-and-retried batch
+    replaces its partial output instead of double-appending — with
+    the source's deterministic offsets this is the standard
+    foreachBatch exactly-once recipe. Readers load the parent
+    directory; the ``batch_id=N`` path fragments surface as a
+    partition column, which also gives the index natural batch-level
+    pruning/compaction boundaries (sources/maintenance.compact_parquet
+    applies per subdirectory).
+
+    Earlier-batch state is read with ``batch_id < N``: a retry of
+    batch N must not see its own partial index write.
+    """
     import os
 
     from wnv_etl_lab2_spark.functions import quality as Q
@@ -163,9 +192,11 @@ def streaming_neardup_curation(
         ).localCheckpoint()  # 3 consumers below; batch-sized, bounded
         dropped = None
         if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
+            d.startswith("batch_id=") for d in os.listdir(index_dir)
         ):
-            index = spark.read.parquet(index_dir)
+            index = spark.read.parquet(index_dir).where(
+                F.col("batch_id") < batch_id
+            )
             dropped = (
                 bands_new.join(index, ["band_id", "band_sig"], "left_semi")
                 .select("doc_id")
@@ -180,7 +211,11 @@ def streaming_neardup_curation(
         )
         dropped_ids = intra if dropped is None else intra.union(dropped)
         survivors = kept_q.join(dropped_ids.distinct(), "doc_id", "left_anti")
-        bands_new.write.mode("append").parquet(index_dir)
-        survivors.write.mode("append").parquet(out_dir)
+        bands_new.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
-    return docs_stream.writeStream.foreachBatch(_process).outputMode("append")
+    return _process
