@@ -262,11 +262,7 @@ def _capped_pair_counts(
     The synthetic corpus arrives as one small parquet split; at real
     scale the scan is already parallel, so the explicit spread of the
     shingle stage is harmless there and necessary here."""
-    from wnv_etl_lab2_spark.operators.dedup import (
-        hashed_word_shingles,
-        pair_explode,
-        shingle_expr,
-    )
+    from wnv_etl_lab2_spark.operators.dedup import pair_explode, shingle_expr
 
     assert (jaccard_floor is None) != (containment_floor is None)
     floor = jaccard_floor if jaccard_floor is not None else containment_floor
