@@ -11,6 +11,17 @@ operator registers an event-time timeout per key: keys silent past
 the horizon are dropped — state is O(active keys), never O(keys ever
 seen), which is the 100 TB contract. Without a watermark (bounded
 replays, tests) state simply lives for the run.
+
+Note on the state-v2 API: Spark 4's `transformWithStateInPandas`
+(typed ValueState/ListState handles + timers on RocksDB) is the
+successor surface for new operators, but its Python state-server
+protocol requires the google.protobuf runtime, which this container
+does not ship — attempting it fails at worker init with
+"cannot import name 'descriptor' from 'google.protobuf'". The repo
+therefore standardizes on `applyInPandasWithState`, which carries the
+same per-key-state semantics over Arrow with no extra dependency; the
+migration is mechanical (state tuple -> ValueState, timeout ->
+registered timer) when the runtime is available.
 """
 
 from __future__ import annotations
