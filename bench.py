@@ -107,6 +107,13 @@ def main() -> None:
         warm_dir = SF_DIR
     for name in HEADLINE:
         q.REGISTRY[name].fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+    # one untimed pass at the TARGET SF: the first sf0.1 execution of
+    # each plan pays one-off costs the tiny-SF warm can't cover (AQE
+    # runtime statistics, scan-partition listing, codegen for
+    # size-dependent plan variants), which otherwise land entirely on
+    # the first timed sample and inflate single-run results
+    for name in HEADLINE:
+        q.REGISTRY[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
     # min over RUNS timed passes per query: steady-state plan cost,
     # robust to one-off GC/JIT spikes (the plans are deterministic;
