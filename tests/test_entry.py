@@ -37,6 +37,61 @@ def test_high_value_queries_in_driver_window(spark):
     assert not missing, f"rows-only queries inside the 50-entry window: {missing}"
 
 
+def test_queries_md_catalog_not_stale():
+    """QUERIES.md is generated from the registry
+    (tools/gen_query_catalog.py); its header counts must match the
+    live registry so the reviewable catalog can't silently drift
+    (round-6 verdict #8)."""
+    import os
+    import re
+
+    from wnv_etl_lab2_spark import queries as q
+
+    q._ensure_loaded()
+    n_total = len(q.REGISTRY)
+    n_oracle = sum(1 for s in q.REGISTRY.values() if s.oracle)
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "QUERIES.md")
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r"(\d+) queries, (\d+) with exact DuckDB oracles", text)
+    assert m, "QUERIES.md header missing the generated count line"
+    assert (int(m.group(1)), int(m.group(2))) == (n_total, n_oracle), (
+        f"QUERIES.md says {m.groups()}, registry has ({n_total}, {n_oracle}) — "
+        "rerun tools/gen_query_catalog.py"
+    )
+    rows = re.findall(r"^\| \d+ \| `([a-z0-9_]+)` \|", text, re.M)
+    assert rows == list(q.REGISTRY), "QUERIES.md row order/content is stale"
+
+
+def test_rows_only_queries_have_driver_sortable_schemas(spark, sf_dir):
+    """The driver's rows-only canonicalizer sorts column values with
+    pandas before hashing; array/map/struct columns crash it
+    (`TypeError: unhashable type: 'list'`) and the window slot burns
+    with zero evidence — exactly what happened to
+    approx_percentile_stats in round 6. Every oracle-less query must
+    therefore emit only atomic (sortable) columns. Schema inspection
+    is lazy — no job runs."""
+    import pyspark.sql.types as T
+
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    unsortable = (T.ArrayType, T.MapType, T.StructType)
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        fields = spec.fn(spark, sf_dir).schema.fields
+        offenders = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in fields
+            if isinstance(f.dataType, unsortable)
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"rows-only queries with driver-unsortable columns: {bad}"
+
+
 def test_registry_prefix_window_fully_oracle_backed():
     """External harnesses may only correctness-check a prefix of the
     registry — every query in the first 50 positions must carry an

@@ -117,11 +117,59 @@ def embedding_neardup_pairs(spark, sf_dir):
     return neardup_pairs_lsh_blocked(emb, threshold=0.3)
 
 
-@register("ann_topk_lsh")  # approximate — rows-only check; recall tested in pytest
+# ---- Exact oracle for the LSH ANN path (round-6 verdict #6) ----
+# The hyperplanes are a seeded LCG (operators/similarity._hyperplanes),
+# so the oracle interpolates the SAME 4x64 plane constants (repr()
+# round-trips doubles exactly) and recomputes bucket ids, the query
+# bucket, and the hamming-distance-1 multi-probe set entirely in
+# DuckDB: candidate iff bucket = qb or xor(bucket, qb) is one of the
+# four single-bit masks. Both engines fold the dot products
+# left-to-right over identical doubles, so the sign tests and the
+# rounded cosines agree bit-for-bit.
+from wnv_etl_lab2_spark.operators.similarity import _hyperplanes  # noqa: E402
+
+
+def _lsh_oracle(dim: int = 64, n_planes: int = 4, seed: int = 42) -> str:
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_cols = ", ".join(
+        "[" + ", ".join(repr(v) for v in plane) + f"] AS p{i}"
+        for i, plane in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_sum(list_transform(range(1, LEN(e) + 1),"
+        f" i -> e[i] * p{i}[i])) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    probes = ", ".join(str(1 << i) for i in range(n_planes))
+    return f"""
+    WITH ev AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    pl AS (SELECT {plane_cols}),
+    b AS (
+      SELECT vec_id, e,
+             ({bucket}) AS bucket,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nm
+      FROM ev CROSS JOIN pl
+    ),
+    q AS (SELECT e AS qe, bucket AS qb, nm AS qnm FROM b WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(list_sum(list_transform(range(1, LEN(b.e) + 1),
+                 i -> b.e[i] * q.qe[i])) / (b.nm * q.qnm), 6) AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE b.vec_id <> 0 AND b.nm > 0
+      AND (b.bucket = q.qb OR xor(b.bucket, q.qb) IN ({probes}))
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register("ann_topk_lsh", oracle=_lsh_oracle())
 def ann_topk_lsh(spark, sf_dir):
     """Approximate top-10 neighbors of vec_id=0 via random-hyperplane
     LSH with multi-probe, exact cosine re-rank of candidates only.
-    Deterministic (seeded planes) but not SQL-expressible.
+    Oracle-exact since round 7: the seeded plane constants are
+    interpolated into the DuckDB twin (see _lsh_oracle above), which
+    replays bucketing + multi-probe + re-rank and hash-matches
+    bit-for-bit at sf0.001/0.01/0.1.
 
     Plane count is a recall/cost dial: this corpus has NO planted
     near-duplicates (best cosine ~0.33 = ~72 deg, near-orthogonal), so

@@ -648,11 +648,20 @@ def approx_percentile_stats(spark, sf_dir):
     `approx_distinct_stats`'s pattern of carrying its own exactness
     evidence. Deterministic for fixed data but not oracle-matchable
     (engine-specific sketch); tests/test_oracle.py pins the sketch's
-    relative error against the exact column."""
+    relative error against the exact columns.
+
+    Output is four SCALAR double columns (not array<double>): the
+    driver's rows-only canonicalizer sorts column values to hash
+    them, and Python lists are unsortable — the round-6 window slot
+    for this query burned with zero evidence because of exactly that
+    (`TypeError: unhashable type: 'list'`). Flat scalars keep every
+    rows-only query canonicalizable."""
     ev = load_table(spark, "events", sf_dir)
     return ev.groupBy("event_type").agg(
-        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("approx_p"),
-        F.expr("percentile(value, array(0.5, 0.95))").alias("exact_p"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("approx_p95"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
     )
 
 
