@@ -65,32 +65,65 @@ HEADLINE = [
     "holed_zone_clip",            # polygon-with-holes overlay, winding additivity (round 6)
     "bm25_topk",                  # lexical retrieval: tf/df/avgdl + rounded top-k (round 6)
     "unigram_logprob_quality",    # corpus LM scoring via broadcast vocab join (round 6)
+    "pii_scrub",                  # regex PII detect + global mask, scan-fused pure map (round 7)
+    "hard_negative_mining",       # cross-label top-k near-misses, broadcast anchors (round 7)
 ]
 
 
+_PAIR_RE = re.compile(r'"([a-z0-9_]+)": (-?[0-9.]+)')
+
+
 def _previous_round_timings() -> dict[str, float]:
-    """Per-query timings from the latest BENCH_r{N}.json next to this
-    script, so each round's output carries its own regression report
-    (delta_vs_prev). Missing/garbled history -> empty dict."""
+    """Per-query baseline timings for the regression report
+    (delta_vs_prev): the UNION of per-query mins across every
+    BENCH_r{N}.json next to this script, newest round winning — so a
+    query that first shipped last round keeps its baseline even if an
+    older round never ran it (round-6 verdict #7: carry first-round
+    numbers forward).
+
+    A round whose JSON line was truncated by the driver records
+    ``parsed: null`` plus the literal ``tail`` of the line; such a
+    round is RECONSTRUCTED instead of skipped: (a) any per-query pairs
+    intact in the tail's min-``queries`` fragment, (b) exact mins via
+    that round's ``delta_vs_prev`` added to the prior rounds' mins
+    (delta = min - prev_min, both knowns), (c) ``queries_median`` as
+    the last-resort stand-in for anything else — a slight upward bias
+    the 1.5x regression gate tolerates for one round. Missing/garbled
+    history -> empty dict."""
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
             rounds.append((int(m.group(1)), path))
-    # newest round first, but skip rounds whose bench crashed (the
-    # driver records {"parsed": null} for those) so the regression
-    # report always compares against real timings
-    for _, path in sorted(rounds, reverse=True):
+    acc: dict[str, float] = {}
+    for _, path in sorted(rounds):  # oldest -> newest; newest overwrites
         try:
             with open(path) as f:
                 doc = json.load(f)
-            prev = doc.get("parsed", doc).get("queries", {})
-            if prev:
-                return {k: float(v) for k, v in prev.items()}
-        except (OSError, ValueError, AttributeError):
+        except (OSError, ValueError):
             continue
-    return {}
+        parsed = doc.get("parsed", doc)
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            acc.update({k: float(v) for k, v in parsed["queries"].items()})
+            continue
+        tail = doc.get("tail") or ""
+        if not tail:
+            continue
+        recon: dict[str, float] = {}
+        head = tail.split('"queries_median"')[0]
+        recon.update({k: float(v) for k, v in _PAIR_RE.findall(head)})
+        mm = re.search(r'"delta_vs_prev": \{([^}]*)\}', tail)
+        if mm:
+            for k, v in _PAIR_RE.findall(mm.group(1)):
+                if k in acc and k not in recon:
+                    recon[k] = round(acc[k] + float(v), 3)
+        med = re.search(r'"queries_median": \{([^}]*)\}', tail)
+        if med:
+            for k, v in _PAIR_RE.findall(med.group(1)):
+                recon.setdefault(k, float(v))
+        acc.update(recon)
+    return acc
 
 
 def main() -> None:

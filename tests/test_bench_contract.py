@@ -47,3 +47,18 @@ def test_headline_queries_are_registered():
     q._ensure_loaded()
     missing = [n for n in HEADLINE if n not in q.REGISTRY]
     assert not missing, f"bench names unregistered queries: {missing}"
+
+
+def test_delta_baseline_covers_every_headliner():
+    """Regression tracking must cover ALL headline queries, including
+    ones that first shipped in a round whose JSON line the driver
+    truncated (parsed: null) — the baseline merger reconstructs those
+    from the recorded tail (round-6 verdict #7)."""
+    from bench import HEADLINE, _previous_round_timings
+
+    prev = _previous_round_timings()
+    if not prev:  # fresh checkout with no BENCH history
+        return
+    missing = [n for n in HEADLINE if n not in prev]
+    assert not missing, f"headliners with no delta baseline: {missing}"
+    assert all(v > 0 for v in prev.values())

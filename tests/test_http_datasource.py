@@ -77,3 +77,35 @@ def test_missing_urls_option_rejected(registered):
     )
     with pytest.raises(Exception, match="urls"):
         df.collect()
+
+
+def test_int_column_round_trips(registered):
+    """`int` was silently string-mapped before the typed Arrow map —
+    pin that the extended type mapping yields real int32 values."""
+    class IntCsv(HttpCsvDataSource):
+        opener = staticmethod(
+            replay_opener({"https://sheets.example/i.csv": (200, {}, b"n,type\n7,Park\n")})
+        )
+
+    registered.dataSource.register(IntCsv)
+    df = (
+        registered.read.format("http_csv")
+        .schema("n int, type string")
+        .option("urls", "https://sheets.example/i.csv")
+        .load()
+    )
+    assert df.schema["n"].dataType.simpleString() == "int"
+    assert [(r.n, r.type) for r in df.collect()] == [(7, "Park")]
+
+
+def test_unsupported_declared_type_rejected_at_plan_time(registered):
+    """A declared Spark type outside the Arrow CSV map must raise a
+    clear unsupported-type error, not silently decode as strings."""
+    df = (
+        registered.read.format("http_csv")
+        .schema("x double, tags array<string>")
+        .option("urls", "https://sheets.example/a.csv")
+        .load()
+    )
+    with pytest.raises(Exception, match="cannot map declared field"):
+        df.collect()

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from wnv_etl_lab2_spark.sources.http_stream import HttpFeedDataSource
+from wnv_etl_lab2_spark.sources.http_stream import FeedPageMissing, HttpFeedDataSource
 
 PAGES = {
     "https://feed.example/page-0.csv": (
@@ -19,9 +19,12 @@ PAGES = {
 
 
 def _opener_for(pages):
+    # Raise the typed end-of-feed signal, not a bare KeyError: the
+    # reader only treats FeedPageMissing as "no more pages" and lets
+    # any other exception (an opener bug) propagate.
     def opener(url: str) -> bytes:
         if url not in pages:
-            raise KeyError(url)
+            raise FeedPageMissing(url)
         return pages[url][2]
 
     return opener
@@ -90,6 +93,23 @@ def test_feed_consumes_pages_incrementally(spark, tmp_path):
         (3.0, 4.0, "Commercial"),
         (5.0, 6.0, "Park"),
     ]
+
+
+def test_feed_opener_bug_propagates_not_treated_as_eof():
+    """A bare KeyError (or any non-FeedPageMissing error) from a
+    custom opener is an opener BUG, not end-of-feed: the reader must
+    let it surface instead of silently stopping consumption."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from wnv_etl_lab2_spark.sources.http_stream import HttpFeedStreamReader
+
+    def buggy_opener(url: str) -> bytes:
+        raise KeyError("lookup bug in opener internals")
+
+    schema = StructType([StructField("x", DoubleType())])
+    reader = HttpFeedStreamReader(schema, "https://feed.example/page-", buggy_opener)
+    with pytest.raises(KeyError, match="lookup bug"):
+        reader.read({"page": 0})
 
 
 def test_feed_header_mismatch_fails(spark, tmp_path):

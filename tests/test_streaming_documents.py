@@ -178,3 +178,49 @@ def test_neardup_batch_retry_is_idempotent(spark, tmp_path):
     process(b1, 1)
     final = spark.read.parquet(out_dir).select("doc_id").toPandas()
     assert sorted(final.doc_id) == [1]  # 5 dropped as near-dup of 1
+
+
+def test_band_index_join_is_exchange_free_on_index_side(spark, tmp_path):
+    """The 100 TB property of the streaming near-dup design: the
+    accumulated band index is a partitioned + bucketed table on the
+    state-join keys, so the per-batch semi-join exchanges ONLY the new
+    micro-batch — the index scan is `Bucketed: true` with no Exchange
+    above it. Broadcast is disabled so the assertion checks the
+    at-scale (sort-merge) plan, not the small-index broadcast shape."""
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_signatures
+    from wnv_etl_lab2_spark.streaming.documents import (
+        band_index_table_name,
+        neardup_batch_processor,
+    )
+
+    base = "the torch spark query table always " * 8
+    other = "the write flame crane spoke pivot mill of stone " * 6
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b0 = spark.createDataFrame([(1, base, "en", "a", len(base))], schema)
+    b1 = spark.createDataFrame([(2, other, "en", "b", len(other))], schema)
+    index_dir = str(tmp_path / "bidx")
+    process = neardup_batch_processor(index_dir, str(tmp_path / "bout"))
+    process(b0, 0)
+    process(b1, 1)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        index = spark.table(band_index_table_name(index_dir)).where(
+            F.col("batch_id") < 2
+        )
+        bands_new = minhash_band_signatures(b1.where(Q.quality_keep()))
+        j = bands_new.join(index, ["band_id", "band_sig"], "left_semi")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert "Bucketed: true" in plan, plan
+    # The index subtree is the join's SECOND child — everything from
+    # its Sort down to the bucketed FileScan. It must contain NO
+    # Exchange: the only shuffles in the plan belong to the
+    # micro-batch side (the join exchange plus `_shingled`'s
+    # documented spreading repartition), both O(batch) not O(corpus).
+    index_subtree = plan[plan.rindex("Sort [") :]
+    assert "FileScan" in index_subtree, plan
+    assert "Exchange" not in index_subtree, plan

@@ -35,17 +35,49 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FACTORS = (1, 4, 16)
 
+# DECLARED scale gates, enforced (exit 1), not prose: per-unit x16 =
+# x16 / (16 * x1) — the change in cost per input unit as the corpus
+# grows 16-fold. The gate is per-unit rather than the raw x16/x1
+# ratio because sub-second x1 walls are dominated by fixed scheduling
+# overhead, which inflates every ratio: the round-5/6 simhash
+# "2.9x vs target 2.5x" miss was exactly that artifact while per-unit
+# cost FELL 5x (VERDICT r6 #4 settled the gate in per-unit terms).
+# 0.25 means "per-doc cost at 16x input is at most a quarter of the
+# x1 per-doc cost" — overhead must amortize, and any superlinear term
+# would push the value back above 1. The exact-pair backbone rows get
+# 1.0: their OUTPUT is inherently pair-shaped (adversarial replication
+# multiplies qualifying pairs k^2 per near-dup cluster), so per-doc
+# cost holding FLAT is the honest linearity bound there.
+PER_UNIT_X16_GATES = {
+    "exact_dedup_groupby": 0.25,
+    "minhash_lsh_pairs": 0.25,
+    "simhash_signatures": 0.25,
+    "embedding_neardup_pairs": 0.25,
+    "spatial_distance_anti_join": 0.25,
+    "ngram_jaccard_pairs": 1.0,
+    "containment_pairs": 1.0,
+}
+
 
 def replicate(df: DataFrame, id_col: str, k: int) -> DataFrame:
     """k structure-preserving copies: ids remapped to id*k + replica so
     replicas never collide; everything else (text, embeddings, labels)
-    repeats, which keeps near-dup clusters intact per replica."""
-    if k == 1:
-        return df
-    rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
-    return df.select("*", rep).withColumn(
-        id_col, F.col(id_col) * k + F.col("_rep")
-    ).drop("_rep")
+    repeats, which keeps near-dup clusters intact per replica.
+
+    The result is spread across CPUS partitions BEFORE the caller's
+    localCheckpoint: the sf0.1 parquet is a single split, so without
+    the spread every staged input is ONE partition and each operator's
+    first exchange becomes a single-threaded shuffle WRITE of the
+    whole k-fold corpus — a harness artifact that grows with k and
+    once inflated the simhash x64 point ~2x (16.4 s vs 2.5 s measured
+    from a parallel input). A production scan arrives in thousands of
+    splits, so parallel staging is the honest analogue."""
+    if k > 1:
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
+        df = df.select("*", rep).withColumn(
+            id_col, F.col(id_col) * k + F.col("_rep")
+        ).drop("_rep")
+    return df.repartition(CPUS, id_col)
 
 
 def timed(label: str, make_df) -> float:
@@ -98,6 +130,27 @@ History — this smoke caught a real quadratic, then verified the fix:
   (~2.5-3.5x run-to-run) is an overhead artifact of the 0.4 s x1 —
   the per-unit column shows cost per doc FALLING ~5x as the input
   grows; there is no superlinear term left.
+- Round 7 settled the simhash gate question (two rounds of "2.9x vs
+  target 2.5x" prose): the declared gate is now PER-UNIT x16 <= 0.25,
+  asserted by this tool (exit 1), and an x64 point shows the curve
+  settling (per-unit 0.16 at x16 -> 0.13 at x64 — amortizing, not
+  growing). Two measurement artifacts were also fixed: staged inputs
+  are now repartitioned to CPUS before the checkpoint (the sf0.1
+  parquet is ONE split, so every operator's first exchange was a
+  single-threaded shuffle write of the whole k-fold corpus — simhash
+  x64 measured 16.4 s from the 1-partition input vs 2.6 s from a
+  parallel one; a production scan arrives in thousands of splits),
+  and the x64 staging exposed that artifact growing with k.
+- Round 7 added the exact-pair backbone (`ngram_jaccard_pairs`,
+  `containment_pairs`) — the queries shuffling 44%/42% of the corpus
+  per MEASUREMENTS.md, previously uncurved. x16/x1 is ~5-6x, but the
+  df cap (<= 16 postings per shingle) bounds in-bucket pair work at
+  cap^2 per shingle, and adversarial 16x replication makes every
+  bucket exactly cap-deep AND multiplies the qualifying OUTPUT pairs
+  k^2 per near-dup cluster (120 identical-copy pairs per doc at x16)
+  — output-shaped growth, not candidate explosion. Per-unit x16 =
+  0.32/0.36 against a declared gate of 1.0 (per-doc cost may not
+  RISE); MinHash remains the routed 100 TB near-dup path.
 - The replication smoke is adversarial by construction (every doc has
   k exact copies — the crawl-corpus duplicate-pileup case).
 """
@@ -119,6 +172,16 @@ def main() -> None:
     pts = spark.sql(geo.CUST_POINTS_CTE)
     avoid = spark.sql(geo.SUPP_POINTS_CTE)
 
+    from wnv_etl_lab2_spark.queries.text_q import exact_pair_counts
+
+    def _jaccard_pairs(d):
+        jac = F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+        return exact_pair_counts(d, jaccard_floor=0.5).where(jac >= 0.5)
+
+    def _containment_pairs(d):
+        cont = F.col("inter") * 1.0 / F.least(F.col("na"), F.col("nb"))
+        return exact_pair_counts(d, containment_floor=0.8).where(cont >= 0.8)
+
     ops = {
         "exact_dedup_groupby": lambda d, e: d.select(
             F.md5("text").alias("h"), "doc_id"
@@ -130,6 +193,13 @@ def main() -> None:
         "embedding_neardup_pairs": lambda d, e: neardup_pairs_lsh_blocked(
             e, threshold=0.3
         ),
+        # the exact-pair backbone (round-6 verdict #3): the repo's
+        # likeliest scale hazard — a df-capped inverted index whose
+        # posting shuffle is ~44% of the corpus. The df cap bounds
+        # every bucket at <= 16, so in-bucket pair work can't exceed
+        # cap^2 per shingle no matter how deep replication piles up.
+        "ngram_jaccard_pairs": lambda d, e: _jaccard_pairs(d),
+        "containment_pairs": lambda d, e: _containment_pairs(d),
     }
 
     # Warm every operator once (x1 shape) so the k=1 measurements are
@@ -165,6 +235,14 @@ def main() -> None:
             flush=True,
         )
 
+    # x64 asymptote point for simhash only (VERDICT r6 #4): the pure
+    # map's fixed overhead dominates the 0.4 s x1, so the x16/x1 ratio
+    # looks inflated; one more doubling-pair shows where the curve
+    # flattens without paying x64 for the join-heavy operators.
+    d64 = replicate(docs, "doc_id", 64).localCheckpoint()
+    simhash_x64 = timed("simhash_x64", lambda: simhash_signatures(d64))
+    print(f"k=64 simhash_signatures: {simhash_x64:.2f}s", flush=True)
+
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "SCALE_SMOKE.md"), "w") as f:
         f.write(
@@ -182,21 +260,45 @@ def main() -> None:
             "input grew (amortized overhead), the signature of a linear\n"
             "plan.\n\n"
             "| operator | x1 (s) | x4 (s) | x16 (s) | x4/x1 | x16/x1 "
-            "| per-unit x16 |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| per-unit x16 | gate |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
+        failures = []
         for name, by_k in results.items():
+            per_unit = by_k[16] / (16 * by_k[1])
+            gate = PER_UNIT_X16_GATES[name]
+            ok = per_unit <= gate
+            if not ok:
+                failures.append((name, per_unit, gate))
             f.write(
                 f"| {name} | {by_k[1]:.2f} | {by_k[4]:.2f} | {by_k[16]:.2f} "
                 f"| {by_k[4] / by_k[1]:.1f}x | {by_k[16] / by_k[1]:.1f}x "
-                f"| {by_k[16] / (16 * by_k[1]):.2f}x |\n"
+                f"| {per_unit:.2f}x | <= {gate} {'PASS' if ok else '**FAIL**'} |\n"
             )
         f.write(
             f"\nRows: x1 = {rows[1]:,} docs, x16 = {rows[16]:,} docs "
             f"(embeddings and points scale identically).\n"
         )
+        f.write(
+            f"\nsimhash x64 asymptote: {simhash_x64:.2f} s for "
+            f"{rows[1] * 64:,} docs — per-unit x64 = "
+            f"{simhash_x64 / (64 * results['simhash_signatures'][1]):.2f}x of the "
+            "x1 per-doc cost (one more doubling-pair past x16 to show "
+            "where the curve settles; the x16/x1 ratio is fixed-overhead "
+            "noise on a sub-second x1, which is why the declared gate is "
+            "per-unit).\n"
+        )
+        f.write(
+            "\nGates are DECLARED AND ENFORCED by tools/scale_smoke.py "
+            "(PER_UNIT_X16_GATES; the run exits 1 on a miss).\n"
+        )
         f.write(_HISTORY)
     print("wrote SCALE_SMOKE.md", flush=True)
+    if failures:
+        for name, per_unit, gate in failures:
+            print(f"GATE FAIL: {name} per-unit x16 {per_unit:.2f} > {gate}", flush=True)
+        raise SystemExit(1)
+    print("all per-unit x16 gates PASS", flush=True)
 
 
 if __name__ == "__main__":

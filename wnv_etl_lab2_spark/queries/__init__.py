@@ -96,7 +96,9 @@ _FRONT = [
     # except_keys, nullsafe_join, semi_join_open_orders,
     # anti_join_no_premium_order, order_priority_check,
     # window_running_sum, window_navigation,
-    # deterministic_shuffle_order.
+    # deterministic_shuffle_order, dedup_distinct_rows,
+    # order_count_histogram, unpivot_part_metrics,
+    # window_range_frame. (The reference-parity O-ops stay in.)
     # (a) first-ever usable driver evidence
     "approx_percentile_stats",
     "approx_distinct_stats",
@@ -113,14 +115,17 @@ _FRONT = [
     "variant_extract",
     "scalar_subquery",
     # (c) new round-7 operators (first evidence)
-    # (d) r4-stale re-verifies (37 of 50)
+    "pii_scrub",
+    "dup_cluster_histogram",
+    "quota_sample_per_source",
+    "hard_negative_mining",
+    # (d) r4-stale re-verifies (33 of 50)
     "asof_join_click_view",
     "bpe_pair_merge_counts",
     "clean_cast_filter",
     "constant_column",
     "containment_pairs",
     "decayed_rolling_features",
-    "dedup_distinct_rows",
     "dedup_simhash",
     "event_funnel",
     "gap_fill_locf",
@@ -131,7 +136,6 @@ _FRONT = [
     "mixture_resample",
     "multimodal_binary_features",
     "ntile_length_buckets",
-    "order_count_histogram",
     "outer_join_order_counts",
     "pareto_frontier_curation",
     "percentile_agg",
@@ -147,8 +151,6 @@ _FRONT = [
     "skew_key_diagnosis",
     "sliding_window_batch",
     "text_quality_pandas_udf",
-    "unpivot_part_metrics",
-    "window_range_frame",
     "window_rank_variants",
     "zone_overlay",
     # Queries rotated OUT of this 50-entry block after earning a green

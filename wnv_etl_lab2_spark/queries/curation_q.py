@@ -568,3 +568,97 @@ def chunk_dedup_stats(spark, sf_dir):
             6,
         ).alias("chunk_dup_rate"),
     )
+
+
+# PII scrub fixture: the synthetic tables carry no organic PII, so the
+# query CONSTRUCTS a deterministic contact string from customer keys —
+# the same backslash-free SQL fragment on both engines — and then runs
+# the real detection/masking machinery (functions/pii.py) over it.
+# The operator under test is the scrub; the fixture column just makes
+# every rule provably fire (3/4 of rows carry exactly one PII form).
+_CONTACT_SQL = (
+    "CASE c_custkey % 4 "
+    "WHEN 0 THEN 'reach user' || CAST(c_custkey AS STRING) || "
+    "'@mail.example.com for details' "
+    "WHEN 1 THEN 'call 555-' || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') "
+    "|| '-' || lpad(CAST(c_custkey % 10000 AS STRING), 4, '0') || ' after hours' "
+    "WHEN 2 THEN 'host 10.' || CAST(c_custkey % 256 AS STRING) || '.' || "
+    "CAST((c_custkey * 7) % 256 AS STRING) || '.' || "
+    "CAST(c_custkey % 254 + 1 AS STRING) || ' logged' "
+    "ELSE 'no contact on file' END"
+)
+
+
+def _pii_oracle() -> str:
+    from wnv_etl_lab2_spark.functions.pii import PII_RULES, pii_scrub_sql
+
+    counts = ", ".join(
+        f"CAST(LEN(regexp_extract_all(contact, '{pat}', 0)) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in PII_RULES
+    )
+    return f"""
+    WITH c AS (SELECT c_custkey, {_CONTACT_SQL} AS contact FROM customer)
+    SELECT c_custkey, {pii_scrub_sql('contact')} AS contact_masked, {counts}
+    FROM c
+    """
+
+
+@register("pii_scrub", oracle=_pii_oracle())
+def pii_scrub(spark, sf_dir):
+    """PII detection + redaction (the C4/Dolma scrub stage): per-row
+    match counts for email/phone/IPv4 patterns plus the globally
+    masked text with typed placeholders. Pure map over the scan —
+    regexp evaluation is JVM-side codegen, no shuffle at any corpus
+    size; at 100 TB this runs as a projection fused into the read
+    stage. Patterns live in functions/pii.py, written backslash-free
+    so Spark and DuckDB read the identical spelling, group-free with
+    explicit group 0 (the engines disagree on the default group)."""
+    from wnv_etl_lab2_spark.functions.pii import pii_counts, pii_scrub_col
+
+    c = load_table(spark, "customer", sf_dir)
+    return c.withColumn("contact", F.expr(_CONTACT_SQL)).select(
+        "c_custkey",
+        pii_scrub_col("contact").alias("contact_masked"),
+        *pii_counts("contact"),
+    )
+
+
+@register(
+    "dup_cluster_histogram",
+    oracle="""
+    WITH g AS (SELECT md5(text) AS h, COUNT(*) AS csize
+               FROM documents GROUP BY md5(text))
+    SELECT CAST(csize AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM g GROUP BY csize
+    """,
+)
+def dup_cluster_histogram(spark, sf_dir):
+    """Distribution of exact-duplicate cluster sizes: how many
+    content clusters have k copies, how many docs that is, and how
+    many a keep-one policy would remove — the read-out that tells you
+    whether duplication is a long tail of pairs or a few monster
+    boilerplate clusters (which decides salting and df-cap settings
+    before a 100 TB dedup run). Two digest-keyed aggregations; the
+    second groups ~distinct-count rows by an int — both map-side
+    combinable, nothing but (digest, count) pairs ever shuffles."""
+    d = load_table(spark, "documents", sf_dir)
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return (
+        g.groupBy(F.col("csize").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )

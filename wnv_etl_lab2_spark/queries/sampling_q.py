@@ -404,3 +404,41 @@ def split_leakage_check(spark, sf_dir):
             F.coalesce("n_shared", F.lit(0)) * 1.0 / F.col("n_grams"), 6
         ).alias("leakage"),
     )
+
+
+@register(
+    "quota_sample_per_source",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, rn
+    FROM scored WHERE rn <= 50
+    """,
+)
+def quota_sample_per_source(spark, sf_dir):
+    """Quality-first per-source quota: keep the top-50 documents of
+    every source by a quality priority (here length, tie-broken by
+    doc_id for determinism) — the corpus-balancing step that stops a
+    giant crawl domain from drowning curated sources, applied
+    greedily best-first instead of at random (contrast
+    `stratified_sample_topk`, which quotas by hash order). One
+    window over a (source)-partitioned sort; with quota << partition
+    size Spark runs the rank behind a partial top-K per partition,
+    and nothing but the surviving rows reaches the output."""
+    d = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 50)
+    )

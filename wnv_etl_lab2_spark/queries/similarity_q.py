@@ -837,3 +837,84 @@ def semantic_decontamination(spark, sf_dir):
     return corp.crossJoin(F.broadcast(bench)).select(
         "vec_id", F.expr(f"inline(array({chain}))")
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, {_CAST} AS e,
+                      sqrt(list_sum(list_transform({_CAST}, x -> x * x))) AS nm
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neg_id, label AS neg_label, {_CAST} AS e,
+                 sqrt(list_sum(list_transform({_CAST}, x -> x * x))) AS nm
+          FROM embeddings WHERE vec_id >= 8)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, rank, cos_sim FROM (
+      SELECT a.anchor_id, a.anchor_label, b.neg_id, b.neg_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY {_DOT_AB} / (a.nm * b.nm) DESC, b.neg_id ASC
+             ) AS rank,
+             ROUND({_DOT_AB} / (a.nm * b.nm), 6) AS cos_sim
+      FROM a CROSS JOIN c b
+      WHERE a.anchor_label <> b.neg_label
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor
+    (here vec_id < 8), the top-3 most-similar vectors carrying a
+    DIFFERENT label — the near-miss negatives that make embedding
+    models actually learn boundaries, versus easy random negatives.
+
+    Same scan shape as `knn_join_bruteforce` (broadcast anchor batch,
+    corpus never shuffles, per-anchor window collapses to a partial
+    top-k) with the cross-label predicate applied before scoring rows
+    reach the window; at 100 TB the corpus side swaps in the IVF
+    partition-pruned scan (`ivf_index_query`) unchanged. Both engines
+    fold the dot product left-to-right over the same doubles, so the
+    unrounded ORDER BY key is bit-identical (neg_id breaks ties)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        as_double_array("embedding").alias("qe"),
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        as_double_array("embedding").alias("e"),
+    )
+    nq = F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, x: acc + x * x))
+    ne = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x))
+    a = a.withColumn("nmq", nq)
+    c = c.withColumn("nme", ne)
+    j = c.crossJoin(F.broadcast(a)).where(
+        F.col("anchor_label") != F.col("neg_label")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    scored = j.select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        "neg_label",
+        (dot / (F.col("nmq") * F.col("nme"))).alias("_cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            "rank",
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )

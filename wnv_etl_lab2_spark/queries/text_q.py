@@ -262,11 +262,23 @@ def _capped_pair_counts(
     The synthetic corpus arrives as one small parquet split; at real
     scale the scan is already parallel, so the explicit spread of the
     shingle stage is harmless there and necessary here."""
+    d = load_table(spark, "documents", sf_dir)
+    return exact_pair_counts(
+        d, jaccard_floor=jaccard_floor, containment_floor=containment_floor
+    )
+
+
+def exact_pair_counts(
+    d, jaccard_floor: float | None = None, containment_floor: float | None = None
+):
+    """DataFrame-parameterized body of `_capped_pair_counts` (needs
+    ``doc_id``, ``text``) — exposed so tools/scale_smoke.py can drive
+    the backbone on replicated corpora; semantics documented above."""
     from wnv_etl_lab2_spark.operators.dedup import pair_explode, shingle_expr
 
     assert (jaccard_floor is None) != (containment_floor is None)
     floor = jaccard_floor if jaccard_floor is not None else containment_floor
-    d = load_table(spark, "documents", sf_dir)
+    spark = d.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     words = F.split("text", " ")
     docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
@@ -311,14 +323,22 @@ def _capped_pair_counts(
     # n < 1024 so both 10-bit fields are exact). Packing keeps the
     # posting row at (shingle, long) — same shuffle bytes as a bare
     # doc id — while carrying what the PPJoin positional filters below
-    # need at pair-emission time. Oversized docs (n >= 1024, or any
-    # future id collision with the 2^42 doc budget) drop `fits` and
-    # are emitted UNconditionally — the filters only ever prune, so
-    # losing them costs redundancy, never recall.
+    # need at pair-emission time. Oversized ARRAYS (n >= 1024) drop
+    # `fits` and are emitted UNconditionally — the filters only ever
+    # prune, so losing them costs redundancy, never recall. A doc_id
+    # outside [0, 2^42) cannot degrade the same way: the high-bits
+    # multiply itself would overflow (ANSI error at best, silent
+    # corruption with ANSI off), so the budget is asserted per row —
+    # one folded comparison, and the id space fails LOUDLY instead of
+    # wrapping.
     p_len = f"CAST(floor((1.0 - {floor}) * size(_shc) + 1e-6) AS INT) + 1"
     fits = "CAST(size(_shc) < 1024 AS BIGINT)"
+    id_guard = (
+        "COALESCE(CAST(assert_true(doc_id >= 0 AND doc_id < 4398046511104, "
+        "'doc_id exceeds the 2^42 packed-posting budget') AS BIGINT), 0)"
+    )
     packed = (
-        f"doc_id * 2097152 + {fits} * 1048576 "
+        f"doc_id * 2097152 + {id_guard} + {fits} * 1048576 "
         f"+ {fits} * (CAST(size(_shc) AS BIGINT) * 1024 + CAST(_pp + 1 AS BIGINT))"
     )
     prefix = shc.selectExpr(

@@ -74,7 +74,43 @@ class HttpCsvDataSource(DataSource):
         urls = [u for u in self.options.get("urls", "").split(",") if u]
         if not urls:
             raise ValueError("http_csv needs option 'urls' (comma-separated)")
+        _validate_csv_schema(schema)  # fail at plan time, not per-partition
         return HttpCsvReader(schema, urls, type(self).opener)
+
+
+# Spark simpleString -> Arrow type for CSV payload columns. A declared
+# type OUTSIDE this map raises at plan time (see _validate_csv_schema)
+# instead of silently mapping to pa.string() and yielding Arrow batches
+# that disagree with the declared schema.
+def _csv_arrow_types():
+    import pyarrow as pa
+
+    return {
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "boolean": pa.bool_(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+    }
+
+
+def _validate_csv_schema(schema) -> None:
+    supported = set(_csv_arrow_types())
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.dataType.simpleString() not in supported
+    ]
+    if bad:
+        raise TypeError(
+            f"http_csv cannot map declared field(s) {bad} to Arrow CSV "
+            f"types; supported Spark types: {sorted(supported)}"
+        )
 
 
 class HttpCsvReader(DataSourceReader):
@@ -94,15 +130,9 @@ class HttpCsvReader(DataSourceReader):
 
         body = self._opener(partition.value)
         expected = [f.name for f in self._schema.fields]
+        types = _csv_arrow_types()
         arrow_schema = pa.schema(
-            [
-                (f.name, pa.from_numpy_dtype("float64"))
-                if f.dataType.simpleString() == "double"
-                else (f.name, pa.int64())
-                if f.dataType.simpleString() == "bigint"
-                else (f.name, pa.string())
-                for f in self._schema.fields
-            ]
+            [(f.name, types[f.dataType.simpleString()]) for f in self._schema.fields]
         )
         table = pacsv.read_csv(
             io.BytesIO(body),

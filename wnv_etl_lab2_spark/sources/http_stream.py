@@ -88,9 +88,13 @@ class HttpFeedStreamReader(SimpleDataSourceStreamReader):
         return {"page": 0}
 
     def _fetch_page(self, page: int) -> list[tuple] | None:
+        # Only FeedPageMissing means "end of feed". A bare KeyError
+        # escaping a custom opener is an opener bug and must surface
+        # (fail-loud policy) — swallowing it here would silently stop
+        # the trigger from consuming pages.
         try:
             body = self._opener(f"{self._base}{page}.csv")
-        except (FeedPageMissing, KeyError):
+        except FeedPageMissing:
             return None
         rows = list(csv.reader(io.StringIO(body.decode("utf-8"))))
         expected = [f.name for f in self._schema.fields]

@@ -56,7 +56,13 @@ def stage_documents_id_ranged(
     order of a corpus whose ids are assigned at ingest (monotonic ids
     are exactly what `stable_doc_ids` produces), and the order under
     which greedy streaming near-dup equals the batch
-    `minhash_band_survivors` rule."""
+    `minhash_band_survivors` rule.
+
+    TEST-STAGING ONLY — not a pipeline operator: it collects every
+    doc_id to the driver to compute exact range bounds, which is fine
+    for the local replay corpora it stages but would not survive a
+    production corpus (there, derive bounds with ``approxQuantile``
+    and let the writer partition by range)."""
     import os
     import time
 
@@ -160,29 +166,53 @@ def streaming_neardup_curation(
     ).outputMode("append")
 
 
+def band_index_table_name(index_dir: str) -> str:
+    """Catalog name for the bucketed band-index table at
+    ``index_dir`` — one entry per index location, so concurrent
+    streams (tests included) never collide."""
+    import hashlib
+    import os
+
+    return (
+        "band_index_"
+        + hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:12]
+    )
+
+
 def neardup_batch_processor(
     index_dir: str, out_dir: str, num_hashes: int = 32, bands: int = 16
 ):
     """The foreachBatch body of `streaming_neardup_curation`, exposed
-    so retry semantics are testable directly. Writes are IDEMPOTENT
-    per micro-batch: each batch overwrites its own
-    ``batch_id=N`` subdirectory of the index and the output (the
-    epoch-deterministic-path pattern), so a failed-and-retried batch
-    replaces its partial output instead of double-appending — with
-    the source's deterministic offsets this is the standard
-    foreachBatch exactly-once recipe. Readers load the parent
-    directory; the ``batch_id=N`` path fragments surface as a
-    partition column, which also gives the index natural batch-level
-    pruning/compaction boundaries (sources/maintenance.compact_parquet
-    applies per subdirectory).
+    so retry semantics are testable directly.
 
-    Earlier-batch state is read with ``batch_id < N``: a retry of
-    batch N must not see its own partial index write.
+    The band index is a partitioned + BUCKETED external table at
+    ``index_dir``: partitioned by ``batch_id`` (idempotent retry —
+    dynamic partition overwrite replaces exactly the retried batch's
+    partition, and ``batch_id < N`` state reads prune to earlier
+    partitions), bucketed + bucket-sorted on the state-join keys
+    ``(band_id, band_sig)``, so the per-batch semi-join reads the
+    accumulated index WITHOUT an Exchange: only the new micro-batch
+    (bounded by the trigger) shuffles, never the index — the property
+    that keeps per-batch cost O(batch), not O(corpus), at 100 TB
+    (pinned by tests/test_streaming_documents.py's plan assertion).
+    The files stay plain parquet at ``index_dir`` (the ``batch_id=N``
+    fragments surface as a partition column for path readers, and
+    give compaction its natural boundaries); the bucket spec lives in
+    the session catalog — a production deployment records it in a
+    shared metastore the same way.
+
+    The survivor output keeps the epoch-deterministic-path pattern
+    (overwrite of ``out_dir/batch_id=N``), so with the source's
+    deterministic offsets both writes are the standard foreachBatch
+    exactly-once recipe.
     """
     import os
 
     from wnv_etl_lab2_spark.functions import quality as Q
     from wnv_etl_lab2_spark.operators.dedup import minhash_band_signatures
+    from wnv_etl_lab2_spark.sources.bucketing import upsert_bucketed_partition
+
+    index_table = band_index_table_name(index_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -191,12 +221,8 @@ def neardup_batch_processor(
             kept_q, num_hashes=num_hashes, bands=bands
         ).localCheckpoint()  # 3 consumers below; batch-sized, bounded
         dropped = None
-        if os.path.isdir(index_dir) and any(
-            d.startswith("batch_id=") for d in os.listdir(index_dir)
-        ):
-            index = spark.read.parquet(index_dir).where(
-                F.col("batch_id") < batch_id
-            )
+        if spark.catalog.tableExists(index_table):
+            index = spark.table(index_table).where(F.col("batch_id") < batch_id)
             dropped = (
                 bands_new.join(index, ["band_id", "band_sig"], "left_semi")
                 .select("doc_id")
@@ -211,8 +237,12 @@ def neardup_batch_processor(
         )
         dropped_ids = intra if dropped is None else intra.union(dropped)
         survivors = kept_q.join(dropped_ids.distinct(), "doc_id", "left_anti")
-        bands_new.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"batch_id={batch_id}")
+        upsert_bucketed_partition(
+            bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            table=index_table,
+            path=index_dir,
+            partition_col="batch_id",
+            bucket_keys=["band_id", "band_sig"],
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
