@@ -253,6 +253,18 @@ def _capped_pair_counts(
        side, inter = size(array_intersect) — candidates only, never
        the corpus.
 
+    RECORDED TRADE-OFF (round-6 verdict #3, settled round 7): the
+    prefix filter costs ~+10% local wall (the slice/posexplode pass;
+    sf0.1 bench ~1.6-1.7 s vs ~1.5 s for full postings) and buys a
+    2.2x smaller posting shuffle (95% -> 44%/42% of the corpus,
+    MEASUREMENTS.md) — at cluster scale the shuffle is the binding
+    resource, so the filter stays. SCALE_SMOKE.md carries the
+    replication curve: per-unit x16 cost 0.32/0.36 against a declared
+    gate of 1.0 (enforced by tools/scale_smoke.py), with the x16
+    growth shown to be OUTPUT-shaped (k^2 qualifying pairs per
+    replicated near-dup cluster), not candidate explosion — the df
+    cap bounds in-bucket work at cap^2 per shingle.
+
     Every bucket is <= cap deep by construction (stop shingles are
     gone before posting), so no silent bucket drop exists anywhere.
     Shingles are hashed to longs inside the lambda (see
