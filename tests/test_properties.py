@@ -1,0 +1,169 @@
+"""Property-based tests (hypothesis): adversarially-generated inputs
+for the repo's trickiest pure arithmetic, each example batch executed
+as ONE Spark job so the suite stays fast. These complement the oracle
+gate — the oracle proves agreement on the fixed corpus; these probe
+the input space the corpus never visits (unicode junk, boundary
+values, pre-1970 timestamps)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- PII scrub: Spark (Java regex) vs an independent Python `re`
+#     implementation of the same backslash-free patterns -------------
+
+_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="'\\\r\n"
+    ),
+    max_size=80,
+)
+_PIIISH = st.sampled_from(
+    [
+        "a.b-c_d@ex-1.example.org",
+        "bad@@double.at",
+        "555-123-4567",
+        "55-123-4567",
+        "1.2.3.4",
+        "999.999.999.999 edge",
+        "u@x.io and 10.0.0.1 and 555-000-1111",
+        "trailing dot@.",
+    ]
+)
+
+
+@SLOW
+@given(st.lists(st.tuples(_TEXT, _PIIISH, _TEXT), min_size=1, max_size=24))
+def test_pii_scrub_matches_python_re(spark, cases):
+    from wnv_etl_lab2_spark.functions.pii import (
+        PII_RULES,
+        pii_counts,
+        pii_scrub_col,
+    )
+
+    rows = [(i, f"{a} {p} {b}") for i, (a, p, b) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = (
+        df.select("i", pii_scrub_col("t").alias("m"), *pii_counts("t"))
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    for (i, t), (_, row) in zip(rows, got.iterrows()):
+        masked = t
+        for name, pat, placeholder in PII_RULES:
+            assert row[f"n_{name}s"] == len(re.findall(pat, t)), (name, t)
+            masked = re.sub(pat, lambda _m: placeholder, masked)
+        assert row["m"] == masked, (t, row["m"], masked)
+
+
+def test_pii_scrub_is_idempotent(spark):
+    """Masking twice equals masking once: placeholders can never
+    manufacture a match for any rule."""
+    from wnv_etl_lab2_spark.functions.pii import pii_scrub_col
+
+    rows = [
+        (0, "u@x.io reach 10.0.0.1 at 555-000-1111"),
+        (1, "[EMAIL] [PHONE] [IP] already masked"),
+        (2, "nested u@[EMAIL].io oddity"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    once = df.select("i", pii_scrub_col("t").alias("m"))
+    twice = once.select("i", pii_scrub_col("m").alias("m"))
+    assert once.collect() == twice.collect()
+
+
+# --- Packed-posting arithmetic: the 21-bit pack in text_q's exact-pair
+#     backbone must round-trip every in-budget (doc_id, n, pos) -------
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 42) - 1),  # doc_id budget
+            st.integers(min_value=1, max_value=1023),  # n = size(_shc) < 1024
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_packed_posting_round_trips(spark, pairs):
+    # mirrors queries/text_q.py's packing: pk = doc*2^21 + fits*2^20
+    # + n*2^10 + (pos+1), with fits=1 for every n < 1024; pos is the
+    # 0-based prefix index, always < n.
+    rows = [(d, n, min(n - 1, (d * 7) % n)) for d, n in pairs]
+    df = spark.createDataFrame(rows, "doc_id long, n long, pp long")
+    pk = "doc_id * 2097152 + 1048576 + n * 1024 + CAST(pp + 1 AS BIGINT)"
+    out = df.selectExpr(
+        "doc_id", "n", "pp",
+        f"({pk}) div 2097152 AS u_doc",
+        f"pmod(({pk}) div 1048576, 2) AS u_fits",
+        f"pmod(({pk}) div 1024, 1024) AS u_n",
+        f"pmod({pk}, 1024) AS u_pos",
+    ).collect()
+    for r in out:
+        assert r.u_doc == r.doc_id
+        assert r.u_fits == 1
+        assert r.u_n == r.n
+        assert r.u_pos == r.pp + 1
+
+
+def test_packed_posting_overflow_is_loud(spark):
+    """A doc_id past the 2^42 budget must raise the asserted guard,
+    never wrap silently (ADVICE r6: with ANSI off the multiply would
+    corrupt instead of erroring)."""
+    import pytest
+
+    from wnv_etl_lab2_spark.queries.text_q import exact_pair_counts
+
+    base = "the torch spark query table always " * 8
+    docs = spark.createDataFrame(
+        [(1 << 42, base), ((1 << 42) + 1, base)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="2\\^42 packed-posting budget"):
+        exact_pair_counts(docs, jaccard_floor=0.5).collect()
+
+
+# --- Epoch math: timeutil vs Python datetime over generated
+#     timestamps (including pre-1970) --------------------------------
+
+@SLOW
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=pd.Timestamp("1901-01-01").to_pydatetime(),
+            max_value=pd.Timestamp("2200-12-31").to_pydatetime(),
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_epoch_us_matches_python(spark, stamps):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.functions.timeutil import epoch_us
+
+    # microsecond-align (parquet/testdata precision)
+    rows = [(i, t.replace(tzinfo=None)) for i, t in enumerate(stamps)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp_ntz")
+    got = {
+        r.i: r.us
+        for r in df.select("i", epoch_us(F.col("ts")).alias("us")).collect()
+    }
+    epoch = datetime(1970, 1, 1)
+    for i, t in rows:
+        want = round((t - epoch).total_seconds() * 1_000_000)
+        assert got[i] == want, (t, got[i], want)

@@ -75,6 +75,7 @@ FRONT_ROWS_ONLY_OK = {
     "ann_topk_ivf",
     "neardup_band_survivors",
     "semantic_dedup_keep",
+    "ingest_provenance",
 }
 
 _FRONT = [
@@ -98,7 +99,8 @@ _FRONT = [
     # window_running_sum, window_navigation,
     # deterministic_shuffle_order, dedup_distinct_rows,
     # order_count_histogram, unpivot_part_metrics,
-    # window_range_frame. (The reference-parity O-ops stay in.)
+    # window_range_frame, salted_join_agg. (The reference-parity
+    # O-ops stay in.)
     # (a) first-ever usable driver evidence
     "approx_percentile_stats",
     "approx_distinct_stats",
@@ -107,6 +109,7 @@ _FRONT = [
     "ann_topk_ivf",
     "neardup_band_survivors",
     "semantic_dedup_keep",
+    "ingest_provenance",
     # (b) the 6 r3-greens deferred from round 6
     "union_distinct",
     "orderby_limit_topk",
@@ -119,7 +122,7 @@ _FRONT = [
     "dup_cluster_histogram",
     "quota_sample_per_source",
     "hard_negative_mining",
-    # (d) r4-stale re-verifies (33 of 50)
+    # (d) r4-stale re-verifies (32 of 50)
     "asof_join_click_view",
     "bpe_pair_merge_counts",
     "clean_cast_filter",
@@ -145,7 +148,6 @@ _FRONT = [
     "range_join_maintenance",
     "row_count",
     "sales_opportunity",
-    "salted_join_agg",
     "sessionize_events",
     "shipping_priority_buckets",
     "skew_key_diagnosis",

@@ -647,3 +647,38 @@ def scd2_customer_history(spark, sf_dir):
         F.col("valid_to").cast("string").alias("valid_to"),
         "is_current",
     )
+
+
+# `_metadata` is a Spark file-source hidden column; the driver's fixed
+# DuckDB views (`CREATE VIEW t AS SELECT * FROM '<file>'`) cannot see
+# file names, so this is rows-only for the driver — but pytest pins it
+# EXACTLY against DuckDB `read_parquet(..., filename=true)` over the
+# same paths (tests/test_provenance.py).
+@register("ingest_provenance")
+def ingest_provenance(spark, sf_dir):
+    """Ingest manifest audit via the `_metadata` hidden columns: one
+    row per catalog table with the physical file it was read from,
+    its on-disk size, and the rows it produced — the reference's O22
+    row-count logging generalized into a provenance artifact (at
+    100 TB: per-input-file lineage for a multi-thousand-split scan,
+    the thing you join against the ingest manifest to prove nothing
+    was dropped). `_metadata` is resolved inside the scan, so each
+    table contributes a count-aggregate over its file scan: ten tiny
+    digest-only aggregations unioned, no data shuffle."""
+    from wnv_etl_lab2_spark.sources.catalog import TABLES, load_table
+
+    parts = []
+    for t in TABLES:
+        d = load_table(spark, t, sf_dir)
+        parts.append(
+            d.select(
+                F.lit(t).alias("table_name"),
+                F.col("_metadata.file_name").alias("file_name"),
+                F.col("_metadata.file_size").alias("file_bytes"),
+            ).groupBy("table_name", "file_name", "file_bytes")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -349,8 +349,12 @@ def exact_pair_counts(
         "COALESCE(CAST(assert_true(doc_id >= 0 AND doc_id < 4398046511104, "
         "'doc_id exceeds the 2^42 packed-posting budget') AS BIGINT), 0)"
     )
+    # guard FIRST: '+' evaluates left-to-right, so the budget assert
+    # fires before the high-bits multiply can ANSI-overflow (and with
+    # ANSI off it is the only thing standing between an oversized id
+    # and silent wraparound) — one deterministic error either mode.
     packed = (
-        f"doc_id * 2097152 + {id_guard} + {fits} * 1048576 "
+        f"{id_guard} + doc_id * 2097152 + {fits} * 1048576 "
         f"+ {fits} * (CAST(size(_shc) AS BIGINT) * 1024 + CAST(_pp + 1 AS BIGINT))"
     )
     prefix = shc.selectExpr(
