@@ -126,3 +126,51 @@ def test_curation_pipeline_matches_yield_sheet(spark, sf_dir, tmp_path):
     sheet = REGISTRY["corpus_curation_stats"].fn(spark, sf_dir).toPandas()
     want = {r.source: int(r.kept_docs) for r in sheet.itertuples() if r.kept_docs}
     assert got == want
+
+
+def test_observed_metrics_ride_the_sink_job(spark, sf_dir, tmp_path):
+    """run(metrics=...) returns accumulator-style metrics computed
+    INSIDE the single sink action (df.observe) — row counts and
+    quality tallies with no second job over the plan. Values must
+    equal an independent recount."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.pipeline import Pipeline, parquet_sink
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    src = lambda s: load_table(s, "documents", sf_dir)  # noqa: E731
+    keep_short = lambda df: df.where(F.col("n_chars") < 400)  # noqa: E731
+    p = Pipeline(src, [keep_short], name="obs_demo")
+    out = str(tmp_path / "obs_out")
+    got = p.run(
+        spark,
+        parquet_sink(out),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_en": F.count(F.when(F.col("lang") == "en", 1)),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    check = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("n_chars") < 400)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == check["n_rows"] > 0
+    assert got["n_en"] == check["n_en"]
+    assert got["total_chars"] == check["total_chars"]
+    # the sink actually wrote the same rows the metrics describe
+    assert spark.read.parquet(out).count() == got["n_rows"]
+
+
+def test_run_without_metrics_returns_none(spark, sf_dir, tmp_path):
+    from wnv_etl_lab2_spark.pipeline import Pipeline, parquet_sink
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    p = Pipeline(lambda s: load_table(s, "region", sf_dir), name="plain")
+    assert p.run(spark, parquet_sink(str(tmp_path / "r"))) is None

@@ -49,11 +49,37 @@ class Pipeline:
             df = t(df)
         return df
 
-    def run(self, spark: SparkSession, sink: Sink) -> None:
-        """Trigger the plan into a sink — the only action."""
+    def run(
+        self,
+        spark: SparkSession,
+        sink: Sink,
+        metrics: "dict[str, object] | None" = None,
+    ) -> "dict[str, object] | None":
+        """Trigger the plan into a sink — the only action.
+
+        ``metrics`` (name -> aggregate Column) rides the sink job via
+        ``df.observe``: the observability generalization of the
+        reference's GetCount logging (O22, `final_project2.py`), but
+        computed as accumulator-style metrics INSIDE the one sink
+        action instead of a second count job — at 100 TB a separate
+        ``df.count()`` re-executes the whole plan, while an observed
+        metric is free. Returns the collected metric values (or None
+        when no metrics were requested); they are also logged."""
         log.info("pipeline %s: building plan", self.name)
-        sink(self.build(spark))
+        df = self.build(spark)
+        obs = None
+        if metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation(self.name)
+            df = df.observe(obs, *[c.alias(k) for k, c in metrics.items()])
+        sink(df)
         log.info("pipeline %s: sink complete", self.name)
+        if obs is not None:
+            vals = obs.get
+            log.info("pipeline %s: observed metrics %s", self.name, vals)
+            return vals
+        return None
 
 
 def parquet_source(path: str) -> Source:

@@ -99,8 +99,8 @@ _FRONT = [
     # window_running_sum, window_navigation,
     # deterministic_shuffle_order, dedup_distinct_rows,
     # order_count_histogram, unpivot_part_metrics,
-    # window_range_frame, salted_join_agg. (The reference-parity
-    # O-ops stay in.)
+    # window_range_frame, salted_join_agg, sales_opportunity.
+    # (The reference-parity O-ops stay in.)
     # (a) first-ever usable driver evidence
     "approx_percentile_stats",
     "approx_distinct_stats",
@@ -122,7 +122,8 @@ _FRONT = [
     "dup_cluster_histogram",
     "quota_sample_per_source",
     "hard_negative_mining",
-    # (d) r4-stale re-verifies (32 of 50)
+    "arrow_group_trend",
+    # (d) r4-stale re-verifies (31 of 50)
     "asof_join_click_view",
     "bpe_pair_merge_counts",
     "clean_cast_filter",
@@ -147,7 +148,6 @@ _FRONT = [
     "projection_concat",
     "range_join_maintenance",
     "row_count",
-    "sales_opportunity",
     "sessionize_events",
     "shipping_priority_buckets",
     "skew_key_diagnosis",

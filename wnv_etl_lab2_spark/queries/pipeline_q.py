@@ -682,3 +682,55 @@ def ingest_provenance(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "arrow_group_trend",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(CASE WHEN value > pv THEN 1 END), 0) AS BIGINT)
+             AS n_increasing
+    FROM (
+        SELECT user_id, value,
+               LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def arrow_group_trend(spark, sf_dir):
+    """Per-user monotone-step count through the RAW-ARROW grouped-map
+    path (groupBy().applyInArrow, Spark 4) — the zero-pandas sibling
+    of `groupwise_zscore_arrow` that completes the Python API matrix
+    (applyInPandas / GROUPED_AGG UDAF / mapInPandas / UDTF /
+    applyInArrow): each group arrives as ONE pyarrow.Table, is sorted
+    and compared entirely with pyarrow.compute + numpy (no pandas
+    object boxing on either hop), and returns a one-row Table. The
+    arithmetic is integer counting over exact doubles, so the
+    windowed-SQL twin is an exact oracle. Scale contract is the
+    grouped-map one: a shuffle on the group key and each group within
+    a worker's Arrow batch; the LAG-window twin is the plan when the
+    logic is SQL-expressible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(t: "pa.Table") -> "pa.Table":
+        idx = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        vals = pc.take(t.column("value"), idx).to_numpy(zero_copy_only=False)
+        inc = int((vals[1:] > vals[:-1]).sum()) if len(vals) > 1 else 0
+        return pa.table(
+            {
+                "user_id": pa.array([t.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([len(vals)], pa.int64()),
+                "n_increasing": pa.array([inc], pa.int64()),
+            }
+        )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInArrow(
+        kernel, "user_id long, n_events long, n_increasing long"
+    )
