@@ -99,8 +99,9 @@ _FRONT = [
     # window_running_sum, window_navigation,
     # deterministic_shuffle_order, dedup_distinct_rows,
     # order_count_histogram, unpivot_part_metrics,
-    # window_range_frame, salted_join_agg, sales_opportunity.
-    # (The reference-parity O-ops stay in.)
+    # window_range_frame, salted_join_agg, sales_opportunity,
+    # shipping_priority_buckets. (The reference-parity O-ops stay
+    # in.)
     # (a) first-ever usable driver evidence
     "approx_percentile_stats",
     "approx_distinct_stats",
@@ -123,7 +124,8 @@ _FRONT = [
     "quota_sample_per_source",
     "hard_negative_mining",
     "arrow_group_trend",
-    # (d) r4-stale re-verifies (31 of 50)
+    "hybrid_rrf_retrieval",
+    # (d) r4-stale re-verifies (30 of 50)
     "asof_join_click_view",
     "bpe_pair_merge_counts",
     "clean_cast_filter",
@@ -149,7 +151,6 @@ _FRONT = [
     "range_join_maintenance",
     "row_count",
     "sessionize_events",
-    "shipping_priority_buckets",
     "skew_key_diagnosis",
     "sliding_window_batch",
     "text_quality_pandas_udf",

@@ -918,3 +918,123 @@ def hard_negative_mining(spark, sf_dir):
             F.round("_cos", 6).alias("cos_sim"),
         )
     )
+
+
+def _hybrid_oracle() -> str:
+    from wnv_etl_lab2_spark.queries.text_q import (
+        _BM25_SCORE,
+        _BM25_TERMS,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    dl AS (
+        SELECT doc_id,
+               LEN(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf FROM toks
+        WHERE w IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, w
+    ),
+    idf AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    lex AS (
+        SELECT tf.doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(SUM({_BM25_SCORE}), 6) DESC, tf.doc_id ASC
+               ) AS r_lex
+        FROM tf JOIN idf USING (w) JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+        QUALIFY r_lex <= 20
+    ),
+    ev AS (SELECT vec_id, {_CAST} AS e,
+                  sqrt(list_sum(list_transform({_CAST}, x -> x * x))) AS nm
+           FROM embeddings),
+    q AS (SELECT e AS qe, nm AS qnm FROM ev WHERE vec_id = 0),
+    dense AS (
+        SELECT ev.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_sum(list_transform(range(1, LEN(ev.e) + 1),
+                   i -> ev.e[i] * q.qe[i])) / (ev.nm * q.qnm) DESC,
+                 ev.vec_id ASC
+               ) AS r_dense
+        FROM ev CROSS JOIN q
+        QUALIFY r_dense <= 20
+    )
+    SELECT doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_dense AS BIGINT) AS r_dense,
+           ROUND(COALESCE(1.0 / (60 + r_lex), 0)
+                 + COALESCE(1.0 / (60 + r_dense), 0), 6) AS rrf
+    FROM (
+        SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+               lex.r_lex, dense.r_dense
+        FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+@register("hybrid_rrf_retrieval", oracle=_hybrid_oracle())
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09): fuse the BM25 lexical top-20 (`bm25_topk`'s scoring)
+    with the dense cosine top-20 against the query embedding (vec_id
+    0; documents and embeddings share the doc_id = vec_id key the
+    relational suite already joins on) as
+    rrf = 1/(60 + r_lex) + 1/(60 + r_dense), summing only the lists a
+    doc appears in — the standard RAG-stack ranker that needs no
+    score calibration between systems.
+
+    Scale shape: both arms are top-k reductions (BM25's IN-filtered
+    tf + TakeOrdered; dense's broadcast-query scan + TakeOrdered), so
+    the fusion joins two 20-row frames — at 100 TB the arms are the
+    expensive part and each already avoids shuffling the corpus; the
+    dense arm swaps in the IVF index unchanged. Ranks are computed on
+    engine-identical orderings (rounded bm25 / unrounded cosine fold,
+    doc_id tie-break), so the RRF scores agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    from wnv_etl_lab2_spark.queries.text_q import bm25_topk
+
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ev = emb.select("vec_id", as_double_array("embedding").alias("e"))
+    nm = F.sqrt(F.aggregate(F.col("e"), F.lit(0.0), lambda a, x: a + x * x))
+    ev = ev.withColumn("nm", nm)
+    q = ev.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nm").alias("qnm")
+    )
+    j = ev.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("e", "qe", lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v
+    )
+    # TakeOrdered FIRST (distributed per-partition heaps), then rank
+    # the surviving 20 rows — the global row_number window only ever
+    # sees k rows, never the corpus (same shape as bm25_topk's rank).
+    scored = j.select("vec_id", (dot / (F.col("nm") * F.col("qnm"))).alias("_cos"))
+    top20 = scored.orderBy(F.desc("_cos"), F.asc("vec_id")).limit(20)
+    w = Window.orderBy(F.desc("_cos"), F.asc("vec_id"))
+    dense = top20.select(
+        F.col("vec_id").alias("doc_id"), F.row_number().over(w).alias("r_dense")
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_dense").cast("long").alias("r_dense"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
