@@ -67,3 +67,74 @@ def test_webhook_sink_posts_partitions_then_commit_marker(spark, tmp_path):
     assert len(commits) >= 1
     marker = open(commits[0]).read()
     assert "rows=3" in marker and "batch_id=" in marker
+
+
+def test_batch_webhook_export_posts_then_commits(spark, tmp_path):
+    """The BATCH writer (df.write.format('webhook')): one CSV POST per
+    non-empty partition, then exactly one commit marker carrying the
+    true part/row totals — the executor-parallel generalization of
+    the reference's one-shot report export."""
+    import csv as _csv
+    import io as _io
+
+    spool = str(tmp_path / "bspool")
+
+    class SpoolWebhook(WebhookSinkDataSource):
+        poster = staticmethod(_spooling_poster(spool))
+
+    spark.dataSource.register(SpoolWebhook)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(7)], "id long, v string"
+    ).repartition(3)
+    (
+        df.write.format("webhook")
+        .option("url", "https://hooks.example/batch-report")
+        .mode("append")
+        .save()
+    )
+    data = sorted(glob.glob(os.path.join(spool, "data-*")))
+    commits = glob.glob(os.path.join(spool, "commit-*"))
+    assert not glob.glob(os.path.join(spool, "abort-*"))
+    assert len(commits) == 1
+    rows = []
+    for p in data:
+        with open(p, "rb") as f:
+            body = list(_csv.reader(_io.StringIO(f.read().decode())))
+        assert body[0] == ["id", "v"]
+        rows.extend(body[1:])
+    assert sorted(int(r[0]) for r in rows) == list(range(7))
+    with open(commits[0], "rb") as f:
+        marker = f.read().decode()
+    assert f"parts={len(data)}" in marker and "rows=7" in marker
+
+
+def test_batch_webhook_task_failure_aborts(spark, tmp_path):
+    """A poster failure in any task must fail the job and POST the
+    abort marker, never a commit — the atomicity signal a downstream
+    consumer keys on."""
+    import pytest
+
+    spool = str(tmp_path / "fspool")
+    inner = _spooling_poster(spool)
+
+    def failing_poster(url: str, payload: bytes) -> None:
+        if not url.endswith(("/commit", "/abort")) and b"v3" in payload:
+            raise RuntimeError("downstream 503")
+        inner(url, payload)
+
+    class FailingWebhook(WebhookSinkDataSource):
+        poster = staticmethod(failing_poster)
+
+    spark.dataSource.register(FailingWebhook)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "id long, v string"
+    ).repartition(4)
+    with pytest.raises(Exception):
+        (
+            df.write.format("webhook")
+            .option("url", "https://hooks.example/batch-report")
+            .mode("append")
+            .save()
+        )
+    assert not glob.glob(os.path.join(spool, "commit-*"))
+    assert glob.glob(os.path.join(spool, "abort-*"))

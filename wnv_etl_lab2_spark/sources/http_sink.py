@@ -38,6 +38,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -74,6 +75,12 @@ class WebhookSinkDataSource(DataSource):
             raise ValueError("webhook sink needs option 'url'")
         return WebhookStreamWriter(schema, url, type(self).poster)
 
+    def writer(self, schema, overwrite: bool) -> "WebhookBatchWriter":
+        url = self.options.get("url")
+        if not url:
+            raise ValueError("webhook sink needs option 'url'")
+        return WebhookBatchWriter(schema, url, type(self).poster)
+
 
 class WebhookStreamWriter(DataSourceStreamWriter):
     def __init__(self, schema, url: str, poster: Poster) -> None:
@@ -108,3 +115,34 @@ class WebhookStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self._poster(self._url + "/abort", f"batch_id={batchId}".encode("utf-8"))
+
+
+class WebhookBatchWriter(DataSourceWriter):
+    """Batch twin of the stream writer — `df.write.format("webhook")`
+    — completing the connector matrix (batch read / stream read /
+    stream write / batch write). Same two-phase contract: executors
+    POST one CSV payload per non-empty partition; the driver POSTs a
+    single ``parts=...,rows=...`` commit marker only after every task
+    succeeded, or an abort marker if any failed. This is the live
+    generalization of the reference's one-shot report export
+    (`final_project2.py:250-260`): same rows, but the export is
+    executor-parallel and the consumer gets an atomicity signal
+    instead of a half-written file on failure."""
+
+    def __init__(self, schema, url: str, poster: Poster) -> None:
+        self._schema = schema
+        self._url = url
+        self._poster = poster
+
+    # identical executor-side serialization to the stream writer
+    write = WebhookStreamWriter.write
+
+    def commit(self, messages) -> None:
+        parts = [m for m in messages if m is not None and m.rows > 0]
+        marker = (
+            f"parts={len(parts)},rows={sum(m.rows for m in parts)}"
+        ).encode("utf-8")
+        self._poster(self._url + "/commit", marker)
+
+    def abort(self, messages) -> None:
+        self._poster(self._url + "/abort", b"aborted")
