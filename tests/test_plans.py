@@ -152,3 +152,22 @@ def test_small_qty_correlated_aggregate_decorrelates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "small_qty_part_revenue")
     assert "partial_avg" in plan or "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """quota_sample_per_source's docstring promises the rank filter
+    runs as a partial top-K per partition: Spark 3.5+ plants
+    WindowGroupLimit BOTH below the exchange (partial — each map task
+    forwards at most K rows per group) and above it (final). Without
+    it the shuffle carries every row of every source."""
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    plan = (
+        REGISTRY["quota_sample_per_source"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2, plan
