@@ -1027,10 +1027,26 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), F.row_number().over(w).alias("r_dense")
     )
 
-    fused = lex.join(dense, "doc_id", "full_outer").select(
+    # Fuse by union + conditional aggregation rather than a full-outer
+    # join: full outer can't broadcast (Spark plans an SMJ even for two
+    # 20-row frames — the registry's only avoidable sort-merge join),
+    # while the union form is one tiny groupBy. Each arm's ranks are
+    # unique per doc_id, so max() recovers exactly the full-outer row.
+    arms = lex.select(
+        "doc_id", F.col("r_lex").cast("long").alias("r_lex"),
+        F.lit(None).cast("long").alias("r_dense"),
+    ).unionByName(
+        dense.select(
+            "doc_id", F.lit(None).cast("long").alias("r_lex"),
+            F.col("r_dense").cast("long").alias("r_dense"),
+        )
+    )
+    fused = arms.groupBy("doc_id").agg(
+        F.max("r_lex").alias("r_lex"), F.max("r_dense").alias("r_dense")
+    ).select(
         "doc_id",
-        F.col("r_lex").cast("long").alias("r_lex"),
-        F.col("r_dense").cast("long").alias("r_dense"),
+        "r_lex",
+        "r_dense",
         F.round(
             F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
             + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
