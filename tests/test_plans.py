@@ -171,3 +171,14 @@ def test_quota_sample_uses_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_hybrid_rrf_fuses_without_join(spark, sf_dir):
+    """RRF fusion is union + conditional aggregation, never a join:
+    full outer can't broadcast, so the join form planned a sort-merge
+    join even for two 20-row top-k frames. The arms themselves may
+    broadcast (BM25's df/stats, the dense arm's query vector) but no
+    SMJ may appear anywhere in the fused plan."""
+    plan = plan_of(spark, sf_dir, "hybrid_rrf_retrieval")
+    assert "SortMergeJoin" not in plan, plan
+    assert "Union" in plan, plan
