@@ -165,5 +165,10 @@ def test_epoch_us_matches_python(spark, stamps):
     }
     epoch = datetime(1970, 1, 1)
     for i, t in rows:
-        want = round((t - epoch).total_seconds() * 1_000_000)
+        # Exact integer microseconds: total_seconds() goes through
+        # float64 and loses sub-microsecond precision past ~2106
+        # (hypothesis found 2107-01-01 00:00:00.000007 off by 1 us),
+        # while timedelta holds (days, seconds, microseconds) exactly.
+        d = t - epoch
+        want = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
         assert got[i] == want, (t, got[i], want)
