@@ -68,6 +68,14 @@ PER_UNIT_X16_GATES = {
     # the value above 1. Measured headroom: 0.10 / 0.14 at x16.
     "bm25_topk": 0.5,
     "unigram_logprob_quality": 0.5,
+    # The flagship curation E2E (quality rules + MinHash-LSH dedup +
+    # components + yield sheet) — the single most load-bearing plan in
+    # the repo, previously bench-timed but never replication-curved.
+    # Scan-inclusive like the other staged rows. Adversarial16x
+    # replication makes every doc a 16-deep exact-dup group, so the
+    # dedup-first representative reduction and the component Arrow
+    # probe both get stressed exactly as a crawl corpus stresses them.
+    "corpus_curation_stats": 0.5,
 }
 
 
@@ -166,14 +174,18 @@ History — this smoke caught a real quadratic, then verified the fix:
 - The replication smoke is adversarial by construction (every doc has
   k exact copies — the crawl-corpus duplicate-pileup case).
 - Round 7 also curved the r6 retrieval queries (`bm25_topk`,
-  `unigram_logprob_quality` — the VERDICT r6 plan-audit gap). These
-  run UNMODIFIED against a staged parquet copy of the replicated
-  corpus, so their timings are scan-inclusive (a genuine 16x-bigger
-  read) unlike the checkpointed-input rows; the gate is 0.5
-  accordingly. Both are broadcast-stats + digest-aggregate shapes —
+  `unigram_logprob_quality` — the VERDICT r6 plan-audit gap) and the
+  flagship curation E2E (`corpus_curation_stats`). These run
+  UNMODIFIED against a staged parquet copy of the replicated corpus,
+  so their timings are scan-inclusive (a genuine 16x-bigger read)
+  unlike the checkpointed-input rows; the gate is 0.5 accordingly.
+  The retrieval pair are broadcast-stats + digest-aggregate shapes —
   term-frequency rows exist only for query-term matches (BM25) and
   the vocab table broadcasts back (unigram) — so no pair or join
-  term can grow superlinearly.
+  term can grow superlinearly; the curation E2E composes the already-
+  curved MinHash pipeline with combinable aggregates, and 16x
+  replication turns every doc into a 16-deep exact-dup group, the
+  precise stress its dedup-first stage exists to absorb.
 """
 
 
@@ -231,6 +243,7 @@ def main() -> None:
     import shutil
     import tempfile
 
+    from wnv_etl_lab2_spark.queries.similarity_q import corpus_curation_stats
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
         unigram_logprob_quality,
@@ -240,6 +253,7 @@ def main() -> None:
     sf_dir_queries = {
         "bm25_topk": bm25_topk,
         "unigram_logprob_quality": unigram_logprob_quality,
+        "corpus_curation_stats": corpus_curation_stats,
     }
 
     def stage_docs(d: DataFrame, k: int) -> str:
