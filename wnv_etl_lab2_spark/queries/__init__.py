@@ -118,13 +118,17 @@ _FRONT = [
     "stats_agg",
     "variant_extract",
     "scalar_subquery",
-    # (c) new round-7 operators (first evidence)
+    # (c) new round-7 operators (first evidence; row_count — a single
+    # stable COUNT(*), the lowest-drift-risk query in the registry —
+    # was swapped out of block (d) to make room for
+    # dsir_importance_weights and joins the round-8 deferral list)
     "pii_scrub",
     "dup_cluster_histogram",
     "quota_sample_per_source",
     "hard_negative_mining",
     "arrow_group_trend",
     "hybrid_rrf_retrieval",
+    "dsir_importance_weights",
     # (d) r4-stale re-verifies (30 of 50)
     "asof_join_click_view",
     "bpe_pair_merge_counts",
@@ -149,7 +153,6 @@ _FRONT = [
     "polygon_clip_area",
     "projection_concat",
     "range_join_maintenance",
-    "row_count",
     "sessionize_events",
     "skew_key_diagnosis",
     "sliding_window_batch",

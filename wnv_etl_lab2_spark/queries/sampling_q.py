@@ -442,3 +442,98 @@ def quota_sample_per_source(spark, sf_dir):
         )
         .where(F.col("rn") <= 50)
     )
+
+
+# One shared scoring fragment evaluated by F.expr on the Spark side
+# and pasted verbatim into the DuckDB oracle (identical literal text
+# -> identical IEEE operation order -> bit-equal doubles pre-round).
+# Add-1 smoothing over the 1024 hashed buckets on both distributions.
+_DSIR_LOGRATIO = (
+    "ln(((ct + 1.0) / (t_total + 1024.0)) / "
+    "((cr + 1.0) / (r_total + 1024.0)))"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(w), 1, 8))::UBIGINT % 1024 AS b
+        FROM toks WHERE w <> ''
+    ),
+    buckets AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+        FROM t GROUP BY b
+    ),
+    totals AS (
+        SELECT CAST(SUM(ct) AS DOUBLE) AS t_total,
+               CAST(SUM(cr) AS DOUBLE) AS r_total
+        FROM buckets
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           ROUND(SUM({_DSIR_LOGRATIO}), 6) AS dsir_logratio
+    FROM t JOIN buckets USING (b) CROSS JOIN totals
+    WHERE t.source <> 'src0'
+    GROUP BY t.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-
+    corpus document by the log importance ratio of a target-domain
+    bag-of-hashed-ngrams model over a raw-corpus model. Here the
+    target domain is `source = 'src0'` (the in-domain proxy) and the
+    features are word unigrams hashed into 1024 buckets (the paper's
+    hashed n-gram generative model with add-1 smoothing); a curation
+    pipeline resamples the raw corpus proportionally to
+    exp(dsir_logratio) to shift it toward the target distribution.
+
+    Scale shape — the published deployment exactly: the learned model
+    is the 1024-row bucket table (built in one conditional-aggregate
+    pass with map-side combine, then broadcast with its two scalar
+    totals), so scoring the 100 TB raw corpus is a pure map over its
+    tokens plus one per-doc combinable aggregate; no join ever
+    shuffles the corpus. The hash is the registry's engine-shared
+    idiom (md5 first-8-hex, cf. `train_val_test_split`), and the
+    log-ratio arithmetic is one shared SQL fragment
+    (_DSIR_LOGRATIO) on both engines; the ~50-term double sum
+    differs only in summation order (~1e-13), both sides round at
+    6 dp."""
+    d = load_table(spark, "documents", sf_dir)
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    t = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % 1024
+        ).alias("b"),
+    )
+    is_t = (F.col("source") == "src0").cast("long")
+    buckets = t.groupBy("b").agg(
+        F.sum(is_t).alias("ct"), F.sum(1 - is_t).alias("cr")
+    )
+    totals = buckets.agg(
+        F.sum("ct").cast("double").alias("t_total"),
+        F.sum("cr").cast("double").alias("r_total"),
+    )
+    scored = (
+        t.where(F.col("source") != "src0")
+        .join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum(F.expr(_DSIR_LOGRATIO)), 6).alias("dsir_logratio"),
+        )
+    )
+    return scored
