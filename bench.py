@@ -67,6 +67,7 @@ HEADLINE = [
     "unigram_logprob_quality",    # corpus LM scoring via broadcast vocab join (round 6)
     "pii_scrub",                  # regex PII detect + global mask, scan-fused pure map (round 7)
     "hard_negative_mining",       # cross-label top-k near-misses, broadcast anchors (round 7)
+    "dsir_importance_weights",    # DSIR log-ratio scoring via broadcast bucket model (round 7)
 ]
 
 

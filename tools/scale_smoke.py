@@ -76,6 +76,10 @@ PER_UNIT_X16_GATES = {
     # dedup-first representative reduction and the component Arrow
     # probe both get stressed exactly as a crawl corpus stresses them.
     "corpus_curation_stats": 0.5,
+    # DSIR scoring (round 7): 1024-row broadcast bucket model + pure-map
+    # token scoring + per-doc combinable aggregate — the only shuffle
+    # that grows with the corpus is the token-count/doc-score groupBy.
+    "dsir_importance_weights": 0.5,
 }
 
 
@@ -243,6 +247,7 @@ def main() -> None:
     import shutil
     import tempfile
 
+    from wnv_etl_lab2_spark.queries.sampling_q import dsir_importance_weights
     from wnv_etl_lab2_spark.queries.similarity_q import corpus_curation_stats
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
@@ -254,6 +259,7 @@ def main() -> None:
         "bm25_topk": bm25_topk,
         "unigram_logprob_quality": unigram_logprob_quality,
         "corpus_curation_stats": corpus_curation_stats,
+        "dsir_importance_weights": dsir_importance_weights,
     }
 
     def stage_docs(d: DataFrame, k: int) -> str:
