@@ -73,3 +73,24 @@ def test_delta_baseline_covers_every_previously_benched_headliner():
     missing = [n for n in HEADLINE if n in seen and n not in prev]
     assert not missing, f"benched headliners with no delta baseline: {missing}"
     assert all(v > 0 for v in prev.values())
+
+
+def test_declared_wall_bounds_cover_the_zstd_trade():
+    """Round 8 accepted a measured local-wall-for-wire-bytes trade
+    (zstd shuffle codec matching the cluster profile) on the exact-pair
+    backbone; the accepted ceiling must stay DECLARED so a further
+    slide trips the bench gate instead of hiding inside the trade.
+    Both pinned queries must exist, be registered, and carry a bound
+    above their r8 measured walls (2.15/1.86 s) but tight enough to
+    catch another +15% slide."""
+    from bench import DECLARED_WALL_BOUNDS_SF01
+    import wnv_etl_lab2_spark.queries as q
+
+    q._ensure_loaded()
+    assert set(DECLARED_WALL_BOUNDS_SF01) == {
+        "ngram_jaccard_pairs",
+        "containment_pairs",
+    }
+    for name, bound in DECLARED_WALL_BOUNDS_SF01.items():
+        assert name in q.REGISTRY
+        assert 0 < bound <= 2.5, f"{name}: bound {bound} drifted loose"
