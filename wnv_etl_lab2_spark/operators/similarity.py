@@ -176,6 +176,22 @@ def _kmeans_centroids(
     return cents
 
 
+def _centroid_sample(v: DataFrame, id_col: str, sample_size: int) -> list[list[float]]:
+    """Bounded driver-side training sample for the coarse quantizer,
+    taken in HASH order of the id (``xxhash64`` — deterministic across
+    runs, id tiebreak for hash collisions). Plain ``orderBy(id)`` would
+    train on the lowest-id rows, which on a real corpus — where id
+    correlates with source or ingest time — skews the quantizer toward
+    the oldest/first source (round-7 verdict #6); hash order is an
+    unbiased pseudo-random draw with the same determinism."""
+    return [
+        [float(x) for x in r["_e"]]
+        for r in v.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    ]
+
+
 def ivf_assign_col(vec_col, centroids: list[list[float]]) -> "F.Column":
     """Coarse-quantizer assignment: index of the nearest centroid
     (squared L2), computed with JVM higher-order functions against the
@@ -213,10 +229,7 @@ def ivf_ann_topk(
     distribution, so recall holds up even without planted near-dups.
     """
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = [
-        [float(x) for x in r["_e"]]
-        for r in v.orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _centroid_sample(v, id_col, sample_size)
     if not sample:
         # empty/fully-filtered input: an empty top-k, not a
         # ZeroDivisionError inside the centroid sampler
@@ -633,10 +646,7 @@ def semantic_dedup(
     in the same cell with high probability, and k dials cell size.
     """
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = [
-        [float(x) for x in r["_e"]]
-        for r in v.orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _centroid_sample(v, id_col, sample_size)
     if not sample:
         return vectors.select(
             F.col(id_col),
@@ -698,10 +708,7 @@ def ivf_index_build(
     import os
 
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = [
-        [float(x) for x in r["_e"]]
-        for r in v.orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _centroid_sample(v, id_col, sample_size)
     if not sample:
         raise ValueError("cannot build an IVF index over an empty corpus")
     cents = _kmeans_centroids(sample, n_clusters, seed=seed)
