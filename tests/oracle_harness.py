@@ -18,9 +18,10 @@ from wnv_etl_lab2_spark.sources.catalog import TABLES
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+        path = os.path.join(sf_dir, t + ".parquet")
+        if not os.path.exists(path):
+            continue  # synthetic fixture dirs stage only the tables they use
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con.sql(sql).df()
 
 

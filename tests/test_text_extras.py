@@ -73,3 +73,40 @@ def test_pareto_frontier_two_phase_equals_naive(spark):
     }
     want = {(i, i) for i in range(100)} | {(2000, 50)}
     assert got == want, f"missing={sorted(want-got)[:5]} extra={sorted(got-want)[:5]}"
+
+
+def test_fuzzy_prefix_pairs_hot_block_capped(spark, tmp_path):
+    """The declared block cap (256) is the fuzzy join's quadratic
+    guard, but no real SF has a block that hot (max 91 at sf0.1), so
+    the cap path needs a synthetic corpus: 300 docs sharing one opener
+    block must produce ZERO pairs (block dropped whole), while a
+    2-doc near-identical block still matches — and the DuckDB oracle
+    agrees on the same staged parquet."""
+    from tests.oracle_harness import compare, run_oracle
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    hot = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta iota kappa v{i}", "en", "s0", 60)
+        for i in range(300)
+    ]
+    cold = [
+        (1000, "one two three four five six seven eight nine ten eleven", "en", "s1", 60),
+        (1001, "one two three fuor fiive six seven eight nine ten eleven", "en", "s1", 60),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = pd.DataFrame(
+        hot + cold, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    sf_dir = str(tmp_path)
+    # single parquet FILE, same layout as /root/testdata (both engines
+    # read the identical staged corpus)
+    pq.write_table(pa.Table.from_pandas(rows), f"{sf_dir}/documents.parquet")
+    spec = REGISTRY["fuzzy_prefix_pairs"]
+    pdf = spec.fn(spark, sf_dir).toPandas()
+    assert set(pdf.doc_a) == {1000}, "hot block leaked pairs past the cap"
+    assert set(pdf.doc_b) == {1001}
+    compare(pdf, run_oracle(spec.oracle, sf_dir), "fuzzy_prefix_pairs_capped")

@@ -292,8 +292,17 @@ def exact_pair_counts(
     floor = jaccard_floor if jaccard_floor is not None else containment_floor
     spark = d.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    words = F.split("text", " ")
-    docs = d.repartition(nparts, "doc_id").select("doc_id", words.alias("words")).where(
+    # spread ONLY when the scan has fewer splits than the shuffle
+    # parallelism (the single-file test parquet): at real scale the
+    # scan is already parallel and this staging exchange vanishes —
+    # same conditional winnow_fingerprints uses. Locally it fires, and
+    # MEASUREMENTS.md counts it as the staging line it is. The spread
+    # moves the RAW (doc_id, text) projection — repartitioning after
+    # the split would ship the word arrays, measured ~2.5x the bytes.
+    base = d.select("doc_id", "text")
+    if d.rdd.getNumPartitions() < nparts:
+        base = base.repartition(nparts, "doc_id")
+    docs = base.select("doc_id", F.split("text", " ").alias("words")).where(
         F.size("words") >= 3
     )
     # The shingle arrays are computed ONCE and materialized: the exact
@@ -313,6 +322,15 @@ def exact_pair_counts(
     sh = docs.selectExpr(
         "doc_id", f"{shingle_expr('words')} AS _sh"
     ).localCheckpoint(eager=False)
+    # Stop-shingle detection: one exact df pass over the shingle
+    # universe. This exchange is irreducible for EXACT cap semantics —
+    # a shingle seen once in each of cap+1 partitions is locally
+    # indistinguishable from a df=1 singleton, so every distinct
+    # shingle must be communicated at least once (deterministic
+    # heavy-hitter lower bound). Keying by xxhash64 instead of the
+    # string was measured a WASH (r8): the shuffle codec already
+    # compresses word-shingle strings to hash-sized records, so the
+    # byte cut comes from the codec (zstd, session.py), not the key.
     stop = (
         sh.select(F.explode("_sh").alias("shingle"))
         .groupBy("shingle")
@@ -375,7 +393,14 @@ def exact_pair_counts(
     # token — measured ~14x candidate duplication). The epsilons round
     # alpha DOWN, weakening the filter under float error, never
     # strengthening it. Emissions with either side's `fits` bit off
-    # pass unconditionally.
+    # pass unconditionally. Note the length-ratio bound is a SPECIAL
+    # CASE of this filter: at px=py=1 for jaccard t it reduces to
+    # min(nx,ny) >= t*(nx+ny)/(1+t) <=> min/max >= t — so every
+    # cross-length-band candidate is already dropped at its first
+    # possible emission, and the pre-exchange byte cut comes from the
+    # hashed posting key instead (log-length bucketing the postings
+    # would need a neighbor-bucket replica per posting, DOUBLING the
+    # exchange it is meant to shrink).
     unpack = (
         "CASE WHEN (pmod(x div 1048576, 2) = 0) OR (pmod(y div 1048576, 2) = 0) "
         "THEN true ELSE {pred} END"
@@ -1302,4 +1327,86 @@ def heavy_hitters_cms(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "word string, exact_cnt bigint, est_cnt bigint"
+    )
+
+
+@register(
+    "fuzzy_prefix_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, substr(text, 1, 40) AS pfx,
+               string_split(substr(text, 1, 40), ' ') AS w
+        FROM documents WHERE LENGTH(text) >= 40
+    ),
+    k AS (
+        SELECT doc_id, pfx, w[1] || ' ' || w[2] AS blk
+        FROM p WHERE LEN(w) >= 2
+    ),
+    keep AS (SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= 256)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    JOIN keep ON a.blk = keep.blk
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def fuzzy_prefix_pairs(spark, sf_dir):
+    """Fuzzy string matching (new family, round 8): document pairs
+    whose 40-char openers are within edit distance 8 — the
+    entity-resolution / boilerplate-opener primitive (fuzzy-join a
+    dirty key column to itself, or cluster near-identical templated
+    prefixes before dedup).
+
+    Scale shape — the classic blocked fuzzy join: candidates come from
+    an equi-join on a BLOCKING KEY (the first two tokens), never a
+    string cross join, with a declared block-size cap (256, mirroring
+    the df-cap contract of the shingle index: an over-hot block is
+    boilerplate by definition and is reported by template detection,
+    not pair-expanded quadratically). The recall contract is explicit:
+    pairs differing inside the first two tokens are out of scope, the
+    same kind of pinned blocking trade as the LSH band contract.
+    Distance is computed with Spark's THRESHOLDED levenshtein — the
+    banded O(k*n) DP that abandons a pair as soon as the distance
+    provably exceeds 8 — so the per-candidate cost is bounded by the
+    threshold, not the string length squared."""
+    d = load_table(spark, "documents", sf_dir)
+    p = d.where(F.length("text") >= 40).select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pfx"),
+        F.split(F.substring("text", 1, 40), " ").alias("w"),
+    )
+    k = p.where(F.size("w") >= 2).select(
+        "doc_id",
+        "pfx",
+        F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
+    )
+    # block-size table is vocabulary^2-bounded (an aggregate over the
+    # blocking key), broadcastable at any corpus size that keeps a
+    # bounded opener vocabulary; the hot blocks it drops are the
+    # quadratic hazard
+    keep = (
+        k.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") <= 256)
+        .select("blk")
+    )
+    kc = k.join(F.broadcast(keep), "blk")
+    # bucket-explode instead of a self-join: ONE exchange groups the
+    # (capped) block members, sort_array gives the deterministic
+    # doc_id order, and pair_explode emits each unordered pair once —
+    # the keep-filter runs BEFORE collect_list, so no bucket array
+    # ever exceeds the declared cap
+    from wnv_etl_lab2_spark.operators.dedup import pair_explode
+
+    buckets = (
+        kc.groupBy("blk")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "pfx"))).alias("L"))
+        .where(F.size("L") >= 2)
+    )
+    pairs = pair_explode(buckets, "L", "x", "y", keep=[])
+    dist = F.levenshtein(F.col("x.pfx"), F.col("y.pfx"), 8)
+    return pairs.where(dist >= 0).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        dist.cast("long").alias("edit_dist"),
     )

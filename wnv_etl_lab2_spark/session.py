@@ -60,6 +60,14 @@ def get_spark(
         # few hundred MB of metaspace at most; static conf, so it
         # must be set at session build.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # zstd shuffle/broadcast compression, matching the 100 TB
+        # submission profile below (cluster_conf has prescribed it
+        # since round 2; the local session now measures what the
+        # cluster would ship). On the text-heavy exchanges (shingle
+        # postings, df pass) zstd moves ~35-40% fewer bytes than the
+        # lz4 default at negligible CPU — measured r8 on the exact
+        # near-dup pair backbone.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config(
