@@ -106,3 +106,28 @@ def test_registry_prefix_window_fully_oracle_backed():
         n for n in list(qs)[:50] if n not in osql and n not in q.FRONT_ROWS_ONLY_OK
     ]
     assert not missing, f"oracle-less queries inside the window: {missing}"
+
+
+def test_window_oracles_execute_in_duckdb():
+    """Named, cheap window smoke (round-7 verdict #7): every oracle in
+    the CURRENT 50-entry driver window must EXECUTE in local DuckDB at
+    the smallest SF before a driver slot is spent on it — a window slot
+    that burns on a locally-red oracle (the r6 canonicalizer incident)
+    is a round of lost evidence. Execution only, no comparison: the
+    full value-equality gate is tests/test_oracle.py; this one exists
+    so the window subset can be smoked in seconds (`-k
+    test_window_oracles`)."""
+    from tests.oracle_harness import run_oracle
+    from wnv_etl_lab2_spark import queries as q
+
+    q._ensure_loaded()
+    failures = {}
+    for name in q._FRONT:
+        spec = q.REGISTRY[name]
+        if spec.oracle is None:
+            continue  # rows-only entries are covered by the schema test
+        try:
+            run_oracle(spec.oracle, "/root/testdata/sf0.001")
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e)[:200]
+    assert not failures, f"window oracles that fail in local DuckDB: {failures}"

@@ -61,104 +61,94 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# the round-6 verdict's #1/#2 items — every rows-only query whose
-# only driver row is an r3 `no_oracle` stub (or none at all) spends
-# a slot on real rows-only evidence. tests/test_entry.py enforces
-# that everything else in the window carries an exact oracle, and
-# that every rows-only query's output schema is atomic-only so the
-# driver's canonicalizer can actually record it (the r6
-# approx_percentile_stats slot burned on an array<double> column).
-FRONT_ROWS_ONLY_OK = {
-    "approx_percentile_stats",
-    "approx_distinct_stats",
-    "heavy_hitters_cms",
-    "ann_topk_ivf",
-    "neardup_band_survivors",
-    "semantic_dedup_keep",
-    "ingest_provenance",
-}
+# none — the round-7 window banked real rows-only evidence for the
+# whole rows-only set, so round 8 is all-oracle. tests/test_entry.py
+# enforces that everything in the window carries an exact oracle
+# (and, were a rows-only query ever windowed again, that its output
+# schema is atomic-only so the driver's canonicalizer can record it —
+# the r6 approx_percentile_stats slot burned on an array<double>
+# column).
+FRONT_ROWS_ONLY_OK: set[str] = set()
 
 _FRONT = [
-    # Round-7 window — closes the evidence tail (verdict r6 #1/#2).
+    # Round-8 window — the pre-committed r4-stale deferral list plus
+    # this round's modified/new queries and the oldest r5-greens.
     # Rotation history: r1 = relational/spatial/SQL surface; r2 =
     # LLM-pipeline + temporal; r3 = remaining oracle-backed +
     # rows-only; r4 = new ops + the r1-stale block; r5 = new ops +
-    # the r2-stale block; r6 = new ops + r2/r3-stale re-verifies.
-    # This window = (a) every query with NO usable driver row
-    # (approx_percentile_stats's r6 slot crashed the canonicalizer;
-    # the rest of the rows-only set only ever got r3 `no_oracle`
-    # stubs or nothing — ann_topk_lsh is newly ORACLE-EXACT this
-    # round), (b) the 6 r3-greens deferred from round 6, (c) new
-    # round-7 operators, (d) the r4-stale block (oldest remaining
-    # greens). Deferred to round 8 (lowest drift risk — single-
-    # exchange scalar/set-algebra/window plans, all r4-green):
-    # array_functions, scalar_string_date_funcs,
-    # misc_agg_filter_bool, distinct_count, intersect_keys,
-    # except_keys, nullsafe_join, semi_join_open_orders,
-    # anti_join_no_premium_order, order_priority_check,
-    # window_running_sum, window_navigation,
-    # deterministic_shuffle_order, dedup_distinct_rows,
-    # order_count_histogram, unpivot_part_metrics,
-    # window_range_frame, salted_join_agg, sales_opportunity,
-    # shipping_priority_buckets. (The reference-parity O-ops stay
-    # in.)
-    # (a) first-ever usable driver evidence
-    "approx_percentile_stats",
-    "approx_distinct_stats",
-    "heavy_hitters_cms",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "neardup_band_survivors",
-    "semantic_dedup_keep",
-    "ingest_provenance",
-    # (b) the 6 r3-greens deferred from round 6
-    "union_distinct",
-    "orderby_limit_topk",
-    "regexp_null_funcs",
-    "stats_agg",
-    "variant_extract",
-    "scalar_subquery",
-    # (c) new round-7 operators (first evidence; row_count — a single
-    # stable COUNT(*), the lowest-drift-risk query in the registry —
-    # was swapped out of block (d) to make room for
-    # dsir_importance_weights and joins the round-8 deferral list)
-    "pii_scrub",
-    "dup_cluster_histogram",
-    "quota_sample_per_source",
-    "hard_negative_mining",
-    "arrow_group_trend",
-    "hybrid_rrf_retrieval",
-    "dsir_importance_weights",
-    # (d) r4-stale re-verifies (30 of 50)
-    "asof_join_click_view",
-    "bpe_pair_merge_counts",
-    "clean_cast_filter",
-    "constant_column",
+    # the r2-stale block; r6 = new ops + r2/r3-stale re-verifies;
+    # r7 = rows-only evidence + r3/r4-stale + new ops. This window =
+    # (a) the 21 queries deferred from r7 exactly as pre-committed
+    # (the 20-name list + row_count), (b) the two pair-backbone
+    # queries whose physical plan changed this round (shuffle-floor
+    # cut — fresh evidence required even though containment_pairs is
+    # r7-green), (c) the new round-8 operators, (d) the 25 oldest
+    # r5-greens, reference-parity O-ops and the heavy LLM-pipeline
+    # set first. Deferred to round 9 (r5-green, lowest remaining
+    # drift risk): table_profile, data_quality_checks,
+    # cohort_retention, event_dedup_window, attribution_last_touch,
+    # rolling_median_value, gap_fill_interpolate, repetition_filter,
+    # neardup_threshold_sweep, embedding_quantize_int8,
+    # neardup_keep_better, neardup_graph_stats, label_cohesion_stats,
+    # binary_frame_fingerprints, udtf_token_windows,
+    # stratified_sample_topk, quality_rules_filter,
+    # source_mixture_weights, stable_doc_ids, groupwise_zscore_arrow,
+    # upsert_snapshot_merge, temperature_mixture_weights,
+    # corpus_dashboard, weighted_sample_es.
+    # (a) the 21 pre-committed r4-stale deferrals
+    "array_functions",
+    "scalar_string_date_funcs",
+    "misc_agg_filter_bool",
+    "distinct_count",
+    "intersect_keys",
+    "except_keys",
+    "nullsafe_join",
+    "semi_join_open_orders",
+    "anti_join_no_premium_order",
+    "order_priority_check",
+    "window_running_sum",
+    "window_navigation",
+    "deterministic_shuffle_order",
+    "dedup_distinct_rows",
+    "order_count_histogram",
+    "unpivot_part_metrics",
+    "window_range_frame",
+    "salted_join_agg",
+    "sales_opportunity",
+    "shipping_priority_buckets",
+    "row_count",
+    # (b) plan changed this round (r8 shuffle-floor rebuild)
+    "ngram_jaccard_pairs",
     "containment_pairs",
-    "decayed_rolling_features",
-    "dedup_simhash",
-    "event_funnel",
-    "gap_fill_locf",
-    "groupby_agg",
-    "grouping_sets_agg",
-    "incremental_agg_merge",
-    "incremental_dedup_new_docs",
-    "mixture_resample",
-    "multimodal_binary_features",
-    "ntile_length_buckets",
-    "outer_join_order_counts",
-    "pareto_frontier_curation",
-    "percentile_agg",
-    "points_from_xy",
-    "polygon_clip_area",
-    "projection_concat",
-    "range_join_maintenance",
-    "sessionize_events",
-    "skew_key_diagnosis",
-    "sliding_window_batch",
-    "text_quality_pandas_udf",
-    "window_rank_variants",
-    "zone_overlay",
+    # (c) new round-8 operators (first evidence)
+    "fuzzy_prefix_pairs",
+    "source_quantile_normalize",
+    # (d) r5-stale re-verifies (25 of 50)
+    "spatial_buffer_erase",
+    "spatial_within_buffer",
+    "spray_targets",
+    "concave_zone_clip",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "tfidf_top_terms",
+    "winnow_fingerprints",
+    "decontamination_overlap",
+    "ngram_counts_top",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "corpus_curation_stats",
+    "repeated_span_removal",
+    "knn_join_bruteforce",
+    "embedding_neardup_pairs",
+    "ann_topk_bruteforce",
+    "doc_chunking",
+    "embedding_centroid_stats",
+    "chunk_dedup_stats",
+    "cross_source_duplication",
+    "train_val_test_split",
+    "split_leakage_check",
+    "scd2_customer_history",
+    "zipf_top_words",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

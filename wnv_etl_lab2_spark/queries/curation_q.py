@@ -662,3 +662,62 @@ def dup_cluster_histogram(spark, sf_dir):
             .alias("n_removable"),
         )
     )
+
+
+@register(
+    "source_quantile_normalize",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source,
+               ROUND(LEN(list_distinct(string_split(text, ' '))) * 1.0
+                     / LEN(string_split(text, ' ')), 6) AS qscore
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, qscore,
+               PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY qscore ASC, doc_id ASC
+               ) AS src_pct
+        FROM scored
+    )
+    SELECT doc_id, source, qscore, ROUND(src_pct, 6) AS src_pct
+    FROM ranked WHERE src_pct >= 0.5
+    """,
+)
+def source_quantile_normalize(spark, sf_dir):
+    """Cross-source quality-score calibration (round 8): raw quality
+    scores are not comparable across sources (a mid-quality crawl page
+    and a mid-quality academic page score differently), so curation
+    pipelines normalize per-source BEFORE applying a global keep
+    threshold — here each document's type-token ratio is converted to
+    its within-source percent rank and the global policy keeps the top
+    half of every source. Ranking runs on the ROUNDED score with a
+    doc_id tiebreak so the total order (and hence every rank) is
+    bit-identical on both engines; percent_rank = (pos-1)/(n-1) is the
+    same exact integer division either way.
+
+    Scale shape: the score is a pure map over the scan; the window
+    shuffles once on source. Source cardinality is small, so at 100 TB
+    the per-source sort is the hazard — the production path replaces
+    exact percent_rank with per-source approx-quantile boundaries
+    (combinable sketch, broadcast back, map-side bucket assignment),
+    the same partial+final shape quota sampling uses; the exact window
+    form here is the oracle-checkable semantics of that rollout."""
+    d = load_table(spark, "documents", sf_dir)
+    from pyspark.sql import Window as W
+
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(F.split("text", " ")))
+            * 1.0
+            / F.size(F.split("text", " ")),
+            6,
+        ).alias("qscore"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("qscore").asc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("src_pct", F.percent_rank().over(w))
+    return ranked.where(F.col("src_pct") >= 0.5).select(
+        "doc_id", "source", "qscore", F.round("src_pct", 6).alias("src_pct")
+    )
