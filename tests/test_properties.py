@@ -172,3 +172,118 @@ def test_epoch_us_matches_python(spark, stamps):
         d = t - epoch
         want = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
         assert got[i] == want, (t, got[i], want)
+
+
+# --- fuzzy prefix join: Spark (blocked + banded levenshtein) vs an
+#     independent O(n^2) Python DP over the same staged corpus -------
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "x1", "y2"]
+)
+_DOC = st.lists(_WORDS, min_size=2, max_size=12).map(" ".join)
+
+
+@SLOW
+@given(st.lists(_DOC, min_size=2, max_size=16))
+def test_fuzzy_prefix_pairs_matches_python_reference(spark, tmp_path_factory, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    sf_dir = str(tmp_path_factory.mktemp("fuzzy"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in REGISTRY["fuzzy_prefix_pairs"].fn(spark, sf_dir).collect()
+    }
+
+    # independent reference: same contract (len(text) >= 40, 40-char
+    # prefix, first-two-token block, cap 256 irrelevant at this size)
+    pfx = {
+        i: t[:40]
+        for i, t in enumerate(texts)
+        if len(t) >= 40 and len(t[:40].split(" ")) >= 2
+    }
+    want = set()
+    for a in pfx:
+        for b in pfx:
+            if a < b:
+                wa, wb = pfx[a].split(" "), pfx[b].split(" ")
+                if wa[:2] == wb[:2]:
+                    d = _py_levenshtein(pfx[a], pfx[b])
+                    if d <= 8:
+                        want.add((a, b, d))
+    assert got == want, f"missing={sorted(want - got)[:3]} extra={sorted(got - want)[:3]}"
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), st.integers(2, 14)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_source_quantile_normalize_keeps_top_half_per_source(
+    spark, tmp_path_factory, specs
+):
+    """Per source: kept docs = those whose within-source percent rank
+    (rounded-score order, doc_id tiebreak) is >= 0.5 — checked against
+    an independent pandas rank computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    texts = [" ".join(["tok%d" % (i % n) for i in range(n)]) for _, n in specs]
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(len(specs)),
+            "text": texts,
+            "lang": "en",
+            "source": [s for s, _ in specs],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf_dir = str(tmp_path_factory.mktemp("qnorm"))
+    pq.write_table(pa.Table.from_pandas(rows), f"{sf_dir}/documents.parquet")
+
+    got = REGISTRY["source_quantile_normalize"].fn(spark, sf_dir).toPandas()
+
+    ref = rows.copy()
+    ref["qscore"] = [
+        round(len(set(t.split(" "))) / len(t.split(" ")), 6) for t in ref.text
+    ]
+    want = set()
+    for src, grp in ref.groupby("source"):
+        g = grp.sort_values(["qscore", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        for pos, r in g.iterrows():
+            pct = 0.0 if n == 1 else pos / (n - 1)
+            if pct >= 0.5:
+                want.add((r.doc_id, src))
+    assert {(r.doc_id, r.source) for _, r in got.iterrows()} == want
