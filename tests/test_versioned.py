@@ -1,0 +1,94 @@
+"""Versioned-table protocol: snapshot isolation, time travel, MERGE,
+OPTIMIZE content-identity, exclusive commit, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    create_table,
+    latest_version,
+    merge_upsert_table,
+    optimize_table,
+    overwrite_table,
+    read_table,
+    vacuum_table,
+)
+
+
+def _content(df):
+    return {tuple(r) for r in df.select(sorted(df.columns)).collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"name{i}", i * 10) for i in range(20)], "id long, name string, score long"
+    )
+    assert create_table(base, path) == 0
+    return path, base
+
+
+def test_time_travel_reads_exact_old_snapshots(spark, table):
+    path, base = table
+    updates = spark.createDataFrame(
+        [(3, "name3-v2", 999), (100, "name100", 0)], "id long, name string, score long"
+    )
+    assert merge_upsert_table(updates, path, "id") == 1
+    assert optimize_table(spark, path, target_files=1) == 2
+    assert latest_version(spark, path) == 2
+
+    v0 = _content(read_table(spark, path, 0))
+    assert v0 == _content(base)
+    v1 = _content(read_table(spark, path, 1))
+    assert (3, "name3-v2", 999) in v1 and (100, "name100", 0) in v1
+    assert (3, "name3", 30) not in v1
+    assert len(v1) == 21
+    # OPTIMIZE changed layout, not content; default read = latest
+    assert _content(read_table(spark, path, 2)) == v1
+    assert _content(read_table(spark, path)) == v1
+
+
+def test_old_snapshot_is_immune_to_later_writes(spark, table):
+    path, base = table
+    snap = read_table(spark, path, 0)  # plan bound to v0's file list
+    overwrite_table(base.where(F.col("id") < 5), path)
+    assert snap.count() == 20  # still the full v0, not the 5-row v1
+    assert read_table(spark, path).count() == 5
+
+
+def test_commit_is_exclusive_and_concurrency_checked(spark, table):
+    path, base = table
+    # optimistic check: a writer that read stale latest loses loudly
+    from wnv_etl_lab2_spark.sources import versioned
+
+    with pytest.raises(ValueError, match="optimistic concurrency"):
+        versioned._write_version(base, path, 1, "overwrite", expect_latest=None)
+    # manifest create is exclusive: committing an existing version throws
+    with pytest.raises(Exception):
+        versioned._commit(spark, path, 0, {"version": 0, "op": "dup", "files": ["x"]})
+
+
+def test_vacuum_drops_old_versions_and_files(spark, table):
+    path, base = table
+    overwrite_table(base.where(F.col("id") < 10), path)
+    overwrite_table(base.where(F.col("id") < 3), path)
+    assert vacuum_table(spark, path, keep_last=1) == [0, 1]
+    assert read_table(spark, path).count() == 3  # latest unharmed
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        read_table(spark, path, 0)
+    # v0/v1 data files actually gone from disk
+    import glob
+
+    remaining = glob.glob(f"{path}/data/*/")
+    assert sorted(remaining) == [f"{path}/data/v2/"]
+
+
+def test_create_refuses_existing_and_reads_refuse_nontable(spark, tmp_path, table):
+    path, base = table
+    with pytest.raises(Exception):
+        create_table(base, path)  # v0 manifest exists -> exclusive create throws
+    with pytest.raises(ValueError, match="not a versioned table"):
+        read_table(spark, str(tmp_path / "nope"))
