@@ -734,3 +734,64 @@ def arrow_group_trend(spark, sf_dir):
     return ev.groupBy("user_id").applyInArrow(
         kernel, "user_id long, n_events long, n_increasing long"
     )
+
+
+@register("time_travel_audit")  # filesystem protocol — rows-only; pinned in test_versioned.py
+def time_travel_audit(spark, sf_dir):
+    """Versioned-table lifecycle audit (round 8, sources/versioned.py):
+    CREATE the documents table as a versioned snapshot, MERGE an
+    upsert batch (every src0 doc re-scored plus one new doc), OPTIMIZE
+    into one file — then read every version's manifest back and return
+    (version, op, n_rows, n_files) plus the time-travel row counts
+    re-SCANNED from each snapshot's file list. Deterministic: the
+    audit numbers depend only on the input corpus and the protocol;
+    the staging directory is fresh per invocation and removed after
+    the audit rows are materialized (the returned frame is a
+    collected-artifact createDataFrame, 3 rows — never a plan over
+    the deleted files)."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        create_table,
+        latest_version,
+        merge_upsert_table,
+        optimize_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_time_travel_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl)
+        updates = d.where(F.col("source") == "src0").withColumn(
+            "text", F.concat(F.lit("v2 "), F.col("text"))
+        )
+        new_doc = d.orderBy(F.col("doc_id").desc()).limit(1).select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.lit("brand new doc").alias("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.lit(13).cast("long").alias("n_chars"),
+        )
+        merge_upsert_table(updates.unionByName(new_doc), tbl, "doc_id")
+        optimize_table(spark, tbl, target_files=1)
+        rows = []
+        for v in range(latest_version(spark, tbl) + 1):
+            m = _read_manifest(spark, tbl, v)
+            rows.append(
+                (
+                    v,
+                    m["op"],
+                    int(m["n_rows"]),
+                    len(m["files"]),
+                    read_table(spark, tbl, v).count(),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "version int, op string, n_rows long, n_files int, scanned_rows long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
