@@ -1,0 +1,85 @@
+"""Exactly-once streaming appends into a versioned table: stream
+replay == batch content, O(batch) append file reuse, idempotent
+re-delivery, and vacuum's reference counting under shared files."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.sources.versioned import (
+    _read_manifest,
+    append_table,
+    committed_batch_ids,
+    create_table,
+    latest_version,
+    read_table,
+    vacuum_table,
+)
+from wnv_etl_lab2_spark.streaming.documents import stage_documents_for_streaming
+from wnv_etl_lab2_spark.streaming.versioned_sink import (
+    versioned_append_batch,
+    write_stream_versioned,
+)
+
+
+def test_stream_appends_match_batch_and_are_stamped(spark, sf_dir, tmp_path):
+    src = stage_documents_for_streaming(
+        spark, sf_dir, str(tmp_path / "src"), n_files=4
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    tbl = str(tmp_path / "tbl")
+    q = write_stream_versioned(stream, tbl, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    batch = load_table(spark, "documents", sf_dir)
+    got = read_table(spark, tbl)
+    assert got.count() == batch.count()
+    g = got.select("doc_id", "text")
+    b = batch.select("doc_id", "text")
+    assert g.exceptAll(b).count() == 0 and b.exceptAll(g).count() == 0
+    # one version per micro-batch, every one stamped
+    vmax = latest_version(spark, tbl)
+    assert vmax >= 1  # maxFilesPerTrigger=1 over 4 files -> several batches
+    assert committed_batch_ids(spark, tbl) == set(range(vmax + 1))
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    handler = versioned_append_batch(tbl)
+    b0 = spark.createDataFrame([(1, "a")], "id long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "id long, v string")
+    handler(b0, 0)
+    handler(b1, 1)
+    handler(b1, 1)  # at-least-once re-delivery
+    handler(b0, 0)
+    assert latest_version(spark, tbl) == 1  # no duplicate versions
+    assert read_table(spark, tbl).count() == 2
+
+
+def test_append_reuses_previous_files(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(2, "b")], "id long, v string"), tbl)
+    m0 = _read_manifest(spark, tbl, 0)
+    m1 = _read_manifest(spark, tbl, 1)
+    assert set(m0["files"]) < set(m1["files"])  # strict superset: reuse + new
+    assert m1["n_rows"] == 2
+    # the appended version wrote ONLY its own rows' files
+    new_files = set(m1["files"]) - set(m0["files"])
+    assert all("/data/v1/" in f for f in new_files)
+
+
+def test_vacuum_keeps_files_shared_with_kept_versions(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(2, "b")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(3, "c")], "id long, v string"), tbl)
+    # dropping v0/v1 must NOT delete v0's files: v2's manifest still
+    # references them through the append chain
+    assert vacuum_table(spark, tbl, keep_last=1) == [0, 1]
+    assert read_table(spark, tbl).count() == 3
+    assert {r.id for r in read_table(spark, tbl).collect()} == {1, 2, 3}

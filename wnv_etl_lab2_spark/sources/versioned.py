@@ -125,7 +125,12 @@ def _data_files(spark: SparkSession, version_dir: str) -> list[str]:
 
 
 def _write_version(
-    df: DataFrame, table_path: str, version: int, op: str, expect_latest: int | None
+    df: DataFrame,
+    table_path: str,
+    version: int,
+    op: str,
+    expect_latest: int | None,
+    batch_id: int | None = None,
 ) -> int:
     spark = df.sparkSession
     current = latest_version(spark, table_path)
@@ -138,18 +143,58 @@ def _write_version(
     df.write.mode("error").parquet(vdir)
     files = _data_files(spark, vdir)
     n_rows = spark.read.parquet(vdir).count()
-    _commit(
-        spark,
-        table_path,
-        version,
-        {"version": version, "op": op, "files": files, "n_rows": n_rows},
-    )
+    manifest = {"version": version, "op": op, "files": files, "n_rows": n_rows}
+    if batch_id is not None:
+        manifest["batch_id"] = int(batch_id)
+    _commit(spark, table_path, version, manifest)
     return version
 
 
-def create_table(df: DataFrame, table_path: str) -> int:
+def create_table(df: DataFrame, table_path: str, batch_id: int | None = None) -> int:
     """Version 0 of a new versioned table."""
-    return _write_version(df, table_path, 0, "create", expect_latest=None)
+    return _write_version(df, table_path, 0, "create", expect_latest=None, batch_id=batch_id)
+
+
+def append_table(df: DataFrame, table_path: str, batch_id: int | None = None) -> int:
+    """APPEND as a new version in O(batch), not O(table): only the new
+    rows are written (under the new version's data dir); the manifest
+    lists the PREVIOUS version's files plus the new ones — file reuse,
+    exactly how real formats make appends cheap, and the reason
+    vacuum reference-counts files instead of assuming per-version
+    ownership. ``batch_id`` stamps the manifest for idempotent
+    streaming sinks (see streaming/versioned_sink.py): a replayed
+    micro-batch can check whether its id already committed."""
+    spark = df.sparkSession
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    version = cur + 1
+    vdir = posixpath.join(table_path, _DATA_DIR, f"v{version}")
+    df.write.mode("error").parquet(vdir)
+    new_files = _data_files(spark, vdir)
+    prev = _read_manifest(spark, table_path, cur)
+    n_new = spark.read.parquet(vdir).count()
+    manifest = {
+        "version": version,
+        "op": "append",
+        "files": sorted(prev["files"] + new_files),
+        "n_rows": int(prev["n_rows"]) + n_new,
+    }
+    if batch_id is not None:
+        manifest["batch_id"] = int(batch_id)
+    _commit(spark, table_path, version, manifest)
+    return version
+
+
+def committed_batch_ids(spark: SparkSession, table_path: str) -> set[int]:
+    """Batch ids stamped on any still-present manifest — the
+    idempotence ledger for streaming appends."""
+    out = set()
+    for v in _list_versions(spark, table_path):
+        m = _read_manifest(spark, table_path, v)
+        if "batch_id" in m:
+            out.add(int(m["batch_id"]))
+    return out
 
 
 def overwrite_table(df: DataFrame, table_path: str) -> int:

@@ -1,0 +1,66 @@
+"""Exactly-once streaming appends into a versioned table.
+
+The transactional-sink pattern the lakehouse formats provide for
+Structured Streaming (Delta's idempotent `foreachBatch` writes),
+rebuilt on `sources/versioned.py`: every micro-batch commits as ONE
+new table version stamped with its `batch_id`, and a replayed batch —
+the at-least-once delivery Structured Streaming guarantees after a
+failure — is detected by the stamp and skipped, which upgrades the
+pipeline to effectively-once table content.
+
+Why this composes correctly:
+
+- `append_table` is O(batch): the new version's manifest reuses the
+  previous version's files and adds only the micro-batch's files, so
+  an infinite stream never rewrites history (and OPTIMIZE can fold
+  the accumulated small files into a fresh version at any time
+  without stopping the stream's idempotence ledger — the stamp set is
+  read from every still-present manifest).
+- The commit point is the manifest's create-exclusive write, so a
+  batch that dies between data-file write and commit leaves only
+  unreferenced garbage for vacuum; on replay the stamp is absent and
+  the batch commits cleanly.
+- `committed_batch_ids` is the ledger; it shrinks only under vacuum,
+  so `keep_last` must cover the sink's replay horizon (checkpointed
+  Structured Streaming replays at most the last unacknowledged batch,
+  so any keep_last >= 1 that retains the newest stamped manifest per
+  source suffices; the conservative default here never vacuums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    append_table,
+    committed_batch_ids,
+    create_table,
+    latest_version,
+)
+
+
+def versioned_append_batch(table_path: str):
+    """`foreachBatch` handler: commit each micro-batch as a stamped
+    append version; skip batches whose stamp already committed."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if latest_version(spark, table_path) is None:
+            create_table(batch_df, table_path, batch_id=batch_id)
+            return
+        if int(batch_id) in committed_batch_ids(spark, table_path):
+            return  # replayed delivery — already committed
+        append_table(batch_df, table_path, batch_id=batch_id)
+
+    return handle
+
+
+def write_stream_versioned(stream_df: DataFrame, table_path: str, checkpoint_dir: str):
+    """Wire a streaming DataFrame into the versioned table; returns
+    the StreamingQuery (caller drives processAllAvailable/stop)."""
+    return (
+        stream_df.writeStream.foreachBatch(versioned_append_batch(table_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
