@@ -92,3 +92,36 @@ def test_create_refuses_existing_and_reads_refuse_nontable(spark, tmp_path, tabl
         create_table(base, path)  # v0 manifest exists -> exclusive create throws
     with pytest.raises(ValueError, match="not a versioned table"):
         read_table(spark, str(tmp_path / "nope"))
+
+
+def test_delete_commits_new_version_and_preserves_history(spark, table):
+    from wnv_etl_lab2_spark.sources.versioned import delete_from_table
+
+    path, base = table
+    assert delete_from_table(spark, path, "score >= 100") == 1
+    assert read_table(spark, path).count() == 10  # ids 0..9
+    assert read_table(spark, path, 0).count() == 20  # history intact
+    assert {r.id for r in read_table(spark, path).collect()} == set(range(10))
+
+
+def test_appended_schema_evolution_reads_as_union(spark, tmp_path):
+    """An append whose files carry an extra column must not lose it
+    (nor crash) when the snapshot mixes old and new files: the read
+    returns the union schema with nulls for pre-evolution rows."""
+    from wnv_etl_lab2_spark.sources.versioned import append_table
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, "a")], "id long, name string"), path
+    )
+    append_table(
+        spark.createDataFrame([(2, "b", 7)], "id long, name string, extra long"),
+        path,
+    )
+    got = read_table(spark, path).toPandas().sort_values("id").reset_index(drop=True)
+    assert set(got.columns) == {"id", "name", "extra"}
+    assert got.loc[0, "extra"] != got.loc[0, "extra"] or got.loc[0, "extra"] is None  # NaN
+    assert got.loc[1, "extra"] == 7
+    # v0 alone still reads with its own schema's columns populated
+    v0 = read_table(spark, path, 0)
+    assert v0.count() == 1

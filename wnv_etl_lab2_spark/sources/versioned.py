@@ -209,7 +209,13 @@ def overwrite_table(df: DataFrame, table_path: str) -> int:
 
 def read_table(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """The snapshot as of ``version`` (default: latest). Reads exactly
-    the manifest's file list — later versions never leak in."""
+    the manifest's file list — later versions never leak in.
+    ``mergeSchema`` is always on: an append chain may mix files from
+    versions written with different (evolved) schemas, and the parquet
+    source's default first-file schema would silently DROP the newer
+    columns from every older file's rows; with merge the snapshot
+    reads as the union schema with nulls for pre-evolution rows —
+    the additive schema-evolution contract real formats document."""
     if version is None:
         version = latest_version(spark, table_path)
         if version is None:
@@ -218,7 +224,24 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
     files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} lists no files")
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def delete_from_table(spark: SparkSession, table_path: str, condition: str) -> int:
+    """DELETE: commit a new version without the rows matching
+    ``condition`` (a SQL boolean expression). Decomposed as
+    filter-and-rewrite of the latest snapshot — the simplest honest
+    form (real formats optimize to touched-files-only rewrites using
+    per-file stats; without per-file column stats in this manifest
+    subset, every file is potentially touched, so the rewrite is
+    full-snapshot and says so)."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    from pyspark.sql import functions as F
+
+    remaining = read_table(spark, table_path, cur).where(~F.expr(condition))
+    return _write_version(remaining, table_path, cur + 1, "delete", expect_latest=cur)
 
 
 def merge_upsert_table(updates: DataFrame, table_path: str, key: str) -> int:
