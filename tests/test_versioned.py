@@ -125,3 +125,71 @@ def test_appended_schema_evolution_reads_as_union(spark, tmp_path):
     # v0 alone still reads with its own schema's columns populated
     v0 = read_table(spark, path, 0)
     assert v0.count() == 1
+
+
+def test_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check of the whole DML surface: a seeded random
+    sequence of create/append/merge/delete/overwrite/optimize is
+    applied both to the versioned table and to a plain in-memory dict
+    model {id: v}; after EVERY op the latest snapshot must equal the
+    model, and at the end every historical version must equal its
+    recorded model snapshot (time travel over the full history)."""
+    import random
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        delete_from_table,
+        merge_upsert_table,
+        optimize_table,
+        overwrite_table,
+    )
+
+    rng = random.Random(42)
+    path = str(tmp_path / "tbl")
+
+    def df_of(model):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(model.items())] or [(None, None)],
+            "id long, v long",
+        )
+
+    model = {i: i * 10 for i in range(8)}
+    create_table(df_of(model), path)
+    history = [dict(model)]
+
+    next_id = 100
+    for _ in range(10):
+        op = rng.choice(["append", "merge", "delete", "overwrite", "optimize"])
+        if op == "append":
+            batch = {next_id + j: rng.randrange(1000) for j in range(rng.randrange(1, 4))}
+            next_id += 10
+            append_table(df_of(batch), path)
+            model.update(batch)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(2, len(model))) + [next_id]
+            next_id += 10
+            batch = {k: rng.randrange(1000) for k in keys}
+            merge_upsert_table(df_of(batch), path, "id")
+            model.update(batch)
+        elif op == "delete":
+            cut = rng.randrange(1000)
+            delete_from_table(spark, path, f"v < {cut}")
+            model = {k: v for k, v in model.items() if not v < cut}
+            if not model:  # refill so later ops stay meaningful
+                model = {next_id: 1}
+                next_id += 10
+                overwrite_table(df_of(model), path)
+                history.append(dict({k: v for k, v in history[-1].items() if not v < cut}))
+        elif op == "overwrite":
+            model = {next_id + j: rng.randrange(1000) for j in range(3)}
+            next_id += 10
+            overwrite_table(df_of(model), path)
+        else:
+            optimize_table(spark, path, target_files=1)
+        history.append(dict(model))
+        got = {r.id: r.v for r in read_table(spark, path).collect() if r.id is not None}
+        assert got == {k: v for k, v in model.items()}, f"after {op}"
+
+    for v, snap in enumerate(history):
+        got = {r.id: r.v for r in read_table(spark, path, v).collect() if r.id is not None}
+        assert got == snap, f"time travel to v{v} diverged"
