@@ -70,7 +70,7 @@ def test_append_reuses_previous_files(spark, tmp_path):
     assert m1["n_rows"] == 2
     # the appended version wrote ONLY its own rows' files
     new_files = set(m1["files"]) - set(m0["files"])
-    assert all("/data/v1/" in f for f in new_files)
+    assert all("/data/v1-" in f for f in new_files)
 
 
 def test_vacuum_keeps_files_shared_with_kept_versions(spark, tmp_path):
@@ -83,3 +83,43 @@ def test_vacuum_keeps_files_shared_with_kept_versions(spark, tmp_path):
     assert vacuum_table(spark, tbl, keep_last=1) == [0, 1]
     assert read_table(spark, tbl).count() == 3
     assert {r.id for r in read_table(spark, tbl).collect()} == {1, 2, 3}
+
+
+def test_crashed_writer_never_wedges_the_table(spark, tmp_path):
+    """Crash-recovery invariants of the attempt-dir protocol:
+
+    1. a writer that died after its data write but before its manifest
+       commit leaves a dead ``v{N}-{token}`` attempt dir that can NOT
+       collide with (wedge) the next writer targeting version N;
+    2. vacuum leaves the dead dir alone while N > latest (it is
+       indistinguishable from an in-flight write), then removes it the
+       moment any commit for N lands (reference-counted, N <= latest);
+    3. a dir whose MANIFEST was vacuumed but whose files a live append
+       chain still references survives the garbage pass."""
+    import glob
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import vacuum_table
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    # crashed attempt at v1: data written, no manifest
+    dead = f"{tbl}/data/v1-deadbeef"
+    os.makedirs(dead)
+    with open(f"{dead}/part-dead.parquet", "w") as f:
+        f.write("dead")
+    # in-flight protection: v1 > latest(0) -> vacuum must not touch it
+    vacuum_table(spark, tbl, keep_last=5)
+    assert os.path.isdir(dead)
+    # the next writer commits v1 WITHOUT colliding with the dead dir
+    append_table(spark.createDataFrame([(2, "b")], "id long, v string"), tbl)
+    assert read_table(spark, tbl).count() == 2
+    # now v1 is committed -> the dead attempt is provably garbage
+    vacuum_table(spark, tbl, keep_last=5)
+    assert not os.path.isdir(dead)
+    assert read_table(spark, tbl).count() == 2
+    # manifest-vacuumed-but-still-referenced dir survives: drop v0's
+    # manifest; its files are referenced through v1's append manifest
+    assert vacuum_table(spark, tbl, keep_last=1) == [0]
+    assert glob.glob(f"{tbl}/data/v0-*/")  # dir still there
+    assert read_table(spark, tbl).count() == 2

@@ -10,12 +10,14 @@ manifest per version listing exactly the data files that make up the
 snapshot). No lakehouse jars ship in this image (see README); the
 protocol below is the minimal honest subset:
 
-- every version writes its data files under ``data/v{N}/`` and then
-  COMMITS by creating ``_log/{N:08d}.json`` with create-exclusive
-  semantics (Hadoop ``FileSystem.create(overwrite=false)``) — the
-  manifest create is the atomic commit point, so a concurrent writer
-  racing for the same version loses loudly and its orphaned data dir
-  is garbage for vacuum, never half-visible data;
+- every write ATTEMPT puts its data files under a unique
+  ``data/v{N}-{token}/`` dir and then COMMITS by creating
+  ``_log/{N:08d}.json`` with create-exclusive semantics (Hadoop
+  ``FileSystem.create(overwrite=false)``) — the manifest create is
+  the atomic commit point, so a concurrent writer racing for the
+  same version loses loudly, can never collide with (or wedge) the
+  winner's data dir, and its dead attempt dir is reference-counted
+  garbage for vacuum, never half-visible data;
 - readers resolve a version to its exact file list driver-side (the
   manifest is KBs — file paths and counts, never data) and scan ONLY
   those files, so an old snapshot stays readable and byte-stable no
@@ -43,6 +45,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+def _attempt_dir(table_path: str, version: int) -> str:
+    """Each write ATTEMPT gets a unique data dir (``v{N}-{token}``):
+    a writer that crashed mid-write, or lost the commit race, can
+    never collide with (and wedge) the next writer targeting the same
+    version — the manifest records the winning attempt's file paths,
+    and every losing/dead attempt dir becomes vacuumable garbage the
+    moment version N is committed by anyone."""
+    import uuid
+
+    return posixpath.join(table_path, _DATA_DIR, f"v{version}-{uuid.uuid4().hex[:8]}")
+
+
+def _attempt_version(dirname: str) -> int | None:
+    if not dirname.startswith("v"):
+        return None
+    head = dirname[1:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
 
 
 def _fs(spark: SparkSession, path: str):
@@ -139,7 +160,7 @@ def _write_version(
             f"optimistic concurrency check failed: expected latest={expect_latest}, "
             f"found {current} — re-read and retry"
         )
-    vdir = posixpath.join(table_path, _DATA_DIR, f"v{version}")
+    vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
     files = _data_files(spark, vdir)
     n_rows = spark.read.parquet(vdir).count()
@@ -169,7 +190,7 @@ def append_table(df: DataFrame, table_path: str, batch_id: int | None = None) ->
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     version = cur + 1
-    vdir = posixpath.join(table_path, _DATA_DIR, f"v{version}")
+    vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
     new_files = _data_files(spark, vdir)
     prev = _read_manifest(spark, table_path, cur)
@@ -278,32 +299,45 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
     are removed and any data file no kept version references is
     deleted (a file may be shared if a future format change adds
     file reuse — the reference count is computed, not assumed).
-    Returns the vacuumed version numbers; time travel to them now
-    fails loudly."""
+    Also removes DEAD attempt dirs — a writer that died between its
+    data write and its manifest commit (or lost the commit race)
+    leaves a ``data/v{N}-{token}`` dir no manifest references; once
+    version N is committed by anyone (N <= latest) the attempt is
+    provably dead and its dir is garbage, while an in-flight writer
+    always targets latest+1 and is never touched. Returns the
+    vacuumed version numbers; time travel to them now fails loudly."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (a table must keep its latest version)")
     versions = _list_versions(spark, table_path)
-    drop = versions[:-keep_last]
-    if not drop:
+    if not versions:
         return []
-    kept_files = set()
+    drop = versions[:-keep_last]
+    kept_files: set[str] = set()
     for v in versions[-keep_last:]:
         kept_files.update(_read_manifest(spark, table_path, v)["files"])
     fs, jvm = _fs(spark, table_path)
     for v in drop:
-        for f in _read_manifest(spark, table_path, v)["files"]:
-            if f not in kept_files:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-        # each version owns its data dir; drop it whole (markers like
-        # _SUCCESS included) unless a kept version references a file
-        # inside it
-        vdir = posixpath.join(table_path, _DATA_DIR, f"v{v}")
-        if not any(f.startswith(vdir + "/") for f in kept_files):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
                 posixpath.join(table_path, _LOG_DIR, f"{v:08d}.json")
             ),
             False,
         )
+    # one reference-counted garbage pass over the data dirs: a dir is
+    # deletable iff its attempt version is <= the newest kept version
+    # (in-flight writers target latest+1 — never touched) AND no kept
+    # manifest references a file inside it. This single rule covers
+    # dropped versions' own dirs, crashed-writer attempt dirs, and
+    # commit-race losers, while an append chain's shared dirs survive
+    # as long as any kept snapshot lists their files.
+    latest = versions[-1]
+    ddir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _DATA_DIR))
+    if fs.exists(ddir):
+        for st in fs.listStatus(ddir):
+            n = _attempt_version(st.getPath().getName())
+            if n is None or n > latest:
+                continue
+            vpath = st.getPath().toUri().getPath()
+            if not any(f.startswith(vpath + "/") for f in kept_files):
+                fs.delete(st.getPath(), True)
     return drop
