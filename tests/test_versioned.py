@@ -194,3 +194,40 @@ def test_random_op_sequences_match_model(spark, tmp_path):
     for v, snap in enumerate(history):
         got = {r.id: r.v for r in read_table(spark, path, v).collect() if r.id is not None}
         assert got == snap, f"time travel to v{v} diverged"
+
+
+def test_stats_file_skipping_prunes_and_matches_full_filter(spark, tmp_path):
+    """ANALYZE + read_table_pruned: on a range-clustered table the
+    pruned read must (a) touch strictly fewer files than the snapshot
+    lists, (b) return exactly the rows the full-scan filter returns,
+    and (c) never prune files lacking stats for the column."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        collect_stats,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = (
+        spark.range(1000)
+        .selectExpr("id", "id % 7 AS tag")
+        .repartitionByRange(8, "id")  # clustered -> tight per-file ranges
+        .sortWithinPartitions("id")
+    )
+    create_table(base, path)
+    v = collect_stats(spark, path, ["id"])
+    m = _read_manifest(spark, path, v)
+    assert m["op"] == "analyze" and m["stats"], "stats recorded"
+
+    pruned = read_table_pruned(spark, path, "id", 100, 220)
+    full = read_table(spark, path).where("id BETWEEN 100 AND 220")
+    assert {r.id for r in pruned.collect()} == {r.id for r in full.collect()}
+    n_scanned = len(pruned.inputFiles())
+    assert 0 < n_scanned < len(m["files"]), (
+        f"no pruning: scanned {n_scanned} of {len(m['files'])} files"
+    )
+    # disjoint range -> empty result, consistent schema
+    assert read_table_pruned(spark, path, "id", 5000, 6000).count() == 0
+    # a column without recorded stats prunes nothing but stays correct
+    got = read_table_pruned(spark, path, "tag", 2, 3)
+    assert got.count() == base.where("tag BETWEEN 2 AND 3").count()

@@ -30,10 +30,13 @@ protocol below is the minimal honest subset:
 
 At 100 TB the manifest lists ~target-sized files (the compaction
 contract bounds file count); commit is one small-file create; time
-travel costs exactly the listed files' scan. What this subset omits
-vs a real format — column stats per file for data skipping (see
-`sources/layout.py` for the footer-skipping story), checkpointed
-logs, and cross-table transactions — is documented, not faked.
+travel costs exactly the listed files' scan. Per-file column stats
+(ANALYZE via `collect_stats`) enable manifest-level FILE SKIPPING
+(`read_table_pruned`) before any footer is opened — composing with
+`sources/layout.py` Z-order clustering, which is what makes per-file
+ranges tight. What this subset still omits vs a real format —
+checkpointed logs and cross-table transactions — is documented, not
+faked.
 """
 
 from __future__ import annotations
@@ -341,3 +344,110 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
             if not any(f.startswith(vpath + "/") for f in kept_files):
                 fs.delete(st.getPath(), True)
     return drop
+
+
+def _footer_stats(files: list[str], stat_cols: list[str]) -> dict:
+    """Per-file min/max for ``stat_cols``, read from the parquet
+    FOOTERS (metadata-only — no data pages touched): the same numbers
+    Delta records in its commit and Iceberg in its manifests. Nulls-
+    only or missing columns record no entry (no pruning claim).
+    Local/posix paths via pyarrow; on a cluster these stats are
+    computed by the writing executors at commit time — footer reads
+    here are the single-node honest equivalent."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per: dict[str, list] = {}
+        for col in stat_cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if (
+                ok
+                and lo is not None
+                and isinstance(lo, (int, float, str, bool))
+                and isinstance(hi, (int, float, str, bool))
+            ):
+                # JSON-representable stats only: a timestamp/binary
+                # min-max would corrupt the manifest; such columns
+                # simply record no entry (scanned, never pruned)
+                per[col] = [lo, hi]
+        if per:
+            out[f] = per
+    return out
+
+
+def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) -> int:
+    """ANALYZE: stamp the LATEST version's manifest copy with per-file
+    column stats as a new metadata-only version (op=analyze, same
+    files, + "stats"). Kept as an explicit step — like Delta's
+    OPTIMIZE/ANALYZE — so stats cost is paid when asked for, and older
+    manifests stay byte-identical."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    manifest = {
+        "version": cur + 1,
+        "op": "analyze",
+        "files": m["files"],
+        "n_rows": m["n_rows"],
+        "stats": _footer_stats(m["files"], stat_cols),
+    }
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-based FILE SKIPPING: scan only the files whose recorded
+    [min, max] for ``col`` overlaps [lo, hi], then apply the exact
+    predicate as a residual filter — identical results to filtering
+    the full snapshot, touching a subset of the files (the
+    manifest-level data skipping real formats do before the parquet
+    footer can even be opened; composes with `sources/layout.py`
+    Z-order clustering, which is what makes the per-file ranges
+    tight). Files with no recorded stats for ``col`` are always
+    scanned — stats only ever prune, never drop."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, version)
+    stats = m.get("stats", {})
+    keep = [
+        f
+        for f in m["files"]
+        if col not in stats.get(f, {})
+        or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+    ]
+    if not keep:
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*m["files"])
+            .where(F.lit(False))
+        )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*keep)
+        .where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    )
