@@ -123,3 +123,24 @@ def test_crashed_writer_never_wedges_the_table(spark, tmp_path):
     assert vacuum_table(spark, tbl, keep_last=1) == [0]
     assert glob.glob(f"{tbl}/data/v0-*/")  # dir still there
     assert read_table(spark, tbl).count() == 2
+
+
+def test_writer_scoped_monotonic_ledger(spark, tmp_path):
+    """Two stream writers appending to one table keep independent
+    idempotence ledgers: writer B replaying its batch 0 is skipped
+    even after writer A committed batch 5, and vice versa."""
+    from wnv_etl_lab2_spark.sources.versioned import last_committed_batch_id
+
+    tbl = str(tmp_path / "tbl")
+    a = versioned_append_batch(tbl, writer_id="A")
+    b = versioned_append_batch(tbl, writer_id="B")
+    mk = lambda i: spark.createDataFrame([(i, "x")], "id long, v string")
+    a(mk(1), 0)
+    a(mk(2), 1)
+    b(mk(10), 0)  # B's own batch 0 - must commit despite A being at 1
+    assert read_table(spark, tbl).count() == 3
+    b(mk(10), 0)  # B replay - skipped
+    a(mk(2), 1)   # A replay - skipped
+    assert read_table(spark, tbl).count() == 3
+    assert last_committed_batch_id(spark, tbl, "A") == 1
+    assert last_committed_batch_id(spark, tbl, "B") == 0

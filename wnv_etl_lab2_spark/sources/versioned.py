@@ -155,6 +155,7 @@ def _write_version(
     op: str,
     expect_latest: int | None,
     batch_id: int | None = None,
+    writer_id: str | None = None,
 ) -> int:
     spark = df.sparkSession
     current = latest_version(spark, table_path)
@@ -170,16 +171,31 @@ def _write_version(
     manifest = {"version": version, "op": op, "files": files, "n_rows": n_rows}
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
+        if writer_id is not None:
+            manifest["writer_id"] = writer_id
     _commit(spark, table_path, version, manifest)
     return version
 
 
-def create_table(df: DataFrame, table_path: str, batch_id: int | None = None) -> int:
+def create_table(
+    df: DataFrame,
+    table_path: str,
+    batch_id: int | None = None,
+    writer_id: str | None = None,
+) -> int:
     """Version 0 of a new versioned table."""
-    return _write_version(df, table_path, 0, "create", expect_latest=None, batch_id=batch_id)
+    return _write_version(
+        df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
+        writer_id=writer_id,
+    )
 
 
-def append_table(df: DataFrame, table_path: str, batch_id: int | None = None) -> int:
+def append_table(
+    df: DataFrame,
+    table_path: str,
+    batch_id: int | None = None,
+    writer_id: str | None = None,
+) -> int:
     """APPEND as a new version in O(batch), not O(table): only the new
     rows are written (under the new version's data dir); the manifest
     lists the PREVIOUS version's files plus the new ones — file reuse,
@@ -206,19 +222,44 @@ def append_table(df: DataFrame, table_path: str, batch_id: int | None = None) ->
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
+        if writer_id is not None:
+            manifest["writer_id"] = writer_id
     _commit(spark, table_path, version, manifest)
     return version
 
 
 def committed_batch_ids(spark: SparkSession, table_path: str) -> set[int]:
-    """Batch ids stamped on any still-present manifest — the
-    idempotence ledger for streaming appends."""
+    """Batch ids stamped on any still-present manifest — the full
+    idempotence ledger for streaming appends. O(versions) manifest
+    reads: diagnostic/audit use; the sink's hot path uses
+    `last_committed_batch_id` (O(recent))."""
     out = set()
     for v in _list_versions(spark, table_path):
         m = _read_manifest(spark, table_path, v)
         if "batch_id" in m:
             out.add(int(m["batch_id"]))
     return out
+
+
+def last_committed_batch_id(
+    spark: SparkSession, table_path: str, writer_id: str = "default"
+) -> int | None:
+    """Newest batch id this ``writer_id`` committed, found by walking
+    manifests newest-first and stopping at the writer's first stamp.
+    Because a Structured Streaming query's foreachBatch ids are
+    MONOTONIC and sequential per query (batch N+1 never starts before
+    N's handler returned), `incoming_id <= last committed id` is a
+    complete replay test — so the sink's idempotence check is
+    O(manifests since this writer's last commit), typically 1-2 reads,
+    instead of replaying the whole ledger every micro-batch.
+    ``writer_id`` scopes the ledger so several stream queries can
+    append to one table without reading each other's stamps (the
+    (appId, version) transactional-writer pattern)."""
+    for v in reversed(_list_versions(spark, table_path)):
+        m = _read_manifest(spark, table_path, v)
+        if "batch_id" in m and m.get("writer_id", "default") == writer_id:
+            return int(m["batch_id"])
+    return None
 
 
 def overwrite_table(df: DataFrame, table_path: str) -> int:

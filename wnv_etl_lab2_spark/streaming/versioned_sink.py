@@ -33,33 +33,48 @@ from pyspark.sql import DataFrame
 
 from wnv_etl_lab2_spark.sources.versioned import (
     append_table,
-    committed_batch_ids,
     create_table,
+    last_committed_batch_id,
     latest_version,
 )
 
 
-def versioned_append_batch(table_path: str):
+def versioned_append_batch(table_path: str, writer_id: str = "default"):
     """`foreachBatch` handler: commit each micro-batch as a stamped
-    append version; skip batches whose stamp already committed."""
+    append version; skip replayed deliveries. The replay test is
+    ``batch_id <= last_committed_batch_id`` — complete because a
+    query's foreachBatch ids are monotonic and sequential (batch N+1
+    never starts before N's handler returned), and O(manifests since
+    this writer's last commit) instead of an O(versions) ledger scan
+    per batch. ``writer_id`` scopes the ledger so multiple stream
+    queries can append to one table (each passes its own id — the
+    transactional-writer pattern)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if latest_version(spark, table_path) is None:
-            create_table(batch_df, table_path, batch_id=batch_id)
+            create_table(batch_df, table_path, batch_id=batch_id, writer_id=writer_id)
             return
-        if int(batch_id) in committed_batch_ids(spark, table_path):
+        last = last_committed_batch_id(spark, table_path, writer_id)
+        if last is not None and int(batch_id) <= last:
             return  # replayed delivery — already committed
-        append_table(batch_df, table_path, batch_id=batch_id)
+        append_table(batch_df, table_path, batch_id=batch_id, writer_id=writer_id)
 
     return handle
 
 
-def write_stream_versioned(stream_df: DataFrame, table_path: str, checkpoint_dir: str):
+def write_stream_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    writer_id: str = "default",
+):
     """Wire a streaming DataFrame into the versioned table; returns
     the StreamingQuery (caller drives processAllAvailable/stop)."""
     return (
-        stream_df.writeStream.foreachBatch(versioned_append_batch(table_path))
+        stream_df.writeStream.foreachBatch(
+            versioned_append_batch(table_path, writer_id)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
