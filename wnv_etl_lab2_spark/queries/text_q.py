@@ -1410,3 +1410,60 @@ def fuzzy_prefix_pairs(spark, sf_dir):
         F.col("y.doc_id").alias("doc_b"),
         dist.cast("long").alias("edit_dist"),
     )
+
+
+@register(
+    "classifier_confusion_matrix",
+    oracle="""
+    WITH pred AS (
+        SELECT lang,
+               CASE WHEN LEN(regexp_extract_all(LOWER(text), '\\b(the|a|of|and|is)\\b'))
+                         >= LEN(regexp_extract_all(LOWER(text), '\\b(el|la|de|los|es)\\b'))
+                    THEN 'en' ELSE 'es' END AS predicted_lang
+        FROM documents
+    ),
+    cm AS (
+        SELECT lang, predicted_lang, COUNT(*) AS n
+        FROM pred GROUP BY lang, predicted_lang
+    ),
+    tot AS (SELECT lang, SUM(n) AS lang_total FROM cm GROUP BY lang)
+    SELECT cm.lang, cm.predicted_lang, CAST(cm.n AS BIGINT) AS n,
+           ROUND(cm.n * 1.0 / tot.lang_total, 6) AS row_share
+    FROM cm JOIN tot ON cm.lang = tot.lang
+    """,
+)
+def classifier_confusion_matrix(spark, sf_dir):
+    """Classifier evaluation as a first-class operator (round 8): the
+    confusion matrix of the stopword language-ID heuristic against the
+    labeled lang column, with per-true-label row shares — the
+    eval-sheet every heuristic/model label pass in a curation pipeline
+    needs before its output is trusted for filtering or mixing.
+
+    Scale shape: prediction is a pure map fused into the scan; the
+    matrix is one partial-aggregated groupBy whose key space is
+    |labels| x |predictions| (constant), and the row-share join-back
+    operates on that constant-sized matrix — at 100 TB exactly one
+    combinable aggregation crosses the network, carrying a handful of
+    rows per task."""
+    d = load_table(spark, "documents", sf_dir)
+    en = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and|is)\b"), F.lit(0))
+    )
+    es = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\b(el|la|de|los|es)\b"), F.lit(0))
+    )
+    pred = d.select(
+        "lang", F.when(en >= es, "en").otherwise("es").alias("predicted_lang")
+    )
+    cm = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("lang"))
+    return cm.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / tot, 6).alias("row_share"),
+    )
