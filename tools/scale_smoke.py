@@ -367,6 +367,24 @@ def main() -> None:
     simhash_x64 = timed("simhash_x64", lambda: simhash_signatures(d64))
     print(f"k=64 simhash_signatures: {simhash_x64:.2f}s", flush=True)
 
+    # x64 asymptote for the PRODUCTION near-dup path (round 8): MinHash
+    # LSH is the routed 100 TB near-dup operator, so its curve matters
+    # more than the exact backbone's — one more doubling-pair past x16
+    # for the text pipeline and the embedding-blocked pipeline, both
+    # under the same adversarial every-doc-64-deep pileup. Declared
+    # per-unit x64 gates of 0.25 (same basis as their 0.25 x16 rows).
+    NEARDUP_X64_GATE = 0.25
+    e64 = replicate(emb, "vec_id", 64).localCheckpoint()
+    minhash_x64 = timed(
+        "minhash_x64",
+        lambda: minhash_lsh_pairs(d64, num_hashes=32, bands=16, threshold=0.5),
+    )
+    print(f"k=64 minhash_lsh_pairs: {minhash_x64:.2f}s", flush=True)
+    embed_x64 = timed(
+        "embed_x64", lambda: neardup_pairs_lsh_blocked(e64, threshold=0.3)
+    )
+    print(f"k=64 embedding_neardup_pairs: {embed_x64:.2f}s", flush=True)
+
     # x64 point for the USER-FACING curation E2E (VERDICT r7 #8):
     # corpus_curation_stats (the yield sheet) is flat at x16 above;
     # this times `curated_documents` — the data PRODUCT (dedup-first
@@ -437,6 +455,20 @@ def main() -> None:
             "noise on a sub-second x1, which is why the declared gate is "
             "per-unit).\n"
         )
+        for nm, x64v in (
+            ("minhash_lsh_pairs", minhash_x64),
+            ("embedding_neardup_pairs", embed_x64),
+        ):
+            pu64 = x64v / (64 * results[nm][1])
+            ok64 = pu64 <= NEARDUP_X64_GATE
+            if not ok64:
+                failures.append((f"{nm}_x64", pu64, NEARDUP_X64_GATE))
+            f.write(
+                f"\n{nm} x64 asymptote (round 8): {x64v:.2f} s for "
+                f"{rows[1] * 64:,} inputs — per-unit x64 = {pu64:.2f}x, "
+                f"gate <= {NEARDUP_X64_GATE} {'PASS' if ok64 else '**FAIL**'} "
+                f"(the production near-dup path's doubling-pair past x16).\n"
+            )
         cur_ok = cur_per_unit <= CURATION_X64_GATE
         if not cur_ok:
             failures.append(("curation_pipeline_x64", cur_per_unit, CURATION_X64_GATE))
