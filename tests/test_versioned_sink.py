@@ -192,3 +192,46 @@ def test_streaming_curation_into_versioned_table_matches_batch(
     vmax = latest_version(spark, tbl)
     sizes = [read_table(spark, tbl, v).count() for v in range(vmax + 1)]
     assert sizes == sorted(sizes) and sizes[-1] == len(b)
+
+
+def test_concurrent_appenders_all_land_with_retries(spark, tmp_path):
+    """Two threads race 4 appends each through with_retries: every
+    batch must land exactly once (16 + 2*4 rows), versions are a
+    gap-free sequence, and each version has exactly one manifest."""
+    import threading
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _list_versions,
+        append_table,
+        with_retries,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(i, "base") for i in range(16)], "id long, v string"),
+        tbl,
+    )
+    errors = []
+
+    def writer(tag, ids):
+        try:
+            for i in ids:
+                with_retries(
+                    lambda i=i: append_table(
+                        spark.createDataFrame([(i, tag)], "id long, v string"), tbl
+                    ),
+                    attempts=20,
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("a", [100, 101, 102, 103]))
+    t2 = threading.Thread(target=writer, args=("b", [200, 201, 202, 203]))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert read_table(spark, tbl).count() == 24
+    vs = _list_versions(spark, tbl)
+    assert vs == list(range(9))  # v0 + 8 appends, gap-free
+    assert {r.id for r in read_table(spark, tbl).collect()} == (
+        set(range(16)) | {100, 101, 102, 103, 200, 201, 202, 203}
+    )

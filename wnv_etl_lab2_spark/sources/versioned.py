@@ -492,3 +492,26 @@ def read_table_pruned(
         .parquet(*keep)
         .where(F.col(col).between(F.lit(lo), F.lit(hi)))
     )
+
+
+def with_retries(op, attempts: int = 5):
+    """Optimistic-concurrency retry loop for table mutations: call
+    ``op()`` (any closure performing one commit — append/merge/delete/
+    overwrite/optimize); on a lost commit race (exclusive-create
+    failure or the optimistic latest-version check) re-invoke it so
+    the closure re-reads the new latest and rebases. This is the whole
+    concurrency story real formats implement internally: writers never
+    block each other, losers rebase and retry, and every version is
+    one winner's atomic commit. Raises the last error after
+    ``attempts`` losses (pathological contention — back off at the
+    caller)."""
+    last = None
+    for _ in range(attempts):
+        try:
+            return op()
+        except Exception as e:  # noqa: BLE001 — race losses surface as
+            # ValueError (optimistic check) or the JVM's exclusive-create
+            # IOException; anything else also deserves the bounded retry
+            # because the closure re-derives all state from the table
+            last = e
+    raise last
