@@ -1380,22 +1380,28 @@ def fuzzy_prefix_pairs(spark, sf_dir):
         "pfx",
         F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"),
     )
-    # block-size table is vocabulary^2-bounded (an aggregate over the
-    # blocking key), broadcastable at any corpus size that keeps a
-    # bounded opener vocabulary; the hot blocks it drops are the
-    # quadratic hazard
-    keep = (
+    # Broadcast the HOT-BLOCK COMPLEMENT, not the keep set (round-9
+    # fix of the r8 broadcast-side hazard): at corpus scale the set of
+    # blocks with cnt <= 256 is ~every distinct two-token opener —
+    # billions of near-unique keys, far past any broadcast limit. The
+    # complement (cnt > 256) is tiny BY CONSTRUCTION — a block only
+    # crosses the cap by being boilerplate, and boilerplate openers
+    # number in the thousands at any corpus size — so the anti-join's
+    # build side is bounded regardless of scale. The hot blocks it
+    # drops are the quadratic hazard; template detection reports them.
+    hot = (
         k.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") <= 256)
+        .where(F.col("cnt") > 256)
         .select("blk")
     )
-    kc = k.join(F.broadcast(keep), "blk")
+    kc = k.join(F.broadcast(hot), "blk", "left_anti")
     # bucket-explode instead of a self-join: ONE exchange groups the
     # (capped) block members, sort_array gives the deterministic
     # doc_id order, and pair_explode emits each unordered pair once —
-    # the keep-filter runs BEFORE collect_list, so no bucket array
-    # ever exceeds the declared cap
+    # the hot-block anti-join runs BEFORE collect_list, so no bucket
+    # array is ever materialized past the declared cap (a monster
+    # boilerplate block never becomes one multi-GB array row)
     from wnv_etl_lab2_spark.operators.dedup import pair_explode
 
     buckets = (
