@@ -231,3 +231,112 @@ def test_stats_file_skipping_prunes_and_matches_full_filter(spark, tmp_path):
     # a column without recorded stats prunes nothing but stays correct
     got = read_table_pruned(spark, path, "tag", 2, 3)
     assert got.count() == base.where("tag BETWEEN 2 AND 3").count()
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the condition evaluates to
+    NULL are KEPT, not silently dropped (deleting 'score >= 100' must
+    not remove a row whose score is NULL)."""
+    from wnv_etl_lab2_spark.sources.versioned import delete_from_table
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 50), (2, 150), (3, None)], "id long, score long"
+    )
+    create_table(df, path)
+    delete_from_table(spark, path, "score >= 100")
+    got = {(r.id, r.score) for r in read_table(spark, path).collect()}
+    assert got == {(1, 50), (3, None)}  # NULL-score row survives
+
+
+def test_commit_is_tmp_plus_rename_and_never_wedges(spark, tmp_path, table):
+    """The manifest commit is temp-write + fail-if-exists rename: a
+    losing commit raises, leaves NO temp litter in _log, and a
+    leftover temp file from a crashed writer is invisible to version
+    listing and reads (no truncated manifest can squat on a version
+    number)."""
+    import glob
+    import os
+
+    from wnv_etl_lab2_spark.sources import versioned
+
+    path, base = table
+    with pytest.raises(Exception):
+        versioned._commit(spark, path, 0, {"version": 0, "op": "dup", "files": ["x"]})
+    assert glob.glob(f"{path}/_log/.tmp-*") == []  # loser cleaned up
+    assert read_table(spark, path).count() == 20
+    # simulate a writer that died mid-content-write: only a temp file
+    with open(os.path.join(path, "_log", ".tmp-00000001-deadbeef"), "w") as f:
+        f.write('{"version": 1, "op":')  # truncated JSON
+    assert versioned._list_versions(spark, path) == [0]
+    assert latest_version(spark, path) == 0
+    assert read_table(spark, path).count() == 20  # table not wedged
+
+
+def test_append_schema_evolution_additive_and_rejects_type_change(spark, tmp_path):
+    """Write-path schema evolution: an append may ADD columns (the
+    manifest records the evolved union schema; pre-evolution files
+    read as null for them, old snapshots stay byte-stable), but a type
+    change on an existing column raises BEFORE any data is written."""
+    import glob
+
+    from wnv_etl_lab2_spark.sources.versioned import append_table, table_schema
+
+    path = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), path
+    )
+    v0_before = _content(read_table(spark, path, 0))
+    append_table(
+        spark.createDataFrame([(3, "c", 0.5)], "id long, name string, quality double"),
+        path,
+    )
+    evolved = table_schema(spark, path)
+    assert [f.name for f in evolved.fields] == ["id", "name", "quality"]
+    got = {
+        (r.id, r.name, r.quality)
+        for r in read_table(spark, path).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 0.5)}  # null backfill
+    assert _content(read_table(spark, path, 0)) == v0_before  # history byte-stable
+    assert [f.name for f in table_schema(spark, path, 0).fields] == ["id", "name"]
+    # type conflict: rejected loudly, nothing written, version unchanged
+    attempts_before = set(glob.glob(f"{path}/data/*"))
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        append_table(
+            spark.createDataFrame([("x", "d")], "id string, name string"), path
+        )
+    assert latest_version(spark, path) == 1
+    assert set(glob.glob(f"{path}/data/*")) == attempts_before  # checked pre-write
+
+
+def test_manifest_paths_fully_qualified_and_legacy_scheme_less_still_work(
+    spark, tmp_path, table
+):
+    """Manifests record fully-qualified URIs (scheme kept, so the
+    protocol survives a non-default filesystem); legacy scheme-less
+    manifests written before round 9 still read, and vacuum's
+    reference count treats both spellings as the same file."""
+    import json as _json
+    import os
+
+    from wnv_etl_lab2_spark.sources import versioned
+
+    path, base = table
+    m = versioned._read_manifest(spark, path, 0)
+    assert all(f.startswith("file:/") for f in m["files"])
+    assert read_table(spark, path).count() == 20
+    # rewrite the manifest in the legacy scheme-less form
+    overwrite_table(base.where(F.col("id") < 5), path)  # v1, qualified
+    mpath = os.path.join(path, "_log", "00000001.json")
+    m1 = _json.load(open(mpath))
+    m1["files"] = [f.removeprefix("file:") for f in m1["files"]]
+    with open(mpath, "w") as f:
+        _json.dump(m1, f)
+    crc = os.path.join(path, "_log", ".00000001.json.crc")
+    if os.path.exists(crc):  # ChecksumFileSystem sidecar from the commit
+        os.remove(crc)
+    assert read_table(spark, path).count() == 5  # legacy form reads
+    # vacuum must NOT delete the files the legacy-form manifest keeps
+    vacuum_table(spark, path, keep_last=1)
+    assert read_table(spark, path).count() == 5

@@ -235,3 +235,39 @@ def test_concurrent_appenders_all_land_with_retries(spark, tmp_path):
     assert {r.id for r in read_table(spark, tbl).collect()} == (
         set(range(16)) | {100, 101, 102, 103, 200, 201, 202, 203}
     )
+
+
+def test_two_stream_writers_race_rebase_instead_of_failing(spark, tmp_path):
+    """Two foreachBatch handlers (distinct writer_ids) drive batches
+    into ONE table from concurrent threads: version races rebase under
+    with_retries instead of propagating (the r9 advisory fix), every
+    batch lands exactly once, and a post-race replay is still skipped
+    because the ledger is re-read inside the retry closure."""
+    import threading
+
+    tbl = str(tmp_path / "tbl")
+    a = versioned_append_batch(tbl, writer_id="A")
+    b = versioned_append_batch(tbl, writer_id="B")
+    errors = []
+
+    def drive(handler, base):
+        try:
+            for i in range(4):
+                handler(
+                    spark.createDataFrame([(base + i,)], "id long"), i
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=drive, args=(a, 100))
+    t2 = threading.Thread(target=drive, args=(b, 200))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert {r.id for r in read_table(spark, tbl).collect()} == (
+        {100, 101, 102, 103} | {200, 201, 202, 203}
+    )
+    # replayed delivery after the races: still detected and skipped
+    before = latest_version(spark, tbl)
+    a(spark.createDataFrame([(999,)], "id long"), 2)
+    assert latest_version(spark, tbl) == before
+    assert read_table(spark, tbl).count() == 8

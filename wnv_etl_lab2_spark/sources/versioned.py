@@ -116,26 +116,55 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
 
 
 def _commit(spark: SparkSession, table_path: str, version: int, manifest: dict) -> None:
-    """The atomic commit point: create-exclusive manifest write. A
+    """The atomic commit point: write the manifest CONTENT to a hidden
+    temp file (fully written + closed, never listable as a version —
+    `_list_versions` only matches ``NNNNNNNN.json``), then publish it
+    with a fail-if-exists rename (``FileContext.rename`` +
+    ``Options.Rename.NONE`` — the same protocol as Delta's
+    HDFSLogStore). A writer that crashes mid-content-write leaves only
+    an invisible temp file (vacuumable noise), never a truncated
+    manifest squatting on the version number and wedging the table; a
     concurrent writer that already committed this version makes the
-    create throw — the loser's data dir is unreferenced garbage that
-    vacuum removes; no manifest is ever partially visible because the
-    content is written before close and readers only see the file
-    after a successful create+close."""
+    rename throw, so race losers still lose loudly and their data dirs
+    stay reference-counted garbage for vacuum."""
+    import uuid
+
     fs, jvm = _fs(spark, table_path)
     log_dir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _LOG_DIR))
     fs.mkdirs(log_dir)
-    p = jvm.org.apache.hadoop.fs.Path(
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(table_path, _LOG_DIR, f".tmp-{version:08d}-{uuid.uuid4().hex[:8]}")
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(
         posixpath.join(table_path, _LOG_DIR, f"{version:08d}.json")
     )
-    out = fs.create(p, False)  # overwrite=False => exclusive
+    out = fs.create(tmp, True)
     try:
         out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_enum = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+    opts = spark._sc._gateway.new_array(rename_enum, 1)
+    opts[0] = rename_enum.NONE
+    try:
+        fc.rename(tmp, dst, opts)
+    except Exception:
+        fs.delete(tmp, False)  # lost the race (or rename failed): no litter
+        raise
 
 
 def _data_files(spark: SparkSession, version_dir: str) -> list[str]:
+    """Manifest file entries are FULLY-QUALIFIED URIs
+    (``fs.makeQualified`` — scheme + authority kept, e.g.
+    ``file:/...`` or ``hdfs://nn/...``): a scheme-stripped path would
+    re-resolve against whatever the READER's default filesystem is,
+    silently breaking the protocol the moment table and reader live on
+    different stores (round-9 advisory fix; manifests written before
+    this round carry scheme-less paths, which every consumer qualifies
+    on read via `_qualify`)."""
     fs, jvm = _fs(spark, version_dir)
     jpath = jvm.org.apache.hadoop.fs.Path(version_dir)
     files = []
@@ -144,8 +173,48 @@ def _data_files(spark: SparkSession, version_dir: str) -> list[str]:
         st = it.next()
         name = st.getPath().getName()
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            files.append(st.getPath().toUri().getPath())
+            files.append(fs.makeQualified(st.getPath()).toString())
     return sorted(files)
+
+
+def _qualify(fs, jvm, path: str) -> str:
+    """Normalize a manifest path entry to its fully-qualified URI, so
+    pre-round-9 scheme-less entries and current qualified entries
+    compare (and reference-count) identically."""
+    return fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path)).toString()
+
+
+def _merge_schemas(prev_schema_json: str | None, new_schema) -> str:
+    """Additive schema evolution (round-9, the write-path half of the
+    contract `read_table` already honors with ``mergeSchema``): the
+    evolved snapshot schema keeps every existing column in order and
+    appends columns the new data introduces — old files simply lack
+    the new columns and read as null (null backfill). A TYPE change on
+    an existing column is rejected loudly, exactly as Delta/Iceberg
+    reject non-additive evolution by default: two parquet files
+    disagreeing on a column's physical type would otherwise fail (or
+    worse, coerce) at some future read, far from the write that caused
+    it. Manifests written before this round carry no schema entry;
+    evolution bookkeeping starts at the first post-upgrade commit."""
+    from pyspark.sql.types import StructType
+
+    if prev_schema_json is None:
+        return new_schema.json()
+    prev = StructType.fromJson(json.loads(prev_schema_json))
+    by_name = {f.name: f for f in prev.fields}
+    fields = list(prev.fields)
+    for f in new_schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            fields.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"incompatible schema evolution on column {f.name!r}: "
+                f"table has {old.dataType.simpleString()}, write has "
+                f"{f.dataType.simpleString()} — only additive (new-column) "
+                "evolution is supported"
+            )
+    return StructType(fields).json()
 
 
 def _write_version(
@@ -168,7 +237,15 @@ def _write_version(
     df.write.mode("error").parquet(vdir)
     files = _data_files(spark, vdir)
     n_rows = spark.read.parquet(vdir).count()
-    manifest = {"version": version, "op": op, "files": files, "n_rows": n_rows}
+    # full-rewrite ops (create/overwrite/delete/merge/optimize) DEFINE
+    # the snapshot: the written frame's schema is the version's schema
+    manifest = {
+        "version": version,
+        "op": op,
+        "files": files,
+        "n_rows": n_rows,
+        "schema": df.schema.json(),
+    }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
         if writer_id is not None:
@@ -203,22 +280,28 @@ def append_table(
     vacuum reference-counts files instead of assuming per-version
     ownership. ``batch_id`` stamps the manifest for idempotent
     streaming sinks (see streaming/versioned_sink.py): a replayed
-    micro-batch can check whether its id already committed."""
+    micro-batch can check whether its id already committed. Schema
+    evolution is ADDITIVE-ONLY and checked BEFORE any data is written:
+    a batch may introduce new columns (the manifest records the
+    evolved union schema; old files read as null for them) but a type
+    change on an existing column raises — see `_merge_schemas`."""
     spark = df.sparkSession
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     version = cur + 1
+    prev = _read_manifest(spark, table_path, cur)
+    evolved = _merge_schemas(prev.get("schema"), df.schema)
     vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
     new_files = _data_files(spark, vdir)
-    prev = _read_manifest(spark, table_path, cur)
     n_new = spark.read.parquet(vdir).count()
     manifest = {
         "version": version,
         "op": "append",
         "files": sorted(prev["files"] + new_files),
         "n_rows": int(prev["n_rows"]) + n_new,
+        "schema": evolved,
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
@@ -292,6 +375,21 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
+def table_schema(spark: SparkSession, table_path: str, version: int | None = None):
+    """The manifest-recorded snapshot schema as a ``StructType``
+    (``None`` for manifests written before schema recording landed —
+    those snapshots still read correctly via ``mergeSchema``, they
+    just carry no declared schema to check writes against)."""
+    from pyspark.sql.types import StructType
+
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, version)
+    return StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
+
+
 def delete_from_table(spark: SparkSession, table_path: str, condition: str) -> int:
     """DELETE: commit a new version without the rows matching
     ``condition`` (a SQL boolean expression). Decomposed as
@@ -299,13 +397,20 @@ def delete_from_table(spark: SparkSession, table_path: str, condition: str) -> i
     form (real formats optimize to touched-files-only rewrites using
     per-file stats; without per-file column stats in this manifest
     subset, every file is potentially touched, so the rewrite is
-    full-snapshot and says so)."""
+    full-snapshot and says so). SQL DELETE semantics: only rows where
+    the condition is TRUE are removed — a NULL-valued condition (e.g.
+    ``score >= 100`` on a NULL score) KEEPS the row, which a bare
+    ``where(~cond)`` would silently drop (three-valued logic: ~NULL is
+    NULL, and filters drop NULL), so the keep-predicate coalesces the
+    condition to FALSE first (round-9 advisory fix)."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     from pyspark.sql import functions as F
 
-    remaining = read_table(spark, table_path, cur).where(~F.expr(condition))
+    remaining = read_table(spark, table_path, cur).where(
+        ~F.coalesce(F.expr(condition), F.lit(False))
+    )
     return _write_version(remaining, table_path, cur + 1, "delete", expect_latest=cur)
 
 
@@ -356,10 +461,15 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
     if not versions:
         return []
     drop = versions[:-keep_last]
+    fs, jvm = _fs(spark, table_path)
+    # qualified on both sides of the reference count: manifests may mix
+    # pre-round-9 scheme-less entries with current qualified URIs
     kept_files: set[str] = set()
     for v in versions[-keep_last:]:
-        kept_files.update(_read_manifest(spark, table_path, v)["files"])
-    fs, jvm = _fs(spark, table_path)
+        kept_files.update(
+            _qualify(fs, jvm, f)
+            for f in _read_manifest(spark, table_path, v)["files"]
+        )
     for v in drop:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -381,7 +491,7 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
             n = _attempt_version(st.getPath().getName())
             if n is None or n > latest:
                 continue
-            vpath = st.getPath().toUri().getPath()
+            vpath = fs.makeQualified(st.getPath()).toString()
             if not any(f.startswith(vpath + "/") for f in kept_files):
                 fs.delete(st.getPath(), True)
     return drop
@@ -392,14 +502,22 @@ def _footer_stats(files: list[str], stat_cols: list[str]) -> dict:
     FOOTERS (metadata-only — no data pages touched): the same numbers
     Delta records in its commit and Iceberg in its manifests. Nulls-
     only or missing columns record no entry (no pruning claim).
-    Local/posix paths via pyarrow; on a cluster these stats are
-    computed by the writing executors at commit time — footer reads
-    here are the single-node honest equivalent."""
+    Local/posix paths via pyarrow (``file:`` URIs from qualified
+    manifests are unwrapped); on a cluster these stats are computed by
+    the writing executors at commit time — footer reads here are the
+    single-node honest equivalent."""
+    from urllib.parse import urlparse
+
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
     for f in files:
-        md = pq.ParquetFile(f).metadata
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"footer stats are local-FS-only in this environment: {f}"
+            )
+        md = pq.ParquetFile(parsed.path if parsed.scheme else f).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         per: dict[str, list] = {}
         for col in stat_cols:
@@ -446,6 +564,8 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         "n_rows": m["n_rows"],
         "stats": _footer_stats(m["files"], stat_cols),
     }
+    if "schema" in m:  # metadata-only version: snapshot schema unchanged
+        manifest["schema"] = m["schema"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 

@@ -36,6 +36,7 @@ from wnv_etl_lab2_spark.sources.versioned import (
     create_table,
     last_committed_batch_id,
     latest_version,
+    with_retries,
 )
 
 
@@ -48,17 +49,29 @@ def versioned_append_batch(table_path: str, writer_id: str = "default"):
     this writer's last commit) instead of an O(versions) ledger scan
     per batch. ``writer_id`` scopes the ledger so multiple stream
     queries can append to one table (each passes its own id — the
-    transactional-writer pattern)."""
+    transactional-writer pattern), and the whole check-and-commit runs
+    under `with_retries` so a lost version race against ANOTHER
+    writer's commit rebases and retries instead of failing this
+    streaming query (round-9 advisory fix) — the replay check re-reads
+    the ledger inside the closure, so a replay first detected after a
+    rebase is still skipped, and two writers racing to CREATE the
+    table resolve to one create plus one rebased append."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if latest_version(spark, table_path) is None:
-            create_table(batch_df, table_path, batch_id=batch_id, writer_id=writer_id)
-            return
-        last = last_committed_batch_id(spark, table_path, writer_id)
-        if last is not None and int(batch_id) <= last:
-            return  # replayed delivery — already committed
-        append_table(batch_df, table_path, batch_id=batch_id, writer_id=writer_id)
+
+        def attempt() -> None:
+            if latest_version(spark, table_path) is None:
+                create_table(
+                    batch_df, table_path, batch_id=batch_id, writer_id=writer_id
+                )
+                return
+            last = last_committed_batch_id(spark, table_path, writer_id)
+            if last is not None and int(batch_id) <= last:
+                return  # replayed delivery — already committed
+            append_table(batch_df, table_path, batch_id=batch_id, writer_id=writer_id)
+
+        with_retries(attempt)
 
     return handle
 
