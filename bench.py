@@ -93,6 +93,15 @@ DECLARED_WALL_BOUNDS_SF01 = {
     # noise on top — the 1.5x relative gate sat inside the noise band.
     # Declared ceiling instead: measured 0.75-0.98 across r8 sessions.
     "multiway_join_topk_revenue": 1.10,
+    # the routed production near-dup path slid +0.347 s in the r8
+    # bench (1.53 -> 1.88). The r9 isolated A/B on THIS query at sf0.1
+    # (min-of-5: zstd 1.526 vs lz4 1.405) attributes ~0.12 s to the
+    # codec; the remaining ~0.23 s is in-bench session pressure
+    # (isolated singles always run under the interleaved in-bench
+    # numbers — see .claude/skills/verify gotchas). Ceiling = r8
+    # in-bench min + ~12% headroom; a second zstd-sized slide now
+    # fails the gate loudly instead of hiding under the 1.5x band.
+    "dedup_minhash_lsh": 2.10,
 }
 
 _PAIR_RE = re.compile(r'"([a-z0-9_]+)": (-?[0-9.]+)')
@@ -225,15 +234,17 @@ def main() -> None:
         # round; an empty list is the expected state. Queries with a
         # DECLARED bound (the pinned ceiling of the r8 zstd
         # shuffle-bytes trade, DECLARED_WALL_BOUNDS_SF01) are judged
-        # against that absolute ceiling INSTEAD of the relative gate:
-        # their pre-zstd baselines are the stale comparison the pin
-        # exists to replace, and the bound still catches any further
-        # slide loudly.
+        # against that absolute ceiling INSTEAD of the relative gate —
+        # but only at sf0.1, where the bounds were measured; at any
+        # other SF the absolute numbers don't apply, so the pinned
+        # queries fall back to the relative gate like everything else
+        # (r8 advisory: no query may ever be gate-free).
+        rel_exempt = set(DECLARED_WALL_BOUNDS_SF01) if out["sf"] == 0.1 else set()
         out["regressions"] = sorted(
             {
                 name
                 for name, t in timings.items()
-                if name not in DECLARED_WALL_BOUNDS_SF01
+                if name not in rel_exempt
                 and name in prev
                 and prev[name] > 0.05
                 and t > 1.5 * prev[name]

@@ -63,10 +63,17 @@ def get_spark(
         # zstd shuffle/broadcast compression, matching the 100 TB
         # submission profile below (cluster_conf has prescribed it
         # since round 2; the local session now measures what the
-        # cluster would ship). On the text-heavy exchanges (shingle
-        # postings, df pass) zstd moves ~35-40% fewer bytes than the
-        # lz4 default at negligible CPU — measured r8 on the exact
-        # near-dup pair backbone.
+        # cluster would ship). The trade is MEASURED, not free: on the
+        # text-heavy exchanges (shingle postings, df pass) zstd moves
+        # ~35-40% fewer bytes than the lz4 default, but costs
+        # ~0.2-0.3 s of compression CPU per shuffle-heavy query
+        # locally — ~15-23% wall on the pair backbone (r8 A/B,
+        # min-of-5: lz4 1.80/1.59 s vs zstd 2.15/1.82 s) and ~8% on
+        # dedup_minhash_lsh (r9 A/B: lz4 1.405 vs zstd 1.526) — with
+        # no local network to win the bytes back. At cluster scale the
+        # exchanges are network-bound and the bytes dominate; the
+        # accepted local ceilings are pinned in
+        # bench.py:DECLARED_WALL_BOUNDS_SF01.
         .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
