@@ -72,3 +72,43 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     building it materializes the dedup component table (see module
     docstring) — call once, reuse the result."""
     return curation_pipeline(sf_dir).build(spark)
+
+
+def source_quantile_keep(
+    docs: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+    keep_frac: float = 0.5,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The PRODUCTION path of per-source score calibration
+    (`queries/curation_q.source_quantile_normalize` is the
+    oracle-checkable exact semantics): keep the top ``keep_frac`` of
+    every source by replacing the exact per-source percent-rank window
+    with ONE approx-quantile boundary per source.
+
+    Why this is the 100 TB form: the exact window sorts every source's
+    scores on a single reducer chain (per-source sort = the hazard the
+    exact query's docstring names). Here the boundary comes from
+    ``approx_percentile`` — a mergeable KLL-style sketch, so the
+    aggregation is partial+final combinable (map-side partials, one
+    tiny final merge per source); the |sources|-row boundary table
+    broadcasts; and the keep test is a MAP-SIDE comparison fused into
+    the scan. Nothing but sketch partials ever crosses the network,
+    and no total order is ever materialized.
+
+    Accuracy contract: ``accuracy`` is the sketch's inverse relative
+    rank error (Spark guarantees rank error <= 1/accuracy), so the
+    keep-set disagreement vs the exact form is confined to a
+    ~1/accuracy-wide band around the boundary — pinned by
+    tests/test_calibration.py at >= 99% keep-set agreement."""
+    cut = docs.groupBy(source_col).agg(
+        F.expr(
+            f"approx_percentile({score_col}, {1.0 - keep_frac}, {accuracy})"
+        ).alias("_cut")
+    )
+    return (
+        docs.join(F.broadcast(cut), source_col)
+        .where(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut")
+    )

@@ -698,11 +698,14 @@ def source_quantile_normalize(spark, sf_dir):
 
     Scale shape: the score is a pure map over the scan; the window
     shuffles once on source. Source cardinality is small, so at 100 TB
-    the per-source sort is the hazard — the production path replaces
-    exact percent_rank with per-source approx-quantile boundaries
-    (combinable sketch, broadcast back, map-side bucket assignment),
-    the same partial+final shape quota sampling uses; the exact window
-    form here is the oracle-checkable semantics of that rollout."""
+    the per-source sort is the hazard — the production path
+    (`curation.source_quantile_keep`, r9) replaces exact percent_rank
+    with per-source approx-quantile boundaries: combinable KLL sketch,
+    |sources|-row broadcast, map-side keep test fused into the scan —
+    no total order ever materialized. Its keep set is pinned to >= 99%
+    agreement with this exact form (tests/test_calibration.py); the
+    exact window form here is the oracle-checkable semantics of that
+    rollout."""
     d = load_table(spark, "documents", sf_dir)
     from pyspark.sql import Window as W
 
