@@ -182,3 +182,26 @@ def test_hybrid_rrf_fuses_without_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "hybrid_rrf_retrieval")
     assert "SortMergeJoin" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_plan_audit_artifact_matches_registry_count():
+    """PLAN_AUDIT.md is regenerated per plan-shaping round; its totals
+    line records how many queries were audited and must match the live
+    registry, so the artifact can't silently lag a new registration
+    (round-9 verdict #4: it sat at 172 rows under a 174-query
+    registry)."""
+    import os
+    import re
+
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_AUDIT.md")
+    with open(path) as f:
+        blob = f.read()
+    m = re.search(r"Totals over (\d+) queries", blob)
+    assert m, "PLAN_AUDIT.md totals line missing"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"PLAN_AUDIT.md audited {m.group(1)} queries but the registry has "
+        f"{len(REGISTRY)} — rerun tools/plan_audit.py"
+    )

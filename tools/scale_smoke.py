@@ -94,6 +94,17 @@ PER_UNIT_X16_GATES = {
     "ngram_counts_top": 0.5,
     "repeated_span_removal": 0.5,
     "sessionize_events": 0.5,
+    # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in
+    # r8, shuffle measured (0.71%) but never replication-curved. The
+    # block cap (256) is exactly the kind of knob whose pileup
+    # behavior this smoke exists to pin: replication makes every
+    # opener block k-fold deeper, so blocks near the cap at x1 CROSS
+    # it at x16 and must be dropped by the hot-block anti-join, not
+    # pair-expanded. Staged/scan-inclusive (gate 0.5, like the other
+    # registered-query rows); the dedicated every-doc-same-opener
+    # adversarial point below stresses the cap's degenerate case (ONE
+    # corpus-sized block).
+    "fuzzy_prefix_pairs": 0.5,
 }
 
 
@@ -213,6 +224,15 @@ History — this smoke caught a real quadratic, then verified the fix:
   curved MinHash pipeline with combinable aggregates, and 16x
   replication turns every doc into a 16-deep exact-dup group, the
   precise stress its dedup-first stage exists to absorb.
+- Round 9 curved the blocked fuzzy join (`fuzzy_prefix_pairs`,
+  VERDICT r8 #5) two ways: the standard replication row (staged,
+  scan-inclusive, gate 0.5 — every opener block k-fold deeper, blocks
+  near the cap at x1 cross it at x16 and must be DROPPED by the
+  hot-block anti-join, which round 9 also flipped to broadcast the
+  tiny cnt>256 complement instead of the unbounded keep set), plus a
+  degenerate every-doc-same-opener x16 point where the whole corpus
+  is ONE block: the cap must reduce it to zero pair work, so its wall
+  is gated at <= 1.25x the normal x16 wall.
 """
 
 
@@ -276,6 +296,7 @@ def main() -> None:
     from wnv_etl_lab2_spark.queries.similarity_q import corpus_curation_stats
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
+        fuzzy_prefix_pairs,
         ngram_counts_top,
         tfidf_top_terms,
         unigram_logprob_quality,
@@ -291,6 +312,7 @@ def main() -> None:
         "ngram_counts_top": ngram_counts_top,
         "repeated_span_removal": repeated_span_removal,
         "sessionize_events": sessionize_events,
+        "fuzzy_prefix_pairs": fuzzy_prefix_pairs,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
@@ -408,6 +430,33 @@ def main() -> None:
         f"per-unit x64 {cur_per_unit:.2f}",
         flush=True,
     )
+
+    # Degenerate-pileup point for the blocked fuzzy join (round 9,
+    # VERDICT r8 #5): EVERY doc gets the same two-token opener, so the
+    # whole x16 corpus lands in ONE block whose count is corpus-sized
+    # — the case the 256 cap exists for. Correct behavior: the
+    # hot-block anti-join drops the block (boilerplate by definition —
+    # template detection reports it), pair work is ZERO, and the wall
+    # is bounded by the two block aggregations — so it must not exceed
+    # the NORMAL x16 wall (1.25x slack for session noise). A quadratic
+    # leak here would be catastrophic: one block of 960k docs is
+    # ~4.6e11 candidate pairs.
+    adv16 = replicate(
+        docs.withColumn("text", F.concat(F.lit("the opener "), F.col("text"))),
+        "doc_id",
+        16,
+    )
+    adv_dir = os.path.join(staging_root, "adv16")
+    adv16.write.mode("overwrite").parquet(os.path.join(adv_dir, "documents.parquet"))
+    fuzzy_adv_x16 = timed(
+        "fuzzy_same_opener_x16", lambda: fuzzy_prefix_pairs(spark, adv_dir)
+    )
+    fuzzy_adv_rows = fuzzy_prefix_pairs(spark, adv_dir).count()
+    print(
+        f"k=16 fuzzy_prefix_pairs (every-doc-same-opener): "
+        f"{fuzzy_adv_x16:.2f}s, {fuzzy_adv_rows} pairs",
+        flush=True,
+    )
     shutil.rmtree(staging_root, ignore_errors=True)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -480,6 +529,30 @@ def main() -> None:
             f"{cur_x64:.2f} s for {rows[1] * 64:,} docs; per-unit x64 = "
             f"{cur_per_unit:.2f}x, gate <= {CURATION_X64_GATE} "
             f"{'PASS' if cur_ok else '**FAIL**'}.\n"
+        )
+        FUZZY_ADV_SLACK = 1.25
+        fuzzy_adv_ok = fuzzy_adv_x16 <= FUZZY_ADV_SLACK * results[
+            "fuzzy_prefix_pairs"
+        ][16]
+        if not fuzzy_adv_ok:
+            failures.append(
+                (
+                    "fuzzy_same_opener_x16",
+                    fuzzy_adv_x16 / results["fuzzy_prefix_pairs"][16],
+                    FUZZY_ADV_SLACK,
+                )
+            )
+        f.write(
+            f"\nfuzzy_prefix_pairs degenerate pileup (round 9): every doc "
+            f"given the SAME two-token opener at x16 — the entire "
+            f"{rows[16]:,}-doc corpus lands in ONE block (~"
+            f"{rows[16] * (rows[16] - 1) // 2:,} candidate pairs if the cap "
+            f"leaked). The hot-block anti-join drops it: {fuzzy_adv_rows} "
+            f"pairs emitted, wall {fuzzy_adv_x16:.2f} s vs normal-x16 "
+            f"{results['fuzzy_prefix_pairs'][16]:.2f} s, gate <= "
+            f"{FUZZY_ADV_SLACK}x normal "
+            f"{'PASS' if fuzzy_adv_ok else '**FAIL**'} — cost is the two "
+            f"block aggregations, never pair expansion.\n"
         )
         f.write(
             "\nGates are DECLARED AND ENFORCED by tools/scale_smoke.py "

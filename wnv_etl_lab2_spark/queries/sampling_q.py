@@ -537,3 +537,64 @@ def dsir_importance_weights(spark, sf_dir):
         )
     )
     return scored
+
+
+@register(
+    "interleave_mixture_schedule",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 4) + 1 AS wt
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source, wt,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        FROM w
+    ),
+    v AS (SELECT doc_id, source, wt, rnk * 1.0 / wt AS vtime FROM r)
+    SELECT ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id) AS position,
+           doc_id, source, CAST(wt AS BIGINT) AS wt, ROUND(vtime, 6) AS vtime
+    FROM (SELECT * FROM v ORDER BY vtime, source, doc_id LIMIT 200)
+    """,
+)
+def interleave_mixture_schedule(spark, sf_dir):
+    """Deterministic weighted source interleave (round 9): the
+    training-data LOADER'S view of a mixture — given per-source
+    integer weights, emit the global feed order in which a
+    weight-proportional round-robin would deliver documents (stride
+    scheduling: source s's r-th document runs at virtual time r/w_s;
+    the schedule is the ascending vtime order with a total tiebreak).
+    Mixture WEIGHTS queries (`source_mixture_weights`,
+    `temperature_mixture_weights`) decide how much of each source;
+    this materializes WHEN each document arrives — the reproducible
+    curriculum a trainer actually consumes, here the first 200
+    positions (the schedule head).
+
+    Scale shape: per-source ranks are one partitioned window (at
+    100 TB: the same per-partition-offset rank decomposition
+    `deterministic_shuffle_order` documents, since per-source data is
+    corpus-sized); the schedule head is TakeOrdered — top-k by vtime,
+    never a global sort — and the position stamp runs over only the
+    200 retained rows. Materializing the FULL schedule instead uses
+    Spark's range-partitioned orderBy (range exchange + local sort),
+    with positions = range-boundary offsets + local row index; vtime
+    is a ratio of small integers, so both engines order identical
+    doubles."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    wt = (F.regexp_extract("source", "([0-9]+)$", 1).cast("int") % 4 + 1).alias("wt")
+    r = d.select("doc_id", "source", wt).withColumn(
+        "rnk", F.row_number().over(W.partitionBy("source").orderBy("doc_id"))
+    )
+    v = r.withColumn("vtime", F.col("rnk") * 1.0 / F.col("wt"))
+    head = v.orderBy("vtime", "source", "doc_id").limit(200)
+    pos = F.row_number().over(W.orderBy("vtime", "source", "doc_id"))
+    return head.select(
+        pos.alias("position"),
+        "doc_id",
+        "source",
+        F.col("wt").cast("long").alias("wt"),
+        F.round("vtime", 6).alias("vtime"),
+    )

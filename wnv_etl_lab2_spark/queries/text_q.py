@@ -1473,3 +1473,150 @@ def classifier_confusion_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n") * 1.0 / tot, 6).alias("row_share"),
     )
+
+
+@register(
+    "template_openers",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, string_split(substr(text, 1, 40), ' ') AS w
+        FROM documents WHERE LENGTH(text) >= 40
+    ),
+    k AS (
+        SELECT doc_id, w[1] || ' ' || w[2] AS blk
+        FROM p WHERE LEN(w) >= 2
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM k)
+    SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / ANY_VALUE(tot.n_total), 6) AS share
+    FROM k CROSS JOIN tot
+    GROUP BY blk
+    ORDER BY n_docs DESC, blk ASC
+    LIMIT 20
+    """,
+)
+def template_openers(spark, sf_dir):
+    """Template / boilerplate-opener detection (round 9): the hottest
+    two-token document openers with their corpus share — the REPORT
+    side of the blocked fuzzy join's contract (`fuzzy_prefix_pairs`
+    drops over-hot opener blocks as boilerplate "reported by template
+    detection, not pair-expanded"; this is that detector). A crawl
+    corpus's templated pages (navigation shells, cookie banners,
+    machine-generated listings) concentrate into a handful of openers,
+    and this sheet is what decides the fuzzy join's block cap and the
+    dedup pipeline's template denylist.
+
+    Scale shape: the SAME blocking-key derivation as the fuzzy join
+    (pure map fused into the scan), one combinable groupBy on the
+    opener key, a one-row corpus total broadcast back (never a second
+    pass over data), and TakeOrdered for the top-k — no global sort,
+    no unbounded state. At 100 TB exactly one aggregation of (opener,
+    count) pairs crosses the network."""
+    d = load_table(spark, "documents", sf_dir)
+    k = (
+        d.where(F.length("text") >= 40)
+        .select(F.split(F.substring("text", 1, 40), " ").alias("w"))
+        .where(F.size("w") >= 2)
+        .select(F.concat_ws(" ", F.col("w")[0], F.col("w")[1]).alias("blk"))
+    )
+    counts = k.groupBy("blk").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "blk",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("blk").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "token_drift_top_contributors",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, COUNT(*) AS n_st
+        FROM toks GROUP BY source, token
+    ),
+    s_tot AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source),
+    t_tot AS (SELECT token, SUM(n_st) AS n_t FROM st GROUP BY token),
+    g_tot AS (SELECT SUM(n_st) AS n_g FROM st),
+    contrib AS (
+        SELECT st.source, st.token, st.n_st,
+               ROUND((st.n_st * 1.0 / s_tot.n_s)
+                     * LN((st.n_st * 1.0 * g_tot.n_g) / (s_tot.n_s * 1.0 * t_tot.n_t)),
+                     6) AS kl_contrib
+        FROM st
+        JOIN s_tot ON st.source = s_tot.source
+        JOIN t_tot ON st.token = t_tot.token
+        CROSS JOIN g_tot
+    )
+    SELECT source, token, CAST(n_st AS BIGINT) AS n_st, kl_contrib
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY kl_contrib DESC, token ASC
+        ) AS rn
+        FROM contrib
+    ) WHERE rn <= 5
+    """,
+)
+def token_drift_top_contributors(spark, sf_dir):
+    """Corpus drift / source-skew detection (round 9): for every
+    source, the tokens contributing most to its KL divergence from the
+    corpus-wide token distribution — p(t|s) * ln(p(t|s)/p(t)), the
+    per-term decomposition of D_KL(source || corpus). This is the
+    sheet a data-mixing pass reads to see WHAT makes a source
+    distributionally different (domain jargon, boilerplate, language
+    mix) before deciding its mixture weight, and the monitoring signal
+    for detecting a crawl snapshot drifting from the training
+    distribution.
+
+    Scale shape: one explode + combinable (source, token) count is the
+    only corpus-sized aggregation; source totals (|sources| rows) and
+    the grand total (1 row) broadcast back, token totals are
+    vocabulary-sized and join back exactly like tf-idf's df table. The
+    per-source top-k window runs on the vocabulary-sized contribution
+    table partitioned by source, never on raw tokens. The ln argument
+    is a ratio of integer counts, so both engines evaluate ln at
+    bit-identical doubles and ROUND(6) agrees."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, "documents", sf_dir)
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    g_tot = st.agg(F.sum("n_st").alias("n_g"))
+    contrib = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "token")
+        .join(F.broadcast(g_tot))
+        .select(
+            "source",
+            "token",
+            "n_st",
+            F.round(
+                (F.col("n_st") * 1.0 / F.col("n_s"))
+                * F.log(
+                    (F.col("n_st") * 1.0 * F.col("n_g"))
+                    / (F.col("n_s") * 1.0 * F.col("n_t"))
+                ),
+                6,
+            ).alias("kl_contrib"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("kl_contrib").desc(), F.col("token").asc())
+    return (
+        contrib.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "token", F.col("n_st").cast("long").alias("n_st"), "kl_contrib")
+    )
