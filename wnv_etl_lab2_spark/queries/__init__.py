@@ -61,94 +61,99 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# none — the round-7 window banked real rows-only evidence for the
-# whole rows-only set, so round 8 is all-oracle. tests/test_entry.py
-# enforces that everything in the window carries an exact oracle
-# (and, were a rows-only query ever windowed again, that its output
-# schema is atomic-only so the driver's canonicalizer can record it —
-# the r6 approx_percentile_stats slot burned on an array<double>
-# column).
-FRONT_ROWS_ONLY_OK: set[str] = set()
+# time_travel_audit only — it landed after the r8 window ran and has
+# never had a driver row; its schema is atomic-only (version, op,
+# n_rows, n_files, scanned_rows — test_entry.py's canonicalizer check
+# covers it), so the slot can't burn the way the r6 array<double>
+# incident did. Everything else in the window carries an exact oracle.
+FRONT_ROWS_ONLY_OK: set[str] = {"time_travel_audit"}
 
 _FRONT = [
-    # Round-8 window — the pre-committed r4-stale deferral list plus
-    # this round's modified/new queries and the oldest r5-greens.
+    # Round-9 window — exactly as pre-committed by the r8 block below
+    # plus this round's new/replanned queries and the oldest r6-greens.
     # Rotation history: r1 = relational/spatial/SQL surface; r2 =
     # LLM-pipeline + temporal; r3 = remaining oracle-backed +
     # rows-only; r4 = new ops + the r1-stale block; r5 = new ops +
     # the r2-stale block; r6 = new ops + r2/r3-stale re-verifies;
-    # r7 = rows-only evidence + r3/r4-stale + new ops. This window =
-    # (a) the 21 queries deferred from r7 exactly as pre-committed
-    # (the 20-name list + row_count), (b) the two pair-backbone
-    # queries whose physical plan changed this round (shuffle-floor
-    # cut — fresh evidence required even though containment_pairs is
-    # r7-green), (c) the new round-8 operators, (d) the 25 oldest
-    # r5-greens, reference-parity O-ops and the heavy LLM-pipeline
-    # set first. Deferred to round 9 (r5-green, lowest remaining
-    # drift risk): table_profile, data_quality_checks,
-    # cohort_retention, event_dedup_window, attribution_last_touch,
-    # rolling_median_value, gap_fill_interpolate, repetition_filter,
-    # neardup_threshold_sweep, embedding_quantize_int8,
-    # neardup_keep_better, neardup_graph_stats, label_cohesion_stats,
-    # binary_frame_fingerprints, udtf_token_windows,
-    # stratified_sample_topk, quality_rules_filter,
-    # source_mixture_weights, stable_doc_ids, groupwise_zscore_arrow,
-    # upsert_snapshot_merge, temperature_mixture_weights,
-    # corpus_dashboard, weighted_sample_es.
-    # (a) the 21 pre-committed r4-stale deferrals
-    "array_functions",
-    "scalar_string_date_funcs",
-    "misc_agg_filter_bool",
-    "distinct_count",
-    "intersect_keys",
-    "except_keys",
-    "nullsafe_join",
-    "semi_join_open_orders",
-    "anti_join_no_premium_order",
-    "order_priority_check",
-    "window_running_sum",
-    "window_navigation",
-    "deterministic_shuffle_order",
-    "dedup_distinct_rows",
-    "order_count_histogram",
-    "unpivot_part_metrics",
-    "window_range_frame",
-    "salted_join_agg",
-    "sales_opportunity",
-    "shipping_priority_buckets",
-    "row_count",
-    # (b) plan changed this round (r8 shuffle-floor rebuild)
-    "ngram_jaccard_pairs",
-    "containment_pairs",
-    # (c) new round-8 operators (first evidence)
+    # r7 = rows-only evidence + r3/r4-stale + new ops; r8 = the r4-
+    # stale deferrals + pair-backbone replan + new ops + r5-stale.
+    # This window = (a) the two queries that landed after the r8
+    # window ran and have NEVER had a driver row (the r8 verdict's
+    # first ask), (b) the 24 pre-committed r5-stale deferrals,
+    # verbatim the list the r8 block recorded, (c) fuzzy_prefix_pairs,
+    # whose physical plan changed this round (hot-block-complement
+    # anti-join replacing the keep-set broadcast — fresh evidence
+    # required on plan change even though it is r8-green), (d) the
+    # three new round-9 operators, (e) the 20 oldest r6-greens,
+    # reference-parity O-ops and the heavy LLM-pipeline set first.
+    # After this window lands, no query's evidence is older than r6.
+    # Deferred to round 10 (r6-green, lowest remaining drift risk):
+    # regional_revenue, salted_groupby, argmax_per_group,
+    # promo_revenue_share, collect_sorted_agg, customer_rfm_segments,
+    # rollup_agg, cube_agg, json_extraction, pivot_agg,
+    # window_topk_per_group, tumbling_window_batch, correlated_exists,
+    # intersect_all_multiset, except_all_multiset,
+    # top_supplier_revenue, small_qty_part_revenue,
+    # large_volume_orders, late_shipper_chain, rolling_zscore_events,
+    # event_transition_matrix, deterministic_sample, denylist_scrub,
+    # word_entropy_quality, forecast_revenue_change,
+    # nation_volume_shipping, nation_market_share,
+    # returned_item_ranking, disjunctive_predicate_revenue.
+    # (a) never driver-checked (added after the r8 window ran)
+    "classifier_confusion_matrix",
+    "time_travel_audit",
+    # (b) the 24 pre-committed r5-stale deferrals
+    "table_profile",
+    "data_quality_checks",
+    "cohort_retention",
+    "event_dedup_window",
+    "attribution_last_touch",
+    "rolling_median_value",
+    "gap_fill_interpolate",
+    "repetition_filter",
+    "neardup_threshold_sweep",
+    "embedding_quantize_int8",
+    "neardup_keep_better",
+    "neardup_graph_stats",
+    "label_cohesion_stats",
+    "binary_frame_fingerprints",
+    "udtf_token_windows",
+    "stratified_sample_topk",
+    "weighted_sample_es",
+    "quality_rules_filter",
+    "source_mixture_weights",
+    "stable_doc_ids",
+    "groupwise_zscore_arrow",
+    "upsert_snapshot_merge",
+    "temperature_mixture_weights",
+    "corpus_dashboard",
+    # (c) plan changed this round (broadcast-side fix)
     "fuzzy_prefix_pairs",
-    "source_quantile_normalize",
-    # (d) r5-stale re-verifies (25 of 50)
-    "spatial_buffer_erase",
-    "spatial_within_buffer",
-    "spray_targets",
-    "concave_zone_clip",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "tfidf_top_terms",
-    "winnow_fingerprints",
-    "decontamination_overlap",
-    "ngram_counts_top",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "corpus_curation_stats",
-    "repeated_span_removal",
-    "knn_join_bruteforce",
-    "embedding_neardup_pairs",
-    "ann_topk_bruteforce",
-    "doc_chunking",
-    "embedding_centroid_stats",
-    "chunk_dedup_stats",
-    "cross_source_duplication",
-    "train_val_test_split",
-    "split_leakage_check",
-    "scd2_customer_history",
-    "zipf_top_words",
+    # (d) new round-9 operators (first evidence)
+    "template_openers",
+    "token_drift_top_contributors",
+    "interleave_mixture_schedule",
+    # (e) r6-stale re-verifies (20 of 50): O-ops + heavy LLM set first
+    "lookup_enrichment_join",
+    "spatial_join_count",
+    "holed_zone_clip",
+    "spatial_zone_rollup",
+    "pricing_summary",
+    "multiway_join_topk_revenue",
+    "text_stats",
+    "token_count",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "bigram_pmi_top",
+    "stop_shingle_report",
+    "bm25_topk",
+    "unigram_logprob_quality",
+    "embedding_norms",
+    "semantic_decontamination",
+    "frame_overlap_pairs",
+    "sequence_packing",
+    "vocab_coverage",
+    "grouped_agg_pandas_udaf",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order
