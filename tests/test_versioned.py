@@ -340,3 +340,38 @@ def test_manifest_paths_fully_qualified_and_legacy_scheme_less_still_work(
     # vacuum must NOT delete the files the legacy-form manifest keeps
     vacuum_table(spark, path, keep_last=1)
     assert read_table(spark, path).count() == 5
+
+
+def test_optimize_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): the rewritten snapshot is
+    content-identical, and after ANALYZE a narrow predicate on EITHER
+    clustered column skips files — the multi-dimensional layout
+    property a linear sort can only give its first key."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        collect_stats,
+        optimize_table,
+        read_table_pruned,
+    )
+
+    path = str(tmp_path / "tbl")
+    # x and y independent, so a linear sort on x leaves y unclustered
+    base = spark.range(4000).selectExpr(
+        "id", "id % 61 AS x", "CAST(pmod(id * 2654435761, 61) AS BIGINT) AS y"
+    )
+    create_table(base, path)
+    before = _content(read_table(spark, path))
+    v = optimize_table(spark, path, target_files=16, zorder_by=("x", "y"))
+    assert _content(read_table(spark, path, v)) == before  # content-identical
+    va = collect_stats(spark, path, ["x", "y"])
+    m = _read_manifest(spark, path, va)
+    n_files = len(m["files"])
+    assert n_files >= 8
+    for col in ("x", "y"):
+        pruned = read_table_pruned(spark, path, col, 5, 12)
+        full = read_table(spark, path).where(f"{col} BETWEEN 5 AND 12")
+        assert {r.id for r in pruned.collect()} == {r.id for r in full.collect()}
+        n_scanned = len(pruned.inputFiles())
+        assert 0 < n_scanned <= n_files // 2, (
+            f"zorder pruning on {col}: scanned {n_scanned} of {n_files}"
+        )

@@ -94,18 +94,30 @@ PER_UNIT_X16_GATES = {
     "ngram_counts_top": 0.5,
     "repeated_span_removal": 0.5,
     "sessionize_events": 0.5,
-    # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in
-    # r8, shuffle measured (0.71%) but never replication-curved. The
-    # block cap (256) is exactly the kind of knob whose pileup
-    # behavior this smoke exists to pin: replication makes every
-    # opener block k-fold deeper, so blocks near the cap at x1 CROSS
-    # it at x16 and must be dropped by the hot-block anti-join, not
-    # pair-expanded. Staged/scan-inclusive (gate 0.5, like the other
-    # registered-query rows); the dedicated every-doc-same-opener
-    # adversarial point below stresses the cap's degenerate case (ONE
-    # corpus-sized block).
-    "fuzzy_prefix_pairs": 0.5,
 }
+
+# Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
+# shuffle measured (0.71%) but never replication-curved. Its gate is
+# OUTPUT-NORMALIZED, not input-normalized: at the 256 cap the x1-x16
+# replication regime sits entirely BELOW truncation (x1 blocks are
+# <= 14 deep, so x16 blocks are <= 224 — every one legitimately
+# expanded), and qualifying output pairs grow ~k^2 per opener cluster
+# (measured: 256 pairs at x1 -> 665,536 at x16, ~2600x). An
+# input-normalized per-unit gate would therefore fail (measured 1.55)
+# while the operator is doing exactly the declared bounded work — the
+# honest bound is that the cost PER EMITTED PAIR must not rise as the
+# corpus grows (you cannot emit pairs cheaper than emitting them):
+# per-pair x16 <= per-pair x1. Measured ~0.01 (per-pair cost FELL
+# ~100x — fixed cost amortized over k^2 output). The cap's truncation
+# behavior is pinned separately by the every-doc-same-opener
+# degenerate point below, where ONE corpus-sized block must collapse
+# to zero pair work.
+FUZZY_PER_PAIR_X16_GATE = 1.0
+# the degenerate same-opener corpus does strictly less work than the
+# normal x1 run (two block aggregations, zero pair expansion) on 16x
+# the scan — gate it against the NORMAL X1 wall, not the x16 wall
+# (measured 0.36 s vs x1 1.21 s)
+FUZZY_ADV_VS_X1_GATE = 2.0
 
 
 def replicate(df: DataFrame, id_col: str, k: int) -> DataFrame:
@@ -225,14 +237,19 @@ History — this smoke caught a real quadratic, then verified the fix:
   replication turns every doc into a 16-deep exact-dup group, the
   precise stress its dedup-first stage exists to absorb.
 - Round 9 curved the blocked fuzzy join (`fuzzy_prefix_pairs`,
-  VERDICT r8 #5) two ways: the standard replication row (staged,
-  scan-inclusive, gate 0.5 — every opener block k-fold deeper, blocks
-  near the cap at x1 cross it at x16 and must be DROPPED by the
-  hot-block anti-join, which round 9 also flipped to broadcast the
-  tiny cnt>256 complement instead of the unbounded keep set), plus a
-  degenerate every-doc-same-opener x16 point where the whole corpus
-  is ONE block: the cap must reduce it to zero pair work, so its wall
-  is gated at <= 1.25x the normal x16 wall.
+  VERDICT r8 #5) — and the first run caught the gate-shape being
+  WRONG, not the operator: an input-normalized 0.5 gate flagged
+  per-unit 1.55 at x16, but the output-pair count showed 256 -> 665k
+  pairs (~2600x, qualifying pairs grow k^2 per opener cluster below
+  the cap) against a 25x wall — per-PAIR cost fell ~100x. The family
+  is output-shaped like the exact-pair backbone, so its enforced gate
+  is per-pair x16 <= per-pair x1, with the cap's truncation pinned by
+  a degenerate every-doc-same-opener x16 point (ONE corpus-sized
+  block, ~4.6e11 candidate pairs if the cap leaked) that must cost no
+  more than 2x the NORMAL X1 wall — zero pair work, just the two
+  block aggregations (round 9 also flipped the cap filter to
+  broadcast the tiny cnt>256 complement instead of the unbounded
+  keep set).
 """
 
 
@@ -457,6 +474,13 @@ def main() -> None:
         f"{fuzzy_adv_x16:.2f}s, {fuzzy_adv_rows} pairs",
         flush=True,
     )
+    # output-pair counts for the fuzzy per-PAIR gate (the staged x1 and
+    # x16 dirs are still on disk from the main loop)
+    fuzzy_pairs = {
+        k: fuzzy_prefix_pairs(spark, os.path.join(staging_root, f"x{k}")).count()
+        for k in (1, 16)
+    }
+    print(f"fuzzy output pairs: x1 {fuzzy_pairs[1]}, x16 {fuzzy_pairs[16]}", flush=True)
     shutil.rmtree(staging_root, ignore_errors=True)
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -482,6 +506,15 @@ def main() -> None:
         failures = []
         for name, by_k in results.items():
             per_unit = by_k[16] / (16 * by_k[1])
+            if name == "fuzzy_prefix_pairs":
+                # output-shaped family: the enforced gate is per-PAIR,
+                # written in its own section below the table
+                f.write(
+                    f"| {name} | {by_k[1]:.2f} | {by_k[4]:.2f} | {by_k[16]:.2f} "
+                    f"| {by_k[4] / by_k[1]:.1f}x | {by_k[16] / by_k[1]:.1f}x "
+                    f"| {per_unit:.2f}x | output-normalized, see below |\n"
+                )
+                continue
             gate = PER_UNIT_X16_GATES[name]
             ok = per_unit <= gate
             if not ok:
@@ -530,17 +563,33 @@ def main() -> None:
             f"{cur_per_unit:.2f}x, gate <= {CURATION_X64_GATE} "
             f"{'PASS' if cur_ok else '**FAIL**'}.\n"
         )
-        FUZZY_ADV_SLACK = 1.25
-        fuzzy_adv_ok = fuzzy_adv_x16 <= FUZZY_ADV_SLACK * results[
-            "fuzzy_prefix_pairs"
-        ][16]
+        fz = results["fuzzy_prefix_pairs"]
+        per_pair_x1 = fz[1] / fuzzy_pairs[1]
+        per_pair_x16 = fz[16] / fuzzy_pairs[16]
+        pp_ratio = per_pair_x16 / per_pair_x1
+        pp_ok = pp_ratio <= FUZZY_PER_PAIR_X16_GATE
+        if not pp_ok:
+            failures.append(
+                ("fuzzy_per_pair_x16", pp_ratio, FUZZY_PER_PAIR_X16_GATE)
+            )
+        f.write(
+            f"\nfuzzy_prefix_pairs (round 9) is gated OUTPUT-NORMALIZED: at "
+            f"the 256 block cap the x1-x16 regime sits entirely below "
+            f"truncation (x1 opener blocks are <= 14 deep, so x16 blocks "
+            f"are <= 224 and every one is legitimately pair-expanded), and "
+            f"qualifying output pairs grow ~k^2 per opener cluster — "
+            f"measured {fuzzy_pairs[1]:,} pairs at x1 -> {fuzzy_pairs[16]:,} "
+            f"at x16 ({fuzzy_pairs[16] / fuzzy_pairs[1]:.0f}x) against a "
+            f"{fz[16] / fz[1]:.0f}x wall. An input-normalized per-unit gate "
+            f"would flag exactly the declared bounded behavior; the honest "
+            f"bound is cost PER EMITTED PAIR, which must not rise with the "
+            f"corpus: per-pair x16/x1 = {pp_ratio:.3f}, gate <= "
+            f"{FUZZY_PER_PAIR_X16_GATE} {'PASS' if pp_ok else '**FAIL**'}.\n"
+        )
+        fuzzy_adv_ok = fuzzy_adv_x16 <= FUZZY_ADV_VS_X1_GATE * fz[1]
         if not fuzzy_adv_ok:
             failures.append(
-                (
-                    "fuzzy_same_opener_x16",
-                    fuzzy_adv_x16 / results["fuzzy_prefix_pairs"][16],
-                    FUZZY_ADV_SLACK,
-                )
+                ("fuzzy_same_opener_x16", fuzzy_adv_x16 / fz[1], FUZZY_ADV_VS_X1_GATE)
             )
         f.write(
             f"\nfuzzy_prefix_pairs degenerate pileup (round 9): every doc "
@@ -548,11 +597,11 @@ def main() -> None:
             f"{rows[16]:,}-doc corpus lands in ONE block (~"
             f"{rows[16] * (rows[16] - 1) // 2:,} candidate pairs if the cap "
             f"leaked). The hot-block anti-join drops it: {fuzzy_adv_rows} "
-            f"pairs emitted, wall {fuzzy_adv_x16:.2f} s vs normal-x16 "
-            f"{results['fuzzy_prefix_pairs'][16]:.2f} s, gate <= "
-            f"{FUZZY_ADV_SLACK}x normal "
-            f"{'PASS' if fuzzy_adv_ok else '**FAIL**'} — cost is the two "
-            f"block aggregations, never pair expansion.\n"
+            f"pairs emitted, wall {fuzzy_adv_x16:.2f} s — gated against the "
+            f"NORMAL X1 wall ({fz[1]:.2f} s), since zero pair work on a 16x "
+            f"scan must cost no more than {FUZZY_ADV_VS_X1_GATE}x the x1 "
+            f"run: {'PASS' if fuzzy_adv_ok else '**FAIL**'} — cost is the "
+            f"two block aggregations, never pair expansion.\n"
         )
         f.write(
             "\nGates are DECLARED AND ENFORCED by tools/scale_smoke.py "

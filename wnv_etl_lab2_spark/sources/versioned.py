@@ -430,16 +430,44 @@ def merge_upsert_table(updates: DataFrame, table_path: str, key: str) -> int:
 
 
 def optimize_table(
-    spark: SparkSession, table_path: str, target_files: int = 1
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 1,
+    zorder_by: tuple[str, str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot into ``target_files``
     files as a new version. Content-identical by construction (same
     rows, new layout); the old small-file version remains time-
-    travelable until vacuum."""
+    travelable until vacuum.
+
+    ``zorder_by=(colA, colB)`` is OPTIMIZE ZORDER BY (round 9,
+    composing `sources/layout.py` into the version protocol): instead
+    of a plain coalesce, rows are range-partitioned on the Morton
+    interleave of the two keys and sorted within partitions, so every
+    written file owns a contiguous curve segment and BOTH columns'
+    per-file [min, max] ranges stay narrow — the layout that makes a
+    following ANALYZE + `read_table_pruned` skip most files on EITHER
+    predicate column, exactly Delta/Iceberg's OPTIMIZE ZORDER. The
+    helper code column is dropped before the write, so the snapshot
+    schema (and content) is unchanged."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
-    compacted = read_table(spark, table_path, cur).coalesce(max(1, target_files))
+    base = read_table(spark, table_path, cur)
+    if zorder_by is None:
+        compacted = base.coalesce(max(1, target_files))
+    else:
+        from pyspark.sql import functions as F
+
+        from wnv_etl_lab2_spark.sources.layout import _rank_col, morton_code
+
+        a, b = zorder_by
+        compacted = (
+            base.withColumn("_z", morton_code(_rank_col(base, a), _rank_col(base, b)))
+            .repartitionByRange(max(1, target_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
     return _write_version(compacted, table_path, cur + 1, "optimize", expect_latest=cur)
 
 
