@@ -98,7 +98,9 @@ _FRONT = [
     # event_transition_matrix, deterministic_sample, denylist_scrub,
     # word_entropy_quality, forecast_revenue_change,
     # nation_volume_shipping, nation_market_share,
-    # returned_item_ranking, disjunctive_predicate_revenue.
+    # returned_item_ranking, disjunctive_predicate_revenue,
+    # grouped_agg_pandas_udaf (displaced from this window's fill block
+    # by embedding_covariance_int8's first-evidence slot).
     # (a) never driver-checked (added after the r8 window ran)
     "classifier_confusion_matrix",
     "time_travel_audit",
@@ -133,6 +135,7 @@ _FRONT = [
     "template_openers",
     "token_drift_top_contributors",
     "interleave_mixture_schedule",
+    "embedding_covariance_int8",
     # (e) r6-stale re-verifies (20 of 50): O-ops + heavy LLM set first
     "lookup_enrichment_join",
     "spatial_join_count",
@@ -153,7 +156,6 @@ _FRONT = [
     "frame_overlap_pairs",
     "sequence_packing",
     "vocab_coverage",
-    "grouped_agg_pandas_udaf",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

@@ -1058,3 +1058,84 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+# the covariance finalization, shared VERBATIM between the Spark side
+# and the DuckDB oracle (and reused by operators/linalg.py's Arrow
+# twin): every input is an exact integer aggregate, and the explicit
+# DOUBLE cast keeps BOTH engines in IEEE double (DuckDB would promote
+# a `* 1.0` to exact DECIMAL arithmetic and diverge from Spark's
+# double), so the identical operations round identically at 6 places.
+_COV_FINAL = "ROUND((s12 - CAST(s1 AS DOUBLE) * s2 / n) / (n - 1), 6)"
+
+
+@register(
+    "embedding_covariance_int8",
+    oracle=f"""
+    WITH g AS (
+        SELECT list_transform(embedding,
+                              v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    idx AS (
+        SELECT a.range AS i, b.range AS j
+        FROM range(64) a, range(64) b
+        WHERE b.range >= a.range
+    ),
+    prods AS (
+        SELECT i, j,
+               q[CAST(i AS INTEGER) + 1] AS qi,
+               q[CAST(j AS INTEGER) + 1] AS qj
+        FROM g, idx
+    ),
+    agg AS (
+        SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+               COUNT(*) AS n, SUM(qi) AS s1, SUM(qj) AS s2, SUM(qi * qj) AS s12
+        FROM prods GROUP BY 1, 2
+    )
+    SELECT i, j, CAST(n AS BIGINT) AS n, {_COV_FINAL} AS cov_q
+    FROM agg
+    """,
+)
+def embedding_covariance_int8(spark, sf_dir):
+    """Distributed covariance / Gram matrix of the embedding column
+    (round 9) — the PCA / whitening / spectral-diagnostic prep step an
+    embedding pipeline runs before dimensionality reduction, subspace
+    drift checks, or decorrelation. Computed on a FIXED-GRID integer
+    quantization (round(v * 1000), the same int-space trick as
+    `embedding_quantize_int8`): every aggregate (n, sum_i, sum_j,
+    sum_ij) is an exact BIGINT, so the result is order-insensitive and
+    bit-identical across engines — float covariance would drift in the
+    last bits under Spark's vs DuckDB's different summation orders.
+
+    Scale shape: the upper-triangle (i, j, qi*qj) expansion is a pure
+    map (d(d+1)/2 = 2080 structs per row for d=64), and the ONLY
+    shuffle is a combinable groupBy over a CONSTANT key space (2080
+    keys) — map-side partials reduce each partition to <= 2080 rows
+    regardless of corpus size, the textbook distributed Gram matrix.
+    At 100 TB the per-row expansion cost dominates; the production
+    kernel (`operators/linalg.gram_matrix_int`, pinned bit-identical
+    to this query) replaces it with one numpy X^T X per Arrow batch —
+    same integers, BLAS throughput, identical final division."""
+    from wnv_etl_lab2_spark.operators.geometry import let_sql
+
+    q_expr = "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))"
+    body = (
+        "flatten(transform(sequence(0, size(_q) - 1), i -> "
+        "transform(sequence(i, size(_q) - 1), j -> named_struct("
+        "'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT), "
+        "'qi', _q[i], 'qj', _q[j]))))"
+    )
+    chain = let_sql(q_expr, "_q", body)
+    emb = load_table(spark, "embeddings", sf_dir)
+    agg = (
+        emb.select(F.expr(f"inline({chain})"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qi").alias("s1"),
+            F.sum("qj").alias("s2"),
+            F.sum(F.col("qi") * F.col("qj")).alias("s12"),
+        )
+    )
+    return agg.select("i", "j", "n", F.expr(_COV_FINAL).alias("cov_q"))
