@@ -375,3 +375,48 @@ def test_optimize_zorder_prunes_on_both_dimensions(spark, tmp_path):
         assert 0 < n_scanned <= n_files // 2, (
             f"zorder pruning on {col}: scanned {n_scanned} of {n_files}"
         )
+
+
+def test_append_chain_checkpoints_bound_resolution_and_survive_vacuum(
+    spark, tmp_path
+):
+    """Log-structured appends (r9): a 23-append chain stays O(batch)
+    per manifest, auto-checkpoints land every CHECKPOINT_EVERY
+    versions, readers resolve through the NEWEST checkpoint at-or-below
+    their version (bounded walk), and vacuum's checkpoint at the
+    oldest kept version keeps every kept snapshot readable after its
+    ancestors' manifests are dropped."""
+    import glob
+    import os
+
+    from wnv_etl_lab2_spark.sources import versioned
+    from wnv_etl_lab2_spark.sources.versioned import append_table
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, 0)], "id long, v long"), tbl)
+    for i in range(1, 24):
+        append_table(spark.createDataFrame([(i, i)], "id long, v long"), tbl)
+    # every append manifest is O(batch): one added file list, no full list
+    for v in range(1, 24):
+        m = versioned._read_manifest(spark, tbl, v)
+        assert "files" not in m and m["parent"] == v - 1
+        assert len(m["add"]) >= 1
+    # auto-checkpoints at 10 and 20
+    cks = sorted(
+        int(os.path.basename(p)[len("_ckpt-"):-len(".json")])
+        for p in glob.glob(f"{tbl}/_log/_ckpt-*.json")
+    )
+    assert cks == [10, 20]
+    # resolution correct at every version (count == version+1 rows)
+    for v in (0, 5, 10, 15, 20, 23):
+        assert read_table(spark, tbl, v).count() == v + 1
+    # vacuum to the last 4: the oldest kept version (20) gets a
+    # checkpoint, dropped versions' manifests and checkpoints go away,
+    # and every kept version still reads correctly
+    dropped = vacuum_table(spark, tbl, keep_last=4)
+    assert dropped == list(range(20))
+    assert not os.path.exists(f"{tbl}/_log/_ckpt-{10:08d}.json")
+    for v in (20, 21, 22, 23):
+        assert read_table(spark, tbl, v).count() == v + 1
+    with pytest.raises(ValueError):
+        read_table(spark, tbl, 5)

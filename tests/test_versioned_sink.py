@@ -60,17 +60,23 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert read_table(spark, tbl).count() == 2
 
 
-def test_append_reuses_previous_files(spark, tmp_path):
+def test_append_manifest_is_o_batch_and_resolves_to_superset(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import _resolve_files
+
     tbl = str(tmp_path / "tbl")
     create_table(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
     append_table(spark.createDataFrame([(2, "b")], "id long, v string"), tbl)
     m0 = _read_manifest(spark, tbl, 0)
     m1 = _read_manifest(spark, tbl, 1)
-    assert set(m0["files"]) < set(m1["files"])  # strict superset: reuse + new
+    # log-structured append (r9): the manifest records ONLY the added
+    # files + a parent pointer — O(batch) metadata per commit — and
+    # resolution reconstructs the full snapshot as reuse + new
+    assert "files" not in m1 and m1["parent"] == 0
+    assert all("/data/v1-" in f for f in m1["add"])
     assert m1["n_rows"] == 2
-    # the appended version wrote ONLY its own rows' files
-    new_files = set(m1["files"]) - set(m0["files"])
-    assert all("/data/v1-" in f for f in new_files)
+    r0, r1 = (set(_resolve_files(spark, tbl, v)) for v in (0, 1))
+    assert set(m0["files"]) == r0 and r0 < r1  # strict superset
+    assert r1 - r0 == set(m1["add"])
 
 
 def test_vacuum_keeps_files_shared_with_kept_versions(spark, tmp_path):

@@ -28,15 +28,19 @@ protocol below is the minimal honest subset:
 - OPTIMIZE is content-identical compaction as a new version — the
   maintenance story (`sources/maintenance.py`) with history kept.
 
-At 100 TB the manifest lists ~target-sized files (the compaction
-contract bounds file count); commit is one small-file create; time
-travel costs exactly the listed files' scan. Per-file column stats
-(ANALYZE via `collect_stats`) enable manifest-level FILE SKIPPING
-(`read_table_pruned`) before any footer is opened — composing with
-`sources/layout.py` Z-order clustering, which is what makes per-file
-ranges tight. What this subset still omits vs a real format —
-checkpointed logs and cross-table transactions — is documented, not
-faked.
+At 100 TB full-snapshot manifests list ~target-sized files (the
+compaction contract bounds file count); commit is one small-file
+create; time travel costs exactly the resolved files' scan. APPEND
+manifests are LOG-STRUCTURED (round 9): O(batch) added-file entries
+plus a parent pointer, with auto-checkpoints every CHECKPOINT_EVERY
+versions bounding the reader's chain walk — the Delta delta-log +
+checkpoint shape, which keeps an infinite streaming append chain's
+metadata O(batch) per commit instead of O(snapshot). Per-file column
+stats (ANALYZE via `collect_stats`) enable manifest-level FILE
+SKIPPING (`read_table_pruned`) before any footer is opened —
+composing with `sources/layout.py` Z-order clustering, which is what
+makes per-file ranges tight. What this subset still omits vs a real
+format — cross-table transactions — is documented, not faked.
 """
 
 from __future__ import annotations
@@ -83,9 +87,85 @@ def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
     out = []
     for st in fs.listStatus(log):
         name = st.getPath().getName()
-        if name.endswith(".json"):
+        # only NNNNNNNN.json entries are versions; checkpoints
+        # (_ckpt-*.json) and temp files are protocol sidecars
+        if name.endswith(".json") and name[: -len(".json")].isdigit():
             out.append(int(name[: -len(".json")]))
     return sorted(out)
+
+
+# A checkpoint (the Delta-style log compaction this protocol cited as
+# its omitted next step through round 8) stores one version's fully
+# RESOLVED file list, so readers walking an append chain stop at the
+# newest checkpoint at-or-below their version instead of replaying the
+# chain to its last full snapshot. Appends auto-checkpoint every
+# CHECKPOINT_EVERY versions (Delta's default cadence), and vacuum
+# writes one at the oldest kept version before dropping older
+# manifests — which is what makes dropping an append's parents safe.
+CHECKPOINT_EVERY = 10
+
+
+def _ckpt_path(jvm, table_path: str, version: int):
+    return jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(table_path, _LOG_DIR, f"_ckpt-{version:08d}.json")
+    )
+
+
+def _read_checkpoint(spark: SparkSession, table_path: str, version: int) -> dict | None:
+    fs, jvm = _fs(spark, table_path)
+    p = _ckpt_path(jvm, table_path, version)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        buf = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        data = []
+        line = buf.readLine()
+        while line is not None:
+            data.append(line)
+            line = buf.readLine()
+        return json.loads("\n".join(data))
+    finally:
+        stream.close()
+
+
+def _write_checkpoint(
+    spark: SparkSession, table_path: str, version: int, files: list[str]
+) -> None:
+    """Best-effort, idempotent (content is deterministic for a given
+    version, so overwrite is safe); never part of the commit's
+    atomicity — a missing checkpoint only costs a longer chain walk."""
+    fs, jvm = _fs(spark, table_path)
+    out = fs.create(_ckpt_path(jvm, table_path, version), True)
+    try:
+        out.write(
+            json.dumps({"version": version, "files": sorted(files)}, sort_keys=True)
+            .encode("utf-8")
+        )
+    finally:
+        out.close()
+
+
+def _resolve_files(spark: SparkSession, table_path: str, version: int) -> list[str]:
+    """A version's full file list. Full-snapshot manifests (create/
+    overwrite/delete/merge/optimize/analyze) carry it directly; append
+    manifests carry only their ADDED files plus a parent pointer, so
+    the walk accumulates adds until it hits a full manifest or a
+    checkpoint — O(appends since the last checkpoint), bounded by
+    CHECKPOINT_EVERY in steady state."""
+    adds: list[str] = []
+    v = version
+    while True:
+        ck = _read_checkpoint(spark, table_path, v)
+        if ck is not None:
+            return sorted(set(ck["files"]).union(adds))
+        m = _read_manifest(spark, table_path, v)
+        if "files" in m:
+            return sorted(set(m["files"]).union(adds))
+        adds.extend(m["add"])
+        v = m["parent"]
 
 
 def latest_version(spark: SparkSession, table_path: str) -> int | None:
@@ -273,18 +353,22 @@ def append_table(
     batch_id: int | None = None,
     writer_id: str | None = None,
 ) -> int:
-    """APPEND as a new version in O(batch), not O(table): only the new
-    rows are written (under the new version's data dir); the manifest
-    lists the PREVIOUS version's files plus the new ones — file reuse,
-    exactly how real formats make appends cheap, and the reason
-    vacuum reference-counts files instead of assuming per-version
-    ownership. ``batch_id`` stamps the manifest for idempotent
-    streaming sinks (see streaming/versioned_sink.py): a replayed
-    micro-batch can check whether its id already committed. Schema
-    evolution is ADDITIVE-ONLY and checked BEFORE any data is written:
-    a batch may introduce new columns (the manifest records the
-    evolved union schema; old files read as null for them) but a type
-    change on an existing column raises — see `_merge_schemas`."""
+    """APPEND as a new version in O(batch) — data AND metadata: only
+    the new rows are written (under the new version's data dir), and
+    the manifest records only the ADDED files plus a parent pointer
+    (round 9 — the Delta-style delta log; through round 8 every append
+    manifest re-listed the whole snapshot, O(snapshot-files) JSON per
+    append, which at 100 TB is tens of MB of manifest per micro-batch).
+    Readers resolve the full list via `_resolve_files` (walk to the
+    nearest checkpoint or full manifest); every CHECKPOINT_EVERY-th
+    append writes a checkpoint so the walk stays bounded. ``batch_id``
+    stamps the manifest for idempotent streaming sinks (see
+    streaming/versioned_sink.py): a replayed micro-batch can check
+    whether its id already committed. Schema evolution is
+    ADDITIVE-ONLY and checked BEFORE any data is written: a batch may
+    introduce new columns (the manifest records the evolved union
+    schema; old files read as null for them) but a type change on an
+    existing column raises — see `_merge_schemas`."""
     spark = df.sparkSession
     cur = latest_version(spark, table_path)
     if cur is None:
@@ -299,7 +383,8 @@ def append_table(
     manifest = {
         "version": version,
         "op": "append",
-        "files": sorted(prev["files"] + new_files),
+        "parent": cur,
+        "add": new_files,
         "n_rows": int(prev["n_rows"]) + n_new,
         "schema": evolved,
     }
@@ -308,6 +393,12 @@ def append_table(
         if writer_id is not None:
             manifest["writer_id"] = writer_id
     _commit(spark, table_path, version, manifest)
+    if version % CHECKPOINT_EVERY == 0:
+        # after the commit, never inside it: a checkpoint is a read
+        # accelerator, not a correctness artifact
+        _write_checkpoint(
+            spark, table_path, version, _resolve_files(spark, table_path, version)
+        )
     return version
 
 
@@ -368,8 +459,7 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
         version = latest_version(spark, table_path)
         if version is None:
             raise ValueError(f"not a versioned table (no log): {table_path}")
-    manifest = _read_manifest(spark, table_path, version)
-    files = manifest["files"]
+    files = _resolve_files(spark, table_path, version)
     if not files:
         raise ValueError(f"version {version} lists no files")
     return spark.read.option("mergeSchema", "true").parquet(*files)
@@ -489,15 +579,20 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
     if not versions:
         return []
     drop = versions[:-keep_last]
+    kept = versions[-keep_last:]
     fs, jvm = _fs(spark, table_path)
-    # qualified on both sides of the reference count: manifests may mix
-    # pre-round-9 scheme-less entries with current qualified URIs
+    # resolve kept versions WHILE their parent manifests still exist,
+    # qualified on both sides of the reference count (manifests may mix
+    # pre-round-9 scheme-less entries with current qualified URIs)
+    kept_resolved = {v: _resolve_files(spark, table_path, v) for v in kept}
     kept_files: set[str] = set()
-    for v in versions[-keep_last:]:
-        kept_files.update(
-            _qualify(fs, jvm, f)
-            for f in _read_manifest(spark, table_path, v)["files"]
-        )
+    for files in kept_resolved.values():
+        kept_files.update(_qualify(fs, jvm, f) for f in files)
+    # the oldest kept version gets a checkpoint BEFORE its ancestors'
+    # manifests are dropped: every kept append chain resolves through
+    # it afterwards (younger kept versions stop their walk here)
+    if drop:
+        _write_checkpoint(spark, table_path, kept[0], kept_resolved[kept[0]])
     for v in drop:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -505,6 +600,9 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
             ),
             False,
         )
+        ck = _ckpt_path(jvm, table_path, v)
+        if fs.exists(ck):  # a dropped version's checkpoint is garbage too
+            fs.delete(ck, False)
     # one reference-counted garbage pass over the data dirs: a dir is
     # deletable iff its attempt version is <= the newest kept version
     # (in-flight writers target latest+1 — never touched) AND no kept
@@ -585,12 +683,13 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, cur)
+    files = _resolve_files(spark, table_path, cur)
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": m["files"],
+        "files": files,
         "n_rows": m["n_rows"],
-        "stats": _footer_stats(m["files"], stat_cols),
+        "stats": _footer_stats(files, stat_cols),
     }
     if "schema" in m:  # metadata-only version: snapshot schema unchanged
         manifest["schema"] = m["schema"]
@@ -623,16 +722,17 @@ def read_table_pruned(
             raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, version)
     stats = m.get("stats", {})
+    files = _resolve_files(spark, table_path, version)
     keep = [
         f
-        for f in m["files"]
+        for f in files
         if col not in stats.get(f, {})
         or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
     ]
     if not keep:
         return (
             spark.read.option("mergeSchema", "true")
-            .parquet(*m["files"])
+            .parquet(*files)
             .where(F.lit(False))
         )
     return (
