@@ -69,6 +69,8 @@ HEADLINE = [
     "hard_negative_mining",       # cross-label top-k near-misses, broadcast anchors (round 7)
     "dsir_importance_weights",    # DSIR log-ratio scoring via broadcast bucket model (round 7)
     "fuzzy_prefix_pairs",         # blocked fuzzy join: banded levenshtein over opener blocks (round 8)
+    "token_drift_top_contributors",  # per-source KL drift decomposition (round 9)
+    "embedding_covariance_int8",  # exact-integer Gram/covariance, constant-key agg (round 9)
 ]
 
 
