@@ -99,8 +99,9 @@ _FRONT = [
     # word_entropy_quality, forecast_revenue_change,
     # nation_volume_shipping, nation_market_share,
     # returned_item_ranking, disjunctive_predicate_revenue,
-    # grouped_agg_pandas_udaf (displaced from this window's fill block
-    # by embedding_covariance_int8's first-evidence slot).
+    # grouped_agg_pandas_udaf and vocab_coverage (displaced from this
+    # window's fill block by the first-evidence slots of
+    # embedding_covariance_int8 and quality_rule_ablation).
     # (a) never driver-checked (added after the r8 window ran)
     "classifier_confusion_matrix",
     "time_travel_audit",
@@ -136,6 +137,7 @@ _FRONT = [
     "token_drift_top_contributors",
     "interleave_mixture_schedule",
     "embedding_covariance_int8",
+    "quality_rule_ablation",
     # (e) r6-stale re-verifies (20 of 50): O-ops + heavy LLM set first
     "lookup_enrichment_join",
     "spatial_join_count",
@@ -155,7 +157,6 @@ _FRONT = [
     "semantic_decontamination",
     "frame_overlap_pairs",
     "sequence_packing",
-    "vocab_coverage",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order

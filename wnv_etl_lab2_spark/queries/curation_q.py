@@ -724,3 +724,83 @@ def source_quantile_normalize(spark, sf_dir):
     return ranked.where(F.col("src_pct") >= 0.5).select(
         "doc_id", "source", "qscore", F.round("src_pct", 6).alias("src_pct")
     )
+
+
+def _ablation_oracle() -> str:
+    from wnv_etl_lab2_spark.functions.quality import rule_pass_sqls
+
+    sqls = rule_pass_sqls("text")
+    names = list(sqls)
+    flags = ", ".join(f"({sql}) AS p_{n}" for n, sql in sqls.items())
+    per_rule = []
+    for n in names:
+        others = " AND ".join(f"p_{o}" for o in names if o != n)
+        per_rule.append(
+            f"SELECT '{n}' AS rule, "
+            f"SUM(CASE WHEN NOT p_{n} THEN 1 ELSE 0 END) AS n_fail, "
+            f"SUM(CASE WHEN NOT p_{n} AND {others} THEN 1 ELSE 0 END) AS n_fail_only, "
+            f"COUNT(*) AS n_docs FROM f"
+        )
+    union = " UNION ALL ".join(per_rule)
+    return f"""
+    WITH f AS (SELECT {flags} FROM documents),
+    u AS ({union})
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+           CAST(n_fail_only AS BIGINT) AS n_fail_only,
+           ROUND(n_fail_only * 1.0 / n_docs, 6) AS marginal_share
+    FROM u
+    """
+
+
+@register("quality_rule_ablation", oracle=_ablation_oracle())
+def quality_rule_ablation(spark, sf_dir):
+    """Quality-rule ablation sheet (round 9): for every rule in the
+    shared Gopher-style policy (`functions/quality.py`), how many
+    documents fail it, and how many fail ONLY it — the marginal
+    removal each rule is solely responsible for. This is the sheet a
+    curation owner reads before tightening or dropping a rule: a rule
+    with large n_fail but near-zero n_fail_only is redundant with the
+    rest of the policy, while a large n_fail_only means the rule alone
+    is carrying that cut. The rule set is read from the SAME module
+    the executable pipeline filters with, so the audit can never drift
+    from the filter.
+
+    Scale shape: per-rule pass booleans are a pure map fused into the
+    scan; ONE combinable constant-width aggregation (2 counters per
+    rule + a total) reduces the corpus to a single row, unpivoted
+    driver-free via stack() into |rules| rows — at 100 TB exactly one
+    one-row exchange."""
+    from wnv_etl_lab2_spark.functions.quality import rule_pass_columns
+
+    d = load_table(spark, "documents", sf_dir)
+    rules = rule_pass_columns("text")
+    names = list(rules)
+    flagged = d.select(
+        *[c.alias(f"p_{n}") for n, c in rules.items()]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for n in names:
+        others = None
+        for o in names:
+            if o == n:
+                continue
+            others = F.col(f"p_{o}") if others is None else (others & F.col(f"p_{o}"))
+        aggs.append(
+            F.sum((~F.col(f"p_{n}")).cast("long")).alias(f"fail_{n}")
+        )
+        aggs.append(
+            F.sum((~F.col(f"p_{n}") & others).cast("long")).alias(f"only_{n}")
+        )
+    one = flagged.agg(*aggs)
+    stack = ", ".join(f"'{n}', fail_{n}, only_{n}" for n in names)
+    return one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, n_fail, n_fail_only)",
+        "n_docs",
+    ).select(
+        "rule",
+        "n_fail",
+        "n_fail_only",
+        F.round(F.col("n_fail_only") * 1.0 / F.col("n_docs"), 6).alias(
+            "marginal_share"
+        ),
+    )
