@@ -94,6 +94,14 @@ PER_UNIT_X16_GATES = {
     "ngram_counts_top": 0.5,
     "repeated_span_removal": 0.5,
     "sessionize_events": 0.5,
+    # Round 9 new-operator rows, staged/scan-inclusive: KL drift is
+    # tf-idf-shaped (one (source, token) count + vocab-sized join-back
+    # + a top-k window over the vocab-sized contribution table);
+    # int-covariance is a pure-map upper-triangle expansion into ONE
+    # constant-key (2080-key) combinable aggregate — per-doc cost must
+    # amortize in both.
+    "token_drift_top_contributors": 0.5,
+    "embedding_covariance_int8": 0.5,
 }
 
 # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
@@ -310,12 +318,16 @@ def main() -> None:
     from wnv_etl_lab2_spark.queries.curation_q import repeated_span_removal
     from wnv_etl_lab2_spark.queries.joins_windows import sessionize_events
     from wnv_etl_lab2_spark.queries.sampling_q import dsir_importance_weights
-    from wnv_etl_lab2_spark.queries.similarity_q import corpus_curation_stats
+    from wnv_etl_lab2_spark.queries.similarity_q import (
+        corpus_curation_stats,
+        embedding_covariance_int8,
+    )
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
         fuzzy_prefix_pairs,
         ngram_counts_top,
         tfidf_top_terms,
+        token_drift_top_contributors,
         unigram_logprob_quality,
     )
 
@@ -330,6 +342,8 @@ def main() -> None:
         "repeated_span_removal": repeated_span_removal,
         "sessionize_events": sessionize_events,
         "fuzzy_prefix_pairs": fuzzy_prefix_pairs,
+        "token_drift_top_contributors": token_drift_top_contributors,
+        "embedding_covariance_int8": embedding_covariance_int8,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
@@ -349,12 +363,16 @@ def main() -> None:
             )
         return ev.repartition(CPUS, "event_id")
 
-    def stage_docs(d: DataFrame, k: int) -> str:
+    def stage_docs(d: DataFrame, k: int, e: DataFrame | None = None) -> str:
         kdir = os.path.join(staging_root, f"x{k}")
         d.write.mode("overwrite").parquet(os.path.join(kdir, "documents.parquet"))
         replicate_events(events, max(k, 1)).write.mode("overwrite").parquet(
             os.path.join(kdir, "events.parquet")
         )
+        if e is not None:  # covariance row scans the embeddings table
+            e.write.mode("overwrite").parquet(
+                os.path.join(kdir, "embeddings.parquet")
+            )
         return kdir
 
     # Warm every operator once (x1 shape) so the k=1 measurements are
@@ -365,7 +383,7 @@ def main() -> None:
     within_distance_anti_join(pts, avoid, geo.RADIUS_DEG, "addr_id").write.mode(
         "overwrite"
     ).format("noop").save()
-    warm_dir = stage_docs(docs.repartition(CPUS), 0)
+    warm_dir = stage_docs(docs.repartition(CPUS), 0, emb.repartition(CPUS))
     for fn in sf_dir_queries.values():
         fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
@@ -380,7 +398,7 @@ def main() -> None:
         for name, make in ops.items():
             results[name][k] = timed(name, lambda m=make, d=d, e=e: m(d, e))
             print(f"k={k} {name}: {results[name][k]:.2f}s", flush=True)
-        kdir = stage_docs(d, k)
+        kdir = stage_docs(d, k, e)
         for name, fn in sf_dir_queries.items():
             results[name][k] = timed(name, lambda f=fn, p=kdir: f(spark, p))
             print(f"k={k} {name}: {results[name][k]:.2f}s", flush=True)
@@ -438,7 +456,7 @@ def main() -> None:
 
     CURATION_X64_GATE = 0.5
     x1dir = os.path.join(staging_root, "x1")
-    dir64 = stage_docs(d64, 64)
+    dir64 = stage_docs(d64, 64, e64)
     cur_x1 = timed("curation_pipeline_x1", lambda: curated_documents(spark, x1dir))
     cur_x64 = timed("curation_pipeline_x64", lambda: curated_documents(spark, dir64))
     cur_per_unit = cur_x64 / (64 * cur_x1)
