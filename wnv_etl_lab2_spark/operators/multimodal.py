@@ -3,10 +3,15 @@
 Design (BASELINE.json north star): image/audio/video cells are plain
 `binary` columns travelling next to typed metadata columns; decode /
 feature-extraction runs as Arrow-batched `mapInPandas` so the Python
-boundary is crossed once per batch, not per row. The decode step
-itself is STUBBED here (no image/audio libraries in this container —
-clearly marked below); everything Spark-side — schema, batching,
-partitioning, output contract — is real and tested.
+boundary is crossed once per batch, not per row. Decode is REAL for
+the uncompressed container formats pure struct+numpy can parse — WAV
+PCM16 audio (features incl. rfft dominant frequency) and 24-bit BMP
+images (true average-pooled resize), round 9, tested against
+synthesized known-content files — and STUBBED only for compressed
+codecs (JPEG/PNG/MP4), which need libraries this container does not
+ship (clearly marked below). Everything Spark-side — schema,
+batching, partitioning, output contract — is real and tested either
+way.
 
 At 100 TB: binary payloads dominate I/O, so the operator projects
 only (id, payload) into the Python stage and joins features back by
@@ -119,3 +124,184 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/queries: treat document text bytes as the
     opaque payload column (the container has no real media files)."""
     return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for uncompressed container formats (round 9). The stubs
+# above remain for compressed formats (JPEG/PNG/MP4 need codec
+# libraries this container does not ship), but WAV/PCM and BMP are
+# pure byte layouts decodable with struct + numpy alone — so the audio
+# feature path and the image resize path below are REAL signal/pixel
+# processing, unit-tested against synthesized known-content files.
+# ---------------------------------------------------------------------------
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak double, zero_crossing_rate double, dominant_freq_hz double"
+)
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Parse a RIFF/WAVE container with 16-bit PCM samples into
+    (sample_rate, numpy float array in [-1, 1]) — pure struct + numpy,
+    no audio library. Returns None for anything that is not a PCM16
+    WAV (wrong magic, compressed codec, truncated chunks): malformed
+    media is data, not an exception, at corpus scale."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, n_channels, bits = 12, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt, n_channels, sample_rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:  # not uncompressed PCM
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if data is None or sample_rate is None or bits != 16 or not n_channels:
+        return None
+    samples = np.frombuffer(data[: len(data) - len(data) % (2 * n_channels)], dtype="<i2")
+    if n_channels > 1:  # downmix to mono: mean over interleaved channels
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return sample_rate, samples.astype(np.float64) / 32768.0
+
+
+def wav_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction over a binary WAV column: RMS,
+    peak, zero-crossing rate, and the dominant frequency from an rfft
+    periodogram — the features an audio-curation pass filters on
+    (silence/clipping detection, tone-vs-speech heuristics). One Arrow
+    crossing; non-WAV payloads yield a null feature row (kept, so the
+    corrupt-media rate is itself queryable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_s",
+                "rms", "peak", "zero_crossing_rate", "dominant_freq_hz",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(doc_id)
+                decoded = decode_wav_pcm16(payload or b"")
+                if decoded is None or decoded[1].size == 0:
+                    for k in ("sample_rate", "n_samples", "duration_s", "rms",
+                              "peak", "zero_crossing_rate", "dominant_freq_hz"):
+                        rows[k].append(None)
+                    continue
+                sr, x = decoded
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC when picking the dominant bin
+                freqs = np.fft.rfftfreq(x.size, d=1.0 / sr)
+                rows["sample_rate"].append(int(sr))
+                rows["n_samples"].append(int(x.size))
+                rows["duration_s"].append(float(x.size / sr))
+                rows["rms"].append(float(np.sqrt(np.mean(x * x))))
+                rows["peak"].append(float(np.max(np.abs(x))))
+                rows["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                )
+                rows["dominant_freq_hz"].append(float(freqs[int(np.argmax(spec))]))
+            yield pd.DataFrame(rows)
+
+    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias(payload_col))
+    return slim.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+BMP_RESIZE_SCHEMA = (
+    "doc_id long, src_width int, src_height int, out_width int, out_height int, "
+    "mean_r double, mean_g double, mean_b double, thumb binary"
+)
+
+
+def decode_bmp24(payload: bytes):
+    """Parse an uncompressed 24-bit BITMAPINFOHEADER BMP into an
+    (h, w, 3) uint8 RGB array — pure struct + numpy (BMP rows are
+    bottom-up, BGR, padded to 4-byte boundaries). None for anything
+    else (compressed/other depths)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr,) = struct.unpack("<I", payload[14:18])
+    if hdr < 40:
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (comp,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    raw = np.frombuffer(payload[data_off : data_off + stride * h], dtype=np.uint8)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_bmp_images(df: DataFrame, target: int = 8) -> DataFrame:
+    """REAL image resize over a binary BMP column: decode, average-pool
+    to <= target x target (aspect preserved via integer block means),
+    emit per-channel means and the raw RGB thumbnail bytes — the
+    downsample an image-dedup / quality pass runs before hashing.
+    Non-BMP payloads fall back to the aspect-arithmetic stub dims with
+    null channel stats (the corrupt/compressed-media path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pool(img, t):
+            h, w, _ = img.shape
+            scale = max(1, max(h, w) // t)
+            th, tw = max(1, h // scale), max(1, w // scale)
+            clipped = img[: th * scale, : tw * scale].astype(np.float64)
+            return clipped.reshape(th, scale, tw, scale, 3).mean(axis=(1, 3))
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "src_width", "src_height", "out_width", "out_height",
+                "mean_r", "mean_g", "mean_b", "thumb",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                img = decode_bmp24(payload or b"")
+                if img is None:
+                    w, h = resize_stub(payload or b"", target)
+                    out["src_width"].append(None)
+                    out["src_height"].append(None)
+                    out["out_width"].append(w)
+                    out["out_height"].append(h)
+                    for k in ("mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    out["thumb"].append(None)
+                    continue
+                small = pool(img, target)
+                out["src_width"].append(img.shape[1])
+                out["src_height"].append(img.shape[0])
+                out["out_width"].append(small.shape[1])
+                out["out_height"].append(small.shape[0])
+                out["mean_r"].append(float(img[:, :, 0].mean()))
+                out["mean_g"].append(float(img[:, :, 1].mean()))
+                out["mean_b"].append(float(img[:, :, 2].mean()))
+                out["thumb"].append(np.round(small).astype(np.uint8).tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=BMP_RESIZE_SCHEMA)
