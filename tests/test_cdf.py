@@ -92,3 +92,25 @@ def test_changes_align_evolved_schema(spark, tbl):
 
 def test_no_changes_is_empty(spark, tbl):
     assert table_changes(spark, tbl, "id", 0, 0).count() == 0
+
+
+def test_table_appends_reads_only_new_files(spark, tmp_path):
+    from wnv_etl_lab2_spark.operators.cdf import table_appends
+    from wnv_etl_lab2_spark.sources.versioned import optimize_table
+
+    path = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), path)
+    for i in range(1, 5):
+        append_table(spark.createDataFrame([(i,)], "id long"), path)
+    got = table_appends(spark, path, 1)  # appends after v1: ids 2, 3, 4
+    assert {r.id for r in got.collect()} == {2, 3, 4}
+    # scans exactly the three appended versions' files, never the base
+    assert all("/data/v0-" not in f for f in got.inputFiles())
+    assert len(got.inputFiles()) == sum(
+        1 for f in got.inputFiles() if any(f"/data/v{v}-" in f for v in (2, 3, 4))
+    )
+    assert table_appends(spark, path, 4).count() == 0  # nothing new
+    # a history rewrite in the range must refuse loudly
+    optimize_table(spark, path, target_files=1)
+    with pytest.raises(ValueError, match="not append-only"):
+        table_appends(spark, path, 1)

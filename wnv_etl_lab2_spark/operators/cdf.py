@@ -75,3 +75,48 @@ def table_changes(
         .unionByName(unpack(changed, "_pre", "update_preimage"))
         .unionByName(unpack(changed, "_post", "update_postimage"))
     )
+
+
+def table_appends(
+    spark: SparkSession,
+    table_path: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Incremental consumption for APPEND-ONLY ranges: the rows added
+    after ``v_from`` up to ``v_to``, read from ONLY the appended
+    version's data files — O(new data), no join, no old-snapshot scan.
+    This is the cheap path a streaming/batch subscriber uses when the
+    producer is an append-only pipeline (e.g. the exactly-once
+    streaming sink): each poll reads just the manifests' ``add`` lists
+    since its last-seen version. Raises if the range contains a
+    non-append commit (overwrite/delete/merge/optimize rewrite
+    history, so 'rows added' is no longer the change set — use
+    `table_changes` there instead; analyze is metadata-only and
+    skipped)."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        latest_version,
+    )
+
+    if v_to is None:
+        v_to = latest_version(spark, table_path)
+        if v_to is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    files: list[str] = []
+    for v in range(v_from + 1, v_to + 1):
+        m = _read_manifest(spark, table_path, v)
+        if m["op"] == "analyze":
+            continue  # metadata-only: no data change
+        if m["op"] != "append":
+            raise ValueError(
+                f"version {v} is op={m['op']!r}, not append — the range "
+                f"({v_from}, {v_to}] is not append-only; use table_changes"
+            )
+        files.extend(m["add"])
+    if not files:
+        # empty change set with the table's schema
+        from wnv_etl_lab2_spark.sources.versioned import read_table
+
+        return read_table(spark, table_path, v_to).where(F.lit(False))
+    return spark.read.option("mergeSchema", "true").parquet(*files)
