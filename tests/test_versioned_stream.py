@@ -1,0 +1,152 @@
+"""Versioned table as a streaming source: history + incremental
+appends arrive exactly once, offsets are version numbers, checkpoint
+recovery never re-delivers, schema evolution null-fills, history
+rewrites refuse."""
+
+from __future__ import annotations
+
+import pytest
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    append_table,
+    create_table,
+    overwrite_table,
+)
+from wnv_etl_lab2_spark.sources.versioned_stream import VersionedTableStreamSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(VersionedTableStreamSource)
+    return spark
+
+
+def _drain(spark, tbl, ckpt, out_sink):
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.foreachBatch(out_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_history_then_increments_exactly_once(registered, tmp_path):
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(0, "a")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(1, "b")], "id long, v string"), tbl)
+
+    got: list[tuple] = []
+    sink = lambda df, _bid: got.extend((r.id, r.v) for r in df.collect())  # noqa: E731
+    _drain(spark, tbl, ckpt, sink)
+    assert sorted(got) == [(0, "a"), (1, "b")]  # full history first
+
+    # new appends while the stream is down; restart from checkpoint
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(3, "d")], "id long, v string"), tbl)
+    got.clear()
+    _drain(spark, tbl, ckpt, sink)
+    assert sorted(got) == [(2, "c"), (3, "d")]  # increments only, no replay
+
+    got.clear()
+    _drain(spark, tbl, ckpt, sink)
+    assert got == []  # nothing new -> nothing delivered
+
+
+def test_starting_version_skips_history(registered, tmp_path):
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    append_table(spark.createDataFrame([(1,)], "id long"), tbl)
+    append_table(spark.createDataFrame([(2,)], "id long"), tbl)
+    got: list[int] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.foreachBatch(lambda df, _b: got.extend(r.id for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [2]  # versions <= 1 already consumed
+
+
+def test_schema_comes_from_manifest_and_evolution_null_fills(registered, tmp_path):
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, "a")], "id long, v string"), tbl)
+    append_table(
+        spark.createDataFrame([(1, "b", 0.5)], "id long, v string, q double"), tbl
+    )
+    s = spark.readStream.format("versioned_table").option("path", tbl).load()
+    assert [f.name for f in s.schema.fields] == ["id", "v", "q"]
+    got = []
+    q = (
+        s.writeStream.foreachBatch(
+            lambda df, _b: got.extend((r.id, r.v, r.q) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [(0, "a", None), (1, "b", 0.5)]  # null backfill
+
+
+def test_history_rewrite_refuses(registered, tmp_path):
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    overwrite_table(spark.createDataFrame([(9,)], "id long"), tbl)
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck4"))
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_table_to_table_incremental_pipeline(registered, tmp_path):
+    """The full composition: versioned SOURCE -> versioned SINK gives
+    an incremental table-to-table pipeline — downstream content equals
+    upstream after every drain, each drain moves only the new rows,
+    and replays are absorbed by the sink's batch ledger."""
+    from wnv_etl_lab2_spark.sources.versioned import latest_version, read_table
+    from wnv_etl_lab2_spark.streaming.versioned_sink import write_stream_versioned
+
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ck")
+    create_table(spark.createDataFrame([(0,)], "id long"), src)
+    append_table(spark.createDataFrame([(1,)], "id long"), src)
+
+    def drain():
+        s = spark.readStream.format("versioned_table").option("path", src).load()
+        q = write_stream_versioned(s, dst, ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert {r.id for r in read_table(spark, dst).collect()} == {0, 1}
+    v_after_first = latest_version(spark, dst)
+    append_table(spark.createDataFrame([(2,)], "id long"), src)
+    drain()
+    assert {r.id for r in read_table(spark, dst).collect()} == {0, 1, 2}
+    # the second drain appended only the increment as new version(s)
+    assert latest_version(spark, dst) > v_after_first
+    drain()  # no new upstream data -> downstream unchanged
+    assert {r.id for r in read_table(spark, dst).collect()} == {0, 1, 2}
