@@ -436,14 +436,24 @@ def last_committed_batch_id(
     return None
 
 
-def overwrite_table(df: DataFrame, table_path: str) -> int:
+def overwrite_table(
+    df: DataFrame,
+    table_path: str,
+    batch_id: int | None = None,
+    writer_id: str | None = None,
+) -> int:
     """Full-replace snapshot as a new version (old versions stay
-    readable until vacuumed)."""
+    readable until vacuumed). ``batch_id``/``writer_id`` stamp the
+    manifest for idempotent refreshers (e.g. the materialized-view
+    maintainer records the source version each refresh reflects)."""
     spark = df.sparkSession
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
-    return _write_version(df, table_path, cur + 1, "overwrite", expect_latest=cur)
+    return _write_version(
+        df, table_path, cur + 1, "overwrite", expect_latest=cur,
+        batch_id=batch_id, writer_id=writer_id,
+    )
 
 
 def read_table(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
