@@ -114,3 +114,68 @@ def test_table_appends_reads_only_new_files(spark, tmp_path):
     optimize_table(spark, path, target_files=1)
     with pytest.raises(ValueError, match="not append-only"):
         table_appends(spark, path, 1)
+
+
+def test_changes_reconstruct_every_version_pair_in_random_history(spark, tmp_path):
+    """Property over a seeded random DML history: for every adjacent
+    version pair AND the (0, latest) span, applying table_changes by
+    retract/apply to the older snapshot reconstructs the newer one
+    exactly — CDF is a lossless encoding of any snapshot delta."""
+    import random
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        latest_version,
+        merge_upsert_table,
+        overwrite_table,
+    )
+
+    rng = random.Random(7)
+    path = str(tmp_path / "tbl")
+    model = {i: i * 10 for i in range(6)}
+
+    def df_of(m):
+        return spark.createDataFrame(sorted(m.items()), "id long, v long")
+
+    create_table(df_of(model), path)
+    next_id = 100
+    for _ in range(8):
+        op = rng.choice(["append", "merge", "delete", "overwrite"])
+        if op == "append":
+            batch = {next_id: rng.randrange(1000)}
+            next_id += 1
+            append_table(df_of(batch), path)
+            model.update(batch)
+        elif op == "merge":
+            keys = rng.sample(sorted(model), k=min(2, len(model))) + [next_id]
+            next_id += 1
+            batch = {k: rng.randrange(1000) for k in keys}
+            merge_upsert_table(df_of(batch), path, "id")
+            model.update(batch)
+        elif op == "delete":
+            cut = rng.randrange(1000)
+            survivors = {k: v for k, v in model.items() if not v < cut}
+            if not survivors:  # keep the table non-empty (no null-key rows)
+                continue
+            delete_from_table(spark, path, f"v < {cut}")
+            model = survivors
+        else:
+            model = {next_id + j: rng.randrange(1000) for j in range(2)}
+            next_id += 2
+            overwrite_table(df_of(model), path)
+
+    vmax = latest_version(spark, path)
+
+    def content(v):
+        return {(r.id, r.v) for r in read_table(spark, path, v).collect()}
+
+    pairs = [(v, v + 1) for v in range(vmax)] + [(0, vmax)]
+    for x, y in pairs:
+        base = content(x)
+        for r in table_changes(spark, path, "id", x, y).collect():
+            t = (r.id, r.v)
+            if r._change_type in ("delete", "update_preimage"):
+                base.discard(t)
+            else:
+                base.add(t)
+        assert base == content(y), (x, y)
