@@ -287,3 +287,41 @@ def test_source_quantile_normalize_keeps_top_half_per_source(
             if pct >= 0.5:
                 want.add((r.doc_id, src))
     assert {(r.doc_id, r.source) for _, r in got.iterrows()} == want
+
+
+@SLOW
+@given(st.lists(_DOC, min_size=2, max_size=12), st.integers(min_value=1, max_value=12))
+def test_bpe_training_matches_python_reference(
+    spark, tmp_path_factory, texts, n_merges
+):
+    """The Spark-trained BPE merge sequence equals an independent
+    textbook implementation run on the same word frequencies, for
+    arbitrary small corpora and merge budgets (deterministic
+    count-then-lexicographic tie-breaks on both sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_bpe import reference_bpe
+    from wnv_etl_lab2_spark.operators.bpe import train_bpe
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    sf_dir = str(tmp_path_factory.mktemp("bpe"))
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(rows), f"{sf_dir}/documents.parquet")
+
+    docs = load_table(spark, "documents", sf_dir)
+    got = train_bpe(docs, n_merges=n_merges, vocab_limit=1000)
+
+    from collections import Counter
+
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    want = reference_bpe(dict(freqs), n_merges)
+    assert got == want
