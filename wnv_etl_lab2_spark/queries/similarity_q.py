@@ -1139,3 +1139,55 @@ def embedding_covariance_int8(spark, sf_dir):
         )
     )
     return agg.select("i", "j", "n", F.expr(_COV_FINAL).alias("cov_q"))
+
+
+@register("embedding_cluster_profile")  # iterative Lloyd — rows-only;
+# determinism + recovery contract pinned in tests/test_clustering.py
+def embedding_cluster_profile(spark, sf_dir):
+    """Corpus cartography via distributed k-means (round 9,
+    operators/clustering.py): fit 8 clusters over the embedding table
+    (farthest-first seeded, 3 full-corpus Lloyd refinements) and
+    report each cluster's population, corpus share, and mean distance
+    to its centroid — the sheet a SemDeDup/curation pass reads to set
+    per-cluster dedup thresholds and sampling quotas.
+
+    Not SQL-expressible (iterative refinement; centroids are a bounded
+    driver artifact), so driver-checked rows-only; the algorithm's
+    correctness contract — planted-cluster recovery, non-increasing
+    inertia, refinement beating sample-only training — is pinned by
+    tests/test_clustering.py, and the fit is fully deterministic
+    (hash-ordered sample, farthest-first seeding, fixed iterations),
+    so the profile is a pure function of the corpus.
+
+    Scale shape: per iteration one pure-map assignment plus one
+    combinable (cluster, dim) aggregation (key space k*d — shuffle
+    independent of corpus size); the final profile is one more
+    combinable groupBy over the assigned frame."""
+    from wnv_etl_lab2_spark.operators.clustering import _dist_col, kmeans_fit
+    from wnv_etl_lab2_spark.operators.similarity import ivf_assign_col
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    model = kmeans_fit(emb, "embedding", n_clusters=8, iters=3, id_col="vec_id")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("_e"),
+    )
+    assigned = v.select(
+        "vec_id",
+        ivf_assign_col("_e", model.centroids).alias("cluster"),
+        _dist_col("_e", model.centroids).alias("_d2"),
+    )
+    total = assigned.count()
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.sqrt("_d2")) / F.count(F.lit(1)), 6).alias("avg_dist"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n",
+            F.round(F.col("n") * 1.0 / F.lit(total), 6).alias("share"),
+            "avg_dist",
+        )
+    )
