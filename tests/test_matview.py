@@ -86,3 +86,29 @@ def test_view_time_travel_shows_refresh_history(spark, tmp_path):
     refresh_incremental(spark, src, view, _aggregate, _merge)
     assert _content(read_table(spark, view, 0)) == snap0  # history intact
     assert _content(read_table(spark, view)) != snap0
+
+
+def test_unstamped_view_gets_full_rebuild_then_incremental(spark, tmp_path):
+    """A view created OUTSIDE the refresher carries no source-version
+    stamp, so there is no trustworthy incremental baseline: the first
+    refresh must full-rebuild (stamped), after which refreshes are
+    incremental again."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    create_table(spark.createDataFrame([("a", 1), ("b", 2)], "user string, v long"), src)
+    # hand-created, WRONG view content and no stamp
+    create_table(
+        spark.createDataFrame([("zzz", 999, 999)], "user string, n long, mx long")
+        .withColumn("sv", F.lit(999).cast("decimal(18,2)"))
+        .select("user", "n", "sv", "mx"),
+        view,
+    )
+    assert refresh_incremental(spark, src, view, _aggregate, _merge) == 0
+    assert _content(read_table(spark, view)) == _content(
+        _aggregate(read_table(spark, src))
+    )
+    append_table(spark.createDataFrame([("a", 10)], "user string, v long"), src)
+    assert refresh_incremental(spark, src, view, _aggregate, _merge) == 1
+    assert _content(read_table(spark, view)) == _content(
+        _aggregate(read_table(spark, src))
+    )

@@ -69,8 +69,15 @@ def refresh_incremental(
         reflected = last_committed_batch_id(spark, view_table, writer_id)
         if reflected is not None and src_v <= reflected:
             return None  # already current (or a replayed refresh)
-        base = reflected if reflected is not None else -1
-        delta_rows = table_appends(spark, source_table, base, src_v)
+        if reflected is None:
+            # a view with no source-version stamp (created outside this
+            # refresher) has no trustworthy incremental baseline — full
+            # rebuild once, stamped, and every later refresh is
+            # incremental
+            state = aggregate(read_table(spark, source_table, src_v))
+            overwrite_table(state, view_table, batch_id=src_v, writer_id=writer_id)
+            return src_v
+        delta_rows = table_appends(spark, source_table, reflected, src_v)
         new_state = merge(read_table(spark, view_table), aggregate(delta_rows))
         overwrite_table(new_state, view_table, batch_id=src_v, writer_id=writer_id)
         return src_v
