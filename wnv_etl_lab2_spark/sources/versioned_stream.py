@@ -151,12 +151,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
-        present = set(table.column_names)
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        # read ONLY the declared columns the file actually has (column
+        # pruning at the parquet reader, not after materialization)
+        wanted = [c for c in partition.columns if c in file_cols]
+        table = pf.read(columns=wanted)
         rows = table.to_pylist()
         for r in rows:
             # null-fill pre-evolution files' missing columns, declared order
-            yield tuple(r[c] if c in present else None for c in partition.columns)
+            yield tuple(r.get(c) for c in partition.columns)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derived from the immutable log; nothing to ack
