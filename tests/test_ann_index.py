@@ -51,3 +51,65 @@ def test_persisted_ivf_empty_corpus_raises(spark, tmp_path):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         ivf_index_build(df, str(tmp_path / "empty_idx"))
+
+
+def test_refined_quantizer_improves_inertia_and_contracts_hold(spark, sf_dir, tmp_path):
+    """Round-10: `refine_iters` upgrades the sample-trained IVF
+    quantizer with full-corpus Lloyd refinement. Pins (a) the refined
+    centroids' corpus inertia is <= the sample-only centroids' (Lloyd
+    monotonicity from any start), (b) the persisted-index / inline
+    equality contract holds unchanged WITH refinement, (c) top-k
+    recall vs exact brute force does not degrade."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.operators.clustering import _dist_col
+    from wnv_etl_lab2_spark.operators.similarity import (
+        _trained_centroids,
+        as_double_array,
+        brute_force_topk,
+        ivf_ann_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = emb.where(F.col("vec_id") != 0)
+    v = corpus.select("vec_id", as_double_array("embedding").alias("_e"))
+
+    def inertia(cents):
+        return v.select(_dist_col("_e", cents).alias("d2")).agg(
+            F.sum("d2")
+        ).head()[0]
+
+    plain = _trained_centroids(v, "vec_id", 16, 512, 42, refine_iters=0)
+    refined = _trained_centroids(v, "vec_id", 16, 512, 42, refine_iters=3)
+    assert inertia(refined) <= inertia(plain)
+
+    exact = [r.vec_id for r in brute_force_topk(corpus, qvec, k=10).collect()]
+    got_plain = [
+        r.vec_id for r in ivf_ann_topk(corpus, qvec, k=10, nprobe=5).collect()
+    ]
+    got_ref = [
+        r.vec_id
+        for r in ivf_ann_topk(corpus, qvec, k=10, nprobe=5, refine_iters=3).collect()
+    ]
+    assert len(set(got_ref) & set(exact)) >= len(set(got_plain) & set(exact))
+
+    # persisted index with refinement == inline with refinement
+    from wnv_etl_lab2_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_query,
+    )
+
+    idx = str(tmp_path / "ivf_refined")
+    ivf_index_build(corpus, idx, refine_iters=3)
+    persisted = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_index_query(spark, idx, qvec, k=10, nprobe=5).collect()
+    ]
+    inline = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_ann_topk(
+            corpus, qvec, k=10, nprobe=5, refine_iters=3
+        ).collect()
+    ]
+    assert persisted == inline

@@ -179,3 +179,72 @@ def test_changes_reconstruct_every_version_pair_in_random_history(spark, tmp_pat
             else:
                 base.add(t)
         assert base == content(y), (x, y)
+
+
+def test_table_appends_handles_pre_r9_full_list_manifests(spark, tmp_path):
+    """Round-10 advisory fix: pre-round-9 append manifests carry the
+    full snapshot "files" list (no log-structured "add"); an upgraded
+    table's old history must stay consumable — adds recovered as the
+    diff against the parent snapshot."""
+    import json
+    import os
+
+    from wnv_etl_lab2_spark.operators.cdf import table_appends
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _resolve_files,
+        append_table,
+        create_table,
+    )
+
+    tbl = str(tmp_path / "legacy")
+    create_table(spark.createDataFrame([(1,), (2,)], "id long"), tbl)
+    append_table(spark.createDataFrame([(3,)], "id long"), tbl)  # v1
+    append_table(spark.createDataFrame([(4,), (5,)], "id long"), tbl)  # v2
+    # rewrite v1 and v2 manifests to the legacy full-list shape
+    for v in (1, 2):
+        p = os.path.join(tbl, "_log", f"{v:08d}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["files"] = _resolve_files(spark, tbl, v)
+        del m["add"]
+        del m["parent"]
+        with open(p, "w") as f:
+            json.dump(m, f)
+        # the raw rewrite invalidates Hadoop's local-FS checksum sidecar
+        crc = os.path.join(tbl, "_log", f".{v:08d}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    got = {r.id for r in table_appends(spark, tbl, 0, 2).collect()}
+    assert got == {3, 4, 5}
+    got_v1 = {r.id for r in table_appends(spark, tbl, 0, 1).collect()}
+    assert got_v1 == {3}
+
+
+def test_append_commit_survives_checkpoint_failure(spark, tmp_path, monkeypatch):
+    """Round-10 advisory fix: the post-commit auto-checkpoint is
+    best-effort — a checkpoint hiccup must not make the committed
+    append look failed (a naive caller retry would double-write)."""
+    import wnv_etl_lab2_spark.sources.versioned as vsn
+
+    tbl = str(tmp_path / "ckptfail")
+    create_table = vsn.create_table
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(vsn, "_write_checkpoint", boom)
+    import warnings
+
+    for i in range(1, vsn.CHECKPOINT_EVERY + 1):  # reach the ckpt cadence
+        if i == vsn.CHECKPOINT_EVERY:
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                v = vsn.append_table(spark.createDataFrame([(i,)], "id long"), tbl)
+            assert any("checkpoint" in str(x.message) for x in w)
+        else:
+            v = vsn.append_table(spark.createDataFrame([(i,)], "id long"), tbl)
+    assert v == vsn.CHECKPOINT_EVERY
+    assert {r.id for r in vsn.read_table(spark, tbl).collect()} == set(
+        range(vsn.CHECKPOINT_EVERY + 1)
+    )

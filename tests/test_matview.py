@@ -112,3 +112,58 @@ def test_unstamped_view_gets_full_rebuild_then_incremental(spark, tmp_path):
     assert _content(read_table(spark, view)) == _content(
         _aggregate(read_table(spark, src))
     )
+
+
+def test_concurrent_refresher_loses_race_and_rebases(spark, tmp_path, monkeypatch):
+    """Round-10 advisory fix: a refresher whose delta read races a
+    concurrent refresh must FAIL its CAS (pinned view version) and
+    rebase — never merge its delta onto a state that already includes
+    it (double-apply). Simulated deterministically: the competing
+    refresh is injected between this attempt's stamp read and its
+    commit, via a one-shot table_appends hook."""
+    import wnv_etl_lab2_spark.operators.matview as mv
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    create_table(
+        spark.createDataFrame([("a", 10), ("b", 20)], "user string, v long"), src
+    )
+    assert refresh_incremental(spark, src, view, _aggregate, _merge) == 0
+    append_table(spark.createDataFrame([("a", 7), ("c", 1)], "user string, v long"), src)
+
+    real_appends = mv.table_appends
+    fired = {"n": 0}
+
+    def racing_appends(s, path, v_from, v_to):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            # the competing refresher commits FIRST (between our stamp
+            # read and our commit) — the real, unhooked refresh
+            monkeypatch.setattr(mv, "table_appends", real_appends)
+            assert mv.refresh_incremental(spark, src, view, _aggregate, _merge) == 1
+            monkeypatch.setattr(mv, "table_appends", racing_appends)
+        return real_appends(s, path, v_from, v_to)
+
+    monkeypatch.setattr(mv, "table_appends", racing_appends)
+    # outer attempt: loses the CAS, with_retries rebases, sees the view
+    # already reflects src v1 -> returns None (already current)
+    assert refresh_incremental(spark, src, view, _aggregate, _merge) is None
+    # and the state equals a from-scratch recompute (no double-apply)
+    assert _content(read_table(spark, view)) == _content(
+        _aggregate(read_table(spark, src))
+    )
+
+
+def test_overwrite_cas_on_pinned_version_fails_loudly(spark, tmp_path):
+    """overwrite_table(expect_latest=stale) must raise, not clobber."""
+    import pytest
+
+    from wnv_etl_lab2_spark.sources.versioned import overwrite_table
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,)], "id long")
+    create_table(df, tbl)
+    append_table(spark.createDataFrame([(2,)], "id long"), tbl)  # v1
+    with pytest.raises(ValueError, match="optimistic concurrency"):
+        overwrite_table(df, tbl, expect_latest=0)
+    assert latest_version(spark, tbl) == 1

@@ -45,13 +45,24 @@ def test_full_schedule_head_equals_head_query(spark, sf_dir):
 
 
 def test_plan_is_range_partitioned_not_single_window(spark, sf_dir):
+    # the stamped (pre-checkpoint) plan carries the range exchange; the
+    # public operator checkpoints it, truncating lineage, so the plan
+    # shape is asserted on the factored-out stamp stage
+    from wnv_etl_lab2_spark.operators.schedule import _stamped
+
+    stamp_plan = (
+        _stamped(_weighted_docs(spark, sf_dir), "source", "wt", "doc_id", None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in stamp_plan, stamp_plan
     plan = (
         stride_interleave_positions(_weighted_docs(spark, sf_dir))
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "rangepartitioning" in plan, plan
     # the corpus-sized path must never pass through a single-partition
     # global sort+window; the only SinglePartition exchange feeds the
     # |partitions|-row offsets frame
@@ -61,3 +72,6 @@ def test_plan_is_range_partitioned_not_single_window(spark, sf_dir):
         if "Exchange SinglePartition" in ln and "_cnt" not in ln and "count" not in ln
     ]
     assert len(corpus_single) <= 1, plan
+    # both consumer branches read the pinned checkpoint, not a re-run
+    # of the exchange
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan

@@ -150,3 +150,37 @@ def test_table_to_table_incremental_pipeline(registered, tmp_path):
     assert latest_version(spark, dst) > v_after_first
     drain()  # no new upstream data -> downstream unchanged
     assert {r.id for r in read_table(spark, dst).collect()} == {0, 1, 2}
+
+
+def test_stream_reads_pre_r9_full_list_append_manifests(registered, tmp_path):
+    """Round-10 advisory fix: legacy (pre-r9) append manifests carry
+    the full "files" list — the stream recovers each version's adds as
+    a diff against the parent snapshot instead of raising KeyError."""
+    import json
+    import os
+
+    spark = registered
+    tbl = str(tmp_path / "legacy")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(0, "a")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(1, "b")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)
+    from wnv_etl_lab2_spark.sources.versioned import _resolve_files
+
+    for ver in (1, 2):
+        p = os.path.join(tbl, "_log", f"{ver:08d}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["files"] = _resolve_files(spark, tbl, ver)
+        del m["add"]
+        del m["parent"]
+        with open(p, "w") as f:
+            json.dump(m, f)
+        crc = os.path.join(tbl, "_log", f".{ver:08d}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    got: list[tuple] = []
+    sink = lambda df, _bid: got.extend((r.id, r.v) for r in df.collect())  # noqa: E731
+    _drain(spark, tbl, ckpt, sink)
+    assert sorted(got) == [(0, "a"), (1, "b"), (2, "c")]

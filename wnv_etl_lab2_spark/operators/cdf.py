@@ -95,7 +95,10 @@ def table_appends(
     `table_changes` there instead; analyze is metadata-only and
     skipped)."""
     from wnv_etl_lab2_spark.sources.versioned import (
+        _fs,
+        _qualify,
         _read_manifest,
+        _resolve_files,
         latest_version,
     )
 
@@ -113,7 +116,24 @@ def table_appends(
                 f"version {v} is op={m['op']!r}, not append — the range "
                 f"({v_from}, {v_to}] is not append-only; use table_changes"
             )
-        files.extend(m["add"])
+        if "add" in m:
+            files.extend(m["add"])
+        else:
+            # pre-round-9 append manifest: no log-structured "add"
+            # list, just the full snapshot "files" — recover the added
+            # set as this version's files minus the parent's, qualified
+            # on both sides so scheme-less legacy entries compare with
+            # qualified ones (round-10 advisory fix: an upgraded
+            # table's old history must stay consumable)
+            fs, jvm = _fs(spark, table_path)
+            parent = {
+                _qualify(fs, jvm, f)
+                for f in _resolve_files(spark, table_path, v - 1)
+            }
+            files.extend(
+                f for f in _resolve_files(spark, table_path, v)
+                if _qualify(fs, jvm, f) not in parent
+            )
     if not files:
         # empty change set with the table's schema
         from wnv_etl_lab2_spark.sources.versioned import read_table

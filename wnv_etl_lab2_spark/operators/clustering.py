@@ -81,31 +81,30 @@ def _dist_col(vec_col: str, centroids: list[list[float]]):
     return F.array_min(F.array(*dists))
 
 
-def kmeans_fit(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    n_clusters: int = 8,
-    iters: int = 5,
-    sample_size: int = 512,
-    id_col: str | None = None,
-) -> KMeansModel:
-    """Fit k-means: sample-initialized, corpus-refined. ``df`` needs
-    ``vec_col`` (array<float/double>) and, for deterministic sampling,
-    an ``id_col`` (defaults to the first column)."""
-    id_col = id_col or df.columns[0]
-    v = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
-    )
-    sample = _centroid_sample(v, "_id", sample_size)
-    cents = _farthest_first(sample, n_clusters)
+def lloyd_refine(
+    v: DataFrame,
+    cents: list[list[float]],
+    iters: int,
+    vec_col: str = "_e",
+) -> tuple[list[list[float]], list[float]]:
+    """Full-corpus Lloyd refinement of ANY initial centroids (round-10
+    factoring: `kmeans_fit` uses it after farthest-first seeding, and
+    the IVF quantizer / SemDeDup paths in `operators/similarity.py`
+    call it to upgrade their sample-trained centroids). ``v`` needs a
+    double-array ``vec_col``. Returns (refined centroids, per-iteration
+    inertia — non-increasing, measured under the iteration's INPUT
+    centroids, so ``inertia[0]`` is the quality of the initialization).
+
+    Scale shape per iteration (module docstring): ASSIGN is a pure
+    map, UPDATE one combinable (cluster, dim) aggregation with k·d key
+    space; the per-iteration collect is the bounded k·d stats table."""
     d = len(cents[0])
     inertia: list[float] = []
     for _ in range(iters):
         assigned = v.select(
-            "_e",
-            ivf_assign_col("_e", cents).alias("_c"),
-            _dist_col("_e", cents).alias("_d2"),
+            F.col(vec_col).alias("_e"),
+            ivf_assign_col(vec_col, cents).alias("_c"),
+            _dist_col(vec_col, cents).alias("_d2"),
         )
         # ONE combinable aggregation: (cluster, dim) sums + counts +
         # the inertia term riding along; key space k*d, map-side
@@ -136,4 +135,26 @@ def kmeans_fit(
             else:  # empty cluster keeps its centroid (standard Lloyd)
                 new_cents.append(cents[c])
         cents = new_cents
+    return cents, inertia
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 5,
+    sample_size: int = 512,
+    id_col: str | None = None,
+) -> KMeansModel:
+    """Fit k-means: sample-initialized, corpus-refined. ``df`` needs
+    ``vec_col`` (array<float/double>) and, for deterministic sampling,
+    an ``id_col`` (defaults to the first column)."""
+    id_col = id_col or df.columns[0]
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    )
+    sample = _centroid_sample(v, "_id", sample_size)
+    cents = _farthest_first(sample, n_clusters)
+    cents, inertia = lloyd_refine(v, cents, iters)
     return KMeansModel(centroids=cents, inertia=inertia)

@@ -62,11 +62,20 @@ def refresh_incremental(
         raise ValueError(f"not a versioned table (no log): {source_table}")
 
     def attempt() -> int | None:
-        if latest_version(spark, view_table) is None:
+        # Pin the view version ONCE per attempt: stamp, state, and the
+        # commit's CAS all derive from v0. Without the pin, a
+        # concurrent refresher committing between the stamp read and
+        # the state read makes this attempt merge its delta onto a
+        # state that already includes it — and a commit that re-reads
+        # latest for its own CAS would then succeed, double-applying
+        # the delta instead of losing the race and rebasing (round-10
+        # advisory fix).
+        v0 = latest_version(spark, view_table)
+        if v0 is None:
             state = aggregate(read_table(spark, source_table, src_v))
             create_table(state, view_table, batch_id=src_v, writer_id=writer_id)
             return src_v
-        reflected = last_committed_batch_id(spark, view_table, writer_id)
+        reflected = last_committed_batch_id(spark, view_table, writer_id, as_of=v0)
         if reflected is not None and src_v <= reflected:
             return None  # already current (or a replayed refresh)
         if reflected is None:
@@ -75,11 +84,17 @@ def refresh_incremental(
             # rebuild once, stamped, and every later refresh is
             # incremental
             state = aggregate(read_table(spark, source_table, src_v))
-            overwrite_table(state, view_table, batch_id=src_v, writer_id=writer_id)
+            overwrite_table(
+                state, view_table, batch_id=src_v, writer_id=writer_id,
+                expect_latest=v0,
+            )
             return src_v
         delta_rows = table_appends(spark, source_table, reflected, src_v)
-        new_state = merge(read_table(spark, view_table), aggregate(delta_rows))
-        overwrite_table(new_state, view_table, batch_id=src_v, writer_id=writer_id)
+        new_state = merge(read_table(spark, view_table, v0), aggregate(delta_rows))
+        overwrite_table(
+            new_state, view_table, batch_id=src_v, writer_id=writer_id,
+            expect_latest=v0,
+        )
         return src_v
 
     return with_retries(attempt)

@@ -32,6 +32,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _stamped(
+    df: DataFrame,
+    source_col: str,
+    weight_col: str,
+    order_col: str,
+    num_ranges: int | None,
+) -> DataFrame:
+    """The range-partitioned, locally-sorted frame with per-partition
+    id stamps — the plan the checkpoint in
+    `stride_interleave_positions` pins. Factored out so the plan shape
+    (range exchange, no corpus-sized single-partition window) stays
+    assertable in tests despite the checkpoint truncating lineage."""
+    spark = df.sparkSession
+    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rnk = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(F.col(order_col))
+    )
+    v = df.withColumn("vtime", rnk * F.lit(1.0) / F.col(weight_col))
+    return (
+        v.repartitionByRange(n, "vtime", source_col, order_col)
+        .sortWithinPartitions("vtime", source_col, order_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33))
+    )
+
+
 def stride_interleave_positions(
     df: DataFrame,
     source_col: str = "source",
@@ -52,17 +78,19 @@ def stride_interleave_positions(
     `deterministic_shuffle_order`'s docstring); the GLOBAL position
     uses the range-partition + offset decomposition described in the
     module docstring instead of an unpartitioned window."""
-    spark = df.sparkSession
-    n = num_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rnk = F.row_number().over(
-        Window.partitionBy(source_col).orderBy(F.col(order_col))
-    )
-    v = df.withColumn("vtime", rnk * F.lit(1.0) / F.col(weight_col))
-    ranged = v.repartitionByRange(
-        n, "vtime", source_col, order_col
-    ).sortWithinPartitions("vtime", source_col, order_col)
-    mid = ranged.withColumn("_mid", F.monotonically_increasing_id()).withColumn(
-        "_pid", F.shiftright("_mid", 33)
+    # The stamped frame feeds TWO plan branches (the counts/offsets
+    # side and the join side). Its ids are only consistent across both
+    # if they read the SAME evaluated partitioning — relying on Spark
+    # reusing the shuffle exchange is fragile (a canonicalization miss
+    # or a task retry that re-samples range boundaries would let
+    # `_pid`/`_mid` silently differ between branches), so the stamp is
+    # materialized ONCE with an eager localCheckpoint and both
+    # branches read the pinned result (round-10 advisory fix). This
+    # makes the operator run its jobs at call time; the frame it
+    # returns was always corpus-sized work, so the materialization is
+    # the price of deterministic global positions, not overhead.
+    mid = _stamped(df, source_col, weight_col, order_col, num_ranges).localCheckpoint(
+        eager=True
     )
     counts = mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

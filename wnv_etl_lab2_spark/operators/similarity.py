@@ -192,6 +192,35 @@ def _centroid_sample(v: DataFrame, id_col: str, sample_size: int) -> list[list[f
     ]
 
 
+def _trained_centroids(
+    v: DataFrame,
+    id_col: str,
+    n_clusters: int,
+    sample_size: int,
+    seed: int,
+    refine_iters: int = 0,
+    vec_col: str = "_e",
+) -> list[list[float]] | None:
+    """The shared quantizer-training path: bounded hash-ordered sample
+    -> driver-side Lloyd (`_kmeans_centroids`), then — when
+    ``refine_iters`` > 0 — FULL-CORPUS Lloyd refinement via
+    `operators/clustering.lloyd_refine` (round-10: the clustering
+    operator proved corpus refinement strictly beats sample-only
+    training in its own tests, so the IVF quantizer and SemDeDup
+    accept refined centroids too; each refinement iteration costs one
+    combinable k·d aggregation over the corpus). ``None`` for an
+    empty/fully-filtered input."""
+    sample = _centroid_sample(v, id_col, sample_size)
+    if not sample:
+        return None
+    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
+    if refine_iters > 0:
+        from wnv_etl_lab2_spark.operators.clustering import lloyd_refine
+
+        cents, _ = lloyd_refine(v, cents, refine_iters, vec_col=vec_col)
+    return cents
+
+
 def ivf_assign_col(vec_col, centroids: list[list[float]]) -> "F.Column":
     """Coarse-quantizer assignment: index of the nearest centroid
     (squared L2), computed with JVM higher-order functions against the
@@ -218,23 +247,25 @@ def ivf_ann_topk(
     nprobe: int = 4,
     sample_size: int = 512,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: train centroids on a bounded sample,
     assign every row to its nearest centroid (pure map — at ingest
     time in production), probe the ``nprobe`` centroids nearest the
     query, exact cosine re-rank of candidates only.
+    ``refine_iters`` > 0 upgrades the quantizer with full-corpus Lloyd
+    refinement before assignment (see `_trained_centroids`).
 
     Scan fraction ~ nprobe/n_clusters of the corpus; unlike the
     data-oblivious hyperplane LSH, the quantizer adapts to the data
     distribution, so recall holds up even without planted near-dups.
     """
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = _centroid_sample(v, id_col, sample_size)
-    if not sample:
+    cents = _trained_centroids(v, id_col, n_clusters, sample_size, seed, refine_iters)
+    if cents is None:
         # empty/fully-filtered input: an empty top-k, not a
         # ZeroDivisionError inside the centroid sampler
         return v.select(id_col, F.lit(0.0).alias("cos_sim")).where(F.lit(False))
-    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
     assigned = v.withColumn("_cl", ivf_assign_col(F.col("_e"), cents))
 
     qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in cents]
@@ -629,6 +660,7 @@ def semantic_dedup(
     seed: int = 42,
     bands: int = 24,
     rows_per_band: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic pruning (Abbas et al. 2023, public
     paper): cluster the embeddings with the IVF coarse quantizer, find
@@ -646,14 +678,13 @@ def semantic_dedup(
     in the same cell with high probability, and k dials cell size.
     """
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = _centroid_sample(v, id_col, sample_size)
-    if not sample:
+    cents = _trained_centroids(v, id_col, n_clusters, sample_size, seed, refine_iters)
+    if cents is None:
         return vectors.select(
             F.col(id_col),
             F.lit(0).alias("cluster"),
             F.lit(True).alias("keep"),
         ).where(F.lit(False))
-    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
     assigned = vectors.withColumn(
         "_cluster", ivf_assign_col(as_double_array(vec_col), cents)
     ).localCheckpoint(eager=False)  # pairs + final join both reuse the assignment
@@ -690,6 +721,7 @@ def ivf_index_build(
     n_clusters: int = 16,
     sample_size: int = 512,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> None:
     """Build and PERSIST an IVF index: the trained coarse quantizer
     (one parquet of (cluster_id, centroid)) plus the corpus assigned
@@ -708,10 +740,9 @@ def ivf_index_build(
     import os
 
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    sample = _centroid_sample(v, id_col, sample_size)
-    if not sample:
+    cents = _trained_centroids(v, id_col, n_clusters, sample_size, seed, refine_iters)
+    if cents is None:
         raise ValueError("cannot build an IVF index over an empty corpus")
-    cents = _kmeans_centroids(sample, n_clusters, seed=seed)
     spark = vectors.sparkSession
     spark.createDataFrame(
         [(ci, c) for ci, c in enumerate(cents)],

@@ -395,10 +395,24 @@ def append_table(
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
-        # accelerator, not a correctness artifact
-        _write_checkpoint(
-            spark, table_path, version, _resolve_files(spark, table_path, version)
-        )
+        # accelerator, not a correctness artifact — so a checkpoint
+        # hiccup must never make the already-committed append look
+        # failed to the caller (a naive retry would write the batch
+        # twice; only the sink path re-checks batch_id). Swallow and
+        # warn; the next CHECKPOINT_EVERY-th append retries naturally
+        # (round-10 advisory fix).
+        try:
+            _write_checkpoint(
+                spark, table_path, version, _resolve_files(spark, table_path, version)
+            )
+        except Exception as e:  # noqa: BLE001 — best-effort accelerator
+            import warnings
+
+            warnings.warn(
+                f"post-commit checkpoint at {table_path} v{version} failed "
+                f"(append IS committed; readers just walk a longer chain): {e}",
+                stacklevel=2,
+            )
     return version
 
 
@@ -416,7 +430,10 @@ def committed_batch_ids(spark: SparkSession, table_path: str) -> set[int]:
 
 
 def last_committed_batch_id(
-    spark: SparkSession, table_path: str, writer_id: str = "default"
+    spark: SparkSession,
+    table_path: str,
+    writer_id: str = "default",
+    as_of: int | None = None,
 ) -> int | None:
     """Newest batch id this ``writer_id`` committed, found by walking
     manifests newest-first and stopping at the writer's first stamp.
@@ -428,8 +445,15 @@ def last_committed_batch_id(
     instead of replaying the whole ledger every micro-batch.
     ``writer_id`` scopes the ledger so several stream queries can
     append to one table without reading each other's stamps (the
-    (appId, version) transactional-writer pattern)."""
+    (appId, version) transactional-writer pattern). ``as_of`` bounds
+    the walk to versions <= it, so a reader that pinned a version can
+    read the stamp AS OF that same version — without it, a stamp
+    committed between the caller's version pin and this walk would
+    leak in (the matview concurrent-refresh race, round-10 advisory
+    fix)."""
     for v in reversed(_list_versions(spark, table_path)):
+        if as_of is not None and v > as_of:
+            continue
         m = _read_manifest(spark, table_path, v)
         if "batch_id" in m and m.get("writer_id", "default") == writer_id:
             return int(m["batch_id"])
@@ -441,13 +465,22 @@ def overwrite_table(
     table_path: str,
     batch_id: int | None = None,
     writer_id: str | None = None,
+    expect_latest: int | None = None,
 ) -> int:
     """Full-replace snapshot as a new version (old versions stay
     readable until vacuumed). ``batch_id``/``writer_id`` stamp the
     manifest for idempotent refreshers (e.g. the materialized-view
-    maintainer records the source version each refresh reflects)."""
+    maintainer records the source version each refresh reflects).
+    ``expect_latest`` makes the commit a CAS on a version the CALLER
+    pinned: if anyone committed past it since the caller read its
+    state, the optimistic check (and, behind it, the exclusive
+    manifest create) fails loudly instead of silently clobbering the
+    concurrent commit — required whenever the written frame was
+    derived FROM a read of the table (read-modify-write), where
+    re-reading latest here would turn a lost race into a lost update
+    (round-10 advisory fix)."""
     spark = df.sparkSession
-    cur = latest_version(spark, table_path)
+    cur = expect_latest if expect_latest is not None else latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     return _write_version(

@@ -75,6 +75,25 @@ def _py_read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _py_resolve_files(table_path: str, version: int) -> list[str]:
+    """Python twin of `sources/versioned._resolve_files` (the
+    DataSource runs in workers without a JVM session): a version's
+    full file list via the checkpoint-or-full-manifest walk, local
+    paths."""
+    adds: list[str] = []
+    v = version
+    while True:
+        ckpt = os.path.join(_local(table_path), _LOG_DIR, f"_ckpt-{v:08d}.json")
+        if os.path.exists(ckpt):
+            with open(ckpt) as f:
+                return sorted({_local(p) for p in json.load(f)["files"]}.union(adds))
+        m = _py_read_manifest(table_path, v)
+        if "files" in m:
+            return sorted({_local(p) for p in m["files"]}.union(adds))
+        adds.extend(_local(p) for p in m["add"])
+        v = m["parent"]
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str, columns: list[str]) -> None:
         self.path = path
@@ -138,7 +157,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             if m["op"] == "create":
                 files = m["files"]
             elif m["op"] == "append":
-                files = m["add"]
+                if "add" in m:
+                    files = m["add"]
+                else:
+                    # pre-round-9 append manifest: full "files" list,
+                    # no "add" — recover the added set as a local-path
+                    # diff against the parent snapshot (round-10
+                    # advisory fix, same contract as cdf.table_appends)
+                    parent = set(_py_resolve_files(self._path, v - 1))
+                    files = [
+                        f for f in _py_resolve_files(self._path, v)
+                        if f not in parent
+                    ]
             else:
                 raise ValueError(
                     f"version {v} is op={m['op']!r} — the streaming source "
