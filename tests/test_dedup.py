@@ -360,8 +360,8 @@ def test_ann_recall_floors_across_sf(spark, sf):
     fixture: bucket geometry shifts with corpus size (more vectors per
     hyperplane cell / IVF cluster), so a probing or banding regression
     can hide at sf0.001 and only surface at sf0.1. Measured recall@10
-    (hash-ordered centroid sample, nprobe=5): sf0.01 lsh 4, ivf 5;
-    sf0.1 lsh 7, ivf 6 — floors at or one below."""
+    (r10 — pre-trained sf0.1 quantizer, nprobe=6): sf0.01 lsh 4,
+    ivf 6; sf0.1 lsh 7, ivf 6 — floors at or one below."""
     import os
     if not os.path.isdir(sf):
         pytest.skip(f"{sf} not present")

@@ -109,3 +109,159 @@ def test_bmp_decoder_rejects_other_depths():
     payload = bytearray(make_bmp(img))
     payload[28:30] = struct.pack("<H", 8)  # 8bpp
     assert decode_bmp24(bytes(payload)) is None
+
+
+# ---- round 10: REAL PNG decode (stdlib zlib inflate + filter recon) ----
+
+def make_png(pixels: np.ndarray, ctype: int = 2, filters=None, palette=None) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit depth, chooses the given
+    filter type per scanline (applying the spec's INVERSE filter at
+    encode time), so every reconstruction path in decode_png is
+    exercised against known pixels."""
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    if ctype == 3:
+        h, w = pixels.shape
+        channels = 1
+        flat = pixels.reshape(h, w, 1)
+    else:
+        h, w, channels = pixels.shape
+        flat = pixels
+    bpp = channels
+    stride = w * bpp
+    filters = filters or [0]
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = flat[y].tobytes()
+        f = filters[y % len(filters)]
+        raw.append(f)
+        enc = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                enc[i] = x
+            elif f == 1:
+                enc[i] = (x - a) & 0xFF
+            elif f == 2:
+                enc[i] = (x - b) & 0xFF
+            elif f == 3:
+                enc[i] = (x - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (x - pr) & 0xFF
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    body = zlib.compress(bytes(raw))
+    # split IDAT in two to exercise multi-chunk concatenation
+    mid = len(body) // 2
+    out += chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:])
+    return out + chunk(b"IEND", b"")
+
+
+def _pseudo_pixels(h, w, channels, seed=7):
+    """Deterministic noisy pixels — stresses Sub/Up/Average/Paeth with
+    non-trivial deltas."""
+    n = h * w * channels
+    vals = [(seed + 31 * i + (i * i) % 97) % 256 for i in range(n)]
+    return np.array(vals, dtype=np.uint8).reshape(h, w, channels)
+
+
+def test_png_decode_every_filter_type_roundtrips():
+    from wnv_etl_lab2_spark.operators.multimodal import decode_png
+
+    img = _pseudo_pixels(10, 7, 3)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        back = decode_png(make_png(img, ctype=2, filters=filters))
+        assert back is not None and np.array_equal(back, img), filters
+
+
+def test_png_decode_color_types():
+    from wnv_etl_lab2_spark.operators.multimodal import decode_png
+
+    gray = _pseudo_pixels(5, 6, 1)
+    back = decode_png(make_png(gray, ctype=0, filters=[4]))
+    assert np.array_equal(back, np.repeat(gray, 3, axis=2))
+
+    ga = _pseudo_pixels(5, 6, 2)  # gray + alpha: alpha dropped
+    back = decode_png(make_png(ga, ctype=4, filters=[3]))
+    assert np.array_equal(back, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    rgba = _pseudo_pixels(4, 4, 4)
+    back = decode_png(make_png(rgba, ctype=6, filters=[1, 2]))
+    assert np.array_equal(back, rgba[:, :, :3])
+
+    palette = [(250, 10, 30), (0, 200, 0), (5, 5, 255)]
+    idx = np.array([[0, 1, 2, 1], [2, 2, 0, 0]], dtype=np.uint8)
+    back = decode_png(make_png(idx, ctype=3, filters=[0], palette=palette))
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert np.array_equal(back, want)
+
+
+def test_png_decode_rejects_malformed():
+    import zlib
+
+    from wnv_etl_lab2_spark.operators.multimodal import decode_png
+
+    img = _pseudo_pixels(6, 6, 3)
+    good = make_png(img)
+    assert decode_png(b"") is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # sig only
+    assert decode_png(good[:40]) is None  # truncated mid-chunk
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16  # IHDR bit depth
+    assert decode_png(bytes(bad_depth)) is None
+    interlaced = bytearray(good)
+    interlaced[28] = 1  # Adam7
+    assert decode_png(bytes(interlaced)) is None
+    # corrupt the DEFLATE stream body (first IDAT payload byte)
+    corrupt = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    corrupt[idat_at + 8] ^= 0xFF
+    assert decode_png(bytes(corrupt)) is None
+    # palette index out of range
+    idx = np.array([[0, 5]], dtype=np.uint8)
+    assert decode_png(make_png(idx, ctype=3, palette=[(1, 2, 3)])) is None
+
+
+def test_raster_resize_mixed_bmp_png_spark(spark):
+    from wnv_etl_lab2_spark.operators.multimodal import resize_raster_images
+
+    bmp_img = np.zeros((8, 16, 3), dtype=np.uint8)
+    bmp_img[:, :8, 0] = 200
+    bmp_img[:, 8:, 2] = 100
+    png_img = np.zeros((8, 8, 3), dtype=np.uint8)
+    png_img[:, :, 1] = 60
+    df = spark.createDataFrame(
+        [
+            (1, make_bmp(bmp_img)),
+            (2, make_png(png_img, filters=[0, 1, 2, 3, 4])),
+            (3, b"neither format"),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in resize_raster_images(df, target=4).collect()}
+    assert got[1].format == "bmp" and (got[1].src_width, got[1].src_height) == (16, 8)
+    assert abs(got[1].mean_r - 100.0) < 1e-9
+    r2 = got[2]
+    assert r2.format == "png" and (r2.src_width, r2.src_height) == (8, 8)
+    assert (r2.out_width, r2.out_height) == (4, 4)
+    assert abs(r2.mean_g - 60.0) < 1e-9 and r2.mean_r == 0.0
+    thumb = np.frombuffer(r2.thumb, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(thumb[:, :, 1], np.full((4, 4), 60))
+    assert got[3].format is None and got[3].mean_r is None

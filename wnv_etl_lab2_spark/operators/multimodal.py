@@ -305,3 +305,190 @@ def resize_bmp_images(df: DataFrame, target: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=BMP_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for PNG (round 10): PNG is DEFLATE (stdlib zlib) over
+# filtered scanlines — no codec library needed, unlike JPEG/MP4 which
+# remain honestly stubbed. Supports the 8-bit-depth non-interlaced
+# color types (gray / RGB / palette / gray+alpha / RGBA); everything
+# else (16-bit, Adam7, truncated, corrupt DEFLATE) returns None —
+# malformed media is data, not an exception, at corpus scale.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit non-interlaced PNG into an (h, w, 3) uint8 RGB
+    array: chunk walk, zlib-inflate the IDAT stream, reconstruct the
+    five scanline filter types (None/Sub/Up/Average/Paeth — the spec's
+    §9 recursion), then expand gray/palette/alpha to RGB (alpha is
+    dropped, not composited). Pure struct + zlib + numpy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or not payload.startswith(_PNG_SIG):
+        return None
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk
+        if ctag == b"IHDR":
+            if clen != 13:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                return None
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(body[: (clen // 3) * 3], dtype=np.uint8).reshape(
+                -1, 3
+            )
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+        pos += 12 + clen  # length + tag + data + crc
+    if w is None or not idat or w == 0 or h == 0:
+        return None
+    if depth != 8 or interlace != 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None or (ctype == 3 and plte is None):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    bpp = channels
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        off += 1
+        line = bytearray(raw[off : off + stride])
+        off += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up (no intra-row recursion: vectorized)
+            line = bytearray(
+                (np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int16)
+                 + prev).astype(np.uint8).tobytes()
+            )
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        else:
+            return None  # not a spec filter type
+        arr = np.frombuffer(bytes(line), dtype=np.uint8)
+        out[y] = arr
+        prev = arr
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if ctype == 2:
+        return px.copy()
+    if ctype == 3:
+        if int(px.max()) >= len(plte):
+            return None  # palette index out of range
+        return plte[px[:, :, 0]].copy()
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # RGBA -> drop alpha
+
+
+RASTER_RESIZE_SCHEMA = (
+    "doc_id long, format string, src_width int, src_height int, "
+    "out_width int, out_height int, mean_r double, mean_g double, "
+    "mean_b double, thumb binary"
+)
+
+
+def decode_raster(payload: bytes):
+    """Sniff-and-decode the formats this engine decodes for real:
+    (format, (h, w, 3) RGB array) for 24-bit BMP or 8-bit PNG, else
+    (None, None)."""
+    if payload[:2] == b"BM":
+        img = decode_bmp24(payload)
+        if img is not None:
+            return "bmp", img
+    if payload[:8] == _PNG_SIG:
+        img = decode_png(payload)
+        if img is not None:
+            return "png", img
+    return None, None
+
+
+def resize_raster_images(df: DataFrame, target: int = 8) -> DataFrame:
+    """REAL image resize over a mixed binary raster column (BMP and
+    PNG sniffed by magic): decode, average-pool to <= target x target
+    (aspect preserved), emit per-channel means and the raw RGB
+    thumbnail bytes — the downsample an image-dedup / quality pass
+    runs before hashing. Payloads in neither format yield null
+    feature rows (the corrupt/compressed-media path — the rate is
+    itself queryable). Same mapInPandas shape as the WAV/BMP paths:
+    one Arrow crossing, only (doc_id, payload) projected in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def pool(img, t):
+            h, w, _ = img.shape
+            scale = max(1, max(h, w) // t)
+            th, tw = max(1, h // scale), max(1, w // scale)
+            clipped = img[: th * scale, : tw * scale].astype(np.float64)
+            return clipped.reshape(th, scale, tw, scale, 3).mean(axis=(1, 3))
+
+        cols = (
+            "doc_id", "format", "src_width", "src_height", "out_width",
+            "out_height", "mean_r", "mean_g", "mean_b", "thumb",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                fmt, img = decode_raster(payload or b"")
+                out["format"].append(fmt)
+                if img is None:
+                    for k in cols[2:]:
+                        out[k].append(None)
+                    continue
+                small = pool(img, target)
+                out["src_width"].append(img.shape[1])
+                out["src_height"].append(img.shape[0])
+                out["out_width"].append(small.shape[1])
+                out["out_height"].append(small.shape[0])
+                out["mean_r"].append(float(img[:, :, 0].mean()))
+                out["mean_g"].append(float(img[:, :, 1].mean()))
+                out["mean_b"].append(float(img[:, :, 2].mean()))
+                out["thumb"].append(np.round(small).astype(np.uint8).tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RASTER_RESIZE_SCHEMA)

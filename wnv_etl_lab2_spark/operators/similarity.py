@@ -266,9 +266,31 @@ def ivf_ann_topk(
         # empty/fully-filtered input: an empty top-k, not a
         # ZeroDivisionError inside the centroid sampler
         return v.select(id_col, F.lit(0.0).alias("cos_sim")).where(F.lit(False))
-    assigned = v.withColumn("_cl", ivf_assign_col(F.col("_e"), cents))
+    return ivf_topk_pretrained(vectors, query_vec, cents, k=k, nprobe=nprobe,
+                               id_col=id_col, vec_col=vec_col)
 
-    qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in cents]
+
+def ivf_topk_pretrained(
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF SERVE path against an already-trained quantizer
+    (round-10 factoring): assignment is a pure map over the centroid
+    literals, centroid ranking for the probe set is driver-side over
+    the bounded artifact, and only the probed cells are cosine
+    re-ranked. This is the query-many half of build-once/query-many —
+    `ivf_ann_topk` composes it with inline training, `ann_topk_ivf`
+    (queries/similarity_q.py) serves the checked-in pre-trained
+    quantizer so a DuckDB oracle can replay it exactly."""
+    v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+    assigned = v.withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+
+    qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids]
     probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: t[1])[:nprobe]]
 
     nv = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
