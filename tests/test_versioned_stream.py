@@ -184,3 +184,99 @@ def test_stream_reads_pre_r9_full_list_append_manifests(registered, tmp_path):
     sink = lambda df, _bid: got.extend((r.id, r.v) for r in df.collect())  # noqa: E731
     _drain(spark, tbl, ckpt, sink)
     assert sorted(got) == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_change_feed_streams_through_rewrites(registered, tmp_path):
+    """readChangeFeed=true: a stream survives merge/delete/optimize
+    rewrites; applying the feed (insert +1, delete -1) as a multiset
+    reproduces EXACTLY the final snapshot — the retract-apply identity
+    the CDF reconstruction guarantees."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+        optimize_table,
+        read_table,
+    )
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)
+    merge_upsert_table(  # rewrite: update id=1, insert id=3
+        spark.createDataFrame([(1, "B"), (3, "d")], "id long, v string"), tbl, key="id"
+    )
+    delete_from_table(spark, tbl, "id = 0")  # rewrite: drop a row
+    optimize_table(spark, tbl)  # data-neutral: must emit NOTHING
+    append_table(spark.createDataFrame([(4, "e")], "id long, v string"), tbl)
+
+    state: Counter = Counter()
+    seen_types: set[str] = set()
+    seen_versions: set[int] = set()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            seen_types.add(r._change_type)
+            seen_versions.add(r._commit_version)
+            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final  # retract-apply == snapshot (no negatives left)
+    assert not [k for k, n in state.items() if n < 0]
+    assert seen_types == {"insert", "delete"}
+    # create=0, appends/rewrites 1..3 and 5 emit; 4 (optimize) is
+    # skipped as data-neutral
+    assert seen_versions == {0, 1, 2, 3, 5}
+
+
+def test_change_feed_incremental_restart_across_rewrite(registered, tmp_path):
+    """A checkpointed CDF stream that stopped BEFORE a rewrite resumes
+    cleanly through it and delivers only the rewrite's change set."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import merge_upsert_table, read_table
+
+    spark = registered
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl)
+
+    state: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    assert +state == Counter({(0, "a"): 1, (1, "b"): 1})
+    merge_upsert_table(
+        spark.createDataFrame([(0, "A")], "id long, v string"), tbl, key="id"
+    )
+    drain()  # resumes from the checkpointed offset, crosses the rewrite
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final == Counter({(0, "A"): 1, (1, "b"): 1})

@@ -1,0 +1,280 @@
+"""Cross-table transactions over versioned tables (round 10) — the
+one capability the protocol declared as its omitted-vs-real-formats
+gap through round 9 (`sources/versioned.py` module docstring). A
+multi-table pipeline (corpus + index + materialized view) can now
+commit N tables' next versions ALL-OR-NOTHING.
+
+The protocol, composed from the primitives the single-table path
+already trusts:
+
+1. STAGE: each participating write puts its data files under a unique
+   attempt dir and builds its next-version manifest EXACTLY as the
+   single-table append/overwrite would — plus a ``txn`` stamp
+   ``{"id": <uuid>, "log": <shared txn-log dir>}``.
+2. PUBLISH PENDING: each manifest is committed with the same
+   exclusive-create protocol as any single-table write, which ATOMICALLY
+   claims that table's next version slot (a concurrent independent
+   writer or second transaction targeting the slot loses loudly — at
+   most one transaction can ever be pending per table). Stamped
+   manifests are INVISIBLE: every reader (`latest_version`,
+   `read_table`, batch-id ledgers, the Python streaming source) skips
+   a ``txn``-stamped manifest until the transaction commits.
+3. COMMIT: one exclusive create of ``{txn_log}/{id}.committed`` — the
+   single atomic action after which every participating table's new
+   version is visible. Crash anywhere before it → every table still
+   reads at its prior version; the staged manifests/data are inert.
+4. ABORT/RECOVERY: `abort_transaction` writes ``{id}.aborted``
+   (exclusive — it can never race a successful commit marker) and
+   deletes the transaction's pending manifests, freeing the version
+   slots. It is idempotent and is the recovery path for a transaction
+   that crashed between publish and commit; orphaned attempt dirs are
+   reference-counted garbage for vacuum, exactly like any crashed
+   single-table writer's.
+
+What this costs readers: `latest_version` reads the tip manifest
+(KB-sized, driver-side) instead of only listing filenames — the price
+of visibility being a manifest property. While a transaction is
+pending on a table, independent writers targeting its next slot fail
+their exclusive create and retry/raise (`with_retries`); the pending
+window spans only manifest publish + marker create (data staging
+happens BEFORE any slot is claimed), so contention is bounded by two
+small-file creates per table.
+
+At 100 TB nothing here scales with data volume: staging is the normal
+parquet write the tables would do anyway; the transaction adds one
+KB-sized manifest create per table plus one marker create total.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    _attempt_dir,
+    _commit,
+    _data_files,
+    _fs,
+    _list_versions,
+    _merge_schemas,
+    _qualify,
+    _read_manifest,
+    latest_version,
+)
+
+
+@dataclass(frozen=True)
+class TxnWrite:
+    """One table's write inside a transaction. ``op`` is "append" or
+    "overwrite"; ``expect_latest`` makes the write a CAS on a version
+    the caller pinned (read-modify-write arms, e.g. a matview state
+    derived from a read — same contract as `overwrite_table`'s)."""
+
+    df: DataFrame
+    table_path: str
+    op: str
+    batch_id: int | None = None
+    writer_id: str | None = None
+    expect_latest: int | None = None
+
+
+def _marker(jvm, txn_log: str, txn_id: str):
+    return jvm.org.apache.hadoop.fs.Path(posixpath.join(txn_log, f"{txn_id}.final"))
+
+
+def resolve_outcome(
+    spark: SparkSession, txn_log: str, txn_id: str, outcome: str
+) -> str:
+    """Decide a transaction's fate, EXACTLY ONCE: publish
+    ``{txn_id}.final`` containing "committed" or "aborted" via
+    temp-write + fail-if-exists rename (the `_commit` protocol — the
+    content is never observable half-written, and two racing deciders
+    get exactly one winner). Returns the WINNING outcome, which may be
+    the other decider's: a committer that loses to an abort sees
+    "aborted" and must roll back; an aborter that loses to a commit
+    sees "committed" and must leave the manifests alone. This single
+    file is the entire commit/abort race — there is no two-marker
+    interleaving where both sides win."""
+    import uuid as _uuid
+
+    fs, jvm = _fs(spark, txn_log)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(txn_log))
+    dst = _marker(jvm, txn_log, txn_id)
+    if not fs.exists(dst):
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            posixpath.join(txn_log, f".tmp-{txn_id}-{_uuid.uuid4().hex[:8]}")
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(outcome.encode("utf-8"))
+        finally:
+            out.close()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_enum = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+        opts = spark._sc._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.NONE
+        try:
+            fc.rename(tmp, dst, opts)
+        except Exception:
+            fs.delete(tmp, False)  # lost the decide race: read the winner
+    return read_outcome(spark, txn_log, txn_id) or outcome
+
+
+def read_outcome(spark: SparkSession, txn_log: str, txn_id: str) -> str | None:
+    """"committed" / "aborted" once decided, None while undecided."""
+    fs, jvm = _fs(spark, txn_log)
+    p = _marker(jvm, txn_log, txn_id)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        reader = spark._jvm.java.io.BufferedReader(
+            spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        return reader.readLine()
+    finally:
+        stream.close()
+
+
+def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
+    """Write ``w``'s data files and build its next-version manifest
+    (not yet published). Mirrors the single-table append/overwrite
+    manifest shapes exactly, so every existing reader — resolve walk,
+    CDF, streaming source, schema evolution — consumes transactional
+    versions with zero special cases once they are visible."""
+    cur = latest_version(spark, w.table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {w.table_path}")
+    if w.expect_latest is not None and cur != w.expect_latest:
+        raise ValueError(
+            f"optimistic concurrency check failed for {w.table_path}: "
+            f"expected latest={w.expect_latest}, found {cur} — re-read and retry"
+        )
+    if w.op not in ("append", "overwrite"):
+        raise ValueError(f"transactional op must be append|overwrite, got {w.op!r}")
+    version = cur + 1
+    vdir = _attempt_dir(w.table_path, version)
+    w.df.write.mode("error").parquet(vdir)
+    files = _data_files(spark, vdir)
+    n_new = spark.read.parquet(vdir).count()
+    prev = _read_manifest(spark, w.table_path, cur)
+    if w.op == "append":
+        manifest = {
+            "version": version,
+            "op": "append",
+            "parent": cur,
+            "add": files,
+            "n_rows": int(prev["n_rows"]) + n_new,
+            "schema": _merge_schemas(prev.get("schema"), w.df.schema),
+        }
+    else:
+        manifest = {
+            "version": version,
+            "op": "overwrite",
+            "files": files,
+            "n_rows": n_new,
+            "schema": w.df.schema.json(),
+        }
+    if w.batch_id is not None:
+        manifest["batch_id"] = int(w.batch_id)
+        if w.writer_id is not None:
+            manifest["writer_id"] = w.writer_id
+    manifest["txn"] = {"id": txn_id, "log": txn_log}
+    return version, manifest
+
+
+def _delete_pending(spark: SparkSession, table_path: str, txn_id: str) -> None:
+    """Remove this transaction's pending manifest from ``table_path``
+    (tip-only by construction), freeing the version slot."""
+    from wnv_etl_lab2_spark.sources.versioned import _txn_visible
+
+    fs, jvm = _fs(spark, table_path)
+    for v in reversed(_list_versions(spark, table_path)):
+        m = _read_manifest(spark, table_path, v)
+        txn = m.get("txn")
+        if txn is not None and txn["id"] == txn_id:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    posixpath.join(table_path, "_log", f"{v:08d}.json")
+                ),
+                False,
+            )
+            continue
+        if _txn_visible(spark, m):
+            return  # below the pending tip: nothing of ours further down
+
+
+def commit_transaction(
+    spark: SparkSession,
+    txn_log: str,
+    writes: list[TxnWrite],
+) -> dict[str, int]:
+    """Atomically commit every write in ``writes`` (distinct tables):
+    either ALL tables advance to their staged versions or none does.
+    Returns {table_path: committed version}. On any failure — a lost
+    version-slot race, a schema rejection, a commit/abort marker race
+    — the transaction self-aborts (pending manifests deleted, aborted
+    marker left as the tombstone) and re-raises; every table still
+    reads at its prior version. Wrap in
+    `sources/versioned.with_retries` to rebase-and-retry lost races."""
+    if len({w.table_path for w in writes}) != len(writes):
+        raise ValueError("one write per table per transaction")
+    if not writes:
+        raise ValueError("empty transaction")
+    fs, jvm = _fs(spark, txn_log)
+    txn_log = _qualify(fs, jvm, txn_log)
+    txn_id = uuid.uuid4().hex
+    # phase 1: stage all data + manifests BEFORE claiming any slot, so
+    # the pending window (slots held, visibility unresolved) spans only
+    # small-file creates
+    staged: list[tuple[TxnWrite, int, dict]] = []
+    for w in writes:
+        version, manifest = _stage(spark, w, txn_id, txn_log)
+        staged.append((w, version, manifest))
+    # phase 2: publish pending manifests (exclusive-create slot claims)
+    try:
+        for w, version, manifest in staged:
+            _commit(spark, w.table_path, version, manifest)
+    except Exception:
+        # a slot claim failed: decide "aborted" (nobody else can decide
+        # this txn_id — it never escaped this process — but the single
+        # decide point keeps every path uniform), then free every slot
+        # this txn claimed (delete-by-txn-id is a no-op on tables whose
+        # publish never happened); staged data dirs become vacuumable
+        # garbage
+        resolve_outcome(spark, txn_log, txn_id, "aborted")
+        for w in writes:
+            _delete_pending(spark, w.table_path, txn_id)
+        raise
+    # phase 3: THE commit point — one atomic outcome decide
+    outcome = resolve_outcome(spark, txn_log, txn_id, "committed")
+    if outcome != "committed":
+        for w in writes:
+            _delete_pending(spark, w.table_path, txn_id)
+        raise ValueError(f"transaction {txn_id} was aborted concurrently")
+    return {w.table_path: version for w, version, _ in staged}
+
+
+def abort_transaction(
+    spark: SparkSession,
+    txn_log: str,
+    txn_id: str,
+    table_paths: list[str],
+) -> None:
+    """Recovery path for a transaction that crashed between publish
+    and commit: write the aborted tombstone (exclusive — can never
+    race a successful commit) and delete the pending manifests so the
+    tables' version slots free up. Idempotent; raises if the
+    transaction already committed."""
+    fs, jvm = _fs(spark, txn_log)
+    txn_log = _qualify(fs, jvm, txn_log)
+    outcome = resolve_outcome(spark, txn_log, txn_id, "aborted")
+    if outcome == "committed":
+        raise ValueError(f"transaction {txn_id} already committed — cannot abort")
+    for t in table_paths:
+        _delete_pending(spark, t, txn_id)

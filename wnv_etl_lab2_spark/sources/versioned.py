@@ -39,8 +39,11 @@ metadata O(batch) per commit instead of O(snapshot). Per-file column
 stats (ANALYZE via `collect_stats`) enable manifest-level FILE
 SKIPPING (`read_table_pruned`) before any footer is opened —
 composing with `sources/layout.py` Z-order clustering, which is what
-makes per-file ranges tight. What this subset still omits vs a real
-format — cross-table transactions — is documented, not faked.
+makes per-file ranges tight. CROSS-TABLE TRANSACTIONS (round 10,
+`sources/transactions.py`) close the last declared omission: N
+tables' next versions commit all-or-nothing behind a single atomic
+outcome marker, with pending manifests invisible to every reader
+(`_txn_visible`).
 """
 
 from __future__ import annotations
@@ -168,9 +171,33 @@ def _resolve_files(spark: SparkSession, table_path: str, version: int) -> list[s
         v = m["parent"]
 
 
+def _txn_visible(spark: SparkSession, manifest: dict) -> bool:
+    """Cross-table-transaction visibility (round 10): a manifest
+    carrying a ``txn`` stamp is PENDING — invisible to every reader —
+    until its transaction's ``.final`` outcome marker in the shared
+    transaction log reads "committed" (`sources/transactions.py`).
+    The marker publish is the single atomic action that makes ALL
+    participating tables' new versions visible simultaneously; a
+    crash before it leaves every table at its prior version.
+    Non-transactional manifests (no stamp) are always visible."""
+    txn = manifest.get("txn")
+    if txn is None:
+        return True
+    from wnv_etl_lab2_spark.sources.transactions import read_outcome
+
+    return read_outcome(spark, txn["log"], txn["id"]) == "committed"
+
+
 def latest_version(spark: SparkSession, table_path: str) -> int | None:
+    """Newest VISIBLE version. The newest-first walk reads at most the
+    manifests of pending-transaction tip versions (at most one txn can
+    hold a table's next slot — the exclusive manifest create serializes
+    them), so the common case costs one KB-sized manifest read."""
     vs = _list_versions(spark, table_path)
-    return vs[-1] if vs else None
+    for v in reversed(vs):
+        if _txn_visible(spark, _read_manifest(spark, table_path, v)):
+            return v
+    return None
 
 
 def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
@@ -424,7 +451,7 @@ def committed_batch_ids(spark: SparkSession, table_path: str) -> set[int]:
     out = set()
     for v in _list_versions(spark, table_path):
         m = _read_manifest(spark, table_path, v)
-        if "batch_id" in m:
+        if "batch_id" in m and _txn_visible(spark, m):
             out.add(int(m["batch_id"]))
     return out
 
@@ -455,7 +482,11 @@ def last_committed_batch_id(
         if as_of is not None and v > as_of:
             continue
         m = _read_manifest(spark, table_path, v)
-        if "batch_id" in m and m.get("writer_id", "default") == writer_id:
+        if (
+            "batch_id" in m
+            and m.get("writer_id", "default") == writer_id
+            and _txn_visible(spark, m)
+        ):
             return int(m["batch_id"])
     return None
 
@@ -502,6 +533,11 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
         version = latest_version(spark, table_path)
         if version is None:
             raise ValueError(f"not a versioned table (no log): {table_path}")
+    elif not _txn_visible(spark, _read_manifest(spark, table_path, version)):
+        raise ValueError(
+            f"version {version} belongs to an uncommitted transaction — "
+            "not readable until its .committed marker lands"
+        )
     files = _resolve_files(spark, table_path, version)
     if not files:
         raise ValueError(f"version {version} lists no files")
@@ -621,6 +657,15 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
     versions = _list_versions(spark, table_path)
     if not versions:
         return []
+    # an in-flight (or crashed) cross-table transaction holds the tip
+    # slot with a pending manifest: vacuum must not reason about kept
+    # snapshots while visibility is unresolved — resolve (commit) or
+    # abort_transaction first (round 10)
+    if not _txn_visible(spark, _read_manifest(spark, table_path, versions[-1])):
+        raise ValueError(
+            f"{table_path} has a pending transaction at version "
+            f"{versions[-1]} — commit or abort it before vacuum"
+        )
     drop = versions[:-keep_last]
     kept = versions[-keep_last:]
     fs, jvm = _fs(spark, table_path)

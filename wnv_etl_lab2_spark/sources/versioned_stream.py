@@ -26,6 +26,20 @@ Why this composes correctly:
   streaming source without ignoreChanges; ``op=analyze`` versions are
   metadata-only and skipped. `operators/cdf.table_changes` is the
   batch path for rewritten ranges.
+- CHANGE-FEED MODE (round 10): ``.option("readChangeFeed", "true")``
+  streams THROUGH history rewrites instead of refusing. Each version's
+  change set is reconstructed from the manifest file lists alone — the
+  add/remove-file CDC reconstruction Delta uses when no per-row change
+  files exist: an append's added files emit as ``_change_type =
+  'insert'``; a rewrite (overwrite/delete/merge) emits the files it
+  REMOVED (parent snapshot minus current) as ``'delete'`` rows and the
+  files it ADDED as ``'insert'`` rows; ``optimize`` is data-neutral by
+  construction (same logical rows, compacted files) and is SKIPPED, so
+  compaction never floods subscribers. Retract-apply over this feed
+  always equals the snapshot — the multiset identity the tests pin —
+  at O(rewritten files) per version, never O(snapshot). Rows carry the
+  table schema plus ``_change_type string`` and ``_commit_version
+  long`` (the Delta CDF column contract).
 - SCHEMA comes from the latest manifest's recorded schema (write-path
   schema evolution records it per version); pre-evolution files
   null-fill the missing columns at read, mirroring `read_table`'s
@@ -75,6 +89,27 @@ def _py_read_manifest(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _py_visible(m: dict) -> bool:
+    """Python twin of `versioned._txn_visible`: a manifest stamped by
+    a cross-table transaction is invisible until the transaction's
+    ``.final`` outcome marker reads "committed" (round 10)."""
+    txn = m.get("txn")
+    if txn is None:
+        return True
+    marker = os.path.join(_local(txn["log"]), f"{txn['id']}.final")
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        return f.read().strip() == "committed"
+
+
+def _py_latest_visible(table_path: str) -> int | None:
+    for v in reversed(_py_list_versions(table_path)):
+        if _py_visible(_py_read_manifest(table_path, v)):
+            return v
+    return None
+
+
 def _py_resolve_files(table_path: str, version: int) -> list[str]:
     """Python twin of `sources/versioned._resolve_files` (the
     DataSource runs in workers without a JVM session): a version's
@@ -95,9 +130,19 @@ def _py_resolve_files(table_path: str, version: int) -> list[str]:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, columns: list[str]) -> None:
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        change_type: str | None = None,
+        version: int | None = None,
+    ) -> None:
         self.path = path
         self.columns = columns
+        # non-None only in change-feed mode: every row of this file
+        # reads as one change of this type at this commit version
+        self.change_type = change_type
+        self.version = version
 
 
 class VersionedTableStreamSource(DataSource):
@@ -107,36 +152,47 @@ class VersionedTableStreamSource(DataSource):
     def name(cls) -> str:
         return "versioned_table"
 
+    def _cdf(self) -> bool:
+        return self.options.get("readChangeFeed", "false").lower() == "true"
+
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StringType, StructType
 
         path = self.options.get("path")
         if not path:
             raise ValueError("versioned_table needs option 'path'")
-        versions = _py_list_versions(path)
-        if not versions:
+        latest = _py_latest_visible(path)
+        if latest is None:
             raise ValueError(f"not a versioned table (no log): {path}")
-        m = _py_read_manifest(path, versions[-1])
+        m = _py_read_manifest(path, latest)
         if "schema" not in m:
             raise ValueError(
                 "latest manifest records no schema (pre-r9 table) — pass an "
                 "explicit .schema(...)"
             )
-        return StructType.fromJson(json.loads(m["schema"]))
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if self._cdf():
+            schema = schema.add("_change_type", StringType()).add(
+                "_commit_version", LongType()
+            )
+        return schema
 
     def streamReader(self, schema) -> "VersionedTableStreamReader":
         path = self.options.get("path")
         if not path:
             raise ValueError("versioned_table needs option 'path'")
         starting = self.options.get("startingVersion", "-1")
-        return VersionedTableStreamReader(path, schema, int(starting))
+        return VersionedTableStreamReader(path, schema, int(starting), self._cdf())
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, schema, starting_version: int) -> None:
+    def __init__(
+        self, table_path: str, schema, starting_version: int, cdf: bool = False
+    ) -> None:
         self._path = table_path
         self._schema = schema
         self._start = starting_version
+        self._cdf = cdf
 
     def initialOffset(self) -> dict:
         # versions <= startingVersion are considered already consumed;
@@ -144,38 +200,61 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        versions = _py_list_versions(self._path)
-        return {"version": versions[-1] if versions else self._start}
+        latest = _py_latest_visible(self._path)
+        return {"version": latest if latest is not None else self._start}
+
+    def _added_files(self, v: int, m: dict) -> list[str]:
+        if "add" in m:
+            return [_local(f) for f in m["add"]]
+        # pre-round-9 append manifest: full "files" list, no "add" —
+        # recover the added set as a local-path diff against the parent
+        # snapshot (round-10 advisory fix, same contract as
+        # cdf.table_appends)
+        parent = set(_py_resolve_files(self._path, v - 1))
+        return [f for f in _py_resolve_files(self._path, v) if f not in parent]
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         cols = [f.name for f in self._schema.fields]
+        if self._cdf:
+            cols = cols[:-2]  # _change_type/_commit_version are synthesized
         parts: list[_FilePartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = _py_read_manifest(self._path, v)
             if m["op"] == "analyze":
                 continue  # metadata-only
+            if self._cdf and m["op"] == "optimize":
+                continue  # compaction is data-neutral: no logical change
             if m["op"] == "create":
-                files = m["files"]
+                files = [_local(f) for f in m["files"]]
             elif m["op"] == "append":
-                if "add" in m:
-                    files = m["add"]
-                else:
-                    # pre-round-9 append manifest: full "files" list,
-                    # no "add" — recover the added set as a local-path
-                    # diff against the parent snapshot (round-10
-                    # advisory fix, same contract as cdf.table_appends)
-                    parent = set(_py_resolve_files(self._path, v - 1))
-                    files = [
-                        f for f in _py_resolve_files(self._path, v)
-                        if f not in parent
-                    ]
+                files = self._added_files(v, m)
+            elif self._cdf:
+                # history rewrite: reconstruct the change set from the
+                # file diff — rows of files the rewrite dropped are
+                # retractions, rows of files it introduced are
+                # insertions (module docstring: the Delta add/remove
+                # CDC reconstruction; retract-apply == snapshot)
+                old = set(_py_resolve_files(self._path, v - 1))
+                new = set(_py_resolve_files(self._path, v))
+                parts.extend(
+                    _FilePartition(f, cols, "delete", v) for f in sorted(old - new)
+                )
+                parts.extend(
+                    _FilePartition(f, cols, "insert", v) for f in sorted(new - old)
+                )
+                continue
             else:
                 raise ValueError(
                     f"version {v} is op={m['op']!r} — the streaming source "
-                    "consumes append-only tables (use operators/cdf."
-                    "table_changes for rewritten ranges)"
+                    "consumes append-only tables (use option "
+                    "readChangeFeed=true to stream through rewrites, or "
+                    "operators/cdf.table_changes for a batch range)"
                 )
-            parts.extend(_FilePartition(_local(f), cols) for f in files)
+            change = "insert" if self._cdf else None
+            parts.extend(
+                _FilePartition(f, cols, change, v if self._cdf else None)
+                for f in files
+            )
         return parts
 
     def read(self, partition: _FilePartition):
@@ -188,9 +267,14 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         wanted = [c for c in partition.columns if c in file_cols]
         table = pf.read(columns=wanted)
         rows = table.to_pylist()
-        for r in rows:
-            # null-fill pre-evolution files' missing columns, declared order
-            yield tuple(r.get(c) for c in partition.columns)
+        if partition.change_type is not None:
+            tail = (partition.change_type, partition.version)
+            for r in rows:
+                yield tuple(r.get(c) for c in partition.columns) + tail
+        else:
+            for r in rows:
+                # null-fill pre-evolution files' missing columns, declared order
+                yield tuple(r.get(c) for c in partition.columns)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derived from the immutable log; nothing to ack
