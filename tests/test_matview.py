@@ -167,3 +167,103 @@ def test_overwrite_cas_on_pinned_version_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="optimistic concurrency"):
         overwrite_table(df, tbl, expect_latest=0)
     assert latest_version(spark, tbl) == 1
+
+
+# ---- delta-join maintenance (round 10): view = agg(A JOIN B) ----
+
+
+def _join(a, b):
+    return a.join(b, "k")
+
+
+def _jagg(df):
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qty").cast("decimal(18,2)")).alias("sq"),
+    )
+
+
+def _jmerge(state, delta):
+    s = state.select("grp", F.col("n").alias("n_s"), F.col("sq").alias("sq_s"))
+    d = delta.select("grp", F.col("n").alias("n_d"), F.col("sq").alias("sq_d"))
+    j = s.join(d, "grp", "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.select(
+        "grp",
+        (F.coalesce("n_s", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n"),
+        (F.coalesce("sq_s", zero) + F.coalesce("sq_d", zero))
+        .cast("decimal(18,2)")
+        .alias("sq"),
+    ).where(F.col("n") > 0)
+
+
+def _jcontent(df):
+    return {(r.grp, r.n, float(r.sq)) for r in df.collect()}
+
+
+def test_join_view_refresh_equals_recompute_after_either_side_appends(
+    spark, tmp_path
+):
+    """The delta-join rule dV = dA JOIN B1 UNION A0 JOIN dB: refresh ==
+    from-scratch recompute after appends to A only, B only, and both."""
+    from wnv_etl_lab2_spark.operators.matview import refresh_incremental_join
+
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "view")
+    create_table(
+        spark.createDataFrame([(1, "x", 10), (2, "y", 20)], "k long, grp string, qty long"),
+        a,
+    )
+    create_table(spark.createDataFrame([(1,), (2,)], "k long"), b)
+
+    def recompute():
+        return _jagg(_join(read_table(spark, a), read_table(spark, b)))
+
+    # full build
+    assert refresh_incremental_join(
+        spark, a, b, view, _join, _jagg, _jmerge
+    ) == (0, 0)
+    assert _jcontent(read_table(spark, view)) == _jcontent(recompute())
+
+    # append to A only (k=2 joins existing B row; k=9 dangles)
+    append_table(
+        spark.createDataFrame([(2, "y", 7), (9, "z", 1)], "k long, grp string, qty long"), a
+    )
+    assert refresh_incremental_join(
+        spark, a, b, view, _join, _jagg, _jmerge
+    ) == (1, 0)
+    assert _jcontent(read_table(spark, view)) == _jcontent(recompute())
+
+    # append to B only (k=9 now matches the dangling A row)
+    append_table(spark.createDataFrame([(9,)], "k long"), b)
+    assert refresh_incremental_join(
+        spark, a, b, view, _join, _jagg, _jmerge
+    ) == (1, 1)
+    assert _jcontent(read_table(spark, view)) == _jcontent(recompute())
+
+    # append to BOTH before one refresh: dA x dB must count exactly once
+    append_table(
+        spark.createDataFrame([(9, "z", 100), (5, "w", 3)], "k long, grp string, qty long"), a
+    )
+    append_table(spark.createDataFrame([(5,), (1,)], "k long"), b)
+    assert refresh_incremental_join(
+        spark, a, b, view, _join, _jagg, _jmerge
+    ) == (2, 2)
+    assert _jcontent(read_table(spark, view)) == _jcontent(recompute())
+
+    # replay / already current
+    assert refresh_incremental_join(spark, a, b, view, _join, _jagg, _jmerge) is None
+
+
+def test_join_view_stamp_records_both_versions(spark, tmp_path):
+    from wnv_etl_lab2_spark.operators.matview import refresh_incremental_join
+    from wnv_etl_lab2_spark.sources.versioned import last_stamp
+
+    a, b, view = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "view")
+    create_table(spark.createDataFrame([(1, "x", 1)], "k long, grp string, qty long"), a)
+    create_table(spark.createDataFrame([(1,)], "k long"), b)
+    refresh_incremental_join(spark, a, b, view, _join, _jagg, _jmerge)
+    append_table(spark.createDataFrame([(1, "x", 2)], "k long, grp string, qty long"), a)
+    refresh_incremental_join(spark, a, b, view, _join, _jagg, _jmerge)
+    assert last_stamp(spark, view, "matview-join") == {"a": 1, "b": 0}
+    # the stamp is versioned with the view: as-of the first refresh
+    assert last_stamp(spark, view, "matview-join", as_of=0) == {"a": 0, "b": 0}

@@ -35,6 +35,7 @@ from wnv_etl_lab2_spark.operators.cdf import table_appends
 from wnv_etl_lab2_spark.sources.versioned import (
     create_table,
     last_committed_batch_id,
+    last_stamp,
     latest_version,
     overwrite_table,
     read_table,
@@ -43,6 +44,7 @@ from wnv_etl_lab2_spark.sources.versioned import (
 
 Aggregate = Callable[[DataFrame], DataFrame]
 Merge = Callable[[DataFrame, DataFrame], DataFrame]
+Join = Callable[[DataFrame, DataFrame], DataFrame]
 
 
 def refresh_incremental(
@@ -96,5 +98,82 @@ def refresh_incremental(
             expect_latest=v0,
         )
         return src_v
+
+    return with_retries(attempt)
+
+
+def refresh_incremental_join(
+    spark: SparkSession,
+    source_a: str,
+    source_b: str,
+    view_table: str,
+    join: Join,
+    aggregate: Aggregate,
+    merge: Merge,
+    writer_id: str = "matview-join",
+) -> tuple[int, int] | None:
+    """Incrementally maintain ``view = aggregate(join(A, B))`` over TWO
+    append-only versioned sources — the classic delta-join rule (round
+    10, verdict item 7):
+
+        (A0 + dA) JOIN (B0 + dB)
+          = A0 JOIN B0  +  dA JOIN (B0 + dB)  +  A0 JOIN dB
+
+    so the view's delta is ``join(dA, B1) UNION join(A0, dB)`` with
+    ``B1`` the NEW B snapshot and ``A0`` the OLD A snapshot — both
+    exact time-travel reads, both deltas O(new data) via
+    `table_appends`, and every joined row counted exactly once (dA x dB
+    lands in the first arm only). At scale each arm is a broadcast of
+    the (small) delta against one snapshot scan; the aggregate over the
+    union is combinable and the merge joins two keyed states, exactly
+    as the single-source refresher.
+
+    Bookkeeping: the view manifest's opaque ``stamp`` records BOTH
+    reflected source versions ``{"a": va, "b": vb}`` (a single batch_id
+    int cannot carry the vector); the same pinned-v0 read/stamp/CAS
+    discipline as `refresh_incremental` makes concurrent refreshers
+    lose loudly and rebase through `with_retries`. Returns the (va, vb)
+    now reflected, or None if already current."""
+    va = latest_version(spark, source_a)
+    vb = latest_version(spark, source_b)
+    if va is None or vb is None:
+        raise ValueError(f"not versioned tables: {source_a}, {source_b}")
+
+    def full_state() -> DataFrame:
+        return aggregate(
+            join(read_table(spark, source_a, va), read_table(spark, source_b, vb))
+        )
+
+    def attempt() -> tuple[int, int] | None:
+        v0 = latest_version(spark, view_table)
+        if v0 is None:
+            create_table(
+                full_state(), view_table, writer_id=writer_id,
+                stamp={"a": va, "b": vb},
+            )
+            return (va, vb)
+        st = last_stamp(spark, view_table, writer_id, as_of=v0)
+        if st is None:
+            # unstamped view (created outside this refresher): no
+            # trustworthy incremental baseline — full rebuild once
+            overwrite_table(
+                full_state(), view_table, writer_id=writer_id,
+                stamp={"a": va, "b": vb}, expect_latest=v0,
+            )
+            return (va, vb)
+        ra, rb = int(st["a"]), int(st["b"])
+        if va <= ra and vb <= rb:
+            return None  # already current (or a replayed refresh)
+        delta_a = table_appends(spark, source_a, ra, va)
+        delta_b = table_appends(spark, source_b, rb, vb)
+        delta = join(delta_a, read_table(spark, source_b, vb)).unionByName(
+            join(read_table(spark, source_a, ra), delta_b)
+        )
+        new_state = merge(read_table(spark, view_table, v0), aggregate(delta))
+        overwrite_table(
+            new_state, view_table, writer_id=writer_id,
+            stamp={"a": va, "b": vb}, expect_latest=v0,
+        )
+        return (va, vb)
 
     return with_retries(attempt)

@@ -332,6 +332,7 @@ def _write_version(
     expect_latest: int | None,
     batch_id: int | None = None,
     writer_id: str | None = None,
+    stamp: dict | None = None,
 ) -> int:
     spark = df.sparkSession
     current = latest_version(spark, table_path)
@@ -355,8 +356,10 @@ def _write_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
-        if writer_id is not None:
-            manifest["writer_id"] = writer_id
+    if stamp is not None:
+        manifest["stamp"] = stamp
+    if writer_id is not None and (batch_id is not None or stamp is not None):
+        manifest["writer_id"] = writer_id
     _commit(spark, table_path, version, manifest)
     return version
 
@@ -366,11 +369,12 @@ def create_table(
     table_path: str,
     batch_id: int | None = None,
     writer_id: str | None = None,
+    stamp: dict | None = None,
 ) -> int:
     """Version 0 of a new versioned table."""
     return _write_version(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
-        writer_id=writer_id,
+        writer_id=writer_id, stamp=stamp,
     )
 
 
@@ -491,12 +495,39 @@ def last_committed_batch_id(
     return None
 
 
+def last_stamp(
+    spark: SparkSession,
+    table_path: str,
+    writer_id: str = "default",
+    as_of: int | None = None,
+) -> dict | None:
+    """Newest opaque ``stamp`` dict this ``writer_id`` committed (walk
+    and visibility semantics identical to `last_committed_batch_id`).
+    The multi-source twin of the batch-id ledger: a refresher whose
+    view reflects SEVERAL upstream versions at once (the delta-join
+    materialized view, `operators/matview.refresh_incremental_join`)
+    records them all in one stamp — a single int cannot carry the
+    vector, and encoding tricks would cap version growth."""
+    for v in reversed(_list_versions(spark, table_path)):
+        if as_of is not None and v > as_of:
+            continue
+        m = _read_manifest(spark, table_path, v)
+        if (
+            "stamp" in m
+            and m.get("writer_id", "default") == writer_id
+            and _txn_visible(spark, m)
+        ):
+            return m["stamp"]
+    return None
+
+
 def overwrite_table(
     df: DataFrame,
     table_path: str,
     batch_id: int | None = None,
     writer_id: str | None = None,
     expect_latest: int | None = None,
+    stamp: dict | None = None,
 ) -> int:
     """Full-replace snapshot as a new version (old versions stay
     readable until vacuumed). ``batch_id``/``writer_id`` stamp the
@@ -516,7 +547,7 @@ def overwrite_table(
         raise ValueError(f"not a versioned table (no log): {table_path}")
     return _write_version(
         df, table_path, cur + 1, "overwrite", expect_latest=cur,
-        batch_id=batch_id, writer_id=writer_id,
+        batch_id=batch_id, writer_id=writer_id, stamp=stamp,
     )
 
 
