@@ -71,6 +71,8 @@ HEADLINE = [
     "fuzzy_prefix_pairs",         # blocked fuzzy join: banded levenshtein over opener blocks (round 8)
     "token_drift_top_contributors",  # per-source KL drift decomposition (round 9)
     "embedding_covariance_int8",  # exact-integer Gram/covariance, constant-key agg (round 9)
+    "logreg_gd_steps",            # 2 GD steps, gradient-as-combinable-aggregate (round 10)
+    "source_similarity_matrix",   # per-source tf-idf cosine matrix, word-keyed pair join (round 10)
 ]
 
 

@@ -102,6 +102,15 @@ PER_UNIT_X16_GATES = {
     # amortize in both.
     "token_drift_top_contributors": 0.5,
     "embedding_covariance_int8": 0.5,
+    # Round 10 new-operator rows, staged/scan-inclusive: logreg GD is
+    # two corpus passes each emitting 64 partial sums per task (O(d)
+    # state, zero row shuffle) — the purest linear plan in the repo;
+    # the source-similarity matrix is one corpus (source, word) count
+    # materialized once, with every downstream stage bounded by
+    # vocab x S^2 (replication grows tf counts, not the key space) —
+    # per-doc cost must amortize in both.
+    "logreg_gd_steps": 0.5,
+    "source_similarity_matrix": 0.5,
 }
 
 # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
@@ -315,7 +324,11 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from wnv_etl_lab2_spark.queries.curation_q import repeated_span_removal
+    from wnv_etl_lab2_spark.queries.curation_q import (
+        repeated_span_removal,
+        source_similarity_matrix,
+    )
+    from wnv_etl_lab2_spark.queries.ml_q import logreg_gd_steps
     from wnv_etl_lab2_spark.queries.joins_windows import sessionize_events
     from wnv_etl_lab2_spark.queries.sampling_q import dsir_importance_weights
     from wnv_etl_lab2_spark.queries.similarity_q import (
@@ -344,6 +357,8 @@ def main() -> None:
         "fuzzy_prefix_pairs": fuzzy_prefix_pairs,
         "token_drift_top_contributors": token_drift_top_contributors,
         "embedding_covariance_int8": embedding_covariance_int8,
+        "logreg_gd_steps": logreg_gd_steps,
+        "source_similarity_matrix": source_similarity_matrix,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

@@ -60,106 +60,112 @@ _LOADED = False
 # import order. Everything not listed keeps its import-order position
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
-# Rows-only queries allowed inside the 50-entry window THIS round:
-# time_travel_audit (landed after the r8 window ran, never had a
-# driver row) and embedding_cluster_profile (new r9 family —
-# iterative Lloyd, not SQL-expressible, deterministic by
-# construction). Both schemas are atomic-only (test_entry.py's
-# canonicalizer check covers them), so the slots can't burn the way
-# the r6 array<double> incident did. Everything else in the window
-# carries an exact oracle.
-FRONT_ROWS_ONLY_OK: set[str] = {"time_travel_audit", "embedding_cluster_profile"}
+# Rows-only queries allowed inside the 50-entry window THIS round —
+# both are PLAN-CHANGE re-records (fresh evidence required on plan
+# change even though both are green in prior rounds):
+# embedding_cluster_profile (the corpus total folded into the
+# aggregation pass instead of a separate count() action) and
+# semantic_dedup_keep (its quantizer now routes through the shared
+# _trained_centroids helper). Both schemas are atomic-only
+# (test_entry.py's canonicalizer check covers them), so the slots
+# can't burn the way the r6 array<double> incident did. Everything
+# else in the window carries an exact oracle — including
+# ann_topk_ivf, upgraded this round from rows-only to an exact
+# interpolated-centroid oracle.
+FRONT_ROWS_ONLY_OK: set[str] = {"embedding_cluster_profile", "semantic_dedup_keep"}
 
 _FRONT = [
-    # Round-9 window — exactly as pre-committed by the r8 block below
-    # plus this round's new/replanned queries and the oldest r6-greens.
-    # Rotation history: r1 = relational/spatial/SQL surface; r2 =
-    # LLM-pipeline + temporal; r3 = remaining oracle-backed +
+    # Round-10 window — exactly as pre-committed by the r9 block
+    # below. Rotation history: r1 = relational/spatial/SQL surface;
+    # r2 = LLM-pipeline + temporal; r3 = remaining oracle-backed +
     # rows-only; r4 = new ops + the r1-stale block; r5 = new ops +
     # the r2-stale block; r6 = new ops + r2/r3-stale re-verifies;
     # r7 = rows-only evidence + r3/r4-stale + new ops; r8 = the r4-
-    # stale deferrals + pair-backbone replan + new ops + r5-stale.
-    # This window = (a) the two queries that landed after the r8
-    # window ran and have NEVER had a driver row (the r8 verdict's
-    # first ask), (b) the 24 pre-committed r5-stale deferrals,
-    # verbatim the list the r8 block recorded, (c) fuzzy_prefix_pairs,
-    # whose physical plan changed this round (hot-block-complement
-    # anti-join replacing the keep-set broadcast — fresh evidence
-    # required on plan change even though it is r8-green), (d) the
-    # three new round-9 operators, (e) the 20 oldest r6-greens,
-    # reference-parity O-ops and the heavy LLM-pipeline set first.
-    # After this window lands, no query's evidence is older than r6.
-    # Deferred to round 10 (r6-green, lowest remaining drift risk):
-    # regional_revenue, salted_groupby, argmax_per_group,
-    # promo_revenue_share, collect_sorted_agg, customer_rfm_segments,
-    # rollup_agg, cube_agg, json_extraction, pivot_agg,
-    # window_topk_per_group, tumbling_window_batch, correlated_exists,
-    # intersect_all_multiset, except_all_multiset,
-    # top_supplier_revenue, small_qty_part_revenue,
-    # large_volume_orders, late_shipper_chain, rolling_zscore_events,
-    # event_transition_matrix, deterministic_sample, denylist_scrub,
-    # word_entropy_quality, forecast_revenue_change,
-    # nation_volume_shipping, nation_market_share,
-    # returned_item_ranking, disjunctive_predicate_revenue,
-    # grouped_agg_pandas_udaf, vocab_coverage, and
-    # semantic_decontamination (displaced from this window's fill
-    # block by the first-evidence slots of embedding_covariance_int8,
-    # quality_rule_ablation, and embedding_cluster_profile).
-    # (a) never driver-checked (added after the r8 window ran)
-    "classifier_confusion_matrix",
-    "time_travel_audit",
-    # (b) the 24 pre-committed r5-stale deferrals
-    "table_profile",
-    "data_quality_checks",
-    "cohort_retention",
-    "event_dedup_window",
-    "attribution_last_touch",
-    "rolling_median_value",
-    "gap_fill_interpolate",
-    "repetition_filter",
-    "neardup_threshold_sweep",
-    "embedding_quantize_int8",
-    "neardup_keep_better",
-    "neardup_graph_stats",
-    "label_cohesion_stats",
-    "binary_frame_fingerprints",
-    "udtf_token_windows",
-    "stratified_sample_topk",
-    "weighted_sample_es",
-    "quality_rules_filter",
-    "source_mixture_weights",
-    "stable_doc_ids",
-    "groupwise_zscore_arrow",
-    "upsert_snapshot_merge",
-    "temperature_mixture_weights",
-    "corpus_dashboard",
-    # (c) plan changed this round (broadcast-side fix)
-    "fuzzy_prefix_pairs",
-    # (d) new round-9 operators (first evidence)
-    "template_openers",
-    "token_drift_top_contributors",
-    "interleave_mixture_schedule",
-    "embedding_covariance_int8",
-    "quality_rule_ablation",
+    # stale deferrals + pair-backbone replan + new ops + r5-stale;
+    # r9 = never-checked + the r5-stale deferrals + replan re-verify
+    # + new ops + r6-stale (50/50 green).
+    # This window = (a) the 32 pre-committed r6-green deferrals,
+    # verbatim the list the r9 block recorded, (b) the two new
+    # round-10 operators (first evidence), (c) the two queries whose
+    # physical plans changed this round — ann_topk_ivf (promoted to
+    # the production checked-in-centroid SERVE path with an exact
+    # interpolated-constant oracle) and embedding_cluster_profile
+    # (extra count() action folded into the aggregation pass) —
+    # fresh evidence required on plan change, (d) the 14 oldest
+    # r7-greens: semantic_dedup_keep first (its quantizer now routes
+    # through the shared _trained_centroids helper), then
+    # reference-parity O-ops, then the heavy LLM-pipeline set.
+    # After this window lands, no query's evidence is older than r7.
+    # Deferred to round 11 (r7-green, lowest remaining drift risk):
+    # ann_topk_bruteforce, approx_distinct_stats,
+    # approx_percentile_stats, arrow_group_trend,
+    # asof_join_click_view, decayed_rolling_features, event_funnel,
+    # gap_fill_locf, groupby_agg, grouping_sets_agg,
+    # hard_negative_mining, heavy_hitters_cms,
+    # incremental_agg_merge, ingest_provenance, mixture_resample,
+    # neardup_band_survivors (rows-only, no plan change this round),
+    # multimodal_binary_features, ntile_length_buckets,
+    # orderby_limit_topk, outer_join_order_counts,
+    # pareto_frontier_curation, percentile_agg, pii_scrub,
+    # quota_sample_per_source, range_join_maintenance,
+    # regexp_null_funcs, scalar_subquery, sessionize_events,
+    # skew_key_diagnosis, sliding_window_batch, stats_agg,
+    # text_quality_pandas_udf, union_distinct, variant_extract,
+    # window_rank_variants.
+    # (a) the 32 pre-committed r6-stale deferrals
+    "regional_revenue",
+    "salted_groupby",
+    "argmax_per_group",
+    "promo_revenue_share",
+    "collect_sorted_agg",
+    "customer_rfm_segments",
+    "rollup_agg",
+    "cube_agg",
+    "json_extraction",
+    "pivot_agg",
+    "window_topk_per_group",
+    "tumbling_window_batch",
+    "correlated_exists",
+    "intersect_all_multiset",
+    "except_all_multiset",
+    "top_supplier_revenue",
+    "small_qty_part_revenue",
+    "large_volume_orders",
+    "late_shipper_chain",
+    "rolling_zscore_events",
+    "event_transition_matrix",
+    "deterministic_sample",
+    "denylist_scrub",
+    "word_entropy_quality",
+    "forecast_revenue_change",
+    "nation_volume_shipping",
+    "nation_market_share",
+    "returned_item_ranking",
+    "disjunctive_predicate_revenue",
+    "grouped_agg_pandas_udaf",
+    "vocab_coverage",
+    "semantic_decontamination",
+    # (b) new round-10 operators (first evidence)
+    "logreg_gd_steps",
+    "source_similarity_matrix",
+    # (c) plan changed this round (fresh evidence on plan change)
+    "ann_topk_ivf",
     "embedding_cluster_profile",
-    # (e) r6-stale re-verifies (20 of 50): O-ops + heavy LLM set first
-    "lookup_enrichment_join",
-    "spatial_join_count",
-    "holed_zone_clip",
-    "spatial_zone_rollup",
-    "pricing_summary",
-    "multiway_join_topk_revenue",
-    "text_stats",
-    "token_count",
-    "lang_id_heuristic",
-    "lang_quality_agg",
-    "bigram_pmi_top",
-    "stop_shingle_report",
-    "bm25_topk",
-    "unigram_logprob_quality",
-    "embedding_norms",
-    "frame_overlap_pairs",
-    "sequence_packing",
+    # (d) the 14 oldest r7-greens: quantizer-touched + O-ops + LLM set
+    "semantic_dedup_keep",
+    "clean_cast_filter",
+    "constant_column",
+    "points_from_xy",
+    "projection_concat",
+    "zone_overlay",
+    "polygon_clip_area",
+    "dedup_simhash",
+    "dup_cluster_histogram",
+    "incremental_dedup_new_docs",
+    "hybrid_rrf_retrieval",
+    "bpe_pair_merge_counts",
+    "dsir_importance_weights",
+    "ann_topk_lsh",
     # Queries rotated OUT of this 50-entry block after earning a green
     # driver row in a prior round's CORRECTNESS file keep their local
     # oracle-gate coverage and simply fall back to import-order
@@ -181,6 +187,7 @@ def _ensure_loaded() -> None:
         temporal_q,
         text_q,
         similarity_q,
+        ml_q,
         multimodal_q,
         sampling_q,
         pipeline_q,

@@ -804,3 +804,97 @@ def quality_rule_ablation(spark, sf_dir):
             "marginal_share"
         ),
     )
+
+
+@register(
+    "source_similarity_matrix",
+    # Pairwise TF-IDF cosine between SOURCES (sklearn-smoothed idf:
+    # ln((1+S)/(1+df)) + 1, raw-count tf). The word-keyed pair join
+    # emits at most vocab x S^2 rows (S = #sources), never a
+    # document pair — the redundancy audit stays metadata-sized no
+    # matter the corpus.
+    oracle="""
+    WITH words AS (
+      SELECT source, u.w AS w
+      FROM documents, LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w) AS u
+      WHERE u.w <> ''
+    ),
+    tf AS (SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM words GROUP BY source, w),
+    s AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns FROM tf),
+    dfreq AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+    v AS (
+      SELECT tf.source, tf.w,
+             tf.tf * (LN((1 + s.ns) / (1 + d.df)) + 1) AS x
+      FROM tf JOIN dfreq d USING (w) CROSS JOIN s
+    ),
+    nrm AS (SELECT source, SQRT(SUM(x * x)) AS nm FROM v GROUP BY source),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b, SUM(a.x * b.x) AS dp
+      FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT d.src_a, d.src_b,
+           ROUND(d.dp / (na.nm * nb.nm), 6) AS cosine_tfidf
+    FROM dots d
+    JOIN nrm na ON na.source = d.src_a
+    JOIN nrm nb ON nb.source = d.src_b
+    """,
+)
+def source_similarity_matrix(spark, sf_dir):
+    """Which sources are REDUNDANT with each other: cosine similarity
+    between per-source TF-IDF unigram vectors, one row per unordered
+    source pair. This is the mixture-design audit that precedes
+    source weighting (two near-identical crawls should not both get
+    full weight) — the source-level complement of the document-level
+    dedup family. Scale shape: tf is one (source, word) groupBy; the
+    pair join keys on WORD so it emits at most vocab x S^2 rows; no
+    document pair, no document text, ever leaves the first
+    aggregation."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    # Materialize tf: five downstream branches (dfreq, ns, v x2, nrm)
+    # would otherwise each re-derive it with different column pruning,
+    # defeating ReusedExchange and re-scanning the corpus per branch
+    # (measured: 27 scans without the checkpoint, 1 with). The
+    # materialized frame is vocab x S rows — distributed on executors,
+    # metadata-sized relative to any corpus.
+    tf = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    ).localCheckpoint()
+    ns = tf.select(F.countDistinct("source").cast("double").alias("ns"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    v = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "w",
+            (
+                F.col("tf")
+                * (F.log((1 + F.col("ns")) / (1 + F.col("df"))) + 1)
+            ).alias("x"),
+        )
+    )
+    nrm = v.groupBy("source").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nm"))
+    a, b = v.alias("a"), v.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dp"))
+    )
+    na = nrm.select(F.col("source").alias("src_a"), F.col("nm").alias("na"))
+    nb = nrm.select(F.col("source").alias("src_b"), F.col("nm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6).alias("cosine_tfidf"),
+        )
+    )
