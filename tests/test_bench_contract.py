@@ -35,9 +35,16 @@ def test_bench_emits_contract_json(sf_dir):
 
     assert set(doc["queries"]) == set(HEADLINE)
     assert all(v >= 0 for v in doc["queries"].values())
+    # host-speed probe present every round (r10): the adjudication
+    # record for cross-session machine drift
+    assert doc["calibration"]["numpy_matmul_sec"] > 0
+    assert doc["calibration"]["python_loop_sec"] > 0
     # regression report present whenever history exists
     if "delta_vs_prev" in doc:
         assert isinstance(doc["regressions"], list)
+        assert doc["host_shift_ratio"] >= 1.0
+        assert set(doc["declared_bounds_effective"]) == set(doc["declared_bounds"])
+        assert isinstance(doc["bounds_exceeded_raw"], list)
 
 
 def test_headline_queries_are_registered():

@@ -8,14 +8,17 @@ O(d) state and the model itself never leaves the plan.
 
 Scale shape (the reason this belongs in the engine and not a
 driver-side sklearn call): each GD step over a 100 TB embedding table
-is ONE scan emitting 64 partial sums per task — no shuffle of rows,
-no explode, no collect. The weight vector between steps is a 1-row
-frame broadcast into the next pass (the `corpus_dashboard` pattern),
-so the whole 2-step training is a single Catalyst plan. This is
-exactly how large-scale quality classifiers for pretraining curation
-are fit (a linear probe over frozen embeddings); the fastText-style
-classifier the big corpora report reduces to the same
-gradient-as-aggregate shape.
+is ONE scan whose per-dimension gradient is a combinable aggregate —
+map-side combine collapses every partition to d rows before the
+exchange, so the shuffle is O(d x partitions) bytes regardless of
+corpus size, and no corpus ROW is ever shuffled or collected. The
+weight vector between steps is a 1-row broadcast frame (the
+`corpus_dashboard` pattern), so the whole 2-step training is one
+Catalyst plan costing exactly two corpus scans. This is how
+large-scale quality classifiers for pretraining curation are fit (a
+linear probe over frozen embeddings); the fastText-style classifier
+the big corpora report reduces to the same gradient-as-aggregate
+shape.
 
 Reference parity: the reference pipeline has no model training
 (SURVEY.md §2.2 — absent-from-reference category); this extends the
@@ -26,7 +29,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from wnv_etl_lab2_spark.operators.similarity import as_double_array
 from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table
 
@@ -82,50 +84,81 @@ def logreg_gd_steps(spark, sf_dir):
     entirely inside one Catalyst plan. Step 1 exploits sigmoid(0) =
     0.5 so the first gradient is a plain linear aggregate; the
     resulting 1-row weight frame broadcasts into the second pass,
-    whose margins/sigmoids are JVM expressions (no Python, no
-    explode). Output: one row per dimension with both steps' weights
-    — the driver-verifiable training trace."""
+    whose margins/sigmoids are JVM expressions (no Python anywhere).
+    Output: one row per dimension with both steps' weights — the
+    driver-verifiable training trace."""
+    # Plan shape notes (both learned the expensive way — a first cut
+    # with 64 per-dimension aggregate COLUMNS benched at 6.4 s where
+    # this plan runs ~1.5 s at sf0.1, nearly all fixed overhead):
+    # - the gradient is posexplode -> ONE combinable groupBy(pos)
+    #   (the kmeans-UPDATE / covariance shape): map-side combine
+    #   collapses every partition to 64 rows before the exchange, so
+    #   the shuffle is O(d x partitions) — identical bytes to a
+    #   64-wide aggregate, but the plan stays small enough to build
+    #   (193 Py4J column objects measured 4.9 s of driver time) and
+    #   codegen-compile (6 MiB task binaries otherwise);
+    # - the margin is ONE zip_with/aggregate higher-order expression
+    #   against the broadcast weight ARRAY — never 64 scalar terms,
+    #   and no corpus-row shuffle anywhere (the explode feeds a
+    #   combinable aggregate, not a per-row regroup).
     emb = load_table(spark, "embeddings", sf_dir)
     c = emb.select(
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
-        as_double_array("embedding").alias("e"),
+        F.col("embedding"),
     )
-    # pass 1: n plus 64 gradient sums in ONE combinable aggregate
-    agg1 = c.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        *[
-            F.sum((F.col("y") - F.lit(0.5)) * F.element_at("e", i + 1)).alias(f"g{i}")
-            for i in range(_DIM)
-        ],
+    # pass 1: per-dimension gradient sums (explode inline — exploding
+    # a projected computed array re-evaluates it via
+    # InferFiltersFromGenerate, see operators/dedup.py). n rides the
+    # same aggregate: every row contributes one value per pos, so
+    # count(pos rows) == corpus n. The 64-row result is MATERIALIZED
+    # (localCheckpoint) because its three consumers (weight array,
+    # final w1, final w2 join) would otherwise each replay the corpus
+    # pass — with it the whole query costs exactly two corpus scans,
+    # the full-batch-2-step optimum.
+    d1 = c.select(
+        "y",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
     )
-    w1 = agg1.select(
-        "n", *[(F.col(f"g{i}") / F.col("n")).alias(f"w{i}") for i in range(_DIM)]
+    g1 = (
+        d1.groupBy("pos")
+        .agg(
+            F.sum((F.col("y") - 0.5) * F.col("val")).alias("g"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .localCheckpoint()
     )
-    # pass 2: margins against the broadcast 1-row weight frame
-    j = c.crossJoin(F.broadcast(w1))
-    margin = sum(
-        (F.element_at("e", i + 1) * F.col(f"w{i}") for i in range(_DIM)),
-        start=F.lit(0.0),
+    # the gradient becomes a broadcast weight ARRAY (the driver never
+    # sees it): sort_array over collected (pos, g, n) structs keeps
+    # index order deterministic
+    w1row = g1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "g", "n"))),
+            lambda s: s.g / s.n,
+        ).alias("ws")
     )
-    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
-    agg2 = j.agg(
-        # the weight columns are constant over the cross-joined rows;
-        # F.min re-emits them deterministically alongside the sums
-        *[F.min(f"w{i}").alias(f"w{i}") for i in range(_DIM)],
-        F.min("n").alias("n"),
-        *[
-            F.sum((sig - F.col("y")) * F.element_at("e", i + 1)).alias(f"h{i}")
-            for i in range(_DIM)
-        ],
+    # pass 2: margins/sigmoids as single HOF expressions per row
+    j = c.crossJoin(F.broadcast(w1row))
+    margin = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("ws"),
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    per_dim = F.array(
-        *[
-            F.struct(
-                F.lit(i + 1).cast("int").alias("dim"),
-                F.round(F.col(f"w{i}"), 6).alias("w1"),
-                F.round(F.col(f"w{i}") - F.col(f"h{i}") / F.col("n"), 6).alias("w2"),
-            )
-            for i in range(_DIM)
-        ]
+    sig = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias("s")
+    d2 = j.select(
+        (sig - F.col("y")).alias("r"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
     )
-    return agg2.select(F.explode(per_dim).alias("r")).select("r.dim", "r.w1", "r.w2")
+    g2 = d2.groupBy("pos").agg(F.sum(F.col("r") * F.col("val")).alias("h"))
+    return g1.join(g2, "pos").select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("g") / F.col("n"), 6).alias("w1"),
+        F.round(F.col("g") / F.col("n") - F.col("h") / F.col("n"), 6).alias("w2"),
+    )
