@@ -1,0 +1,154 @@
+"""Baseline JPEG decode (`operators/multimodal.decode_jpeg`) against
+an INDEPENDENT spec-literal encoder (tests/jpeg_ref.py — quadruple-
+loop FDCT vs the decoder's matrix IDCT, constructed Huffman tables vs
+DHT-rebuilt ones), plus the published-zigzag pin that keeps the one
+shared table honest. Flat-color images with q=1 round-trip EXACTLY
+(DC-only blocks); gradients round-trip within DCT+colorspace rounding;
+4:2:0, grayscale, and restart-marker streams all decode; malformed /
+progressive payloads return None, never raise."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jpeg_ref import encode_jpeg
+from wnv_etl_lab2_spark.operators.multimodal import (
+    _ZIGZAG,
+    decode_jpeg,
+    decode_raster,
+)
+
+# The published JPEG zigzag scan as flat 8x8 indices (ITU T.81 fig 5 —
+# the table every codec hardcodes). _ZIGZAG is generated from the
+# diagonal-walk rule; this pin proves the rule reproduces the spec, so
+# encoder and decoder sharing the generator cannot drift from T.81.
+_PUBLISHED_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_published_sequence():
+    assert [r * 8 + c for r, c in _ZIGZAG] == _PUBLISHED_ZIGZAG
+
+
+def _flat(h, w, rgb):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :] = rgb
+    return img
+
+
+def _gradient(h, w):
+    r = np.linspace(0, 255, w, dtype=np.float64)[None, :].repeat(h, axis=0)
+    g = np.linspace(255, 0, h, dtype=np.float64)[:, None].repeat(w, axis=1)
+    b = (r + g) / 2
+    return np.round(np.stack([r, g, b], axis=2)).astype(np.uint8)
+
+
+def test_flat_color_roundtrip_exact():
+    """q=1 flat color: every block is DC-only, quantization loses
+    nothing, and the decode must reproduce the color EXACTLY."""
+    img = _flat(24, 16, (200, 80, 40))
+    out = decode_jpeg(encode_jpeg(img))
+    assert out is not None and out.shape == (24, 16, 3)
+    assert np.array_equal(out, img)
+
+
+def test_gradient_roundtrip_close():
+    img = _gradient(40, 24)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out is not None and out.shape == img.shape
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 2
+
+
+def test_non_multiple_of_8_dims_crop():
+    img = _gradient(19, 13)  # forces edge padding + crop on decode
+    out = decode_jpeg(encode_jpeg(img))
+    assert out is not None and out.shape == (19, 13, 3)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 2
+
+
+def test_grayscale_single_component():
+    g = np.full((16, 16), 137, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g, gray=True))
+    assert out is not None and out.shape == (16, 16, 3)
+    assert np.array_equal(out, np.full((16, 16, 3), 137, dtype=np.uint8))
+
+
+def test_subsampled_420_flat_exact_and_gradient_close():
+    flat = _flat(20, 12, (60, 180, 220))  # not a multiple of 16: crop path
+    out = decode_jpeg(encode_jpeg(flat, subsample=True))
+    assert out is not None and out.shape == (20, 12, 3)
+    assert np.array_equal(out, flat)  # constant chroma survives 2x2 averaging
+    grad = _gradient(32, 32)
+    out = decode_jpeg(encode_jpeg(grad, subsample=True))
+    assert out is not None
+    # luma is full-res; chroma averaged over 2x2 then box-upsampled —
+    # neighboring-pixel chroma error bounds the round trip
+    assert np.max(np.abs(out.astype(int) - grad.astype(int))) <= 14
+    assert np.mean(np.abs(out.astype(int) - grad.astype(int))) <= 3
+
+
+def test_restart_markers_decode_identically():
+    img = _gradient(32, 24)
+    plain = decode_jpeg(encode_jpeg(img))
+    restarted = decode_jpeg(encode_jpeg(img, restart_interval=2))
+    assert restarted is not None
+    assert np.array_equal(plain, restarted)
+
+
+def test_coarse_quantization_still_decodes():
+    img = _gradient(24, 24)
+    out = decode_jpeg(encode_jpeg(img, q_luma=16, q_chroma=24))
+    assert out is not None and out.shape == img.shape
+    # lossy but recognizable: mean error bounded by the quant step
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) <= 8
+
+
+def test_malformed_payloads_return_none():
+    good = encode_jpeg(_flat(16, 16, (10, 20, 30)))
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8") is None
+    assert decode_jpeg(good[: len(good) // 2]) is None  # truncated entropy
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n" + good[2:]) is None  # wrong magic
+    # progressive SOF2 is declared unsupported, not mis-decoded
+    progressive = bytearray(good)
+    idx = progressive.find(b"\xff\xc0")
+    progressive[idx + 1] = 0xC2
+    assert decode_jpeg(bytes(progressive)) is None
+    # corrupt a Huffman table length so symbols overrun the segment
+    broken = bytearray(good)
+    idx = broken.find(b"\xff\xc4")
+    broken[idx + 5] = 0xFF
+    assert decode_jpeg(bytes(broken)) is None
+
+
+def test_decode_raster_sniffs_jpeg():
+    img = _flat(8, 8, (5, 250, 125))
+    fmt, arr = decode_raster(encode_jpeg(img))
+    assert fmt == "jpeg"
+    assert np.array_equal(arr, img)
+
+
+def test_resize_raster_images_mixed_formats_includes_jpeg(spark):
+    """The Spark-side contract: a mixed binary column (JPEG + garbage)
+    through resize_raster_images yields real features for the JPEG and
+    null feature rows for the rest — one Arrow crossing."""
+    from wnv_etl_lab2_spark.operators.multimodal import resize_raster_images
+
+    jpeg = encode_jpeg(_flat(16, 16, (200, 80, 40)))
+    rows = [(1, bytearray(jpeg)), (2, bytearray(b"not an image")), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in resize_raster_images(df, target=4).collect()}
+    assert got[1].format == "jpeg"
+    assert (got[1].src_width, got[1].src_height) == (16, 16)
+    assert round(got[1].mean_r) == 200 and round(got[1].mean_b) == 40
+    assert got[2].format is None and got[2].mean_r is None
+    assert got[3].format is None

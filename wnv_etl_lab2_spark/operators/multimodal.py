@@ -4,14 +4,16 @@ Design (BASELINE.json north star): image/audio/video cells are plain
 `binary` columns travelling next to typed metadata columns; decode /
 feature-extraction runs as Arrow-batched `mapInPandas` so the Python
 boundary is crossed once per batch, not per row. Decode is REAL for
-the uncompressed container formats pure struct+numpy can parse — WAV
-PCM16 audio (features incl. rfft dominant frequency) and 24-bit BMP
-images (true average-pooled resize), round 9, tested against
-synthesized known-content files — and STUBBED only for compressed
-codecs (JPEG/PNG/MP4), which need libraries this container does not
-ship (clearly marked below). Everything Spark-side — schema,
-batching, partitioning, output contract — is real and tested either
-way.
+every format pure stdlib+numpy can parse — WAV PCM16 audio (features
+incl. rfft dominant frequency) and 24-bit BMP images (true
+average-pooled resize), round 9; 8-bit PNG (zlib inflate + the five
+scanline filters) and BASELINE JPEG (marker parse, canonical Huffman
+entropy decode, dequant + zigzag, matrix IDCT, chroma upsampling,
+YCbCr->RGB — `decode_jpeg` below), round 10 — each tested against
+synthesized known-content files. Only genuinely library-bound codecs
+remain stubbed (MP4/H.264 video, progressive/arithmetic JPEG).
+Everything Spark-side — schema, batching, partitioning, output
+contract — is real and tested either way.
 
 At 100 TB: binary payloads dominate I/O, so the operator projects
 only (id, payload) into the Python stage and joins features back by
@@ -424,6 +426,301 @@ def decode_png(payload: bytes):
     return px[:, :, :3].copy()  # RGBA -> drop alpha
 
 
+# ---------------------------------------------------------------------------
+# REAL decode for BASELINE JPEG (round 10): sequential-DCT Huffman
+# JPEG (SOF0/SOF1) needs no codec library — marker walk (struct),
+# canonical Huffman decode of the entropy stream (0xFF00 unstuffing,
+# RSTn restart segments), dequantization + zigzag placement, the
+# orthonormal 8x8 IDCT as two numpy matrix products, per-component
+# plane assembly with H/V chroma upsampling, and JFIF YCbCr->RGB.
+# Progressive (SOF2) / arithmetic-coded / 12-bit JPEGs return None —
+# the same malformed-media-is-data stance as the other decoders.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_rc():
+    """The spec's zigzag scan as (row, col) pairs: diagonals s = r+c
+    in order; odd diagonals walk row-ascending (starting at the top),
+    even ones row-descending — pinned in tests against the published
+    flat-index sequence 0,1,8,16,9,2,3,10,17,24,..."""
+    return sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+
+
+_ZIGZAG = _zigzag_rc()
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = (cu / 2) * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m  # orthonormal DCT-II matrix: spatial = M.T @ F @ M
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from a DHT segment's 16 length
+    counts + symbol list: codes assigned in symbol order, ascending
+    length, each length's first code = (prev_first + prev_count) << 1."""
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over one entropy-coded (restart) segment;
+    raises EOFError past the end (truncated stream -> decode fails)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise EOFError  # no code matched within 16 bits: corrupt
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG F.12 sign extension: a t-bit magnitude with a leading 0
+    encodes a negative value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy-coded bytes from ``start`` to the next
+    real marker, split into restart segments at RST0-7. Returns
+    (segments, pos_after)."""
+    segs: list[bytearray] = [bytearray()]
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            segs[-1].append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = payload[i + 1]
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: new segment, byte-aligned
+            segs.append(bytearray())
+            i += 2
+        else:
+            break  # a real marker (EOI or next segment) ends the scan
+    return [bytes(s) for s in segs], i
+
+
+def decode_jpeg(payload: bytes):
+    """Parse a baseline (sequential DCT, Huffman, 8-bit) JPEG into an
+    (h, w, 3) uint8 RGB array. Single interleaved scan; arbitrary
+    H/V sampling factors (4:4:4, 4:2:0, 4:2:2...); restart markers
+    honored. Anything else — progressive SOF2, arithmetic coding,
+    12-bit precision, truncated/corrupt streams — returns None."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, np.ndarray] = {}
+        huff_dc: dict[int, _HuffTable] = {}
+        huff_ac: dict[int, _HuffTable] = {}
+        comps: list[dict] = []  # id, h, v, tq, td, ta
+        height = width = None
+        restart_interval = 0
+        i = 2
+        segments = None
+        while i + 4 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            body = payload[i + 4 : i + 2 + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT: one or more tables
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0xF
+                    p += 1
+                    if pq == 0:
+                        vals = np.frombuffer(body[p : p + 64], dtype=np.uint8)
+                        p += 64
+                    else:
+                        vals = np.frombuffer(
+                            body[p : p + 128], dtype=">u2"
+                        ).astype(np.int64)
+                        p += 128
+                    if len(vals) != 64:
+                        return None
+                    qt[tq] = vals.astype(np.int64)
+                i += 2 + seglen
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline-compatible
+                prec, height, width, nf = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or nf not in (1, 3):
+                    return None
+                for c in range(nf):
+                    cid, hv, tqi = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tqi}
+                    )
+                i += 2 + seglen
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / hierarchical
+            elif marker == 0xC4:  # DHT: one or more tables
+                p = 0
+                while p + 17 <= len(body):
+                    tc, th = body[p] >> 4, body[p] & 0xF
+                    counts = list(body[p + 1 : p + 17])
+                    nsym = sum(counts)
+                    symbols = body[p + 17 : p + 17 + nsym]
+                    if len(symbols) != nsym:
+                        return None
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                        counts, symbols
+                    )
+                    p += 17 + nsym
+                i += 2 + seglen
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", body[:2])
+                i += 2 + seglen
+            elif marker == 0xDA:  # SOS: scan header then entropy data
+                ns = body[0]
+                if ns != len(comps):
+                    return None  # only single interleaved scans
+                for s in range(ns):
+                    cs, tdta = body[1 + 2 * s : 3 + 2 * s]
+                    for c in comps:
+                        if c["id"] == cs:
+                            c["td"], c["ta"] = tdta >> 4, tdta & 0xF
+                segments, i = _split_entropy(payload, i + 2 + seglen)
+                break
+            else:  # APPn / COM / anything skippable
+                i += 2 + seglen
+        if segments is None or height is None or not comps:
+            return None
+        for c in comps:
+            if c["tq"] not in qt or "td" not in c:
+                return None
+            if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+                return None
+
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        planes = [
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+            for c in comps
+        ]
+        m = _idct_matrix()
+        zz = _ZIGZAG
+        pred = [0] * len(comps)
+        reader = _BitReader(segments[0])
+        seg_idx = 0
+        for mcu in range(mcux * mcuy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    return None
+                reader = _BitReader(segments[seg_idx])
+                pred = [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        t = reader.read_symbol(huff_dc[c["td"]])
+                        diff = _extend(reader.read_bits(t), t)
+                        pred[ci] += diff
+                        q = qt[c["tq"]]
+                        coef[0, 0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[zz[k]] = _extend(reader.read_bits(s), s) * q[k]
+                            k += 1
+                        block = m.T @ coef @ m + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+        # upsample each component to full MCU-grid resolution, crop
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            if c["h"] < hmax:
+                p = np.repeat(p, hmax // c["h"], axis=1)
+            if c["v"] < vmax:
+                p = np.repeat(p, vmax // c["v"], axis=0)
+            full.append(p[:height, :width])
+        if len(comps) == 1:
+            g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            return np.stack([g, g, g], axis=2)
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except (EOFError, struct.error, IndexError, ValueError):
+        return None
+
+
 RASTER_RESIZE_SCHEMA = (
     "doc_id long, format string, src_width int, src_height int, "
     "out_width int, out_height int, mean_r double, mean_g double, "
@@ -433,8 +730,8 @@ RASTER_RESIZE_SCHEMA = (
 
 def decode_raster(payload: bytes):
     """Sniff-and-decode the formats this engine decodes for real:
-    (format, (h, w, 3) RGB array) for 24-bit BMP or 8-bit PNG, else
-    (None, None)."""
+    (format, (h, w, 3) RGB array) for 24-bit BMP, 8-bit PNG, or
+    baseline JPEG, else (None, None)."""
     if payload[:2] == b"BM":
         img = decode_bmp24(payload)
         if img is not None:
@@ -443,6 +740,10 @@ def decode_raster(payload: bytes):
         img = decode_png(payload)
         if img is not None:
             return "png", img
+    if payload[:2] == b"\xff\xd8":
+        img = decode_jpeg(payload)
+        if img is not None:
+            return "jpeg", img
     return None, None
 
 
