@@ -152,3 +152,56 @@ def test_resize_raster_images_mixed_formats_includes_jpeg(spark):
     assert round(got[1].mean_r) == 200 and round(got[1].mean_b) == 40
     assert got[2].format is None and got[2].mean_r is None
     assert got[3].format is None
+
+
+# ---- image near-dup via perceptual dHash over the real decoders ----
+
+
+def test_dhash_invariance_across_formats_and_discrimination():
+    """The SAME picture through BMP (lossless) and coarse JPEG must
+    hash within a few bits; a structurally different picture must be
+    far — the property that makes dHash a near-dup key."""
+    from test_multimodal_real import make_bmp
+    from wnv_etl_lab2_spark.operators.multimodal import decode_raster, dhash64
+
+    img = _gradient(48, 64)
+    h_bmp = dhash64(decode_raster(make_bmp(img))[1])
+    h_jpeg = dhash64(decode_raster(encode_jpeg(img, q_luma=16, q_chroma=24))[1])
+    other = _gradient(48, 64)[:, ::-1].copy()  # mirrored: gradients flip
+    h_other = dhash64(decode_raster(make_bmp(other))[1])
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h_bmp, h_jpeg) <= 3  # recompression barely moves it
+    assert hamming(h_bmp, h_other) >= 20  # mirrored image is far
+    assert hamming(h_bmp, h_bmp) == 0
+
+
+def test_image_neardup_pairs_banded_exact(spark):
+    """Banded pair generation: the BMP/JPEG re-encode pair is found,
+    the unrelated image is not, corrupt payloads drop out, and the
+    reported hamming equals the direct bit count."""
+    from test_multimodal_real import make_bmp
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    img = _gradient(48, 64)
+    other = _gradient(48, 64)[:, ::-1].copy()
+    rows = [
+        (1, bytearray(make_bmp(img))),
+        (2, bytearray(encode_jpeg(img, q_luma=16, q_chroma=24))),
+        (3, bytearray(make_bmp(other))),
+        (4, bytearray(b"corrupt")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = image_dhash(df)
+    got = {r.doc_id: r for r in hashes.collect()}
+    assert got[1].format == "bmp" and got[2].format == "jpeg"
+    assert got[4].dhash is None
+    pairs = image_neardup_pairs(hashes, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    direct = bin((got[1].dhash ^ got[2].dhash) & ((1 << 64) - 1)).count("1")
+    assert pairs[0].hamming == direct <= 3

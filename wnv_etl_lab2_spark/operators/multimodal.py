@@ -427,6 +427,132 @@ def decode_png(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
+# Image near-dup dedup (round 10): perceptual difference hash over the
+# REAL decoders — the image twin of the text pipeline's SimHash path.
+# dHash is the standard 64-bit gradient fingerprint (resize to 9x8
+# luma, bit = left pixel brighter than right): re-encodes, recompressed
+# JPEGs, and small edits land within a few bits, unrelated images ~32.
+# Pair generation is pigeonhole-banded: split the 64-bit hash into
+# (max_hamming + 1) bands — two hashes within max_hamming MUST agree
+# on at least one whole band, so the band-equality self-join has EXACT
+# recall while candidates stay bucket-bounded (never all-pairs), the
+# same argument as the SimHash/MinHash band joins. Verification is a
+# pure bit_count(xor) filter on the candidates.
+# ---------------------------------------------------------------------------
+
+IMAGE_DHASH_SCHEMA = "doc_id long, format string, dhash long"
+
+
+def _area_resize_gray(img, out_h: int, out_w: int):
+    """Area-mean resize of an (h, w, 3) uint8 image to (out_h, out_w)
+    grayscale via nearly-equal row/column slices — deterministic,
+    library-free."""
+    import numpy as np
+
+    gray = img.astype(np.float64).mean(axis=2)
+    rows = np.array_split(np.arange(gray.shape[0]), out_h)
+    cols = np.array_split(np.arange(gray.shape[1]), out_w)
+    out = np.empty((out_h, out_w))
+    for i, rs in enumerate(rows):
+        band = gray[rs]
+        for j, cs in enumerate(cols):
+            out[i, j] = band[:, cs].mean()
+    return out
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash: 9x8 luma, row-major bits of
+    'pixel brighter than its right neighbor', returned as a SIGNED
+    long (Spark LongType; hamming via bit_count(a ^ b) is
+    sign-agnostic)."""
+    g = _area_resize_gray(img, 8, 9)
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Perceptual fingerprints for a binary raster column: decode
+    (BMP/PNG/JPEG by magic), dHash the luma gradients. Undecodable
+    payloads yield a null hash (queryable corrupt-media rate). One
+    Arrow crossing, only (id, payload) projected in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fmts, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc_id)
+                fmt, img = decode_raster(bytes(payload) if payload is not None else b"")
+                fmts.append(fmt)
+                hashes.append(dhash64(img) if img is not None else None)
+            yield pd.DataFrame(
+                {"doc_id": ids, "format": fmts, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=IMAGE_DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming <= max_hamming) from
+    a dHash frame, banded for exact recall: with B = max_hamming + 1
+    bands of 64/B bits, any pair within max_hamming bits agrees on a
+    whole band (pigeonhole), so candidates come from a band-equality
+    groupBy join — bucket-bounded, never a cross join — and the final
+    bit_count(xor) filter is exact. distinct() collapses pairs that
+    collide in several bands."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    # band value: WIDTH bits starting at band*width (shiftright then
+    # mask keeps each band comparison a small long)
+    mask = (1 << width) - 1
+    banded = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("h", b * width).bitwiseAND(F.lit(mask)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "h", "band.band_id", "band.band_val")
+    a, bdf = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        bdf,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL decode for BASELINE JPEG (round 10): sequential-DCT Huffman
 # JPEG (SOF0/SOF1) needs no codec library — marker walk (struct),
 # canonical Huffman decode of the entropy stream (0xFF00 unstuffing,
