@@ -265,3 +265,53 @@ def test_raster_resize_mixed_bmp_png_spark(spark):
     thumb = np.frombuffer(r2.thumb, dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(thumb[:, :, 1], np.full((4, 4), 60))
     assert got[3].format is None and got[3].mean_r is None
+
+
+# ---- MP4/ISO-BMFF container metadata (round 10) ----
+
+
+def make_mp4(major=b"isom", timescale=1000, duration=5000, tracks=2, mvhd_v=0):
+    """Minimal ISO-BMFF box tree: ftyp + moov(mvhd, trak*n) + mdat."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", major + struct.pack(">I", 0) + b"isom")
+    if mvhd_v == 1:
+        mvhd_body = bytes([1, 0, 0, 0]) + b"\0" * 16 + struct.pack(
+            ">IQ", timescale, duration
+        )
+    else:
+        mvhd_body = bytes([0, 0, 0, 0]) + b"\0" * 8 + struct.pack(
+            ">II", timescale, duration
+        )
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + b"".join(
+        box(b"trak", b"") for _ in range(tracks)
+    ))
+    return ftyp + moov + box(b"mdat", b"\0" * 16)
+
+
+def test_mp4_metadata_parses_box_tree(spark):
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        mp4_metadata,
+        parse_mp4_metadata,
+    )
+
+    good = make_mp4()
+    meta = parse_mp4_metadata(good)
+    assert meta == ("isom", 1000, 5.0, 2, ["ftyp", "moov", "mdat"])
+    # 64-bit duration path (mvhd version 1)
+    v1 = parse_mp4_metadata(make_mp4(timescale=600, duration=90_000, mvhd_v=1))
+    assert v1[1] == 600 and v1[2] == 150.0
+    # malformed shapes -> None, never an exception
+    assert parse_mp4_metadata(b"") is None
+    assert parse_mp4_metadata(b"\0\0\0\x08free") is None  # no ftyp first
+    assert parse_mp4_metadata(good[:20]) is None or parse_mp4_metadata(good[:20])[3] == 0
+
+    rows = [(1, bytearray(good)), (2, bytearray(b"not a video")), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mp4_metadata(df).collect()}
+    assert got[1].major_brand == "isom" and got[1].duration_sec == 5.0
+    assert got[1].n_tracks == 2 and got[1].top_boxes == ["ftyp", "moov", "mdat"]
+    assert got[2].major_brand is None and got[3].duration_sec is None

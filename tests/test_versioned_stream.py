@@ -280,3 +280,66 @@ def test_change_feed_incremental_restart_across_rewrite(registered, tmp_path):
     drain()  # resumes from the checkpointed offset, crosses the rewrite
     final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
     assert +state == final == Counter({(0, "A"): 1, (1, "b"): 1})
+
+
+def test_change_feed_maintains_downstream_aggregate(registered, tmp_path):
+    """The consumption pattern the change feed exists for: a
+    downstream per-key SUM maintained purely by retract/apply over the
+    feed (insert adds, delete subtracts) equals a from-scratch
+    aggregate of the final snapshot — across append, merge-update,
+    and delete."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+        read_table,
+    )
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, k string, v long"
+        ),
+        tbl,
+    )
+    append_table(spark.createDataFrame([(4, "b", 7)], "id long, k string, v long"), tbl)
+    merge_upsert_table(  # update id=2's value, move id=3 to group a
+        spark.createDataFrame([(2, "a", 25), (3, "a", 5)], "id long, k string, v long"),
+        tbl,
+        key="id",
+    )
+    delete_from_table(spark, tbl, "id = 1")
+
+    state: dict = defaultdict(lambda: [0, 0])  # k -> [sum_v, n]
+
+    def apply(df, _bid):
+        for r in df.collect():
+            sgn = 1 if r._change_type == "insert" else -1
+            state[r.k][0] += sgn * r.v
+            state[r.k][1] += sgn
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        (r.k, r.s, r.n)
+        for r in read_table(spark, tbl)
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(k, s, n) for k, (s, n) in state.items() if n != 0}
+    assert got == want == {("a", 30, 2), ("b", 7, 1)}

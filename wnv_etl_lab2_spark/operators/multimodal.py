@@ -427,6 +427,108 @@ def decode_png(payload: bytes):
 
 
 # ---------------------------------------------------------------------------
+# MP4/ISO-BMFF container METADATA (round 10): the box tree is plain
+# struct parsing — ftyp brand, mvhd timescale/duration, track count —
+# so the metadata a video-curation pass filters on (duration buckets,
+# track sanity, brand allowlists) is REAL; only the codec payload
+# (H.264 et al.) stays honestly stubbed, as with progressive JPEG.
+# ---------------------------------------------------------------------------
+
+MP4_META_SCHEMA = (
+    "doc_id long, major_brand string, timescale long, duration_sec double, "
+    "n_tracks int, top_boxes array<string>"
+)
+
+
+def parse_mp4_metadata(payload: bytes):
+    """Walk an ISO-BMFF box tree: (major_brand, timescale,
+    duration_sec, n_tracks, top-level box types) or None when the
+    payload isn't a sane MP4 (first box must be ftyp; a box overflowing
+    its container ends the walk). Handles 64-bit largesize boxes and
+    mvhd versions 0/1."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize
+                if pos + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                header = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if size < header or pos + size > end:
+                return  # overflowing/corrupt box
+            yield btype, pos + header, pos + size
+            pos += size
+
+    try:
+        if len(payload) < 12 or payload[4:8] != b"ftyp":
+            return None
+        top: list[str] = []
+        major = None
+        timescale = None
+        duration = None
+        n_tracks = 0
+        for btype, body_start, body_end in boxes(payload, 0, len(payload)):
+            top.append(btype.decode("ascii", "replace"))
+            if btype == b"ftyp":
+                major = payload[body_start : body_start + 4].decode("ascii", "replace")
+            elif btype == b"moov":
+                for ctype, cstart, cend in boxes(payload, body_start, body_end):
+                    if ctype == b"trak":
+                        n_tracks += 1
+                    elif ctype == b"mvhd":
+                        version = payload[cstart]
+                        if version == 1:
+                            timescale, duration = struct.unpack(
+                                ">IQ", payload[cstart + 20 : cstart + 32]
+                            )
+                        else:
+                            timescale, duration = struct.unpack(
+                                ">II", payload[cstart + 12 : cstart + 20]
+                            )
+        if major is None:
+            return None
+        dur_sec = (
+            round(duration / timescale, 6)
+            if timescale not in (None, 0) and duration is not None
+            else None
+        )
+        return major, timescale, dur_sec, n_tracks, top
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def mp4_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Container metadata for a binary video column — the pre-decode
+    curation filter (duration buckets, track sanity, brand allowlist).
+    Non-MP4 / corrupt payloads yield null metadata rows. One Arrow
+    crossing, (id, payload) only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "major_brand", "timescale", "duration_sec", "n_tracks", "top_boxes")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                meta = parse_mp4_metadata(bytes(payload) if payload is not None else b"")
+                if meta is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                else:
+                    for k, v in zip(cols[1:], meta):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=MP4_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Image near-dup dedup (round 10): perceptual difference hash over the
 # REAL decoders — the image twin of the text pipeline's SimHash path.
 # dHash is the standard 64-bit gradient fingerprint (resize to 9x8
