@@ -267,3 +267,82 @@ def test_join_view_stamp_records_both_versions(spark, tmp_path):
     assert last_stamp(spark, view, "matview-join") == {"a": 1, "b": 0}
     # the stamp is versioned with the view: as-of the first refresh
     assert last_stamp(spark, view, "matview-join", as_of=0) == {"a": 0, "b": 0}
+
+
+# ---- CDF-backed maintenance across history rewrites (round 10) ----
+
+
+def _cagg(df):
+    return df.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,2)")).alias("sv"),
+    )
+
+
+def _cmerge_signed(sign):
+    zero = F.lit(0).cast("decimal(18,2)")
+
+    def op(state, delta):
+        s = state.select("user", F.col("n").alias("n_s"), F.col("sv").alias("sv_s"))
+        d = delta.select("user", F.col("n").alias("n_d"), F.col("sv").alias("sv_d"))
+        j = s.join(d, "user", "full_outer")
+        return j.select(
+            "user",
+            (F.coalesce("n_s", F.lit(0)) + sign * F.coalesce("n_d", F.lit(0))).alias("n"),
+            (F.coalesce("sv_s", zero) + sign * F.coalesce("sv_d", zero))
+            .cast("decimal(18,2)")
+            .alias("sv"),
+        ).where(F.col("n") > 0)
+
+    return op
+
+
+def test_cdf_refresh_survives_history_rewrites(spark, tmp_path):
+    """The rewrite-tolerant refresher: after an append, a merge-upsert
+    (update + insert), and a delete — all of which table_appends
+    refuses — the retract/apply refresh equals a from-scratch
+    recompute, and replays are skipped."""
+    from wnv_etl_lab2_spark.operators.matview import refresh_incremental_cdf
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+    )
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, user string, v long"
+        ),
+        src,
+    )
+    merge, retract = _cmerge_signed(F.lit(1)), _cmerge_signed(F.lit(-1))
+
+    def refresh():
+        return refresh_incremental_cdf(
+            spark, src, view, "id", _cagg, merge, retract
+        )
+
+    def recompute():
+        return {(r.user, r.n, float(r.sv)) for r in _cagg(read_table(spark, src)).collect()}
+
+    def view_now():
+        return {(r.user, r.n, float(r.sv)) for r in read_table(spark, view).collect()}
+
+    assert refresh() == 0  # full build
+    assert view_now() == recompute()
+
+    append_table(spark.createDataFrame([(4, "b", 7)], "id long, user string, v long"), src)
+    merge_upsert_table(  # rewrite: update id=2, move id=3 to user a
+        spark.createDataFrame([(2, "a", 25), (3, "a", 5)], "id long, user string, v long"),
+        src,
+        key="id",
+    )
+    delete_from_table(spark, src, "id = 1")
+    assert refresh() == 3  # one refresh absorbs append+merge+delete
+    assert view_now() == recompute() == {("a", 2, 30.0), ("b", 1, 7.0)}
+
+    assert refresh() is None  # replay / already current
+    # groups whose count hits zero drop out entirely
+    delete_from_table(spark, src, "user = 'b'")
+    assert refresh() == 4
+    assert view_now() == recompute() == {("a", 2, 30.0)}

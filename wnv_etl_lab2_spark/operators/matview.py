@@ -31,7 +31,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wnv_etl_lab2_spark.operators.cdf import table_appends
+from wnv_etl_lab2_spark.operators.cdf import table_appends, table_changes
 from wnv_etl_lab2_spark.sources.versioned import (
     create_table,
     last_committed_batch_id,
@@ -93,6 +93,70 @@ def refresh_incremental(
             return src_v
         delta_rows = table_appends(spark, source_table, reflected, src_v)
         new_state = merge(read_table(spark, view_table, v0), aggregate(delta_rows))
+        overwrite_table(
+            new_state, view_table, batch_id=src_v, writer_id=writer_id,
+            expect_latest=v0,
+        )
+        return src_v
+
+    return with_retries(attempt)
+
+
+def refresh_incremental_cdf(
+    spark: SparkSession,
+    source_table: str,
+    view_table: str,
+    key: str,
+    aggregate: Aggregate,
+    merge: Merge,
+    retract: Merge,
+    writer_id: str = "matview-cdf",
+) -> int | None:
+    """`refresh_incremental` for sources that REWRITE history
+    (merge/delete/overwrite/optimize — where `table_appends` rightly
+    refuses): the delta range is consumed as a Change Data Feed
+    (`cdf.table_changes`, keyed by ``key``) and applied
+    retract/apply-style — inserts and update POSTIMAGES aggregate
+    into the state through ``merge``, deletes and update PREIMAGES
+    aggregate OUT through ``retract`` (the monoid's inverse:
+    count/sum subtract; min/max need a full rebuild and should use
+    plain refresh on rewrite instead). Same pinned-v0
+    stamp/state/CAS discipline and `with_retries` rebase as the
+    append-only refresher; same O(changed data) aggregates — the
+    snapshot diff itself is the one keyed join `table_changes`
+    documents. Returns the source version now reflected, or None if
+    current."""
+    src_v = latest_version(spark, source_table)
+    if src_v is None:
+        raise ValueError(f"not a versioned table (no log): {source_table}")
+
+    def attempt() -> int | None:
+        v0 = latest_version(spark, view_table)
+        if v0 is None:
+            state = aggregate(read_table(spark, source_table, src_v))
+            create_table(state, view_table, batch_id=src_v, writer_id=writer_id)
+            return src_v
+        reflected = last_committed_batch_id(spark, view_table, writer_id, as_of=v0)
+        if reflected is not None and src_v <= reflected:
+            return None  # already current (or a replayed refresh)
+        if reflected is None:
+            state = aggregate(read_table(spark, source_table, src_v))
+            overwrite_table(
+                state, view_table, batch_id=src_v, writer_id=writer_id,
+                expect_latest=v0,
+            )
+            return src_v
+        changes = table_changes(spark, source_table, key, reflected, src_v)
+        applied = changes.where(
+            changes["_change_type"].isin("insert", "update_postimage")
+        ).drop("_change_type")
+        retracted = changes.where(
+            changes["_change_type"].isin("delete", "update_preimage")
+        ).drop("_change_type")
+        new_state = retract(
+            merge(read_table(spark, view_table, v0), aggregate(applied)),
+            aggregate(retracted),
+        )
         overwrite_table(
             new_state, view_table, batch_id=src_v, writer_id=writer_id,
             expect_latest=v0,

@@ -162,3 +162,121 @@ def logreg_gd_steps(spark, sf_dir):
         F.round(F.col("g") / F.col("n"), 6).alias("w1"),
         F.round(F.col("g") / F.col("n") - F.col("h") / F.col("n"), 6).alias("w2"),
     )
+
+
+@register(
+    "embedding_centroid_auc",
+    # Exact tie-aware AUC via the grouped Mann-Whitney identity —
+    # never a pair join, never a row-level global window:
+    #   AUC = sum_s [ p(s) * cum_neg_below(s) + p(s) * q(s) / 2 ]
+    #         / (np * nn)
+    # over DISTINCT scores s. Scores are ROUNDED to 6 before grouping
+    # on both engines, so the grouping keys are bit-independent of
+    # float summation order (an unrounded 1e-16 difference would
+    # split a tie group).
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, label, {_CAST} AS e FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, u.pos AS pos, u.val AS val
+      FROM c, LATERAL (SELECT UNNEST(e) AS val,
+                              generate_subscripts(e, 1) AS pos) AS u
+      WHERE vec_id % 2 = 0 AND (SELECT label FROM c c2 WHERE c2.vec_id = c.vec_id) = 0
+    ),
+    centroid AS (SELECT pos, AVG(val) AS cv FROM dims GROUP BY pos),
+    test AS (
+      SELECT c.vec_id,
+             CASE WHEN c.label = 0 THEN 1 ELSE 0 END AS y,
+             ROUND(SUM(u.val * ct.cv), 6) AS score
+      FROM c,
+           LATERAL (SELECT UNNEST(c.e) AS val,
+                           generate_subscripts(c.e, 1) AS pos) AS u
+      JOIN centroid ct ON ct.pos = u.pos
+      WHERE c.vec_id % 2 = 1
+      GROUP BY c.vec_id, c.label
+    ),
+    by_score AS (
+      SELECT score,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(1 - y) AS BIGINT) AS q
+      FROM test GROUP BY score
+    ),
+    cum AS (
+      SELECT p, q,
+             COALESCE(SUM(q) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM by_score
+    )
+    SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(q) AS BIGINT) AS n_neg,
+           ROUND(SUM(p * neg_below + (p * q) / 2.0)
+                 / (SUM(p) * SUM(q)), 6) AS auc
+    FROM cum
+    """,
+)
+def embedding_centroid_auc(spark, sf_dir):
+    """Linear-probe EVALUATION: train a label-0 centroid on the even
+    vec_ids, score the odd (held-out) vec_ids by dot product, and
+    report exact tie-aware AUC for label-0 discrimination via the
+    GROUPED Mann-Whitney identity — never a positive x negative pair
+    join, and never a row-level global window (a row_number over the
+    whole test set would pull the corpus into one partition): the
+    test set first collapses to a per-DISTINCT-score (p, q) count
+    table via one combinable groupBy, and the only ordered pass is
+    the cumulative window over that score-distribution table —
+    bounded by the number of distinct rounded scores, the same shape
+    as the quantile/RFM queries. This is the eval half of the
+    training tier (`logreg_gd_steps` fits; this measures)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    train = emb.where((F.col("vec_id") % 2 == 0) & (F.col("label") == 0))
+    d1 = train.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        )
+    )
+    centroid = (
+        d1.groupBy("pos")
+        .agg(F.avg("val").alias("cv"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("c")
+        )
+    )
+    test = emb.where(F.col("vec_id") % 2 == 1).crossJoin(F.broadcast(centroid))
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("c"),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    scored = test.select(
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("y"),
+        score.alias("score"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = by_score.select(
+        "p", "q", F.coalesce(F.sum("q").over(w), F.lit(0)).alias("neg_below")
+    )
+    return cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("p") * F.col("neg_below") + (F.col("p") * F.col("q")) / 2.0)
+            / (F.sum("p") * F.sum("q")),
+            6,
+        ).alias("auc"),
+    )
