@@ -274,3 +274,45 @@ def test_stream_source_never_serves_pending_version(spark, tmp_path, monkeypatch
     assert tx.resolve_outcome(spark, captured["log"], captured["id"], "committed") == "committed"
     assert _py_latest_visible(t) == 1
     assert _ids(spark, t) == {0, 1}
+
+
+def test_aborted_txn_staged_data_is_vacuumable(spark, tmp_path, monkeypatch):
+    """The staged data dirs of an aborted transaction become dead
+    attempt dirs: once the freed version slot is re-taken by a later
+    commit, vacuum's reference-counted garbage pass deletes them —
+    the same rule that covers crashed single-table writers."""
+    import os
+
+    import wnv_etl_lab2_spark.sources.transactions as tx
+    from wnv_etl_lab2_spark.sources.versioned import vacuum_table
+
+    t, log = str(tmp_path / "t"), str(tmp_path / "txn")
+    create_table(_df(spark, [(0, "a")]), t)
+
+    captured = {}
+    real_stage = tx._stage
+
+    def capturing_stage(s, w, txn_id, txn_log):
+        captured["id"], captured["log"] = txn_id, txn_log
+        return real_stage(s, w, txn_id, txn_log)
+
+    def dead_resolve(s, txn_log, txn_id, outcome):
+        raise RuntimeError("die before outcome")
+
+    monkeypatch.setattr(tx, "_stage", capturing_stage)
+    monkeypatch.setattr(tx, "resolve_outcome", dead_resolve)
+    with pytest.raises(RuntimeError):
+        commit_transaction(spark, log, [TxnWrite(_df(spark, [(1, "b")]), t, "append")])
+    monkeypatch.undo()
+
+    data_dir = os.path.join(t, "data")
+    orphans = [d for d in os.listdir(data_dir) if d.startswith("v1-")]
+    assert len(orphans) == 1  # the txn's staged attempt dir
+
+    abort_transaction(spark, captured["log"], captured["id"], [t])
+    append_table(_df(spark, [(2, "c")]), t)  # re-takes slot v1
+    vacuum_table(spark, t, keep_last=2)  # keeps v0+v1: drops no version
+    left = [d for d in os.listdir(data_dir) if d.startswith("v1-")]
+    assert orphans[0] not in left  # orphan gone...
+    assert len(left) == 1  # ...the committed attempt dir survives
+    assert _ids(spark, t) == {0, 2}
