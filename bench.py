@@ -73,6 +73,7 @@ HEADLINE = [
     "embedding_covariance_int8",  # exact-integer Gram/covariance, constant-key agg (round 9)
     "logreg_gd_steps",            # 2 GD steps, gradient-as-combinable-aggregate (round 10)
     "source_similarity_matrix",   # per-source tf-idf cosine matrix, word-keyed pair join (round 10)
+    "embedding_pca_power_iteration",  # Gram as 4096-key agg + in-plan power iteration (round 10)
 ]
 
 

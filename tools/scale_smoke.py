@@ -111,6 +111,10 @@ PER_UNIT_X16_GATES = {
     # per-doc cost must amortize in both.
     "logreg_gd_steps": 0.5,
     "source_similarity_matrix": 0.5,
+    # PCA: the corpus-sized work is the single 4096-key Gram
+    # aggregate (d^2 fan-out is a pure map, combinable); everything
+    # after runs over <= 4096-row frames — per-doc cost must amortize.
+    "embedding_pca_power_iteration": 0.5,
 }
 
 # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
@@ -328,7 +332,10 @@ def main() -> None:
         repeated_span_removal,
         source_similarity_matrix,
     )
-    from wnv_etl_lab2_spark.queries.ml_q import logreg_gd_steps
+    from wnv_etl_lab2_spark.queries.ml_q import (
+        embedding_pca_power_iteration,
+        logreg_gd_steps,
+    )
     from wnv_etl_lab2_spark.queries.joins_windows import sessionize_events
     from wnv_etl_lab2_spark.queries.sampling_q import dsir_importance_weights
     from wnv_etl_lab2_spark.queries.similarity_q import (
@@ -359,6 +366,7 @@ def main() -> None:
         "embedding_covariance_int8": embedding_covariance_int8,
         "logreg_gd_steps": logreg_gd_steps,
         "source_similarity_matrix": source_similarity_matrix,
+        "embedding_pca_power_iteration": embedding_pca_power_iteration,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

@@ -280,3 +280,95 @@ def embedding_centroid_auc(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "embedding_pca_power_iteration",
+    # The oracle unrolls the same two power iterations over the same
+    # double-precision Gram: v0 = 1/8 (uniform, deterministic — no
+    # randomness, no sign ambiguity), v1 = normalize(G v0),
+    # v2 = normalize(G v1). Gram entries are float sums whose
+    # engine-order differences (~1e-13 relative) stay ~1e-12 through
+    # two normalized iterations — absorbed by the shared ROUND(_, 6).
+    oracle=f"""
+    WITH c AS (SELECT {_CAST} AS e FROM embeddings),
+    gram AS (
+      SELECT i.pos AS i, j.pos AS j, SUM(i.val * j.val) AS g
+      FROM c,
+           LATERAL (SELECT UNNEST(e) AS val,
+                           generate_subscripts(e, 1) AS pos) AS i,
+           LATERAL (SELECT UNNEST(e) AS val,
+                           generate_subscripts(e, 1) AS pos) AS j
+      GROUP BY i.pos, j.pos
+    ),
+    u1 AS (SELECT i, SUM(g) / 8.0 AS u FROM gram GROUP BY i),
+    n1 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u1),
+    v1 AS (SELECT i, u / (SELECT nm FROM n1) AS v FROM u1),
+    u2 AS (
+      SELECT gram.i AS i, SUM(gram.g * v1.v) AS u
+      FROM gram JOIN v1 ON v1.i = gram.j
+      GROUP BY gram.i
+    ),
+    n2 AS (SELECT SQRT(SUM(u * u)) AS nm FROM u2),
+    ray AS (
+      SELECT SUM(u2.u * v1.v) AS num FROM u2 JOIN v1 USING (i)
+    )
+    SELECT CAST(u2.i AS INT) AS dim,
+           ROUND(u2.u / (SELECT nm FROM n2), 6) AS loading,
+           ROUND((SELECT num FROM ray), 4) AS eigenvalue_est
+    FROM u2
+    """,
+)
+def embedding_pca_power_iteration(spark, sf_dir):
+    """PCA top component by POWER ITERATION, fully in-plan: ONE corpus
+    pass builds the 64x64 (uncentered) Gram matrix as a combinable
+    (i, j)-keyed aggregate — each row fans out to d^2 products via a
+    nested HOF, map-side combine collapses every partition to 4096
+    rows before the exchange (the covariance/kmeans constant-key
+    argument) — then two unrolled iterations v -> normalize(G v) run
+    as 64-row joins over the MATERIALIZED Gram (localCheckpoint: five
+    downstream consumers must not replay the corpus pass). v0 is the
+    uniform vector, so iteration 1 is a plain row-sum; the Rayleigh
+    quotient v1^T G v1 rides along as the eigenvalue estimate. At
+    100 TB: one scan, one 4096-key shuffle, everything after is
+    metadata-sized — the classic scalable PCA-without-a-solver, and
+    more iterations are the same bounded joins repeated."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    pairs = F.flatten(
+        F.transform(
+            e,
+            lambda xi, i: F.zip_with(
+                e,
+                F.sequence(F.lit(1), F.lit(_DIM)),
+                lambda xj, j: F.struct(
+                    (i + 1).alias("i"), j.alias("j"), (xi * xj).alias("p")
+                ),
+            ),
+        )
+    )
+    gram = (
+        emb.select(F.explode(pairs).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.p").alias("g"))
+        .localCheckpoint()
+    )
+    u1 = gram.groupBy("i").agg((F.sum("g") / 8.0).alias("u"))
+    n1 = u1.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
+    v1 = u1.crossJoin(F.broadcast(n1)).select("i", (F.col("u") / F.col("nm")).alias("v"))
+    u2 = (
+        gram.join(v1.select(F.col("i").alias("j"), "v"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+    )
+    n2 = u2.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
+    ray = u2.join(v1, "i").agg(F.sum(F.col("u") * F.col("v")).alias("num"))
+    return (
+        u2.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            F.round(F.col("u") / F.col("nm"), 6).alias("loading"),
+            F.round(F.col("num"), 4).alias("eigenvalue_est"),
+        )
+    )
