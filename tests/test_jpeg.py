@@ -205,3 +205,74 @@ def test_image_neardup_pairs_banded_exact(spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
     direct = bin((got[1].dhash ^ got[2].dhash) & ((1 << 64) - 1)).count("1")
     assert pairs[0].hamming == direct <= 3
+
+
+# ---- property tests: round-trip over random images; fuzz safety ----
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(4, 24),
+        w=st.integers(4, 24),
+        seed=st.integers(0, 2**31 - 1),
+        subsample=st.booleans(),
+    )
+    def test_random_image_roundtrip_bounded(h, w, seed, subsample):
+        """Any random uint8 image survives encode->decode within the
+        q=1 DCT + colorspace + (optional) 4:2:0 chroma rounding."""
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert out is not None and out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        if subsample:
+            # 4:2:0 on RANDOM NOISE is chroma's worst case (2x2
+            # averaging of uncorrelated colors), so the meaningful
+            # invariant is that LUMA survives tightly; RGB error is
+            # bounded only by the colorspace geometry
+            def luma(a):
+                return (
+                    0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+                )
+
+            # gamut clipping shifts luma where the averaged chroma
+            # pushed a channel out of [0, 255]; unclipped pixels must
+            # preserve luma tightly
+            unclipped = ((out > 0) & (out < 255)).all(axis=2)
+            dl = np.abs(luma(out.astype(float)) - luma(img.astype(float)))
+            assert np.max(dl[unclipped], initial=0.0) <= 4
+            assert np.max(dl) <= 128  # clipped pixels: bounded, not tight
+            assert np.mean(err) <= 64
+        else:
+            assert np.max(err) <= 3
+
+    @settings(max_examples=200, deadline=None)
+    @given(blob=st.binary(max_size=400))
+    def test_decoder_never_raises_on_fuzz(blob):
+        """Arbitrary bytes — with or without the JPEG magic — must
+        yield None or a valid array, never an exception (malformed
+        media is data at corpus scale)."""
+        for payload in (blob, b"\xff\xd8" + blob):
+            out = decode_jpeg(payload)
+            assert out is None or (out.ndim == 3 and out.shape[2] == 3)
+
+    @settings(max_examples=60, deadline=None)
+    @given(blob=st.binary(max_size=300), seed=st.integers(0, 2**31 - 1))
+    def test_truncation_fuzz_of_real_jpegs(blob, seed):
+        """Truncating / corrupting a REAL jpeg at any point must not
+        raise — the decoder path most exercised by crawl corpora."""
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        good = bytearray(encode_jpeg(img))
+        cut = seed % len(good)
+        out = decode_jpeg(bytes(good[:cut]) + blob)
+        assert out is None or (out.ndim == 3 and out.shape[2] == 3)
