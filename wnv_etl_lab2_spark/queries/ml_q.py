@@ -320,54 +320,74 @@ def embedding_centroid_auc(spark, sf_dir):
     """,
 )
 def embedding_pca_power_iteration(spark, sf_dir):
-    """PCA top component by POWER ITERATION, fully in-plan: ONE corpus
-    pass builds the 64x64 (uncentered) Gram matrix as a combinable
-    (i, j)-keyed aggregate — each row fans out to d^2 products via a
-    nested HOF, map-side combine collapses every partition to 4096
-    rows before the exchange (the covariance/kmeans constant-key
-    argument) — then two unrolled iterations v -> normalize(G v) run
-    as 64-row joins over the MATERIALIZED Gram (localCheckpoint: five
-    downstream consumers must not replay the corpus pass). v0 is the
-    uniform vector, so iteration 1 is a plain row-sum; the Rayleigh
-    quotient v1^T G v1 rides along as the eigenvalue estimate. At
-    100 TB: one scan, one 4096-key shuffle, everything after is
-    metadata-sized — the classic scalable PCA-without-a-solver, and
-    more iterations are the same bounded joins repeated."""
+    """PCA top component by MATRIX-FREE power iteration, fully
+    in-plan: G v = sum_rows x (x . v), so each unrolled iteration is
+    one corpus pass — a per-row dot product against the broadcast
+    iterate (one zip_with/aggregate HOF) feeding ONE combinable
+    d-keyed aggregate (map-side combine to 64 rows per partition; the
+    kmeans/logreg shuffle shape) — and the 64x64 Gram never
+    materializes. v0 is the uniform vector, so iteration 1's dot is a
+    plain row-sum; the Rayleigh quotient v1^T G v1 rides along as the
+    eigenvalue estimate. At 100 TB: two scans, two d x partitions
+    shuffles, everything after is 64-row frames — the classic
+    scalable PCA-without-a-solver; more iterations are the same pass
+    repeated."""
+    # MATRIX-FREE: G v = sum_rows x (x . v), so each iteration is one
+    # corpus pass with a d-key combinable aggregate — the Gram never
+    # materializes and nothing ever shuffles more than d x partitions
+    # rows. (A first cut materialized G via a d^2 struct fan-out:
+    # 4096-key shuffle, 8M struct allocations, benched 3.4 s at sf0.1
+    # vs ~1.3 s for this shape. The ORACLE still goes through the
+    # explicit Gram — same math, different associativity, absorbed by
+    # the shared rounding.)
     emb = load_table(spark, "embeddings", sf_dir)
     e = F.transform("embedding", lambda x: x.cast("double"))
-    pairs = F.flatten(
-        F.transform(
-            e,
-            lambda xi, i: F.zip_with(
-                e,
-                F.sequence(F.lit(1), F.lit(_DIM)),
-                lambda xj, j: F.struct(
-                    (i + 1).alias("i"), j.alias("j"), (xi * xj).alias("p")
-                ),
-            ),
-        )
-    )
-    gram = (
-        emb.select(F.explode(pairs).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum("t.p").alias("g"))
+    # pass 1: u1 = G v0 with v0 uniform = per-row scalar s = sum(x)/8,
+    # then one d-key aggregate of x_i * s; checkpointed — its three
+    # consumers (weight array, v1 frame, norm) must not replay the pass
+    s0 = F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / 8.0
+    d1 = emb.select(s0.alias("s"), F.posexplode(e).alias("pos", "val"))
+    u1 = (
+        d1.groupBy("pos")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("u"))
         .localCheckpoint()
     )
-    u1 = gram.groupBy("i").agg((F.sum("g") / 8.0).alias("u"))
-    n1 = u1.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
-    v1 = u1.crossJoin(F.broadcast(n1)).select("i", (F.col("u") / F.col("nm")).alias("v"))
+    # v1 as a normalized broadcast ARRAY in one expression chain
+    v1row = u1.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "u"))), lambda s: s.u
+        ).alias("us")
+    ).select(
+        F.transform(
+            "us",
+            lambda x: x
+            / F.sqrt(F.aggregate("us", F.lit(0.0), lambda a, y: a + y * y)),
+        ).alias("vs")
+    )
+    # pass 2: u2 = G v1 = per-row margin m = x . v1, then x_i * m
+    j = emb.crossJoin(F.broadcast(v1row))
+    m = F.aggregate(
+        F.zip_with(e, F.col("vs"), lambda x, w: x * w),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d2 = j.select(m.alias("m"), F.posexplode(e).alias("pos", "val"))
     u2 = (
-        gram.join(v1.select(F.col("i").alias("j"), "v"), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("g") * F.col("v")).alias("u"))
+        d2.groupBy("pos")
+        .agg(F.sum(F.col("val") * F.col("m")).alias("u"))
+        .localCheckpoint()
+    )
+    n1 = u1.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
+    v1 = u1.crossJoin(F.broadcast(n1)).select(
+        "pos", (F.col("u") / F.col("nm")).alias("v")
     )
     n2 = u2.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
-    ray = u2.join(v1, "i").agg(F.sum(F.col("u") * F.col("v")).alias("num"))
+    ray = u2.join(v1, "pos").agg(F.sum(F.col("u") * F.col("v")).alias("num"))
     return (
         u2.crossJoin(F.broadcast(n2))
         .crossJoin(F.broadcast(ray))
         .select(
-            F.col("i").cast("int").alias("dim"),
+            (F.col("pos") + 1).cast("int").alias("dim"),
             F.round(F.col("u") / F.col("nm"), 6).alias("loading"),
             F.round(F.col("num"), 4).alias("eigenvalue_est"),
         )
