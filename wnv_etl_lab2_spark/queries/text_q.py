@@ -1284,6 +1284,95 @@ def unigram_logprob_quality(spark, sf_dir):
     )
 
 
+@register(
+    "bigram_logprob_quality",
+    # Conditional bigram LM with add-0.5 smoothing, trained on the
+    # corpus itself: P(cur | prev) = (c(prev,cur) + 0.5) /
+    # (c(prev as context) + 0.5 V). Documents score by the mean log
+    # of their TRANSITIONS (docs need >= 2 tokens); the context
+    # counts derive from the bigram table (one pass), V is the full
+    # unigram vocabulary.
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+      FROM docs, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i) AS u
+      WHERE len(ws) >= 2
+    ),
+    bg AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+    ctx AS (SELECT prev, SUM(c2) AS c1 FROM bg GROUP BY prev),
+    vb AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT UNNEST(ws) AS w FROM docs)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           ROUND(AVG(ln((bg.c2 + 0.5) / (ctx.c1 + 0.5 * vb.v))), 6)
+             AS avg_logprob2
+    FROM pairs p
+    JOIN bg USING (prev, cur)
+    JOIN ctx USING (prev)
+    CROSS JOIN vb
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_logprob_quality(spark, sf_dir):
+    """Bigram-LM quality score — the conditional upgrade of
+    `unigram_logprob_quality`: train add-0.5-smoothed transition
+    probabilities P(cur | prev) on the corpus, score each document by
+    the mean log-probability of its transitions. A doc of plausible
+    words in an implausible ORDER (shuffled/templated/generated text)
+    scores low here while the unigram model cannot see it — the
+    CCNet-perplexity signal proper. Scale shape: transitions come
+    from an in-array HOF (no self-join of positions); the bigram and
+    context tables are one combinable groupBy each (counts only,
+    never doc ids) and broadcast back vocabulary-sized, so scoring is
+    map-side joins plus one per-doc digest aggregate — the tf-idf
+    join-back shape."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select("doc_id", ws.alias("ws"))
+    # sequence(1, 0) would DESCEND: guard to docs with >= 2 tokens
+    pairs = (
+        docs.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("prev"),
+                        F.element_at("ws", i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.prev", "t.cur")
+    )
+    bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bg.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vb = (
+        docs.select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    return (
+        pairs.join(F.broadcast(bg), ["prev", "cur"])
+        .join(F.broadcast(ctx), "prev")
+        .crossJoin(F.broadcast(vb))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.round(
+                F.avg(F.expr("ln((c2 + 0.5) / (c1 + 0.5 * v))")), 6
+            ).alias("avg_logprob2"),
+        )
+    )
+
+
 @register("heavy_hitters_cms")  # sketch internals are engine-specific -> rows-only;
 # the CMS guarantees (est >= exact, est <= exact + eps*N) are pinned in
 # tests/test_oracle.py::test_cms_estimates_within_bounds
