@@ -1285,6 +1285,74 @@ def unigram_logprob_quality(spark, sf_dir):
 
 
 @register(
+    "lsh_recall_forecast",
+    # The shipped banding config (minhash_lsh_pairs defaults:
+    # 32 hashes = 16 bands x r=2) applied to the EXACT pair-similarity
+    # distribution: per 0.1-wide Jaccard bucket, how many true pairs
+    # exist and what fraction the banded LSH is expected to surface —
+    # the S-curve 1 - (1 - j^r)^b evaluated pair-by-pair, averaged per
+    # bucket. This is the go/no-go audit before trusting the banding
+    # on a corpus: a bucket above the dedup threshold with low
+    # expected recall means add hashes or widen bands.
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, LEN(words) - 1),
+                   i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+        FROM docs WHERE LEN(words) >= 3
+    ),
+    ex AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) <= {_DF_CAP}),
+    kept AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jac
+        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT FLOOR(jac * 10) / 10 AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jac), 6) AS avg_jaccard,
+           ROUND(AVG(1 - POWER(1 - POWER(jac, 2), 16)), 6)
+             AS expected_lsh_recall
+    FROM j WHERE jac >= 0.3
+    GROUP BY 1
+    """,
+)
+def lsh_recall_forecast(spark, sf_dir):
+    """Expected MinHash-LSH recall per similarity bucket for the
+    SHIPPED banding config (16 bands x 2 rows): the S-curve
+    1 - (1 - j^r)^b averaged over the exact pairs in each 0.1-wide
+    Jaccard bucket — what fraction of each bucket's true pairs the
+    banded join will surface. Complements `neardup_threshold_sweep`
+    (which sizes the pair population) with the recall side of the
+    banding decision; both ride the same capped-inverted-index
+    backbone, one extra conditional aggregation."""
+    jac = (
+        F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).alias("jac")
+    pairs = _capped_pair_counts(spark, sf_dir, jaccard_floor=0.3).select(jac)
+    curve = 1 - F.pow(1 - F.pow(F.col("jac"), 2), 16)
+    return (
+        pairs.where(F.col("jac") >= 0.3)
+        .groupBy((F.floor(F.col("jac") * 10) / 10).alias("sim_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jac"), 6).alias("avg_jaccard"),
+            F.round(F.avg(curve), 6).alias("expected_lsh_recall"),
+        )
+    )
+
+
+@register(
     "bigram_logprob_quality",
     # Conditional bigram LM with add-0.5 smoothing, trained on the
     # corpus itself: P(cur | prev) = (c(prev,cur) + 0.5) /
