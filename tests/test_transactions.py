@@ -316,3 +316,72 @@ def test_aborted_txn_staged_data_is_vacuumable(spark, tmp_path, monkeypatch):
     assert orphans[0] not in left  # orphan gone...
     assert len(left) == 1  # ...the committed attempt dir survives
     assert _ids(spark, t) == {0, 2}
+
+
+def test_join_matview_composes_with_two_source_transaction(spark, tmp_path):
+    """Round-10 pieces composing: batches land in BOTH sources of a
+    delta-join materialized view and the refreshed view state commits
+    in the SAME transaction — no reader can ever observe the new
+    source rows without the view reflecting them, and the view equals
+    a from-scratch recompute over exactly the snapshots it committed
+    with."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.operators.cdf import table_appends
+    from wnv_etl_lab2_spark.sources.versioned import last_stamp
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    view, log = str(tmp_path / "view"), str(tmp_path / "txn")
+    create_table(
+        spark.createDataFrame([(1, "x", 10), (2, "y", 20)], "k long, g string, q long"),
+        a,
+    )
+    create_table(spark.createDataFrame([(1,), (2,)], "k long"), b)
+
+    def join(da, db):
+        return da.join(db, "k")
+
+    def agg(df):
+        return df.groupBy("g").agg(F.sum("q").alias("sq"))
+
+    # initial full build, stamped with the reflected version vector
+    create_table(
+        agg(join(read_table(spark, a), read_table(spark, b))),
+        view, writer_id="mv", stamp={"a": 0, "b": 0},
+    )
+
+    # one transaction: append to A, append to B, overwrite the view
+    # with state = old state merged with the delta-join delta
+    batch_a = spark.createDataFrame([(2, "y", 5), (3, "z", 7)], "k long, g string, q long")
+    batch_b = spark.createDataFrame([(3,)], "k long")
+    va0, vb0 = latest_version(spark, a), latest_version(spark, b)
+    v0 = latest_version(spark, view)
+    # dV = dA x B1 + A0 x dB, where B1 includes batch_b; both arms
+    # built from the PRE-COMMIT frames (batch data + old snapshots)
+    b1 = read_table(spark, b, vb0).unionByName(batch_b)
+    delta = agg(join(batch_a, b1).unionByName(join(read_table(spark, a, va0), batch_b)))
+    state = read_table(spark, view, v0)
+    merged = (
+        state.select("g", F.col("sq").alias("s"))
+        .join(delta.select("g", F.col("sq").alias("d")), "g", "full_outer")
+        .select("g", (F.coalesce("s", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("sq"))
+    )
+    commit_transaction(
+        spark,
+        log,
+        [
+            TxnWrite(batch_a, a, "append"),
+            TxnWrite(batch_b, b, "append"),
+            TxnWrite(merged, view, "overwrite", writer_id="mv",
+                     expect_latest=v0),
+        ],
+    )
+    # view == recompute over the committed snapshots
+    want = {(r.g, r.sq) for r in agg(join(read_table(spark, a), read_table(spark, b))).collect()}
+    got = {(r.g, r.sq) for r in read_table(spark, view).collect()}
+    assert got == want == {("x", 10), ("y", 25), ("z", 7)}
+    # and the incremental machinery still reads clean deltas past it
+    assert table_appends(spark, a, va0).count() == 2
+    # the txn overwrite carried no stamp, so the newest stamp for this
+    # writer is still the initial build's version vector
+    assert last_stamp(spark, view, "mv") == {"a": 0, "b": 0}
