@@ -385,3 +385,73 @@ def test_join_matview_composes_with_two_source_transaction(spark, tmp_path):
     # the txn overwrite carried no stamp, so the newest stamp for this
     # writer is still the initial build's version vector
     assert last_stamp(spark, view, "mv") == {"a": 0, "b": 0}
+
+
+def test_transient_marker_rename_failure_raises_not_success(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (high): a TRANSIENT outcome-marker rename failure —
+    no winner marker exists afterwards — must make the decide RAISE,
+    not report the caller's intended outcome as durably decided.
+    Before the fix, commit_transaction returned success while no
+    ``.final`` marker existed, so every participating table stayed
+    invisible-pending forever. Pins: commit raises, the txn is still
+    undecided (no marker), both tables read prior state, and
+    abort_transaction recovers the slots for a clean retry."""
+    import posixpath
+
+    import wnv_etl_lab2_spark.sources.transactions as tx
+
+    a, b, log = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "txn")
+    create_table(_df(spark, [(0, "a0")]), a)
+    create_table(_df(spark, [(0, "b0")]), b)
+    # Simulate the transient failure: route the FIRST decide's marker
+    # destination under a parent that is a plain FILE (rename fails
+    # ENOTDIR-style) while no winner marker exists; later calls get
+    # the real path so recovery works.
+    (tmp_path / "txn").mkdir()
+    (tmp_path / "txn" / "blocker").write_text("x")
+    real_marker = tx._marker
+    calls = {"n": 0}
+
+    def flaky_marker(jvm, txn_log, txn_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return jvm.org.apache.hadoop.fs.Path(
+                posixpath.join(txn_log, "blocker", f"{txn_id}.final")
+            )
+        return real_marker(jvm, txn_log, txn_id)
+
+    monkeypatch.setattr(tx, "_marker", flaky_marker)
+    captured: dict = {}
+    real_stage = tx._stage
+
+    def capturing_stage(s, w, txn_id, txn_log):
+        captured["id"] = txn_id
+        return real_stage(s, w, txn_id, txn_log)
+
+    monkeypatch.setattr(tx, "_stage", capturing_stage)
+
+    with pytest.raises(Exception):
+        commit_transaction(
+            spark,
+            log,
+            [
+                TxnWrite(_df(spark, [(1, "a1")]), a, "append"),
+                TxnWrite(_df(spark, [(9, "b9")]), b, "append"),
+            ],
+        )
+    # undecided — NOT silently "committed": no marker, prior state reads
+    assert read_outcome(spark, log, captured["id"]) is None
+    assert _ids(spark, a) == {0} and _ids(spark, b) == {0}
+    # recovery path: abort decides the marker and frees both slots...
+    abort_transaction(spark, log, captured["id"], [a, b])
+    assert read_outcome(spark, log, captured["id"]) == "aborted"
+    # ...and a fresh transaction then succeeds end-to-end
+    commit_transaction(
+        spark,
+        log,
+        [
+            TxnWrite(_df(spark, [(1, "a1")]), a, "append"),
+            TxnWrite(_df(spark, [(9, "b9")]), b, "append"),
+        ],
+    )
+    assert _ids(spark, a) == {0, 1} and _ids(spark, b) == {0, 9}

@@ -60,116 +60,94 @@ _LOADED = False
 # import order. Everything not listed keeps its import-order position
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
-# Rows-only queries allowed inside the 50-entry window THIS round —
-# both are PLAN-CHANGE re-records (fresh evidence required on plan
-# change even though both are green in prior rounds):
-# embedding_cluster_profile (the corpus total folded into the
-# aggregation pass instead of a separate count() action) and
-# semantic_dedup_keep (its quantizer now routes through the shared
-# _trained_centroids helper). Both schemas are atomic-only
-# (test_entry.py's canonicalizer check covers them), so the slots
-# can't burn the way the r6 array<double> incident did. Everything
-# else in the window carries an exact oracle — including
-# ann_topk_ivf, upgraded this round from rows-only to an exact
-# interpolated-centroid oracle.
-FRONT_ROWS_ONLY_OK: set[str] = {"embedding_cluster_profile", "semantic_dedup_keep"}
+# Rows-only queries allowed inside the 50-entry window THIS round:
+# the five rows-only members of the r7-stale cohort being
+# re-evidenced, each declared rows-only since registration with a
+# pytest ground-truth pin (approx-sketch outputs and provenance
+# metadata are not SQL-expressible): approx_distinct_stats,
+# approx_percentile_stats, heavy_hitters_cms, ingest_provenance,
+# neardup_band_survivors. Every other window entry carries an exact
+# oracle.
+FRONT_ROWS_ONLY_OK: set[str] = {
+    "approx_distinct_stats",
+    "approx_percentile_stats",
+    "heavy_hitters_cms",
+    "ingest_provenance",
+    "neardup_band_survivors",
+}
 
 _FRONT = [
-    # Round-10 window — exactly as pre-committed by the r9 block
-    # below. Rotation history: r1 = relational/spatial/SQL surface;
-    # r2 = LLM-pipeline + temporal; r3 = remaining oracle-backed +
-    # rows-only; r4 = new ops + the r1-stale block; r5 = new ops +
-    # the r2-stale block; r6 = new ops + r2/r3-stale re-verifies;
-    # r7 = rows-only evidence + r3/r4-stale + new ops; r8 = the r4-
-    # stale deferrals + pair-backbone replan + new ops + r5-stale;
-    # r9 = never-checked + the r5-stale deferrals + replan re-verify
-    # + new ops + r6-stale (50/50 green).
-    # This window = (a) the 32 pre-committed r6-green deferrals,
-    # verbatim the list the r9 block recorded, (b) the two new
-    # round-10 operators (first evidence), (c) the two queries whose
-    # physical plans changed this round — ann_topk_ivf (promoted to
-    # the production checked-in-centroid SERVE path with an exact
-    # interpolated-constant oracle) and embedding_cluster_profile
-    # (extra count() action folded into the aggregation pass) —
-    # fresh evidence required on plan change, (d) the 14 oldest
-    # r7-greens: semantic_dedup_keep first (its quantizer now routes
-    # through the shared _trained_centroids helper), then
-    # reference-parity O-ops, then the heavy LLM-pipeline set.
-    # After this window lands, no query's evidence is older than r7.
-    # Deferred to round 11 (r7-green, lowest remaining drift risk):
-    # ann_topk_bruteforce, approx_distinct_stats,
-    # approx_percentile_stats, arrow_group_trend,
-    # asof_join_click_view, decayed_rolling_features, event_funnel,
-    # gap_fill_locf, groupby_agg, grouping_sets_agg,
-    # hard_negative_mining, heavy_hitters_cms,
-    # incremental_agg_merge, ingest_provenance, mixture_resample,
-    # neardup_band_survivors (rows-only, no plan change this round),
-    # multimodal_binary_features, ntile_length_buckets,
-    # orderby_limit_topk, outer_join_order_counts,
-    # pareto_frontier_curation, percentile_agg, pii_scrub,
-    # quota_sample_per_source, range_join_maintenance,
-    # regexp_null_funcs, scalar_subquery, sessionize_events,
-    # skew_key_diagnosis, sliding_window_batch, stats_agg,
-    # text_quality_pandas_udf, union_distinct, variant_extract,
-    # window_rank_variants.
-    # (a) the 32 pre-committed r6-stale deferrals
-    "regional_revenue",
-    "salted_groupby",
-    "argmax_per_group",
-    "promo_revenue_share",
-    "collect_sorted_agg",
-    "customer_rfm_segments",
-    "rollup_agg",
-    "cube_agg",
-    "json_extraction",
-    "pivot_agg",
-    "window_topk_per_group",
-    "tumbling_window_batch",
-    "correlated_exists",
-    "intersect_all_multiset",
-    "except_all_multiset",
-    "top_supplier_revenue",
-    "small_qty_part_revenue",
-    "large_volume_orders",
-    "late_shipper_chain",
-    "rolling_zscore_events",
-    "event_transition_matrix",
-    "deterministic_sample",
-    "denylist_scrub",
-    "word_entropy_quality",
-    "forecast_revenue_change",
-    "nation_volume_shipping",
-    "nation_market_share",
-    "returned_item_ranking",
-    "disjunctive_predicate_revenue",
-    "grouped_agg_pandas_udaf",
-    "vocab_coverage",
-    "semantic_decontamination",
-    # (b) new round-10 operators (first evidence)
-    "logreg_gd_steps",
-    "source_similarity_matrix",
-    # (c) plan changed this round (fresh evidence on plan change)
-    "ann_topk_ivf",
-    "embedding_cluster_profile",
-    # (d) the 14 oldest r7-greens: quantizer-touched + O-ops + LLM set
-    "semantic_dedup_keep",
-    "clean_cast_filter",
-    "constant_column",
-    "points_from_xy",
-    "projection_concat",
-    "zone_overlay",
-    "polygon_clip_area",
-    "dedup_simhash",
-    "dup_cluster_histogram",
-    "incremental_dedup_new_docs",
-    "hybrid_rrf_retrieval",
-    "bpe_pair_merge_counts",
-    "dsir_importance_weights",
-    "ann_topk_lsh",
-    # Queries rotated OUT of this 50-entry block after earning a green
-    # driver row in a prior round's CORRECTNESS file keep their local
-    # oracle-gate coverage and simply fall back to import-order
-    # positions past the prefix.
+    # Round-11 window — exactly the r10 verdict's ask (VERDICT.md
+    # "Next round" items 1 and 5). Rotation history: r1-r9 as
+    # documented in prior revisions of this block; r10 = the 32
+    # r6-stale deferrals + new r10 ops + 2 plan-changed + the 14
+    # oldest r7-greens (50/50 green, CORRECTNESS_r10.json).
+    # This window = (a) the 4 queries registered after the r10
+    # capture (first driver evidence; all four pass the local oracle
+    # at sf0.01 and were re-verified by the judge): lsh_recall_forecast,
+    # bigram_logprob_quality, embedding_centroid_auc,
+    # embedding_pca_power_iteration; (b) the full 34-query r7-stale
+    # cohort (every query whose latest driver evidence is r7 —
+    # computed from the union of CORRECTNESS_r01..r10.json); (c) the
+    # new round-11 operators (first evidence). After this window
+    # lands, no query's evidence is older than r8.
+    # (a) late-r10 registrations — first driver evidence
+    "lsh_recall_forecast",
+    "bigram_logprob_quality",
+    "embedding_centroid_auc",
+    "embedding_pca_power_iteration",
+    # (b) the 34-query r7-stale cohort
+    "approx_distinct_stats",
+    "approx_percentile_stats",
+    "arrow_group_trend",
+    "asof_join_click_view",
+    "decayed_rolling_features",
+    "event_funnel",
+    "gap_fill_locf",
+    "groupby_agg",
+    "grouping_sets_agg",
+    "hard_negative_mining",
+    "heavy_hitters_cms",
+    "incremental_agg_merge",
+    "ingest_provenance",
+    "mixture_resample",
+    "multimodal_binary_features",
+    "neardup_band_survivors",
+    "ntile_length_buckets",
+    "orderby_limit_topk",
+    "outer_join_order_counts",
+    "pareto_frontier_curation",
+    "percentile_agg",
+    "pii_scrub",
+    "quota_sample_per_source",
+    "range_join_maintenance",
+    "regexp_null_funcs",
+    "scalar_subquery",
+    "sessionize_events",
+    "skew_key_diagnosis",
+    "sliding_window_batch",
+    "stats_agg",
+    "text_quality_pandas_udf",
+    "union_distinct",
+    "variant_extract",
+    "window_rank_variants",
+    # (c) new round-11 operators (first evidence) — registered this
+    # round, displacing (d) pad slots one-for-one as they land.
+    # (d) pad: the oldest oracle-backed r8-evidenced queries, filling
+    # the window to 50 so every slot carries an exact oracle; each new
+    # r11 registration replaces the last remaining pad entry.
+    "sales_opportunity",
+    "nullsafe_join",
+    "order_count_histogram",
+    "order_priority_check",
+    "shipping_priority_buckets",
+    "salted_join_agg",
+    "row_count",
+    "distinct_count",
+    "dedup_distinct_rows",
+    "scalar_string_date_funcs",
+    "intersect_keys",
+    "except_keys",
 ]
 
 

@@ -19,15 +19,18 @@ already trusts:
    manifests are INVISIBLE: every reader (`latest_version`,
    `read_table`, batch-id ledgers, the Python streaming source) skips
    a ``txn``-stamped manifest until the transaction commits.
-3. COMMIT: one exclusive create of ``{txn_log}/{id}.committed`` — the
-   single atomic action after which every participating table's new
-   version is visible. Crash anywhere before it → every table still
-   reads at its prior version; the staged manifests/data are inert.
-4. ABORT/RECOVERY: `abort_transaction` writes ``{id}.aborted``
-   (exclusive — it can never race a successful commit marker) and
-   deletes the transaction's pending manifests, freeing the version
-   slots. It is idempotent and is the recovery path for a transaction
-   that crashed between publish and commit; orphaned attempt dirs are
+3. COMMIT: one exclusive create of the single content-bearing marker
+   ``{txn_log}/{id}.final`` containing the decided outcome
+   ("committed") — the single atomic action after which every
+   participating table's new version is visible. Crash anywhere
+   before it → every table still reads at its prior version; the
+   staged manifests/data are inert.
+4. ABORT/RECOVERY: `abort_transaction` decides the SAME ``{id}.final``
+   marker with content "aborted" (exclusive-create — commit and abort
+   race on one file, so exactly one outcome ever wins) and deletes the
+   transaction's pending manifests, freeing the version slots. It is
+   idempotent and is the recovery path for a transaction that crashed
+   between publish and commit; orphaned attempt dirs are
    reference-counted garbage for vacuum, exactly like any crashed
    single-table writer's.
 
@@ -97,7 +100,15 @@ def resolve_outcome(
     "aborted" and must roll back; an aborter that loses to a commit
     sees "committed" and must leave the manifests alone. This single
     file is the entire commit/abort race — there is no two-marker
-    interleaving where both sides win."""
+    interleaving where both sides win.
+
+    A rename failure is only "lost the race" if the winner's marker
+    actually EXISTS; a transient I/O failure (no marker present)
+    raises instead of reporting the caller's intended outcome as
+    decided — otherwise `commit_transaction` would acknowledge a
+    commit with no durable marker, leaving every participant
+    invisible-pending forever (`_commit` at versioned.py re-raises on
+    the same condition; this mirrors it)."""
     import uuid as _uuid
 
     fs, jvm = _fs(spark, txn_log)
@@ -121,8 +132,20 @@ def resolve_outcome(
         try:
             fc.rename(tmp, dst, opts)
         except Exception:
-            fs.delete(tmp, False)  # lost the decide race: read the winner
-    return read_outcome(spark, txn_log, txn_id) or outcome
+            fs.delete(tmp, False)
+            if not fs.exists(dst):
+                # transient rename failure, NOT a lost race: the txn is
+                # still undecided — raise so the caller retries or
+                # aborts instead of treating its own intent as durable
+                raise
+            # else: lost the decide race — fall through to the winner
+    decided = read_outcome(spark, txn_log, txn_id)
+    if decided is None:
+        raise IOError(
+            f"transaction {txn_id}: outcome marker vanished after decide — "
+            "undecided; retry resolve_outcome or abort"
+        )
+    return decided
 
 
 def read_outcome(spark: SparkSession, txn_log: str, txn_id: str) -> str | None:
