@@ -147,6 +147,37 @@ def _calibration() -> dict[str, float]:
     }
 
 
+def _previous_calibration() -> dict[str, float] | None:
+    """The newest prior round's recorded Spark-free calibration probe
+    (r11, closing the r10 ADVICE loop): host_shift_ratio is derived
+    from the benched queries' own t/prev ratios, so a uniform GENUINE
+    regression is indistinguishable from host contention by that
+    statistic alone — the calibration probe measures machine speed
+    independently of any plan, and comparing this round's probe to the
+    newest recorded one bounds how much machine slowdown actually
+    happened. Returns None when no prior round recorded a probe
+    (pre-r10 history)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for _, path in sorted(rounds, reverse=True):  # newest first
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed", doc)
+        calib = parsed.get("calibration") if isinstance(parsed, dict) else None
+        if calib and all(
+            calib.get(k, 0) > 0 for k in ("numpy_matmul_sec", "python_loop_sec")
+        ):
+            return {k: float(v) for k, v in calib.items()}
+    return None
+
+
 def _previous_round_timings() -> dict[str, float]:
     """Per-query baseline timings for the regression report
     (delta_vs_prev): the UNION of per-query mins across every
@@ -292,6 +323,37 @@ def main() -> None:
         if len(ratios) >= 10:
             host_shift = max(1.0, round(statistics.median(ratios), 3))
         out["host_shift_ratio"] = host_shift
+        # CALIBRATION CROSS-CHECK (r11, r10 ADVICE medium): the
+        # query-derived shift above cannot tell a uniform genuine
+        # regression from host contention — both move every ratio
+        # equally. The Spark-free probe can: its ratio vs the newest
+        # recorded probe is the independently-measured machine
+        # slowdown, and the gates may relax AT MOST that far (x1.1
+        # cross-probe tolerance: the probes measure BLAS/interpreter
+        # speed while the queries run on the JVM, so small divergence
+        # is expected; a query-shift beyond it is flagged as a
+        # suspected framework-wide regression, not absorbed).
+        calib_prev = _previous_calibration()
+        calib_shift = None
+        if calib_prev is not None:
+            calib_ratios = [
+                out["calibration"][k] / calib_prev[k]
+                for k in ("numpy_matmul_sec", "python_loop_sec")
+                if calib_prev.get(k, 0) > 0
+            ]
+            calib_shift = max(1.0, round(max(calib_ratios), 3))
+        out["calibration_prev"] = calib_prev
+        out["calibration_shift_ratio"] = calib_shift
+        if calib_shift is not None:
+            cap = round(calib_shift * 1.1, 3)
+            out["host_shift_exceeds_calibration"] = host_shift > cap
+            host_shift_gate = min(host_shift, cap)
+        else:
+            out["host_shift_exceeds_calibration"] = False
+            host_shift_gate = host_shift
+        # every gate below uses the CAPPED shift
+        out["host_shift_gate"] = host_shift_gate
+        host_shift = host_shift_gate
         # regression gate: flag (don't fail — the driver still needs
         # the JSON line) any query that slowed >1.5x (host-adjusted)
         # vs the best prior round; an empty list is the expected
@@ -331,6 +393,19 @@ def main() -> None:
             for name, bound in DECLARED_WALL_BOUNDS_SF01.items()
             if out["sf"] == 0.1 and timings.get(name, 0.0) > bound
         )
+    # cross-session canary (r11, r10 verdict #8): one mid-weight query
+    # recorded raw AND normalized by the gate shift every round, so a
+    # real plan regression in it can never hide inside a claimed host
+    # shift — the normalized number must stay flat across rounds.
+    canary = "tfidf_top_terms"
+    shift = out.get("host_shift_gate", 1.0)
+    out["canary"] = {
+        "query": canary,
+        "raw_sec": timings.get(canary),
+        "normalized_sec": (
+            round(timings[canary] / shift, 3) if canary in timings else None
+        ),
+    }
     print(json.dumps(out))
 
 

@@ -45,6 +45,21 @@ def test_bench_emits_contract_json(sf_dir):
         assert doc["host_shift_ratio"] >= 1.0
         assert set(doc["declared_bounds_effective"]) == set(doc["declared_bounds"])
         assert isinstance(doc["bounds_exceeded_raw"], list)
+        # calibration cross-check (r11): the gate shift is capped by
+        # the independently-measured machine slowdown; both sides of
+        # the adjudication are in the artifact
+        assert "calibration_shift_ratio" in doc
+        assert "host_shift_exceeds_calibration" in doc
+        assert doc["host_shift_gate"] <= doc["host_shift_ratio"]
+        if doc["calibration_shift_ratio"] is not None:
+            assert (
+                doc["host_shift_gate"]
+                <= round(doc["calibration_shift_ratio"] * 1.1, 3) + 1e-9
+            )
+    # cross-session canary (r11): raw AND normalized, every round
+    assert doc["canary"]["query"] == "tfidf_top_terms"
+    assert doc["canary"]["raw_sec"] > 0
+    assert doc["canary"]["normalized_sec"] > 0
 
 
 def test_headline_queries_are_registered():

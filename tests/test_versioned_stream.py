@@ -343,3 +343,182 @@ def test_change_feed_maintains_downstream_aggregate(registered, tmp_path):
     }
     got = {(k, s, n) for k, (s, n) in state.items() if n != 0}
     assert got == want == {("a", 30, 2), ("b", 7, 1)}
+
+
+def test_row_level_change_feed_merge_emits_two_rows(registered, tmp_path):
+    """Round 11 (r10 verdict #3): a MERGE touching 1 row of a
+    MULTI-FILE table, written with change_data=True, streams exactly
+    2 change rows (the pre-image retraction + the post-image
+    insertion) — O(changed rows), not O(rewritten files) — and the
+    retract-apply identity still holds. A checkpointed stream that
+    stopped before the rewrite resumes across it."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import merge_upsert_table, read_table
+
+    spark = registered
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    rows = [(i, f"v{i}") for i in range(40)]
+    create_table(
+        spark.createDataFrame(rows, "id long, v string").repartition(8), tbl
+    )
+
+    state: Counter = Counter()
+    per_version: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            per_version[r._commit_version] += 1
+            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+
+    def drain():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()  # history: 40 inserts at v0
+    assert per_version[0] == 40
+    # stream is DOWN: 1-row merge with row-level change data
+    merge_upsert_table(
+        spark.createDataFrame([(7, "V7")], "id long, v string"),
+        tbl,
+        key="id",
+        change_data=True,
+    )
+    drain()  # checkpointed restart across the rewrite
+    # the rewrite rewrote every file (full-snapshot rewrite) but the
+    # feed delivered ONLY the row-level change set
+    assert per_version[1] == 2
+    assert state[(7, "v7")] == 0 and state[(7, "V7")] == 1
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final
+
+
+def test_row_level_change_feed_delete_and_mixed_modes(registered, tmp_path):
+    """One feed mixing granularities: a change_data=True DELETE emits
+    exactly the deleted rows; a change_data=False merge on the same
+    table falls back to the file-diff reconstruction; retract-apply
+    over the mixed feed still equals the snapshot."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+        read_table,
+    )
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, grp long"
+        ).repartition(6),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "grp = 2", change_data=True)  # v1: 10 rows
+    merge_upsert_table(  # v2: no change files -> file-diff fallback
+        spark.createDataFrame([(0, 9)], "id long, grp long"), tbl, key="id"
+    )
+
+    state: Counter = Counter()
+    per_version: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            per_version[r._commit_version] += 1
+            state[(r.id, r.grp)] += 1 if r._change_type == "insert" else -1
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert per_version[1] == 10  # row-level: exactly the deleted rows
+    assert per_version[2] > 2  # file-diff fallback: O(rewritten files)
+    final = Counter((r.id, r.grp) for r in read_table(spark, tbl).collect())
+    assert +state == final
+    assert not [k for k, n in state.items() if n < 0]
+
+
+def test_read_change_data_batch_range(spark, tmp_path):
+    """Batch twin of the row-level feed: read_change_data over a
+    version range returns the persisted change rows (plus appends as
+    inserts), raises on a rewrite that recorded none, and the
+    retract-apply of the range bridges the two snapshots."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)  # v1
+    merge_upsert_table(  # v2, row-level
+        spark.createDataFrame([(1, "B")], "id long, v string"),
+        tbl, key="id", change_data=True,
+    )
+    delete_from_table(spark, tbl, "id = 0", change_data=True)  # v3, row-level
+
+    feed = read_change_data(spark, tbl, 0)  # (0, latest]
+    state: Counter = Counter()
+    for r in feed.collect():
+        state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+    start = Counter((r.id, r.v) for r in read_table(spark, tbl, 0).collect())
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert start + state == final
+
+    # a rewrite WITHOUT change files poisons only ranges that cross it
+    merge_upsert_table(
+        spark.createDataFrame([(9, "z")], "id long, v string"), tbl, key="id"
+    )  # v4, no change data
+    assert read_change_data(spark, tbl, 2, 3).count() == 1  # inside opted-in range
+    with _pytest.raises(ValueError, match="no recorded change"):
+        read_change_data(spark, tbl, 3)  # crosses v4
+
+
+def test_vacuum_collects_unreferenced_change_files(spark, tmp_path):
+    """Vacuum drops a vacuumed version's change-data dir and keeps a
+    kept version's (the manifest 'changes' list is the reference)."""
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        merge_upsert_table,
+        vacuum_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string"), tbl
+    )
+    delete_from_table(spark, tbl, "id = 0", change_data=True)  # v1
+    merge_upsert_table(
+        spark.createDataFrame([(1, "Y")], "id long, v string"),
+        tbl, key="id", change_data=True,
+    )  # v2
+    cdirs = sorted(os.listdir(os.path.join(tbl, "_changes")))
+    assert [d.split("-")[0] for d in cdirs] == ["v1", "v2"]
+    assert vacuum_table(spark, tbl, keep_last=1) == [0, 1]
+    left = sorted(os.listdir(os.path.join(tbl, "_changes")))
+    assert [d.split("-")[0] for d in left] == ["v2"]  # v1's dir collected

@@ -77,6 +77,66 @@ def table_changes(
     )
 
 
+def read_change_data(
+    spark: SparkSession,
+    table_path: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Batch read of the PERSISTED row-level change files for the
+    version range ``(v_from, v_to]`` (round 11): each version written
+    with ``change_data=True`` contributes its exact change rows
+    (table columns + ``_change_type``), appends contribute their added
+    rows as ``'insert'``, and analyze/optimize versions are skipped
+    (metadata-only / data-neutral). Raises on a rewrite version that
+    recorded no change files — that range needs the snapshot-diff
+    `table_changes` instead. O(changed rows) end to end; the returned
+    frame adds ``_commit_version`` so consumers can apply versions in
+    order."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        latest_version,
+        read_table,
+    )
+
+    if v_to is None:
+        v_to = latest_version(spark, table_path)
+        if v_to is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    out: DataFrame | None = None
+    for v in range(v_from + 1, v_to + 1):
+        m = _read_manifest(spark, table_path, v)
+        if m["op"] in ("analyze", "optimize"):
+            continue
+        if "changes" in m:
+            part = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*m["changes"])
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        elif m["op"] == "append":
+            part = (
+                table_appends(spark, table_path, v - 1, v)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        else:
+            raise ValueError(
+                f"version {v} is op={m['op']!r} with no recorded change "
+                "files — writer did not opt into change_data; use "
+                "table_changes for a snapshot diff of this range"
+            )
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    if out is None:
+        return (
+            read_table(spark, table_path, v_to)
+            .withColumn("_change_type", F.lit(""))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+            .where(F.lit(False))
+        )
+    return out
+
+
 def table_appends(
     spark: SparkSession,
     table_path: str,

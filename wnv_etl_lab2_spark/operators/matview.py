@@ -241,3 +241,99 @@ def refresh_incremental_join(
         return (va, vb)
 
     return with_retries(attempt)
+
+
+def refresh_incremental_join_cdf(
+    spark: SparkSession,
+    source_a: str,
+    source_b: str,
+    view_table: str,
+    key_a: str,
+    key_b: str,
+    join: Join,
+    aggregate: Aggregate,
+    merge: Merge,
+    retract: Merge,
+    writer_id: str = "matview-join-cdf",
+) -> tuple[int, int] | None:
+    """``view = aggregate(join(A, B))`` over two sources that may
+    REWRITE history (round 11, r10 verdict #4) — the composition of
+    `refresh_incremental_join` (delta-join) and
+    `refresh_incremental_cdf` (retract/apply): each source's delta is
+    a SIGNED multiset from its Change Data Feed (inserts and update
+    postimages are +, deletes and update preimages are −), and the
+    delta-join rule is applied per sign. Join is bilinear over signed
+    multisets, so
+
+        ΔV = ΔA ⋈ B1  ∪  A0 ⋈ ΔB
+
+    holds verbatim with the joined row's sign equal to the delta
+    row's sign (B1 = new B snapshot, A0 = old A snapshot — all-plus
+    frames). Positive joined rows aggregate into the state through
+    ``merge``; negative ones aggregate OUT through ``retract`` (the
+    monoid's inverse — count/sum subtract; min/max have no inverse
+    and need a plain rebuild on rewrite).
+
+    Cost per refresh: two keyed snapshot diffs (`table_changes`, the
+    one documented SMJ each) producing O(changed rows) deltas, then
+    each delta-join arm broadcasts the (small) signed delta against
+    one snapshot scan — never a snapshot-x-snapshot recompute. Same
+    ``{"a": va, "b": vb}`` stamp vector and pinned-v0 read/stamp/CAS
+    discipline as the append-only delta-join refresher. Returns the
+    (va, vb) now reflected, or None if already current."""
+    va = latest_version(spark, source_a)
+    vb = latest_version(spark, source_b)
+    if va is None or vb is None:
+        raise ValueError(f"not versioned tables: {source_a}, {source_b}")
+
+    def full_state() -> DataFrame:
+        return aggregate(
+            join(read_table(spark, source_a, va), read_table(spark, source_b, vb))
+        )
+
+    def split(changes: DataFrame) -> tuple[DataFrame, DataFrame]:
+        plus = changes.where(
+            changes["_change_type"].isin("insert", "update_postimage")
+        ).drop("_change_type")
+        minus = changes.where(
+            changes["_change_type"].isin("delete", "update_preimage")
+        ).drop("_change_type")
+        return plus, minus
+
+    def attempt() -> tuple[int, int] | None:
+        v0 = latest_version(spark, view_table)
+        if v0 is None:
+            create_table(
+                full_state(), view_table, writer_id=writer_id,
+                stamp={"a": va, "b": vb},
+            )
+            return (va, vb)
+        st = last_stamp(spark, view_table, writer_id, as_of=v0)
+        if st is None:
+            # unstamped view (created outside this refresher): no
+            # trustworthy incremental baseline — full rebuild once
+            overwrite_table(
+                full_state(), view_table, writer_id=writer_id,
+                stamp={"a": va, "b": vb}, expect_latest=v0,
+            )
+            return (va, vb)
+        ra, rb = int(st["a"]), int(st["b"])
+        if va <= ra and vb <= rb:
+            return None  # already current (or a replayed refresh)
+        a_plus, a_minus = split(table_changes(spark, source_a, key_a, ra, va))
+        b_plus, b_minus = split(table_changes(spark, source_b, key_b, rb, vb))
+        b1 = read_table(spark, source_b, vb)
+        a0 = read_table(spark, source_a, ra)
+        plus = join(a_plus, b1).unionByName(join(a0, b_plus))
+        minus = join(a_minus, b1).unionByName(join(a0, b_minus))
+        new_state = retract(
+            merge(read_table(spark, view_table, v0), aggregate(plus)),
+            aggregate(minus),
+        )
+        overwrite_table(
+            new_state, view_table, writer_id=writer_id,
+            stamp={"a": va, "b": vb}, expect_latest=v0,
+        )
+        return (va, vb)
+
+    return with_retries(attempt)

@@ -187,8 +187,8 @@ def ann_topk_lsh(spark, sf_dir):
 # ---- Exact oracle for the IVF ANN path (round-10 verdict #3) ----
 # The quantizer is PRE-TRAINED (tools/train_ivf_centroids.py: the full
 # engine path — hash-ordered sample, seeded Lloyd, 3 full-corpus
-# refinement iterations — over the sf0.001 corpus, query vector
-# excluded) and its centroids checked in as repr-round-tripped double
+# refinement iterations — over the sf0.1 corpus TRAIN_SF_DIR pins,
+# query vector excluded; r10 ADVICE low fixed the stale sf0.001 claim) and its centroids checked in as repr-round-tripped double
 # constants, so the query is the production build-once/query-many
 # SERVE path and the oracle can interpolate the SAME constants and
 # replay assignment (argmin of left-folded squared L2 — ties break to

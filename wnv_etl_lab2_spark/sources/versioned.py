@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CHANGES_DIR = "_changes"
 
 
 def _attempt_dir(table_path: str, version: int) -> str:
@@ -324,6 +325,24 @@ def _merge_schemas(prev_schema_json: str | None, new_schema) -> str:
     return StructType(fields).json()
 
 
+def _write_change_data(changes: DataFrame, table_path: str, version: int) -> list[str]:
+    """Persist a rewrite's ROW-LEVEL change set (table columns +
+    ``_change_type`` in {'delete','insert'}) under a unique attempt
+    dir in ``_changes/`` BEFORE the manifest commits — the Delta CDF
+    write path: change files are part of the commit (the manifest
+    lists them under ``"changes"``), so change-feed readers replay
+    deterministically and a crashed attempt leaves only vacuumable
+    garbage. Returns the written file URIs."""
+    import uuid
+
+    spark = changes.sparkSession
+    cdir = posixpath.join(
+        table_path, _CHANGES_DIR, f"v{version}-{uuid.uuid4().hex[:8]}"
+    )
+    changes.write.mode("error").parquet(cdir)
+    return _data_files(spark, cdir)
+
+
 def _write_version(
     df: DataFrame,
     table_path: str,
@@ -333,6 +352,7 @@ def _write_version(
     batch_id: int | None = None,
     writer_id: str | None = None,
     stamp: dict | None = None,
+    changes_files: list[str] | None = None,
 ) -> int:
     spark = df.sparkSession
     current = latest_version(spark, table_path)
@@ -360,6 +380,8 @@ def _write_version(
         manifest["stamp"] = stamp
     if writer_id is not None and (batch_id is not None or stamp is not None):
         manifest["writer_id"] = writer_id
+    if changes_files is not None:
+        manifest["changes"] = changes_files
     _commit(spark, table_path, version, manifest)
     return version
 
@@ -590,7 +612,9 @@ def table_schema(spark: SparkSession, table_path: str, version: int | None = Non
     return StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
 
 
-def delete_from_table(spark: SparkSession, table_path: str, condition: str) -> int:
+def delete_from_table(
+    spark: SparkSession, table_path: str, condition: str, change_data: bool = False
+) -> int:
     """DELETE: commit a new version without the rows matching
     ``condition`` (a SQL boolean expression). Decomposed as
     filter-and-rewrite of the latest snapshot — the simplest honest
@@ -602,22 +626,52 @@ def delete_from_table(spark: SparkSession, table_path: str, condition: str) -> i
     ``score >= 100`` on a NULL score) KEEPS the row, which a bare
     ``where(~cond)`` would silently drop (three-valued logic: ~NULL is
     NULL, and filters drop NULL), so the keep-predicate coalesces the
-    condition to FALSE first (round-9 advisory fix)."""
+    condition to FALSE first (round-9 advisory fix).
+
+    ``change_data=True`` additionally persists the DELETED rows as a
+    row-level change file (``_change_type='delete'``) inside the same
+    commit — O(deleted rows), computed from the predicate the delete
+    already evaluates — so change-feed readers pay O(changed rows)
+    instead of reconstructing O(rewritten files) from the file diff
+    (round 11; Delta's enableChangeDataFeed write path)."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     from pyspark.sql import functions as F
 
-    remaining = read_table(spark, table_path, cur).where(
-        ~F.coalesce(F.expr(condition), F.lit(False))
+    snapshot = read_table(spark, table_path, cur)
+    remaining = snapshot.where(~F.coalesce(F.expr(condition), F.lit(False)))
+    changes_files = None
+    if change_data:
+        deleted = snapshot.where(F.coalesce(F.expr(condition), F.lit(False)))
+        changes_files = _write_change_data(
+            deleted.withColumn("_change_type", F.lit("delete")),
+            table_path,
+            cur + 1,
+        )
+    return _write_version(
+        remaining, table_path, cur + 1, "delete", expect_latest=cur,
+        changes_files=changes_files,
     )
-    return _write_version(remaining, table_path, cur + 1, "delete", expect_latest=cur)
 
 
-def merge_upsert_table(updates: DataFrame, table_path: str, key: str) -> int:
+def merge_upsert_table(
+    updates: DataFrame, table_path: str, key: str, change_data: bool = False
+) -> int:
     """MERGE: upsert ``updates`` by ``key`` into the latest snapshot,
     committing the result as a new version — the engine's SCD-1
-    decomposition (anti-join + union) with snapshot history kept."""
+    decomposition (anti-join + union) with snapshot history kept.
+
+    ``change_data=True`` persists the row-level change set inside the
+    same commit (round 11): the touched keys' PRE-images retract
+    (``'delete'``) and every update row applies (``'insert'``) —
+    exactly the multiset delta between the two snapshots, O(updates)
+    rows via one key join against the base (never a snapshot diff).
+    Change-feed readers then stream a 1-row MERGE on a multi-file
+    table as 2 change rows instead of every row of the rewritten
+    files."""
+    from pyspark.sql import functions as F
+
     from wnv_etl_lab2_spark.operators.scd import merge_upsert
 
     spark = updates.sparkSession
@@ -626,7 +680,26 @@ def merge_upsert_table(updates: DataFrame, table_path: str, key: str) -> int:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     base = read_table(spark, table_path, cur)
     merged = merge_upsert(base, updates, key)
-    return _write_version(merged, table_path, cur + 1, "merge", expect_latest=cur)
+    changes_files = None
+    if change_data:
+        # post-state of a touched key = its update rows; pre-state =
+        # its base rows. Retract all pre-images of touched keys, apply
+        # all update rows — multiset-exact for new keys (no pre-image)
+        # and for multi-row update keys alike.
+        touched = updates.select(key).distinct()
+        pre = base.join(touched, key, "semi").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        post = updates.select(*base.columns).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        changes_files = _write_change_data(
+            pre.unionByName(post), table_path, cur + 1
+        )
+    return _write_version(
+        merged, table_path, cur + 1, "merge", expect_latest=cur,
+        changes_files=changes_files,
+    )
 
 
 def optimize_table(
@@ -738,6 +811,23 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
                 continue
             vpath = fs.makeQualified(st.getPath()).toString()
             if not any(f.startswith(vpath + "/") for f in kept_files):
+                fs.delete(st.getPath(), True)
+    # same reference-counted rule for row-level change-data dirs: a
+    # kept manifest's "changes" list is the only live reference; a
+    # dropped version's change files (or a crashed change-data write
+    # attempt) are garbage once the version slot is decided (round 11)
+    kept_changes: set[str] = set()
+    for v in kept:
+        m = _read_manifest(spark, table_path, v)
+        kept_changes.update(_qualify(fs, jvm, f) for f in m.get("changes", []))
+    cdir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _CHANGES_DIR))
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            n = _attempt_version(st.getPath().getName())
+            if n is None or n > latest:
+                continue
+            vpath = fs.makeQualified(st.getPath()).toString()
+            if not any(f.startswith(vpath + "/") for f in kept_changes):
                 fs.delete(st.getPath(), True)
     return drop
 

@@ -40,6 +40,16 @@ Why this composes correctly:
   at O(rewritten files) per version, never O(snapshot). Rows carry the
   table schema plus ``_change_type string`` and ``_commit_version
   long`` (the Delta CDF column contract).
+- ROW-LEVEL GRANULARITY (round 11): a rewrite whose writer opted in
+  (``delete_from_table(..., change_data=True)`` /
+  ``merge_upsert_table(..., change_data=True)``) commits its exact
+  change rows as change files listed in the manifest (``"changes"``),
+  and the feed reads THOSE — O(changed rows), so a 1-row MERGE on a
+  multi-file table streams exactly its retraction + insertion instead
+  of every row of the rewritten files. Rewrites without change files
+  keep the file-diff reconstruction; both modes satisfy the same
+  retract-apply identity, and both are manifest-derived, hence
+  replay-deterministic across restarts.
 - SCHEMA comes from the latest manifest's recorded schema (write-path
   schema evolution records it per version); pre-evolution files
   null-fill the missing columns at read, mirroring `read_table`'s
@@ -60,6 +70,10 @@ from urllib.parse import urlparse
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 _LOG_DIR = "_log"
+
+# sentinel change_type for partitions whose file IS a change file:
+# each row carries its own _change_type column (row-level CDF mode)
+_FROM_FILE = "__from_file__"
 
 
 def _local(path: str) -> str:
@@ -229,11 +243,26 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             elif m["op"] == "append":
                 files = self._added_files(v, m)
             elif self._cdf:
-                # history rewrite: reconstruct the change set from the
-                # file diff — rows of files the rewrite dropped are
-                # retractions, rows of files it introduced are
-                # insertions (module docstring: the Delta add/remove
-                # CDC reconstruction; retract-apply == snapshot)
+                if "changes" in m:
+                    # round 11 — ROW-LEVEL precision: the rewrite
+                    # committed its exact change set as change files
+                    # (writer opted in via change_data=True, the Delta
+                    # enableChangeDataFeed path). Each row carries its
+                    # own _change_type, so a MERGE touching 1 row in a
+                    # 1-GB file streams 2 rows, not the file-diff's
+                    # O(rewritten files). Part of the immutable
+                    # manifest => replay-deterministic.
+                    parts.extend(
+                        _FilePartition(_local(f), cols, _FROM_FILE, v)
+                        for f in sorted(m["changes"])
+                    )
+                    continue
+                # history rewrite without change files: reconstruct
+                # the change set from the file diff — rows of files
+                # the rewrite dropped are retractions, rows of files
+                # it introduced are insertions (module docstring: the
+                # Delta add/remove CDC reconstruction; retract-apply
+                # == snapshot)
                 old = set(_py_resolve_files(self._path, v - 1))
                 new = set(_py_resolve_files(self._path, v))
                 parts.extend(
@@ -262,6 +291,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
+        if partition.change_type == _FROM_FILE:
+            # row-level change file: _change_type is a real column
+            wanted = [c for c in partition.columns if c in file_cols]
+            rows = pf.read(columns=wanted + ["_change_type"]).to_pylist()
+            for r in rows:
+                yield tuple(r.get(c) for c in partition.columns) + (
+                    r["_change_type"],
+                    partition.version,
+                )
+            return
         # read ONLY the declared columns the file actually has (column
         # pruning at the parquet reader, not after materialization)
         wanted = [c for c in partition.columns if c in file_cols]
