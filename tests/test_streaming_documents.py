@@ -224,3 +224,134 @@ def test_band_index_join_is_exchange_free_on_index_side(spark, tmp_path):
     index_subtree = plan[plan.rindex("Sort [") :]
     assert "FileScan" in index_subtree, plan
     assert "Exchange" not in index_subtree, plan
+
+
+# --- streaming IMAGE near-dup (dHash band index, round 11) ------------
+
+
+def _image_corpus(spark):
+    """12 binary payloads: three near-dup groups (+1-brightness
+    variants hash identically; trailing-padded re-encodes carry the
+    SAME pixels in a LARGER payload — the keep-better signal), three
+    unique images, one corrupt payload. Returns (df, groups) where
+    groups maps group label -> sorted doc_ids."""
+    import numpy as np
+
+    from test_multimodal_real import make_bmp
+
+    def img(seed, size=16):
+        r = np.random.RandomState(seed)
+        return r.randint(0, 256, (size, size, 3), dtype=np.uint8)
+
+    g1 = img(1)
+    g2 = img(2)
+    g3 = img(3)
+    rows = [
+        (1, make_bmp(g1)),
+        (2, make_bmp(np.clip(g1.astype(int) + 1, 0, 255).astype(np.uint8))),
+        (3, make_bmp(g1) + b"\x00" * 600),   # bigger payload, same dHash
+        (4, make_bmp(g2)),
+        (5, make_bmp(img(10))),              # unique
+        (6, make_bmp(np.clip(g2.astype(int) + 1, 0, 255).astype(np.uint8))),
+        (7, make_bmp(img(11))),              # unique
+        (8, b"not an image at all"),         # corrupt: must survive
+        (9, make_bmp(g3)),
+        (10, make_bmp(img(12))),             # unique
+        (11, make_bmp(g3) + b"\x00" * 600),  # bigger payload, same dHash
+        (12, make_bmp(g3)),                  # exact re-encode of g3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    groups = {"g1": [1, 2, 3], "g2": [4, 6], "g3": [9, 11, 12]}
+    return df, groups
+
+
+def _stage_media_id_ranged(df, out_path, n_files=3):
+    import os
+    import time
+
+    ids = [r[0] for r in df.select("doc_id").orderBy("doc_id").collect()]
+    step = max(1, (len(ids) + n_files - 1) // n_files)
+    bounds = [ids[i] for i in range(0, len(ids), step)] + [ids[-1] + 1]
+    now = time.time()
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        before = set(os.listdir(out_path)) if os.path.isdir(out_path) else set()
+        (
+            df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        for f in set(os.listdir(out_path)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(out_path, f), (now + k, now + k))
+    return out_path
+
+
+def test_streaming_image_neardup_replay_equals_batch(spark, tmp_path):
+    """Replaying a binary-media corpus in id order through the image
+    band-index stream keeps EXACTLY the batch greedy-survivor set
+    (curation.image_neardup_survivors) — id-for-id — including the
+    undecodable payload, which must always survive."""
+    import pyspark.sql.types as T
+
+    from wnv_etl_lab2_spark.curation import image_neardup_survivors
+    from wnv_etl_lab2_spark.streaming.documents import (
+        streaming_image_neardup_curation,
+    )
+
+    media, groups = _image_corpus(spark)
+    path = _stage_media_id_ranged(media, str(tmp_path / "imgs"), n_files=3)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out_dir = str(tmp_path / "kept_imgs")
+    q = (
+        streaming_image_neardup_curation(
+            stream, str(tmp_path / "img_index"), out_dir
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "img_ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r[0] for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    want = {r[0] for r in image_neardup_survivors(media).select("doc_id").collect()}
+    assert got == want
+    # greedy semantics: the smallest id of each group survives; later
+    # members are dropped even when they arrive in later micro-batches
+    # (g3: 9 survives, 11 and 12 — different batch — are dropped)
+    assert {1, 4, 9} <= got
+    assert not ({2, 3, 6, 11, 12} & got)
+    assert 8 in got  # corrupt payload is data, not a silent loss
+
+
+def test_image_neardup_prune_keeps_better_member(spark):
+    """The keep-better batch stage: per near-dup component the highest
+    score survives (default score = payload byte length — doc 3, the
+    2x upsample, beats the smaller ids in its group); ties break to
+    the lowest id; uniques and the corrupt payload pass through."""
+    from wnv_etl_lab2_spark.curation import image_neardup_prune
+
+    media, groups = _image_corpus(spark)
+    kept = {r[0] for r in image_neardup_prune(media).select("doc_id").collect()}
+    # g1: 3 is the 32x32 upsample (largest payload) -> beats 1 and 2
+    assert 3 in kept and not ({1, 2} & kept)
+    # g3: 11 is the upsample -> beats 9 and 12
+    assert 11 in kept and not ({9, 12} & kept)
+    # g2: same-size members tie -> lowest id wins
+    assert 4 in kept and 6 not in kept
+    # uniques + corrupt payload survive
+    assert {5, 7, 8, 10} <= kept
+    # explicit score column overrides the size default
+    media2 = media.withColumn("score", F.col("doc_id").cast("double"))
+    kept2 = {
+        r[0]
+        for r in image_neardup_prune(media2, score_col="score")
+        .select("doc_id")
+        .collect()
+    }
+    assert {3, 6, 12} <= kept2 and not ({1, 2, 4, 9, 11} & kept2)

@@ -54,6 +54,81 @@ def quality_filter(docs: DataFrame) -> DataFrame:
     return docs.where(Q.quality_keep())
 
 
+def image_neardup_prune(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    score_col: str | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Multimodal curation stage (round 11, r10 verdict #7): keep the
+    BEST member of every image near-dup group, drop the rest — the
+    image twin of `neardup_prune`. Groups come from perceptual dHash
+    banding (`operators/multimodal.image_neardup_pairs`, exact recall
+    at ``max_hamming`` via pigeonhole bands — never all-pairs) closed
+    under `connected_components`; "better" is the highest
+    ``score_col`` (default: payload byte length, the deterministic
+    more-detail proxy), ties broken to the lowest id. Undecodable
+    payloads never hash, never pair, and therefore always survive —
+    corrupt media is data to count, not rows to silently lose.
+
+    Scale shape: hashing is one Arrow crossing over (id, payload);
+    pairs are band-bucketed; components and the per-component window
+    run over PAIR MEMBERS only (tiny vs the corpus); the loser set
+    broadcasts into a left-anti join, so the media corpus itself never
+    shuffles."""
+    from pyspark.sql import Window as W
+
+    from wnv_etl_lab2_spark.operators.dedup import connected_components
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    hashes = image_dhash(media, id_col=id_col, payload_col=payload_col)
+    pairs = image_neardup_pairs(hashes, max_hamming=max_hamming)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    score = F.col("_score") if score_col is None else F.col(score_col)
+    members = media.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col
+    )
+    if score_col is None:
+        members = members.withColumn("_score", F.length(F.col(payload_col)))
+    ranked = members.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("comp_id").orderBy(score.desc(), F.col(id_col).asc())
+        ),
+    )
+    losers = ranked.where(F.col("_rn") > 1).select(id_col)
+    return media.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def image_neardup_survivors(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """GREEDY image near-dup rule — the batch twin of the streaming
+    image curation (`streaming/documents.image_neardup_batch_processor`):
+    an image survives iff NO smaller-id image is within ``max_hamming``
+    bits of its dHash, kept or not (the same "any smaller id"
+    semantics as `minhash_band_survivors`, which is what an
+    arrival-ordered stream can enforce without retraction). Replaying
+    an id-ordered corpus through the streaming processor reproduces
+    this set exactly (pinned in tests/test_streaming_documents.py)."""
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    hashes = image_dhash(media, id_col=id_col, payload_col=payload_col)
+    pairs = image_neardup_pairs(hashes, max_hamming=max_hamming)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return media.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def documents_source(sf_dir: str) -> Source:
     return lambda spark: load_table(spark, "documents", sf_dir)
 

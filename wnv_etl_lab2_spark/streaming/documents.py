@@ -249,3 +249,127 @@ def neardup_batch_processor(
         )
 
     return _process
+
+
+# --- streaming IMAGE near-dup (dHash band index across micro-batches) ---
+# Round 11 (r10 verdict #7): the multimodal twin of the MinHash band
+# path above — same index architecture (batch_id-partitioned,
+# bucketed on the band join keys, idempotent per-batch overwrite),
+# but candidates must pass an EXACT hamming check against the matched
+# earlier hash (dHash bands are pigeonhole candidates, not verdicts).
+
+
+def image_index_table_name(index_dir: str) -> str:
+    """Catalog name for the bucketed image-band-index table at
+    ``index_dir``."""
+    import hashlib
+    import os
+
+    return (
+        "image_index_"
+        + hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:12]
+    )
+
+
+def image_neardup_batch_processor(index_dir: str, out_dir: str, max_hamming: int = 3):
+    """foreachBatch body for streaming image near-dup curation: per
+    micro-batch of (doc_id, payload, ...) rows,
+
+      1. dHash the payloads (one Arrow crossing; undecodable media
+         hashes null and always survives),
+      2. drop images within ``max_hamming`` bits of ANY earlier-batch
+         image — band-equality join against the persisted index
+         (pigeonhole: a qualifying pair agrees on a whole band) then
+         the exact ``bit_count(xor)`` check — or of a smaller-id image
+         in the same batch (`image_neardup_pairs`, already exact),
+      3. index ALL new images' bands (dropped included — "any smaller
+         id" semantics, same as the text band index),
+      4. write survivors to ``out_dir/batch_id=N`` (idempotent
+         overwrite; retried batches replace their own output).
+
+    With id-ordered arrival, replaying the corpus reproduces
+    `curation.image_neardup_survivors` exactly
+    (tests/test_streaming_documents.py). The index side of the state
+    join is bucketed on (band_id, band_val), so only the new
+    micro-batch shuffles — per-batch cost O(batch), not O(corpus)."""
+    import os
+
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+    from wnv_etl_lab2_spark.sources.bucketing import upsert_bucketed_partition
+
+    index_table = image_index_table_name(index_dir)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashes = (
+            image_dhash(batch_df)
+            .where(F.col("dhash").isNotNull())
+            .localCheckpoint()  # 3 consumers; batch-sized, bounded
+        )
+        bands_new = hashes.select(
+            "doc_id",
+            F.col("dhash").alias("h"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftright("dhash", b * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "h", "band.band_id", "band.band_val")
+        dropped = None
+        if spark.catalog.tableExists(index_table):
+            index = spark.table(index_table).where(F.col("batch_id") < batch_id)
+            dropped = (
+                bands_new.alias("n")
+                .join(
+                    index.alias("i"),
+                    (F.col("n.band_id") == F.col("i.band_id"))
+                    & (F.col("n.band_val") == F.col("i.band_val")),
+                )
+                .where(
+                    F.bit_count(F.col("n.h").bitwiseXOR(F.col("i.h")))
+                    <= max_hamming
+                )
+                .select(F.col("n.doc_id").alias("doc_id"))
+            )
+        intra = image_neardup_pairs(hashes, max_hamming=max_hamming).select(
+            F.col("id_b").alias("doc_id")
+        )
+        dropped_ids = intra if dropped is None else intra.union(dropped)
+        survivors = batch_df.join(dropped_ids.distinct(), "doc_id", "left_anti")
+        upsert_bucketed_partition(
+            bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            table=index_table,
+            path=index_dir,
+            partition_col="batch_id",
+            bucket_keys=["band_id", "band_val"],
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return _process
+
+
+def streaming_image_neardup_curation(
+    media_stream: DataFrame, index_dir: str, out_dir: str, max_hamming: int = 3
+):
+    """Incremental image near-dup curation as a writeStream (see
+    `image_neardup_batch_processor`). Returns a DataStreamWriter
+    ready to ``.start()``."""
+    return media_stream.writeStream.foreachBatch(
+        image_neardup_batch_processor(index_dir, out_dir, max_hamming)
+    ).outputMode("append")
