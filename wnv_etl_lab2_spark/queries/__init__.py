@@ -131,23 +131,26 @@ _FRONT = [
     "union_distinct",
     "variant_extract",
     "window_rank_variants",
-    # (c) new round-11 operators (first evidence) — registered this
-    # round, displacing (d) pad slots one-for-one as they land.
+    # (c) new round-11 operators (first evidence) — all exact-oracle,
+    # each locally verified at sf0.01 AND sf0.1 before taking a slot:
+    # drift statistics (KS, Welch t, chi-squared), mixture
+    # concentration (Gini), per-dim int8 quantization, and the
+    # row-level change-feed audit (the registry face of this round's
+    # change_data=True write path).
+    "cdf_row_level_audit",
+    "ks_drift_sources",
+    "welch_ttest_sources",
+    "chi2_token_source",
+    "embedding_quantize_perdim",
+    "gini_source_concentration",
     # (d) pad: the oldest oracle-backed r8-evidenced queries, filling
-    # the window to 50 so every slot carries an exact oracle; each new
-    # r11 registration replaces the last remaining pad entry.
+    # the window to 50 so every slot carries an exact oracle.
     "sales_opportunity",
     "nullsafe_join",
     "order_count_histogram",
     "order_priority_check",
     "shipping_priority_buckets",
     "salted_join_agg",
-    "row_count",
-    "distinct_count",
-    "dedup_distinct_rows",
-    "scalar_string_date_funcs",
-    "intersect_keys",
-    "except_keys",
 ]
 
 

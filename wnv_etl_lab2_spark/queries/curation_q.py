@@ -898,3 +898,130 @@ def source_similarity_matrix(spark, sf_dir):
             F.round(F.col("dp") / (F.col("na") * F.col("nb")), 6).alias("cosine_tfidf"),
         )
     )
+
+
+@register(
+    "ks_drift_sources",
+    oracle="""
+    WITH per AS (
+        SELECT n_chars,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+        FROM documents
+        WHERE source IN ('src0', 'src1')
+        GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT SUM(c0) OVER (ORDER BY n_chars) AS k0,
+               SUM(c1) OVER (ORDER BY n_chars) AS k1,
+               SUM(c0) OVER () AS n0,
+               SUM(c1) OVER () AS n1
+        FROM per
+    )
+    SELECT ROUND(MAX(ABS(k0 / n0 - k1 / n1)), 6) AS ks_stat,
+           CAST(MAX(n0) AS BIGINT) AS n_src0,
+           CAST(MAX(n1) AS BIGINT) AS n_src1
+    FROM cum
+    """,
+)
+def ks_drift_sources(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between two
+    sources' document-length distributions (round 11) — the
+    distribution-shift gate a training-data pipeline runs when a
+    crawl's new slice must match the slice it replaces: KS = the max
+    vertical gap between the two empirical CDFs, computed EXACTLY by
+    grouping to distinct lengths first (counts per source per value),
+    then one cumulative window over the distinct values — the exact
+    statistic without ever sorting raw rows.
+
+    Scale shape: the only row-scale work is the groupBy(n_chars)
+    (combinable counts); the window runs over DISTINCT values, whose
+    cardinality is bounded by the value domain (here <= ~2k lengths
+    at any SF), so the single-partition window frame is a bounded
+    artifact, not a corpus sort — at 100 TB you'd bin values first
+    and this plan is unchanged. Integer counts + one final division
+    make the statistic bit-exact across engines."""
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("source").isin("src0", "src1"))
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+        )
+    )
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = d.select(
+        F.sum("c0").over(wc).alias("k0"),
+        F.sum("c1").over(wc).alias("k1"),
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("k0") / F.col("n0") - F.col("k1") / F.col("n1"))), 6).alias(
+            "ks_stat"
+        ),
+        F.max("n0").cast("long").alias("n_src0"),
+        F.max("n1").cast("long").alias("n_src1"),
+    )
+
+
+@register(
+    "gini_source_concentration",
+    oracle="""
+    WITH mass AS (
+        SELECT source, SUM(n_chars) AS m
+        FROM documents
+        GROUP BY source
+    ),
+    ranked AS (
+        SELECT m,
+               ROW_NUMBER() OVER (ORDER BY m ASC, source ASC) AS i,
+               COUNT(*) OVER () AS s,
+               SUM(m) OVER () AS tot
+        FROM mass
+    )
+    SELECT ROUND(2.0 * SUM(i * m) / (s * tot) - (s + 1.0) / s, 6) AS gini,
+           CAST(MAX(s) AS BIGINT) AS n_sources
+    FROM ranked
+    GROUP BY s, tot
+    """,
+)
+def gini_source_concentration(spark, sf_dir):
+    """Gini coefficient of corpus mass (total chars) across sources
+    (round 11) — the mixture-concentration audit: 0 = every source
+    contributes equally, ->1 = one source dominates; the number a
+    data-mixture owner tracks so one crawl cannot silently become the
+    corpus. Exact rank formula G = 2*sum(i*m_i)/(S*sum(m)) - (S+1)/S
+    over sources ranked by mass ascending (source-name tie-break for
+    determinism).
+
+    Scale shape: one combinable SUM per source (the only row-scale
+    work), then rank/sums over the |sources|-row table — a bounded
+    artifact at any corpus size. Integer masses keep the ranks and
+    sums engine-exact; the one float division is the final
+    expression, rounded identically on both sides."""
+    from pyspark.sql import Window as W
+
+    mass = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("m"))
+    )
+    ranked = mass.select(
+        "m",
+        F.row_number().over(W.orderBy(F.col("m").asc(), F.col("source").asc())).alias("i"),
+        F.count(F.lit(1)).over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("s"),
+        F.sum("m").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("tot"),
+    )
+    return ranked.groupBy("s", "tot").agg(
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("m")) / (F.col("s") * F.col("tot"))
+            - (F.col("s") + F.lit(1.0)) / F.col("s"),
+            6,
+        ).alias("gini"),
+        F.max("s").cast("long").alias("n_sources"),
+    ).drop("s", "tot")

@@ -392,3 +392,92 @@ def embedding_pca_power_iteration(spark, sf_dir):
             F.round(F.col("num"), 4).alias("eigenvalue_est"),
         )
     )
+
+
+# Welch's t is computed from EXACT integer moments (n, sum, sum of
+# squares — n_chars is integral, so the three aggregates are exact
+# BIGINTs on both engines) and the final expression is one shared
+# arithmetic shape over them: variance = (ss - s^2/n) / (n-1), then
+# t = (m0-m1)/sqrt(v0/n0+v1/n1) and the Welch-Satterthwaite dof. The
+# only floating point anywhere is that final expression, identical
+# text on both sides, so the statistic is bit-reproducible.
+_WELCH_FINAL = """
+    ROUND((s0/n0 - s1/n1) / SQRT(
+        ((ss0 - s0*s0/n0) / (n0 - 1)) / n0 +
+        ((ss1 - s1*s1/n1) / (n1 - 1)) / n1
+    ), 6) AS t_stat,
+    ROUND(
+        POW(((ss0 - s0*s0/n0) / (n0 - 1)) / n0 +
+            ((ss1 - s1*s1/n1) / (n1 - 1)) / n1, 2)
+        / (
+            POW(((ss0 - s0*s0/n0) / (n0 - 1)) / n0, 2) / (n0 - 1) +
+            POW(((ss1 - s1*s1/n1) / (n1 - 1)) / n1, 2) / (n1 - 1)
+        ), 2) AS welch_dof,
+    CAST(n0 AS BIGINT) AS n_src0,
+    CAST(n1 AS BIGINT) AS n_src1
+"""
+
+
+@register(
+    "welch_ttest_sources",
+    oracle=f"""
+    WITH m AS (
+        SELECT
+            CAST(SUM(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+            CAST(SUM(CASE WHEN source='src0' THEN n_chars ELSE 0 END) AS DOUBLE) AS s0,
+            CAST(SUM(CASE WHEN source='src0' THEN n_chars*n_chars ELSE 0 END) AS DOUBLE) AS ss0,
+            CAST(SUM(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+            CAST(SUM(CASE WHEN source='src1' THEN n_chars ELSE 0 END) AS DOUBLE) AS s1,
+            CAST(SUM(CASE WHEN source='src1' THEN n_chars*n_chars ELSE 0 END) AS DOUBLE) AS ss1
+        FROM documents WHERE source IN ('src0','src1')
+    )
+    SELECT {_WELCH_FINAL} FROM m
+    """,
+)
+def welch_ttest_sources(spark, sf_dir):
+    """Welch's unequal-variance t-test between two sources'
+    document-length distributions (round 11): the mean-shift
+    significance gate that pairs with `ks_drift_sources`' shape gate
+    when a crawl slice is swapped. ONE combinable aggregation computes
+    the exact integer moments (count/sum/sum-of-squares per source —
+    map-side partials, 1 row out); the t statistic and
+    Welch-Satterthwaite degrees of freedom are a single shared
+    arithmetic expression over those six numbers, evaluated from
+    IDENTICAL text in Spark and the oracle. Scale: one corpus scan,
+    6-number shuffle, O(1) result — the cheapest possible two-sample
+    test at 100 TB."""
+    d = load_table(spark, "documents", sf_dir).where(
+        F.col("source").isin("src0", "src1")
+    )
+    m = d.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("source") == "src0", F.col("n_chars")).otherwise(0)).cast("double").alias("s0"),
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("n_chars") * F.col("n_chars")).otherwise(0)
+        ).cast("double").alias("ss0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("source") == "src1", F.col("n_chars")).otherwise(0)).cast("double").alias("s1"),
+        F.sum(
+            F.when(F.col("source") == "src1", F.col("n_chars") * F.col("n_chars")).otherwise(0)
+        ).cast("double").alias("ss1"),
+    )
+    return m.selectExpr(*[e.strip() for e in _split_select(_WELCH_FINAL)])
+
+
+def _split_select(fragment: str) -> list[str]:
+    """Split a SQL select-list fragment on TOP-LEVEL commas (commas
+    inside parentheses stay put) so the same text feeds both the
+    oracle and Spark's selectExpr."""
+    parts, depth, cur = [], 0, []
+    for ch in fragment:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p for p in (x.strip() for x in parts) if p]

@@ -795,3 +795,70 @@ def time_travel_audit(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdf_row_level_audit",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS _commit_version,
+           'delete' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE source <> 'src0' AND lang = 'de'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE source <> 'src0' AND lang = 'de'
+    """,
+)
+def cdf_row_level_audit(spark, sf_dir):
+    """Row-level Change Data Feed audit (round 11 — the registry face
+    of `change_data=True` + `cdf.read_change_data`): CREATE the
+    documents corpus as a versioned table, DELETE one source and MERGE
+    a re-score of the German docs — both committing their EXACT change
+    rows inside the version commit — then read the persisted feed back
+    and return its (version, change_type) row counts. The protocol is
+    deterministic, so the oracle states the expected change set in
+    pure SQL over the input corpus: the delete's change file holds
+    precisely the src0 rows; the merge's holds one retraction and one
+    insertion per touched key — O(changed rows) end to end, never the
+    O(rewritten files) the file-diff fallback would scan.
+
+    The staging table is fresh per invocation and removed after the
+    3-row audit frame is collected (same pattern as
+    `time_travel_audit`, which pins the manifest lifecycle; this pins
+    the change-file lifecycle)."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        delete_from_table,
+        merge_upsert_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_cdf_audit_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl)
+        delete_from_table(spark, tbl, "source = 'src0'", change_data=True)
+        updates = read_table(spark, tbl).where(F.col("lang") == "de").withColumn(
+            "text", F.concat(F.lit("rescored "), F.col("text"))
+        )
+        merge_upsert_table(updates, tbl, "doc_id", change_data=True)
+        rows = (
+            read_change_data(spark, tbl, 0)
+            .groupBy("_commit_version", "_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["_commit_version"], r["_change_type"], r["n"]) for r in rows],
+            "_commit_version long, _change_type string, n long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1272,3 +1272,78 @@ def embedding_cluster_profile(spark, sf_dir):
         F.round(F.col("n") * 1.0 / total, 6).alias("share"),
         "avg_dist",
     )
+
+
+# int8 quantization replayed identically on both engines: q(x) =
+# clamp(floor(x/scale + 0.5), ±127) — floor(+0.5) instead of ROUND so
+# no engine-specific half-rounding mode can ever enter; scale =
+# max|x|/127 per dimension. Only order-independent aggregates (MAX,
+# integer SUM) leave the per-value math, so the result is bit-exact.
+_Q8 = "LEAST(127, GREATEST(-127, FLOOR(x / (mx / 127) + 0.5)))"
+
+
+@register(
+    "embedding_quantize_perdim",
+    oracle=f"""
+    WITH v AS (
+        SELECT u.pos - 1 AS dim, u.val AS x
+        FROM (SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS arr
+              FROM embeddings) t,
+             LATERAL (SELECT UNNEST(arr) AS val,
+                             generate_subscripts(arr, 1) AS pos) AS u
+    ),
+    s AS (SELECT dim, MAX(ABS(x)) AS mx FROM v GROUP BY dim)
+    SELECT CAST(v.dim AS INT) AS dim,
+           ROUND(s.mx / 127, 6) AS scale,
+           ROUND(MAX(ABS(v.x - {_Q8} * (mx / 127))), 6) AS max_abs_err,
+           CAST(SUM(CASE WHEN ABS(FLOOR(x / (mx / 127) + 0.5)) >= 127
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+    FROM v JOIN s ON v.dim = s.dim
+    GROUP BY v.dim, s.mx
+    """,
+)
+def embedding_quantize_perdim(spark, sf_dir):
+    """Per-DIMENSION symmetric int8 quantization audit of the
+    embedding corpus (round 11) — the column-wise complement of the
+    per-vector `embedding_quantize_int8`: per-dim scales are what a
+    vector store calibrates once and ships with the index, so the
+    audit reports, per dim,
+    the scale (max|x|/127), the worst-case reconstruction error after
+    quantize-dequantize, and how many values saturate the clamp. The
+    quantizer is floor(x/scale + 0.5) clamped to ±127 — written
+    identically in Spark and the oracle so no rounding-mode divergence
+    exists — and the reported statistics are MAX / integer SUM only
+    (order-independent), so the 64-row result is bit-exact.
+
+    Scale shape: one posexplode pass (row-scale, combinable MAX per
+    dim), one broadcast of the 64-row scale table back onto the
+    exploded values, one combinable final aggregation — two corpus
+    passes, d-row shuffles, no window, no driver math."""
+    from wnv_etl_lab2_spark.operators.similarity import as_double_array
+
+    v = (
+        load_table(spark, "embeddings", sf_dir)
+        .select(as_double_array("embedding").alias("arr"))
+        .select(F.posexplode("arr").alias("dim", "x"))
+    )
+    s = v.groupBy("dim").agg(F.max(F.abs("x")).alias("mx"))
+    j = v.join(F.broadcast(s), "dim")
+    return (
+        j.groupBy("dim", "mx")
+        .agg(
+            F.round(F.max(F.abs(F.col("x") - F.expr(_Q8) * (F.col("mx") / 127))), 6).alias(
+                "max_abs_err"
+            ),
+            F.sum(
+                F.when(
+                    F.abs(F.expr("FLOOR(x / (mx / 127) + 0.5)")) >= 127, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_saturated"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("mx") / 127, 6).alias("scale"),
+            "max_abs_err",
+            "n_saturated",
+        )
+    )

@@ -1777,3 +1777,80 @@ def token_drift_top_contributors(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .select("source", "token", F.col("n_st").cast("long").alias("n_st"), "kl_contrib")
     )
+
+
+@register(
+    "chi2_token_source",
+    oracle="""
+    WITH toks AS (
+        SELECT u.w AS w, source
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+    ),
+    top AS (
+        SELECT w, COUNT(*) AS rt FROM toks GROUP BY w
+        ORDER BY rt DESC, w ASC LIMIT 20
+    ),
+    r AS (SELECT toks.w, toks.source FROM toks JOIN top ON toks.w = top.w),
+    col AS (SELECT source, COUNT(*) AS ct FROM r GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n FROM r),
+    obs AS (SELECT w, source, COUNT(*) AS o FROM r GROUP BY w, source),
+    cells AS (
+        SELECT COALESCE(obs.o, 0) AS o, top.rt * col.ct / tot.n AS e
+        FROM top CROSS JOIN col CROSS JOIN tot
+        LEFT JOIN obs ON top.w = obs.w AND col.source = obs.source
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+           CAST(((SELECT COUNT(*) FROM top) - 1)
+                * ((SELECT COUNT(*) FROM col) - 1) AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def chi2_token_source(spark, sf_dir):
+    """Chi-squared independence statistic of the top-20 tokens against
+    sources (round 11) — the vocabulary-drift audit: a large chi2 says
+    token usage is source-specific (templated or topical sources), a
+    small one says the mixture is lexically homogeneous. The
+    contingency table is restricted to the 20 globally most frequent
+    tokens (count-desc, token-asc tie-break — deterministic on both
+    engines); ZERO cells still contribute their expected mass, via a
+    full top-tokens x sources grid left-joined to the observations.
+
+    Scale shape: the explode + two count aggregations are the only
+    row-scale work (combinable, token-keyed); everything after runs on
+    bounded artifacts (20 tokens x |sources| cells), and the 1-row
+    totals cross-join is the registry's accepted broadcast pattern.
+    Integer counts keep obs/exp engine-exact; the final sum of ~400
+    cell terms is rounded at 6."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w"), "source"
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("rt"))
+        .orderBy(F.col("rt").desc(), F.col("w").asc())
+        .limit(20)
+    )
+    r = toks.join(F.broadcast(top.select("w")), "w")
+    col = r.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    tot = r.agg(F.count(F.lit(1)).alias("n"))
+    obs = r.groupBy("w", "source").agg(F.count(F.lit(1)).alias("o"))
+    cells = (
+        top.crossJoin(col)
+        .crossJoin(tot)
+        .join(obs, ["w", "source"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    chi2 = cells.agg(
+        F.round(F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6).alias(
+            "chi2"
+        )
+    )
+    dof = (
+        top.agg(F.count(F.lit(1)).alias("_nt"))
+        .crossJoin(col.agg(F.count(F.lit(1)).alias("_nc")))
+        .select(((F.col("_nt") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"))
+    )
+    return chi2.crossJoin(dof)
