@@ -74,6 +74,8 @@ HEADLINE = [
     "logreg_gd_steps",            # 2 GD steps, gradient-as-combinable-aggregate (round 10)
     "source_similarity_matrix",   # per-source tf-idf cosine matrix, word-keyed pair join (round 10)
     "embedding_pca_power_iteration",  # Gram as 4096-key agg + in-plan power iteration (round 10)
+    "chi2_token_source",          # token x source contingency chi2, bounded grid (round 11)
+    "embedding_quantize_perdim",  # per-dim int8 calibration, 2 passes + d-row shuffle (round 11)
 ]
 
 

@@ -420,3 +420,111 @@ def test_append_chain_checkpoints_bound_resolution_and_survive_vacuum(
         assert read_table(spark, tbl, v).count() == v + 1
     with pytest.raises(ValueError):
         read_table(spark, tbl, 5)
+
+
+# ---- CHECK constraints (round 11) ------------------------------------
+
+
+def test_check_constraint_lifecycle_and_enforcement(spark, tmp_path):
+    """Delta CHECK-constraint parity: add validates the existing
+    snapshot, every write path enforces during its own write action
+    (violating writes commit NOTHING), NULL passes (SQL semantics),
+    constraints ride the manifest across rewrites/metadata versions
+    and are time-travelable, and drop lifts enforcement."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        append_table,
+        create_table,
+        delete_from_table,
+        drop_check_constraint,
+        latest_version,
+        merge_upsert_table,
+        optimize_table,
+        read_table,
+        table_constraints,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, 10), (2, 20), (3, None)], "id long, v long"), tbl
+    )
+    # adding a constraint the snapshot violates is rejected
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_check_constraint(spark, tbl, "v_big", "v >= 15")
+    # NULL passes (SQL CHECK semantics): row id=3 does not violate v >= 0
+    assert add_check_constraint(spark, tbl, "v_nonneg", "v >= 0") == 1
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        add_check_constraint(spark, tbl, "v_nonneg", "v >= 1")
+
+    # violating append commits NOTHING: version unchanged, rows unchanged
+    v_before = latest_version(spark, tbl)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        append_table(spark.createDataFrame([(4, -5)], "id long, v long"), tbl)
+    assert latest_version(spark, tbl) == v_before
+    assert read_table(spark, tbl).count() == 3
+    # valid append (including a NULL) passes and carries the set forward
+    append_table(spark.createDataFrame([(4, 40), (5, None)], "id long, v long"), tbl)
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+
+    # merge: violating update refused, valid one lands with the set kept
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        merge_upsert_table(
+            spark.createDataFrame([(1, -1)], "id long, v long"), tbl, key="id"
+        )
+    merge_upsert_table(
+        spark.createDataFrame([(1, 11)], "id long, v long"), tbl, key="id"
+    )
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+    # delete + optimize keep it too (full-rewrite ops re-stamp the set)
+    delete_from_table(spark, tbl, "id = 5")
+    optimize_table(spark, tbl, target_files=1)
+    assert table_constraints(spark, tbl) == {"v_nonneg": "v >= 0"}
+
+    # time travel: version 0 predates the constraint
+    assert table_constraints(spark, tbl, 0) == {}
+
+    # drop lifts enforcement; unknown names fail loudly
+    with pytest.raises(ValueError, match="no such constraint"):
+        drop_check_constraint(spark, tbl, "nope")
+    drop_check_constraint(spark, tbl, "v_nonneg")
+    assert table_constraints(spark, tbl) == {}
+    append_table(spark.createDataFrame([(9, -9)], "id long, v long"), tbl)
+    assert {r.v for r in read_table(spark, tbl).where(F.col("id") == 9).collect()} == {-9}
+
+
+def test_check_constraint_blocks_whole_transaction(spark, tmp_path):
+    """A violating write inside a cross-table transaction aborts the
+    WHOLE transaction at stage time: neither table advances."""
+    import pytest
+
+    from wnv_etl_lab2_spark.sources.transactions import TxnWrite, commit_transaction
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        create_table,
+        latest_version,
+        read_table,
+    )
+
+    a, b, log = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "txn")
+    create_table(spark.createDataFrame([(1, 10)], "id long, v long"), a)
+    create_table(spark.createDataFrame([(1, 10)], "id long, v long"), b)
+    add_check_constraint(spark, b, "v_pos", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        commit_transaction(
+            spark,
+            log,
+            [
+                TxnWrite(spark.createDataFrame([(2, 20)], "id long, v long"), a, "append"),
+                TxnWrite(spark.createDataFrame([(2, -2)], "id long, v long"), b, "append"),
+            ],
+        )
+    # neither table advanced past its pre-transaction tip (b's v1 is
+    # the add_check_constraint metadata version itself)
+    assert latest_version(spark, a) == 0 and latest_version(spark, b) == 1
+    assert read_table(spark, a).count() == 1 and read_table(spark, b).count() == 1

@@ -115,6 +115,13 @@ PER_UNIT_X16_GATES = {
     # aggregate (d^2 fan-out is a pure map, combinable); everything
     # after runs over <= 4096-row frames — per-doc cost must amortize.
     "embedding_pca_power_iteration": 0.5,
+    # Round 11 new-operator rows, staged/scan-inclusive: chi2 is one
+    # token explode into two combinable counts plus bounded-grid math
+    # (20 x |sources| cells — replication grows counts, not the grid);
+    # per-dim quantization is two posexplode passes with a d-row
+    # shuffle between them — per-doc cost must amortize in both.
+    "chi2_token_source": 0.5,
+    "embedding_quantize_perdim": 0.5,
 }
 
 # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
@@ -341,9 +348,11 @@ def main() -> None:
     from wnv_etl_lab2_spark.queries.similarity_q import (
         corpus_curation_stats,
         embedding_covariance_int8,
+        embedding_quantize_perdim,
     )
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
+        chi2_token_source,
         fuzzy_prefix_pairs,
         ngram_counts_top,
         tfidf_top_terms,
@@ -367,6 +376,8 @@ def main() -> None:
         "logreg_gd_steps": logreg_gd_steps,
         "source_similarity_matrix": source_similarity_matrix,
         "embedding_pca_power_iteration": embedding_pca_power_iteration,
+        "chi2_token_source": chi2_token_source,
+        "embedding_quantize_perdim": embedding_quantize_perdim,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

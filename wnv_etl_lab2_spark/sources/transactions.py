@@ -181,11 +181,24 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     if w.op not in ("append", "overwrite"):
         raise ValueError(f"transactional op must be append|overwrite, got {w.op!r}")
     version = cur + 1
+    prev0 = _read_manifest(spark, w.table_path, cur)
+    from wnv_etl_lab2_spark.sources.versioned import _enforce_constraints
+
+    constraints = prev0.get("constraints", {})
+    df, check = _enforce_constraints(
+        w.df, constraints, f"txn {w.op} -> {w.table_path}"
+    )
     vdir = _attempt_dir(w.table_path, version)
-    w.df.write.mode("error").parquet(vdir)
+    df.write.mode("error").parquet(vdir)
+    try:
+        check()
+    except ValueError:
+        fs, jvm = _fs(spark, w.table_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        raise
     files = _data_files(spark, vdir)
     n_new = spark.read.parquet(vdir).count()
-    prev = _read_manifest(spark, w.table_path, cur)
+    prev = prev0
     if w.op == "append":
         manifest = {
             "version": version,
@@ -207,6 +220,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         manifest["batch_id"] = int(w.batch_id)
         if w.writer_id is not None:
             manifest["writer_id"] = w.writer_id
+    if constraints:
+        manifest["constraints"] = constraints
     manifest["txn"] = {"id": txn_id, "log": txn_log}
     return version, manifest
 

@@ -343,6 +343,45 @@ def _write_change_data(changes: DataFrame, table_path: str, version: int) -> lis
     return _data_files(spark, cdir)
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict, context: str):
+    """Attach a one-pass CHECK-constraint audit to ``df`` (round 11 —
+    the Delta CHECK-constraint write path): an ``Observation`` counts,
+    during the write action itself, the rows where each constraint
+    expression is FALSE (SQL CHECK semantics: a NULL-valued expression
+    PASSES). Returns ``(df, check)``; call ``check()`` AFTER the write
+    action ran — it raises with per-constraint violation counts, so the
+    caller can abandon the attempt before any manifest commits. Zero
+    extra scans: the audit rides the write."""
+    if not constraints:
+        return df, lambda: None
+    import uuid
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(f"check-{uuid.uuid4().hex[:8]}")
+    aggs = [
+        F.sum(
+            F.when(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)), 1
+            ).otherwise(0)
+        ).alias(name)
+        for name, expr in sorted(constraints.items())
+    ]
+    out = df.observe(obs, *aggs)
+
+    def check() -> None:
+        viol = {k: int(v) for k, v in obs.get.items() if v}
+        if viol:
+            raise ValueError(
+                f"CHECK constraint violation writing {context}: {viol} "
+                "(rows where the expression is FALSE; no version was "
+                "committed — the attempt dir is vacuumable garbage)"
+            )
+
+    return out, check
+
+
 def _write_version(
     df: DataFrame,
     table_path: str,
@@ -361,8 +400,18 @@ def _write_version(
             f"optimistic concurrency check failed: expected latest={expect_latest}, "
             f"found {current} — re-read and retry"
         )
+    constraints: dict = {}
+    if current is not None:
+        constraints = _read_manifest(spark, table_path, current).get("constraints", {})
+    df, check = _enforce_constraints(df, constraints, f"{op} -> {table_path}")
     vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
+    try:
+        check()
+    except ValueError:
+        fs, jvm = _fs(spark, table_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        raise
     files = _data_files(spark, vdir)
     n_rows = spark.read.parquet(vdir).count()
     # full-rewrite ops (create/overwrite/delete/merge/optimize) DEFINE
@@ -382,6 +431,8 @@ def _write_version(
         manifest["writer_id"] = writer_id
     if changes_files is not None:
         manifest["changes"] = changes_files
+    if constraints:
+        manifest["constraints"] = constraints
     _commit(spark, table_path, version, manifest)
     return version
 
@@ -429,8 +480,16 @@ def append_table(
     version = cur + 1
     prev = _read_manifest(spark, table_path, cur)
     evolved = _merge_schemas(prev.get("schema"), df.schema)
+    constraints = prev.get("constraints", {})
+    df, check = _enforce_constraints(df, constraints, f"append -> {table_path}")
     vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
+    try:
+        check()
+    except ValueError:
+        fs, jvm = _fs(spark, table_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        raise
     new_files = _data_files(spark, vdir)
     n_new = spark.read.parquet(vdir).count()
     manifest = {
@@ -445,6 +504,8 @@ def append_table(
         manifest["batch_id"] = int(batch_id)
         if writer_id is not None:
             manifest["writer_id"] = writer_id
+    if constraints:
+        manifest["constraints"] = constraints
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
@@ -902,6 +963,97 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
     }
     if "schema" in m:  # metadata-only version: snapshot schema unchanged
         manifest["schema"] = m["schema"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def table_constraints(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict[str, str]:
+    """The CHECK constraints in force as of ``version`` (default:
+    latest) — {name: SQL boolean expression}. Constraints travel in
+    the manifest like the schema does (every write copies them
+    forward), so they are versioned, time-travelable state."""
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    return dict(_read_manifest(spark, table_path, version).get("constraints", {}))
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT ``name`` CHECK (``expr``) — Delta's CHECK
+    constraint contract (round 11): the EXISTING snapshot is validated
+    first (one scan; any row where ``expr`` is FALSE rejects the
+    constraint — NULL passes, SQL CHECK semantics), then a
+    metadata-only version records the updated constraint set. Every
+    subsequent write — append, overwrite, delete, merge, optimize,
+    transactional stage — enforces the set DURING its own write action
+    (an `Observation` rides the write; zero extra scans) and refuses
+    to commit a violating version: the constraint is an invariant of
+    the table from this version on, not advice."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    cons = dict(m.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists: {cons[name]!r}")
+    from pyspark.sql import functions as F
+
+    n_viol = (
+        read_table(spark, table_path, cur)
+        .where(~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True)))
+        .count()
+    )
+    if n_viol:
+        raise ValueError(
+            f"cannot add constraint {name!r}: {n_viol} existing rows violate "
+            f"CHECK ({expr})"
+        )
+    cons[name] = expr
+    manifest = {
+        "version": cur + 1,
+        "op": "analyze",  # the generic metadata-only op: same files
+        "files": _resolve_files(spark, table_path, cur),
+        "n_rows": m["n_rows"],
+        "constraints": cons,
+    }
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    if "stats" in m:
+        manifest["stats"] = m["stats"]
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> int:
+    """DROP CONSTRAINT ``name`` as a metadata-only version. Raises if
+    the constraint does not exist (dropping a typo'd name silently
+    would leave the caller believing enforcement stopped)."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no such constraint: {name!r}")
+    del cons[name]
+    manifest = {
+        "version": cur + 1,
+        "op": "analyze",
+        "files": _resolve_files(spark, table_path, cur),
+        "n_rows": m["n_rows"],
+        "constraints": cons,
+    }
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    if "stats" in m:
+        manifest["stats"] = m["stats"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
