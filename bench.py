@@ -173,6 +173,14 @@ def _previous_calibration() -> dict[str, float] | None:
             continue
         parsed = doc.get("parsed", doc)
         calib = parsed.get("calibration") if isinstance(parsed, dict) else None
+        if calib is None:
+            # driver-truncated round (parsed: null): the probe is a
+            # tiny fixed-shape object that survives in the recorded
+            # tail — reconstruct it exactly like _previous_round_timings
+            # reconstructs per-query mins
+            m = re.search(r'"calibration": \{([^}]*)\}', doc.get("tail") or "")
+            if m:
+                calib = {k: float(v) for k, v in _PAIR_RE.findall(m.group(1))}
         if calib and all(
             calib.get(k, 0) > 0 for k in ("numpy_matmul_sec", "python_loop_sec")
         ):
