@@ -528,3 +528,105 @@ def test_check_constraint_blocks_whole_transaction(spark, tmp_path):
     # the add_check_constraint metadata version itself)
     assert latest_version(spark, a) == 0 and latest_version(spark, b) == 1
     assert read_table(spark, a).count() == 1 and read_table(spark, b).count() == 1
+
+
+# ---- RESTORE + shallow CLONE (round 11) -------------------------------
+
+
+def test_restore_table_to_old_version(spark, tmp_path):
+    """RESTORE commits a NEW version referencing the target's files:
+    data equals the target snapshot, intermediate history stays
+    time-travelable, schema/constraints roll back with it, and the
+    change-feed stream retract-applies across the restore onto the
+    restored snapshot."""
+    from collections import Counter
+
+    import pytest
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        append_table,
+        create_table,
+        delete_from_table,
+        latest_version,
+        read_table,
+        restore_table,
+        table_constraints,
+    )
+    from wnv_etl_lab2_spark.sources.versioned_stream import VersionedTableStreamSource
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), tbl)
+    append_table(spark.createDataFrame([(3, "c")], "id long, v string"), tbl)  # v1
+    add_check_constraint(spark, tbl, "id_pos", "id > 0")  # v2
+    delete_from_table(spark, tbl, "id = 1")  # v3
+    assert restore_table(spark, tbl, 1) == 4
+    # snapshot == v1's; history intact; constraint (added at v2) gone
+    assert {r.id for r in read_table(spark, tbl).collect()} == {1, 2, 3}
+    assert {r.id for r in read_table(spark, tbl, 3).collect()} == {2, 3}
+    assert table_constraints(spark, tbl) == {}
+    assert table_constraints(spark, tbl, 3) == {"id_pos": "id > 0"}
+    with pytest.raises(ValueError, match="cannot restore"):
+        restore_table(spark, tbl, 99)
+
+    # CDF stream retract-applies THROUGH delete + restore onto the tip
+    state: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone references the source's files without copying;
+    reads match; writes to either side stay independent; the clone's
+    vacuum never deletes source files; provenance is recorded."""
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        clone_table,
+        create_table,
+        read_table,
+        vacuum_table,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    create_table(
+        spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string"), src
+    )
+    append_table(spark.createDataFrame([(10, "y")], "id long, v string"), src)
+    assert clone_table(spark, src, dst) == 0
+    # zero-copy: the clone's v0 has no data dir of its own
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    assert {r.id for r in read_table(spark, dst).collect()} == set(range(11))
+    m = _read_manifest(spark, dst, 0)
+    assert m["cloned_from"] == {"path": src, "version": 1}
+    # independent writes: clone appends never touch the source
+    append_table(spark.createDataFrame([(99, "z")], "id long, v string"), dst)
+    assert {r.id for r in read_table(spark, src).collect()} == set(range(11))
+    assert 99 in {r.id for r in read_table(spark, dst).collect()}
+    # source gains a row the clone never sees
+    append_table(spark.createDataFrame([(50, "w")], "id long, v string"), src)
+    assert 50 not in {r.id for r in read_table(spark, dst).collect()}
+    # the clone's vacuum is scoped to its own data dir: source files
+    # survive and both tables still read
+    vacuum_table(spark, dst, keep_last=1)
+    assert {r.id for r in read_table(spark, src).collect()} == set(range(11)) | {50}
+    assert 99 in {r.id for r in read_table(spark, dst).collect()}

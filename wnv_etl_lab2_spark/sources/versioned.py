@@ -969,6 +969,76 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
     return cur + 1
 
 
+def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION — Delta's RESTORE contract (round 11):
+    commit a NEW version whose snapshot is exactly the target
+    version's file list. History is never rewritten (the versions
+    between target and tip stay time-travelable until vacuum), no data
+    is copied (the manifest re-references the old files, which is why
+    vacuum reference-counts instead of assuming ownership-by-version),
+    and because the restore is an ordinary rewrite commit, the
+    change-feed stream reconstructs its delta via the file diff and
+    retract-apply lands consumers on the restored snapshot. Schema,
+    constraints, and stats are restored to the target version's —
+    restoring past a schema evolution un-evolves, exactly like Delta.
+    Metadata-only: O(1) data work at any corpus size."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    if not 0 <= version <= cur:
+        raise ValueError(f"cannot restore {table_path} to v{version}: latest is {cur}")
+    m = _read_manifest(spark, table_path, version)
+    if not _txn_visible(spark, m):
+        raise ValueError(f"version {version} belongs to an uncommitted transaction")
+    manifest = {
+        "version": cur + 1,
+        "op": "restore",
+        "restored_from": version,
+        "files": _resolve_files(spark, table_path, version),
+        "n_rows": m["n_rows"],
+    }
+    for key in ("schema", "constraints", "stats"):
+        if key in m:
+            manifest[key] = m[key]
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
+    """SHALLOW CLONE — Delta's zero-copy table fork (round 11): create
+    ``target_path`` as a new versioned table whose v0 manifest
+    REFERENCES the source's current data files (no bytes move — the
+    capability that makes dev/test forks of a 100 TB table free).
+    Writes to the clone stage their own files under the clone's dir
+    and never touch the source; the clone records its provenance
+    (``cloned_from`` = source path + version).
+
+    The documented caveat is Delta's own: the clone borrows the
+    source's files, so a VACUUM on the SOURCE that drops the cloned
+    version's files breaks the clone (each table's vacuum
+    reference-counts only its own manifests). Keep the source's
+    cloned version alive, or deep-copy (read_table + create_table)
+    when lifecycles must be independent."""
+    src_v = latest_version(spark, source_path)
+    if src_v is None:
+        raise ValueError(f"not a versioned table (no log): {source_path}")
+    if latest_version(spark, target_path) is not None:
+        raise ValueError(f"target already a versioned table: {target_path}")
+    m = _read_manifest(spark, source_path, src_v)
+    manifest = {
+        "version": 0,
+        "op": "create",
+        "cloned_from": {"path": source_path, "version": src_v},
+        "files": _resolve_files(spark, source_path, src_v),
+        "n_rows": m["n_rows"],
+    }
+    for key in ("schema", "constraints", "stats"):
+        if key in m:
+            manifest[key] = m[key]
+    _commit(spark, target_path, 0, manifest)
+    return 0
+
+
 def table_constraints(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict[str, str]:
