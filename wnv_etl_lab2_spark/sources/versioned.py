@@ -43,7 +43,13 @@ makes per-file ranges tight. CROSS-TABLE TRANSACTIONS (round 10,
 `sources/transactions.py`) close the last declared omission: N
 tables' next versions commit all-or-nothing behind a single atomic
 outcome marker, with pending manifests invisible to every reader
-(`_txn_visible`).
+(`_txn_visible`). Round 11 adds ROW-LEVEL CHANGE DATA (rewrites
+persist their exact change rows inside the commit — ``change_data=``
+on delete/merge; `operators/cdf.read_change_data` and the streaming
+source's readChangeFeed consume O(changed rows)), CHECK CONSTRAINTS
+(`add_check_constraint` — enforced during every write action via an
+Observation, zero extra scans), RESTORE to an older version and
+zero-copy shallow CLONE (both metadata-only commits).
 """
 
 from __future__ import annotations
