@@ -315,3 +315,146 @@ def test_mp4_metadata_parses_box_tree(spark):
     assert got[1].major_brand == "isom" and got[1].duration_sec == 5.0
     assert got[1].n_tracks == 2 and got[1].top_boxes == ["ftyp", "moov", "mdat"]
     assert got[2].major_brand is None and got[3].duration_sec is None
+
+
+# ---- GIF (round 11): spec-literal encoder -> real decoder ------------
+
+
+def _gif_lzw_encode(indices, min_code):
+    """Independent GIF-LZW encoder (spec-literal, test-only): emits
+    CLEAR, then longest-prefix codes growing the table exactly as the
+    spec's decoder mirrors it, then EOI; codes packed LSB-first."""
+    clear = 1 << min_code
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    width = min_code + 1
+    next_code = end + 1
+    codes = [(clear, width)]
+    buf = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        if next_code < 4096:  # table full: stop defining (deferred clear)
+            table[cand] = next_code
+            next_code += 1
+        # the decoder defines each entry one code LATER than the
+        # encoder (while reading the pair's second code), so the
+        # encoder grows the code width one entry later: when
+        # next_code EXCEEDS 2^width (the spec's wire convention —
+        # giflib/PIL interoperate on exactly this)
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        buf = (int(px),)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((end, width))
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(pixels: np.ndarray, interlace: bool = False, gce: bool = False) -> bytes:
+    """Minimal GIF89a from an (h, w, 3) uint8 array whose distinct
+    colors fit a 256-entry palette. Optionally writes the interlaced
+    row order and a Graphic Control Extension block."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    n = len(palette)
+    assert n <= 256
+    size_field = max(1, (n - 1).bit_length() - 1) if n > 2 else 0
+    size_field = 0
+    while (2 << size_field) < n:
+        size_field += 1
+    table_n = 2 << size_field
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:n] = palette
+    idx = inverse.reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]  # rows stored in pass order
+    min_code = max(2, size_field + 1)
+    data = _gif_lzw_encode(idx.flatten(), min_code)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+    out += pal.tobytes()
+    if gce:  # Graphic Control Extension: decoder must skip it
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_roundtrip_plain_interlaced_and_extensions():
+    from wnv_etl_lab2_spark.operators.multimodal import decode_gif, decode_raster
+
+    rng = np.random.RandomState(3)
+    # many distinct colors -> code width grows past its initial size
+    img = rng.randint(0, 256, (24, 17, 1), dtype=np.uint8).repeat(3, axis=2)
+    got = decode_gif(make_gif(img))
+    assert got is not None and got.shape == img.shape
+    assert np.array_equal(got, img)
+    # interlaced storage decodes to the same pixels
+    assert np.array_equal(decode_gif(make_gif(img, interlace=True)), img)
+    # a GCE extension block is skipped, not fatal
+    assert np.array_equal(decode_gif(make_gif(img, gce=True)), img)
+    # dispatcher: magic sniff + format label
+    fmt, arr = decode_raster(make_gif(img))
+    assert fmt == "gif" and np.array_equal(arr, img)
+    # 4-color image exercises the small-code-size path
+    small = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    img4 = np.stack([small * 60] * 3, axis=2).astype(np.uint8)
+    assert np.array_equal(decode_gif(make_gif(img4)), img4)
+
+
+def test_gif_decoder_rejects_malformed():
+    from wnv_etl_lab2_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (8, 8, 1), dtype=np.uint8).repeat(3, axis=2)
+    good = make_gif(img)
+    assert decode_gif(b"GIF89a") is None  # truncated header
+    assert decode_gif(good[:20]) is None  # truncated mid-palette
+    assert decode_gif(b"not a gif") is None
+    # truncated LZW data: fewer pixels than the descriptor promises
+    cut = good[: len(good) // 2]
+    assert decode_gif(cut) is None
+
+
+def test_gif_dhash_matches_bmp_of_same_pixels(spark):
+    """Cross-format invariance: the SAME pixels through GIF and BMP
+    produce the SAME perceptual dHash, so GIF near-dups land in the
+    existing image-curation path unchanged."""
+    from wnv_etl_lab2_spark.operators.multimodal import image_dhash
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 16, 1), dtype=np.uint8).repeat(3, axis=2)
+    df = spark.createDataFrame(
+        [(1, make_gif(img)), (2, make_bmp(img))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: (r.format, r.dhash) for r in image_dhash(df).collect()}
+    assert rows[1][0] == "gif" and rows[2][0] == "bmp"
+    assert rows[1][1] == rows[2][1]

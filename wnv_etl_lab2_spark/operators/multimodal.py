@@ -9,8 +9,10 @@ incl. rfft dominant frequency) and 24-bit BMP images (true
 average-pooled resize), round 9; 8-bit PNG (zlib inflate + the five
 scanline filters) and BASELINE JPEG (marker parse, canonical Huffman
 entropy decode, dequant + zigzag, matrix IDCT, chroma upsampling,
-YCbCr->RGB — `decode_jpeg` below), round 10 — each tested against
-synthesized known-content files. Only genuinely library-bound codecs
+YCbCr->RGB — `decode_jpeg` below), round 10; GIF87a/89a first frame
+(variable-width LSB-first LZW with deferred-clear, 4-pass interlace,
+palette expansion — `decode_gif`), round 11 — each tested against an
+independent spec-literal encoder. Only genuinely library-bound codecs
 remain stubbed (MP4/H.264 video, progressive/arithmetic JPEG).
 Everything Spark-side — schema, batching, partitioning, output
 contract — is real and tested either way.
@@ -956,10 +958,145 @@ RASTER_RESIZE_SCHEMA = (
 )
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the table, widths grow 1 bit whenever the next free code
+    reaches 2^width (12-bit cap), EOI ends the stream. Returns the
+    pixel-index list or None on a malformed stream."""
+    clear = 1 << min_code
+    end = clear + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}, min_code + 1, end + 1
+
+    table, width, next_code = fresh()
+    out: list = []
+    prev: tuple | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + width <= total_bits:
+        byte = bitpos >> 3
+        code = (
+            int.from_bytes(data[byte : byte + 3], "little") >> (bitpos & 7)
+        ) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width, next_code = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK special case
+            else:
+                return None
+            if next_code < 4096:  # table full => deferred-clear mode:
+                # no new entries until the stream sends CLEAR (real
+                # encoders may never send it; decoders must cope)
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return out
+
+
+def decode_gif(payload: bytes):
+    """FIRST frame of a GIF87a/89a as an (h, w, 3) uint8 RGB array:
+    logical-screen walk, global/local color table, the GIF-variant
+    LSB-first variable-width LZW (`_gif_lzw_decode`), and the 4-pass
+    interlace row reorder. Transparency is dropped, not composited
+    (the PNG decoder's stance); later frames are animation, out of
+    scope for a fingerprint/feature decode. Pure struct + numpy —
+    malformed payloads return None (corrupt media is data)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+            if gct.size < 3 * n:
+                return None
+            gct = gct.reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b = payload[pos]
+            pos += 1
+            if b == 0x3B:  # trailer before any image
+                return None
+            if b == 0x21:  # extension: label byte + sub-blocks
+                pos += 1
+                while payload[pos]:
+                    pos += payload[pos] + 1
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            _l, _t, w, h, ip = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            ct = gct
+            if ip & 0x80:
+                n = 2 ** ((ip & 7) + 1)
+                ct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+                if ct.size < 3 * n:
+                    return None
+                ct = ct.reshape(n, 3)
+                pos += 3 * n
+            if ct is None or w == 0 or h == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                return None
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            arr = np.asarray(idx[: w * h], dtype=np.int32)
+            if (arr >= ct.shape[0]).any():
+                return None
+            img = ct[arr].reshape(h, w, 3)
+            if ip & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
 def decode_raster(payload: bytes):
     """Sniff-and-decode the formats this engine decodes for real:
-    (format, (h, w, 3) RGB array) for 24-bit BMP, 8-bit PNG, or
-    baseline JPEG, else (None, None)."""
+    (format, (h, w, 3) RGB array) for 24-bit BMP, 8-bit PNG, baseline
+    JPEG, or GIF87a/89a first frame, else (None, None)."""
     if payload[:2] == b"BM":
         img = decode_bmp24(payload)
         if img is not None:
@@ -972,6 +1109,10 @@ def decode_raster(payload: bytes):
         img = decode_jpeg(payload)
         if img is not None:
             return "jpeg", img
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)
+        if img is not None:
+            return "gif", img
     return None, None
 
 
