@@ -458,3 +458,53 @@ def test_gif_dhash_matches_bmp_of_same_pixels(spark):
     rows = {r.doc_id: (r.format, r.dhash) for r in image_dhash(df).collect()}
     assert rows[1][0] == "gif" and rows[2][0] == "bmp"
     assert rows[1][1] == rows[2][1]
+
+
+# ---- MP3 frame-walk metadata (round 11) -------------------------------
+
+
+def make_mp3(n_frames: int, kbps_seq, sr: int = 44100, id3: bool = False) -> bytes:
+    """Synthesize an MPEG-1 Layer III frame sequence: real 4-byte
+    headers (sync, version=3, layer III, bitrate/sample-rate indices)
+    followed by zero-fill to each frame's computed length."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sr]
+    br_table = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    out = bytearray()
+    if id3:
+        body = b"x" * 100
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    for i in range(n_frames):
+        kbps = kbps_seq[i % len(kbps_seq)]
+        br_idx = br_table.index(kbps)
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (br_idx << 12) | (sr_idx << 10)
+        frame_len = 144 * kbps * 1000 // sr
+        out += h.to_bytes(4, "big") + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def test_mp3_metadata_frame_walk(spark):
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        mp3_metadata,
+        parse_mp3_metadata,
+    )
+
+    cbr = make_mp3(10, [128])
+    vbr = make_mp3(9, [128, 192, 64], id3=True)
+    meta = parse_mp3_metadata(cbr)
+    assert meta == ("mpeg1", 10, 44100, round(10 * 1152 / 44100, 6), 128.0, True)
+    v = parse_mp3_metadata(vbr)
+    assert v[1] == 9 and v[5] is False and v[4] == round((128 + 192 + 64) * 3 / 9, 3)
+    assert parse_mp3_metadata(b"not audio") is None
+    # truncated final frame: the walk stops, under-reporting not crashing
+    assert parse_mp3_metadata(cbr[:-10])[1] == 9
+
+    df = spark.createDataFrame(
+        [(1, cbr), (2, vbr), (3, b"junk")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in mp3_metadata(df).collect()}
+    assert rows[1].is_cbr and rows[1].n_frames == 10
+    assert rows[2].is_cbr is False and rows[2].version == "mpeg1"
+    assert rows[3].n_frames is None and rows[3].duration_sec is None

@@ -630,3 +630,97 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
     vacuum_table(spark, dst, keep_last=1)
     assert {r.id for r in read_table(spark, src).collect()} == set(range(11)) | {50}
     assert 99 in {r.id for r in read_table(spark, dst).collect()}
+
+
+def test_update_table_semantics_and_row_level_changes(spark, tmp_path):
+    """UPDATE: assignments see PRE-update values (a,b swap works),
+    NULL conditions leave rows unmodified, unknown SET targets raise,
+    history is preserved, change_data persists exactly the touched
+    rows' pre/post images, and a violating SET is refused by CHECK
+    constraints before any version commits."""
+    import pytest
+
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        create_table,
+        latest_version,
+        read_table,
+        update_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200), (3, None, 300)], "id long, a long, b long"
+        ),
+        tbl,
+    )
+    # swap a and b where a >= 20; id=3's NULL condition row is untouched
+    v = update_table(
+        spark, tbl, {"a": "b", "b": "a"}, "a >= 20", change_data=True
+    )
+    assert v == 1
+    got = {r.id: (r.a, r.b) for r in read_table(spark, tbl).collect()}
+    assert got == {1: (10, 100), 2: (200, 20), 3: (None, 300)}
+    assert {r.id: (r.a, r.b) for r in read_table(spark, tbl, 0).collect()}[2] == (20, 200)
+    # change set: exactly one pre-image + one post-image
+    ch = [(r._change_type, r.id, r.a, r.b) for r in read_change_data(spark, tbl, 0).collect()]
+    assert sorted(ch) == [("delete", 2, 20, 200), ("insert", 2, 200, 20)]
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_table(spark, tbl, {"nope": "1"}, "id = 1")
+
+    # constraints veto a violating SET atomically
+    add_check_constraint(spark, tbl, "b_nonneg", "b >= 0")
+    v_before = latest_version(spark, tbl)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        update_table(spark, tbl, {"b": "-1"}, "id = 1")
+    assert latest_version(spark, tbl) == v_before
+    assert {r.id: r.b for r in read_table(spark, tbl).collect()}[1] == 100
+
+
+def test_update_streams_row_level_through_change_feed(spark, tmp_path):
+    """A 1-row UPDATE on a multi-file table streams exactly 2 change
+    rows when written with change_data=True."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        read_table,
+        update_table,
+    )
+    from wnv_etl_lab2_spark.sources.versioned_stream import VersionedTableStreamSource
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(40)], "id long, v long"
+        ).repartition(8),
+        tbl,
+    )
+    update_table(spark, tbl, {"v": "v + 1"}, "id = 7", change_data=True)
+
+    state: Counter = Counter()
+    per_version: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            per_version[r._commit_version] += 1
+            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert per_version[1] == 2
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final

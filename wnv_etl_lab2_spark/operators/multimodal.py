@@ -1162,3 +1162,115 @@ def resize_raster_images(df: DataFrame, target: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=RASTER_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-walk METADATA (round 11): the audio twin of the MP4 box
+# walk — MPEG-1/2 Layer III frame headers are a plain 4-byte bit
+# layout (sync, version, layer, bitrate index, sample-rate index,
+# padding), so duration/bitrate estimation is a pure header walk: no
+# entropy decode, no codec library. The walk is what a curation pass
+# needs (duration buckets, CBR/VBR detection, corrupt-stream rate)
+# before committing to a real decode.
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbps, index 1-14) and sample rates
+# per the ISO 11172-3 header layout; MPEG-2 (lower sample rates) uses
+# its own bitrate column.
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+MP3_META_SCHEMA = (
+    "doc_id long, version string, n_frames int, sample_rate int, "
+    "duration_sec double, bitrate_kbps_avg double, is_cbr boolean"
+)
+
+
+def parse_mp3_metadata(payload: bytes):
+    """Walk the MP3 frame headers: skip an ID3v2 tag if present, then
+    (version, n_frames, sample_rate, duration_sec, avg_kbps, is_cbr)
+    from the per-frame headers alone. Layer III frame length =
+    144 * bitrate / sample_rate + padding (72 * for MPEG-2's 576-sample
+    granule). Returns None when no valid frame sequence exists
+    (malformed media is data). Resyncs are NOT attempted: a broken
+    walk ends the stream — conservative, so n_frames under-reports on
+    damage instead of hallucinating frames."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit size
+        size = (
+            (payload[6] & 0x7F) << 21
+            | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7
+            | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    n = 0
+    bitrates: list[int] = []
+    sample_rate = None
+    version = None
+    samples_per_frame = None
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            break  # lost sync
+        ver = (h >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (h >> 17) & 3  # 1 == Layer III
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        pad = (h >> 9) & 1
+        if ver == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        sr = _MP3_RATES[ver][sr_idx]
+        kbps = (_MP3_BITRATE_V1_L3 if ver == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+        spf = 1152 if ver == 3 else 576
+        frame_len = (spf // 8) * kbps * 1000 // sr + pad
+        if frame_len <= 4 or pos + frame_len > len(payload):
+            break
+        if sample_rate is not None and sr != sample_rate:
+            break  # sample-rate change mid-stream: treat as corrupt
+        sample_rate = sr
+        version = {3: "mpeg1", 2: "mpeg2", 0: "mpeg2.5"}[ver]
+        samples_per_frame = spf
+        bitrates.append(kbps)
+        n += 1
+        pos += frame_len
+    if n == 0:
+        return None
+    duration = n * samples_per_frame / sample_rate
+    return (
+        version,
+        n,
+        sample_rate,
+        round(duration, 6),
+        round(sum(bitrates) / n, 3),
+        len(set(bitrates)) == 1,
+    )
+
+
+def mp3_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Frame-walk metadata for a binary audio column — duration,
+    average bitrate, CBR/VBR flag — without decoding a single sample.
+    Non-MP3 / corrupt payloads yield null metadata rows. One Arrow
+    crossing, (id, payload) only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "version", "n_frames", "sample_rate",
+            "duration_sec", "bitrate_kbps_avg", "is_cbr",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                meta = parse_mp3_metadata(bytes(payload) if payload is not None else b"")
+                if meta is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                else:
+                    for k, v in zip(cols[1:], meta):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=MP3_META_SCHEMA)

@@ -722,6 +722,71 @@ def delete_from_table(
     )
 
 
+def update_table(
+    spark: SparkSession,
+    table_path: str,
+    set_exprs: dict[str, str],
+    condition: str,
+    change_data: bool = False,
+) -> int:
+    """UPDATE ... SET col = expr ... WHERE condition — the remaining
+    DML verb (round 11; DELETE and MERGE landed earlier): commit a new
+    version where rows matching ``condition`` have each ``set_exprs``
+    column replaced by its expression (evaluated against the OLD row,
+    standard UPDATE semantics — all assignments see pre-update
+    values). SQL three-valued logic: a NULL condition leaves the row
+    unmodified, exactly like DELETE's keep-rule. Decomposed as one
+    CASE-WHEN projection over the latest snapshot — a single scan,
+    pure map, committed as a rewrite version.
+
+    ``change_data=True`` persists the row-level change set in the same
+    commit: each updated row's pre-image retracts ('delete') and its
+    post-image applies ('insert') — O(updated rows), so the change
+    feed streams a 1-row UPDATE as 2 rows."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    snapshot = read_table(spark, table_path, cur)
+    missing = [c for c in set_exprs if c not in snapshot.columns]
+    if missing:
+        raise ValueError(f"UPDATE SET targets unknown columns: {missing}")
+    hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    updated = snapshot.select(
+        *[
+            F.when(hit, F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType))
+            .otherwise(F.col(c))
+            .alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in snapshot.columns
+        ]
+    )
+    changes_files = None
+    if change_data:
+        pre = snapshot.where(hit).withColumn("_change_type", F.lit("delete"))
+        post = (
+            snapshot.where(hit)
+            .select(
+                *[
+                    F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in snapshot.columns
+                ]
+            )
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        changes_files = _write_change_data(
+            pre.unionByName(post), table_path, cur + 1
+        )
+    return _write_version(
+        updated, table_path, cur + 1, "update", expect_latest=cur,
+        changes_files=changes_files,
+    )
+
+
 def merge_upsert_table(
     updates: DataFrame, table_path: str, key: str, change_data: bool = False
 ) -> int:
