@@ -810,20 +810,28 @@ def time_travel_audit(spark, sf_dir):
     UNION ALL
     SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT)
     FROM documents WHERE source <> 'src0' AND lang = 'de'
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE source <> 'src0' AND lang = 'zh'
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE source <> 'src0' AND lang = 'zh'
     """,
 )
 def cdf_row_level_audit(spark, sf_dir):
     """Row-level Change Data Feed audit (round 11 — the registry face
     of `change_data=True` + `cdf.read_change_data`): CREATE the
-    documents corpus as a versioned table, DELETE one source and MERGE
-    a re-score of the German docs — both committing their EXACT change
-    rows inside the version commit — then read the persisted feed back
-    and return its (version, change_type) row counts. The protocol is
+    documents corpus as a versioned table, DELETE one source, MERGE a
+    re-score of the German docs, and UPDATE the Chinese docs' lengths
+    — all three DML verbs committing their EXACT change rows inside
+    the version commit — then read the persisted feed back and return
+    its (version, change_type) row counts. The protocol is
     deterministic, so the oracle states the expected change set in
     pure SQL over the input corpus: the delete's change file holds
-    precisely the src0 rows; the merge's holds one retraction and one
-    insertion per touched key — O(changed rows) end to end, never the
-    O(rewritten files) the file-diff fallback would scan.
+    precisely the src0 rows; the merge's and the update's each hold
+    one retraction and one insertion per touched row — O(changed rows)
+    end to end, never the O(rewritten files) the file-diff fallback
+    would scan.
 
     The staging table is fresh per invocation and removed after the
     3-row audit frame is collected (same pattern as
@@ -838,6 +846,7 @@ def cdf_row_level_audit(spark, sf_dir):
         delete_from_table,
         merge_upsert_table,
         read_table,
+        update_table,
     )
 
     d = load_table(spark, "documents", sf_dir)
@@ -850,6 +859,9 @@ def cdf_row_level_audit(spark, sf_dir):
             "text", F.concat(F.lit("rescored "), F.col("text"))
         )
         merge_upsert_table(updates, tbl, "doc_id", change_data=True)
+        update_table(
+            spark, tbl, {"n_chars": "n_chars + 1"}, "lang = 'zh'", change_data=True
+        )
         rows = (
             read_change_data(spark, tbl, 0)
             .groupBy("_commit_version", "_change_type")
