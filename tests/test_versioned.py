@@ -724,3 +724,124 @@ def test_update_streams_row_level_through_change_feed(spark, tmp_path):
     assert per_version[1] == 2
     final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
     assert +state == final
+
+
+# ---- DELETION VECTORS: merge-on-read delete (round 11) ----------------
+
+
+def test_merge_on_read_delete_no_rewrite_and_equivalent_reads(spark, tmp_path):
+    """DV delete: same logical result as copy-on-write without
+    rewriting a single data file; cumulative across two deletes;
+    appends carry the vectors; pruned reads apply them; OPTIMIZE folds
+    them back in; vacuum collects stale DV dirs after the fold."""
+    import glob
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        collect_stats,
+        create_table,
+        delete_from_table,
+        optimize_table,
+        read_table,
+        read_table_pruned,
+        vacuum_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(50)], "id long, grp long"
+        ).repartition(5),
+        tbl,
+    )
+    data_dirs_before = set(glob.glob(f"{tbl}/data/*/"))
+
+    assert delete_from_table(spark, tbl, "grp = 0", mode="merge_on_read") == 1
+    # no data files rewritten: the data dir set is unchanged
+    assert set(glob.glob(f"{tbl}/data/*/")) == data_dirs_before
+    m1 = _read_manifest(spark, tbl, 1)
+    assert m1["op"] == "delete" and m1["dv"] and m1["dv_add"] == m1["dv"]
+    assert m1["n_rows"] == 40
+    got = {r.id for r in read_table(spark, tbl).collect()}
+    assert got == {i for i in range(50) if i % 5 != 0}
+    assert read_table(spark, tbl, 0).count() == 50  # time travel intact
+
+    # second DV delete is CUMULATIVE
+    delete_from_table(spark, tbl, "grp = 1", mode="merge_on_read")
+    m2 = _read_manifest(spark, tbl, 2)
+    assert len(m2["dv"]) == len(m1["dv"]) + len(m2["dv_add"])
+    assert {r.grp for r in read_table(spark, tbl).collect()} == {2, 3, 4}
+    assert m2["n_rows"] == 30
+
+    # appends carry the vectors (old rows stay deleted, new rows live)
+    append_table(spark.createDataFrame([(100, 0)], "id long, grp long"), tbl)
+    got = {r.id for r in read_table(spark, tbl).collect()}
+    assert 100 in got and not any(i in got for i in range(0, 50, 5))
+
+    # stats-pruned reads subtract the vectors too
+    collect_stats(spark, tbl, ["id"])
+    pruned = {r.id for r in read_table_pruned(spark, tbl, "id", 0, 12).collect()}
+    assert pruned == {i for i in range(13) if i % 5 not in (0, 1)}
+
+    # OPTIMIZE materializes through read_table and RESETS the DV
+    v_opt = optimize_table(spark, tbl, target_files=1)
+    m_opt = _read_manifest(spark, tbl, v_opt)
+    assert "dv" not in m_opt
+    assert {r.grp for r in read_table(spark, tbl).collect()} == {0, 2, 3, 4}
+    assert read_table(spark, tbl).count() == 31
+
+    # vacuum to the folded version: stale DV dirs are garbage now
+    assert os.path.isdir(os.path.join(tbl, "_dv"))
+    vacuum_table(spark, tbl, keep_last=1)
+    assert glob.glob(f"{tbl}/_dv/*/") == []
+    assert read_table(spark, tbl).count() == 31
+
+
+def test_merge_on_read_delete_streams_exact_retractions(spark, tmp_path):
+    """A DV delete changes NO files — the change feed must still emit
+    exactly the deleted rows (from the version's own DV positions),
+    and retract-apply must land on the snapshot."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        delete_from_table,
+        read_table,
+    )
+    from wnv_etl_lab2_spark.sources.versioned_stream import VersionedTableStreamSource
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 10) for i in range(40)], "id long, grp long"
+        ).repartition(8),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "grp = 3", mode="merge_on_read")
+
+    state: Counter = Counter()
+    per_version: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            per_version[r._commit_version] += 1
+            state[(r.id, r.grp)] += 1 if r._change_type == "insert" else -1
+
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert per_version[1] == 4  # exactly the four grp=3 rows retracted
+    final = Counter((r.id, r.grp) for r in read_table(spark, tbl).collect())
+    assert +state == final
+    assert not [k for k, n in state.items() if n < 0]

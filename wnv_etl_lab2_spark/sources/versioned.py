@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
+_DV_DIR = "_dv"
 
 
 def _attempt_dir(table_path: str, version: int) -> str:
@@ -512,6 +513,8 @@ def append_table(
             manifest["writer_id"] = writer_id
     if constraints:
         manifest["constraints"] = constraints
+    if m_prev_dv := prev.get("dv"):
+        manifest["dv"] = m_prev_dv  # appends never touch old rows
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
@@ -640,9 +643,37 @@ def overwrite_table(
     )
 
 
+def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFrame:
+    """Subtract the DELETION VECTORS from a file-list scan (round 11,
+    the Delta DV merge-on-read contract): ``dv_files`` hold
+    (file, row_index) rows naming exactly the deleted positions; the
+    scan anti-joins on the parquet reader's ``_metadata`` file-path +
+    row-index — a broadcast of O(deleted rows) against the scan, the
+    standard merge-on-read read cost — and projects the metadata
+    helpers back out."""
+    from pyspark.sql import functions as F
+
+    dv = spark.read.parquet(*dv_files).select(
+        F.col("file").alias("_dv_file"), F.col("row_index").alias("_dv_ri")
+    )
+    out_cols = df.columns
+    return (
+        df.withColumn("_f", F.col("_metadata.file_path"))
+        .withColumn("_ri", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv),
+            (F.col("_f") == F.col("_dv_file")) & (F.col("_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
+        .select(*out_cols)
+    )
+
+
 def read_table(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
     """The snapshot as of ``version`` (default: latest). Reads exactly
-    the manifest's file list — later versions never leak in.
+    the manifest's file list — later versions never leak in — minus
+    the manifest's deletion vectors when merge-on-read deletes are in
+    force (round 11; `_apply_dv`).
     ``mergeSchema`` is always on: an append chain may mix files from
     versions written with different (evolved) schemas, and the parquet
     source's default first-file schema would silently DROP the newer
@@ -661,7 +692,11 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
     files = _resolve_files(spark, table_path, version)
     if not files:
         raise ValueError(f"version {version} lists no files")
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    dv = _read_manifest(spark, table_path, version).get("dv")
+    if dv:
+        df = _apply_dv(spark, df, dv)
+    return df
 
 
 def table_schema(spark: SparkSession, table_path: str, version: int | None = None):
@@ -679,8 +714,86 @@ def table_schema(spark: SparkSession, table_path: str, version: int | None = Non
     return StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
 
 
+def _delete_merge_on_read(
+    spark: SparkSession, table_path: str, condition: str, change_data: bool
+) -> int:
+    """DELETE as DELETION VECTORS (Delta DV, round 11): instead of
+    rewriting every file (copy-on-write scans AND rewrites the whole
+    snapshot to drop one row), record the doomed rows' (file,
+    row_index) positions in a DV file and commit a manifest that keeps
+    the SAME data files plus the cumulative DV list — O(deleted rows)
+    written, zero data files rewritten. Readers subtract the DV at
+    scan time (`_apply_dv`); the next full-rewrite op (overwrite /
+    merge / update / optimize / CoW delete) materializes through
+    `read_table` and RESETS the DV — Delta's compaction contract.
+    ``dv_add`` records this version's own DV files so the change-feed
+    stream can emit exactly the deleted rows."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m_prev = _read_manifest(spark, table_path, cur)
+    files = _resolve_files(spark, table_path, cur)
+    raw = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("_f"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+    )
+    prev_dv = list(m_prev.get("dv", []))
+    if prev_dv:
+        dv_prev = spark.read.parquet(*prev_dv).select(
+            F.col("file").alias("_dv_file"), F.col("row_index").alias("_dv_ri")
+        )
+        raw = raw.join(
+            F.broadcast(dv_prev),
+            (F.col("_f") == F.col("_dv_file")) & (F.col("_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
+    doomed = raw.where(F.coalesce(F.expr(condition), F.lit(False))).localCheckpoint()
+    n_del = doomed.count()
+    dv_dir = posixpath.join(table_path, _DV_DIR, f"v{cur + 1}-{uuid.uuid4().hex[:8]}")
+    doomed.select(
+        F.col("_f").alias("file"), F.col("_ri").alias("row_index")
+    ).coalesce(1).write.mode("error").parquet(dv_dir)
+    dv_add = _data_files(spark, dv_dir)
+    changes_files = None
+    if change_data:
+        data_cols = [c for c in doomed.columns if c not in ("_f", "_ri")]
+        changes_files = _write_change_data(
+            doomed.select(*data_cols).withColumn("_change_type", F.lit("delete")),
+            table_path,
+            cur + 1,
+        )
+    manifest = {
+        "version": cur + 1,
+        "op": "delete",
+        "files": files,
+        "n_rows": int(m_prev["n_rows"]) - int(n_del),
+        "dv": prev_dv + dv_add,
+        "dv_add": dv_add,
+    }
+    for key in ("schema", "constraints"):
+        if key in m_prev:
+            manifest[key] = m_prev[key]
+    if changes_files is not None:
+        manifest["changes"] = changes_files
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
 def delete_from_table(
-    spark: SparkSession, table_path: str, condition: str, change_data: bool = False
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    change_data: bool = False,
+    mode: str = "copy_on_write",
 ) -> int:
     """DELETE: commit a new version without the rows matching
     ``condition`` (a SQL boolean expression). Decomposed as
@@ -700,7 +813,19 @@ def delete_from_table(
     commit — O(deleted rows), computed from the predicate the delete
     already evaluates — so change-feed readers pay O(changed rows)
     instead of reconstructing O(rewritten files) from the file diff
-    (round 11; Delta's enableChangeDataFeed write path)."""
+    (round 11; Delta's enableChangeDataFeed write path).
+
+    ``mode="merge_on_read"`` (round 11) switches the physical strategy
+    to DELETION VECTORS: no data file is rewritten — the doomed rows'
+    positions are recorded and subtracted at read time
+    (`_delete_merge_on_read`). Same logical result, O(deleted rows)
+    write cost instead of O(snapshot) — the right trade when deletes
+    are sparse; compaction (OPTIMIZE or any full-rewrite op) folds the
+    vectors back in."""
+    if mode == "merge_on_read":
+        return _delete_merge_on_read(spark, table_path, condition, change_data)
+    if mode != "copy_on_write":
+        raise ValueError(f"mode must be copy_on_write|merge_on_read, got {mode!r}")
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
@@ -961,6 +1086,22 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
             vpath = fs.makeQualified(st.getPath()).toString()
             if not any(f.startswith(vpath + "/") for f in kept_changes):
                 fs.delete(st.getPath(), True)
+    # and for deletion-vector dirs: kept manifests' "dv" lists are the
+    # live references (round 11) — a vacuumed version's DVs, or a
+    # compaction-reset chain's stale DVs, are garbage
+    kept_dv: set[str] = set()
+    for v in kept:
+        m = _read_manifest(spark, table_path, v)
+        kept_dv.update(_qualify(fs, jvm, f) for f in m.get("dv", []))
+    dvdir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _DV_DIR))
+    if fs.exists(dvdir):
+        for st in fs.listStatus(dvdir):
+            n = _attempt_version(st.getPath().getName())
+            if n is None or n > latest:
+                continue
+            vpath = fs.makeQualified(st.getPath()).toString()
+            if not any(f.startswith(vpath + "/") for f in kept_dv):
+                fs.delete(st.getPath(), True)
     return drop
 
 
@@ -1036,6 +1177,8 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["schema"] = m["schema"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1068,7 +1211,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "files": _resolve_files(spark, table_path, version),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats"):
+    for key in ("schema", "constraints", "stats", "dv"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1103,7 +1246,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "files": _resolve_files(spark, source_path, src_v),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats"):
+    for key in ("schema", "constraints", "stats", "dv"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, target_path, 0, manifest)
@@ -1168,6 +1311,8 @@ def add_check_constraint(
         manifest["schema"] = m["schema"]
     if "stats" in m:
         manifest["stats"] = m["stats"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1195,6 +1340,8 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         manifest["schema"] = m["schema"]
     if "stats" in m:
         manifest["stats"] = m["stats"]
+    if m.get("dv"):
+        manifest["dv"] = m["dv"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1237,11 +1384,15 @@ def read_table_pruned(
             .parquet(*files)
             .where(F.lit(False))
         )
-    return (
+    df = (
         spark.read.option("mergeSchema", "true")
         .parquet(*keep)
         .where(F.col(col).between(F.lit(lo), F.lit(hi)))
     )
+    dv = m.get("dv")
+    if dv:  # merge-on-read deletes apply to the pruned scan too
+        df = _apply_dv(spark, df, dv)
+    return df
 
 
 def with_retries(op, attempts: int = 5):

@@ -49,7 +49,11 @@ Why this composes correctly:
   of every row of the rewritten files. Rewrites without change files
   keep the file-diff reconstruction; both modes satisfy the same
   retract-apply identity, and both are manifest-derived, hence
-  replay-deterministic across restarts.
+  replay-deterministic across restarts. Merge-on-read DELETEs
+  (deletion vectors — no file changes at all, so the file diff would
+  emit nothing) stream their own DV files' (file, row_index)
+  positions as retractions, read with a pyarrow ``take`` of exactly
+  the deleted rows.
 - SCHEMA comes from the latest manifest's recorded schema (write-path
   schema evolution records it per version); pre-evolution files
   null-fill the missing columns at read, mirroring `read_table`'s
@@ -150,6 +154,7 @@ class _FilePartition(InputPartition):
         columns: list[str],
         change_type: str | None = None,
         version: int | None = None,
+        row_indices: list[int] | None = None,
     ) -> None:
         self.path = path
         self.columns = columns
@@ -157,6 +162,9 @@ class _FilePartition(InputPartition):
         # reads as one change of this type at this commit version
         self.change_type = change_type
         self.version = version
+        # non-None only for deletion-vector versions: read ONLY these
+        # row positions of the file (they are the deleted rows)
+        self.row_indices = row_indices
 
 
 class VersionedTableStreamSource(DataSource):
@@ -243,6 +251,29 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             elif m["op"] == "append":
                 files = self._added_files(v, m)
             elif self._cdf:
+                if "changes" not in m and "dv_add" in m:
+                    # merge-on-read DELETE (round 11): no file changed —
+                    # the file diff would emit NOTHING. The version's
+                    # own DV files name exactly the deleted (file,
+                    # row_index) positions; emit those rows as
+                    # retractions, one partition per touched data file.
+                    import pyarrow.parquet as pq
+
+                    by_file: dict[str, list[int]] = {}
+                    for dvf in m["dv_add"]:
+                        t = pq.read_table(_local(dvf))
+                        for f, ri in zip(
+                            t.column("file").to_pylist(),
+                            t.column("row_index").to_pylist(),
+                        ):
+                            by_file.setdefault(_local(f), []).append(int(ri))
+                    parts.extend(
+                        _FilePartition(
+                            f, cols, "delete", v, row_indices=sorted(ris)
+                        )
+                        for f, ris in sorted(by_file.items())
+                    )
+                    continue
                 if "changes" in m:
                     # round 11 — ROW-LEVEL precision: the rewrite
                     # committed its exact change set as change files
@@ -305,6 +336,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # pruning at the parquet reader, not after materialization)
         wanted = [c for c in partition.columns if c in file_cols]
         table = pf.read(columns=wanted)
+        if partition.row_indices is not None:
+            # deletion-vector partition: only the deleted positions
+            table = table.take(partition.row_indices)
         rows = table.to_pylist()
         if partition.change_type is not None:
             tail = (partition.change_type, partition.version)
