@@ -113,3 +113,55 @@ def test_refined_quantizer_improves_inertia_and_contracts_hold(spark, sf_dir, tm
         ).collect()
     ]
     assert persisted == inline
+
+
+def test_pq_encode_deterministic_and_refined_recall(spark, sf_dir):
+    """Product quantization (round 11): encoding is deterministic
+    (same codes every run, ties to the lowest code), pure-ADC top-k is
+    a strict subset-quality tradeoff, and the refined serve path
+    (ADC shortlist 200 -> exact re-rank) recovers >= 7/10 of the exact
+    L2 top-10 on the fixture corpus — the measured trade SCALING.md
+    records."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.operators.similarity import (
+        as_double_array,
+        pq_encode_col,
+        pq_topk_pretrained,
+        pq_topk_refined,
+    )
+    from wnv_etl_lab2_spark.queries._pq_codebooks import CODEBOOKS, K_CODES, M_SUBSPACES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    rest = emb.where(F.col("vec_id") != 0)
+
+    codes = rest.select(
+        "vec_id", pq_encode_col(as_double_array("embedding"), CODEBOOKS).alias("c")
+    )
+    got1 = {r.vec_id: list(r.c) for r in codes.collect()}
+    got2 = {r.vec_id: list(r.c) for r in codes.collect()}
+    assert got1 == got2  # deterministic
+    assert all(len(c) == M_SUBSPACES for c in got1.values())
+    assert all(0 <= x < K_CODES for c in got1.values() for x in c)
+
+    # exact L2 ground truth
+    qa = F.array(*[F.lit(x) for x in q])
+    l2 = rest.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(as_double_array("embedding"), qa, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    truth = {
+        r.vec_id
+        for r in l2.orderBy(F.col("d").asc(), F.col("vec_id").asc()).limit(10).collect()
+    }
+    adc = {r.vec_id for r in pq_topk_pretrained(rest, q, CODEBOOKS).collect()}
+    refined = {
+        r.vec_id for r in pq_topk_refined(rest, q, CODEBOOKS, shortlist=200).collect()
+    }
+    assert len(refined & truth) >= 7  # the refined path recovers recall
+    assert len(refined & truth) >= len(adc & truth)

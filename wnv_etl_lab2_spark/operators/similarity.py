@@ -811,3 +811,115 @@ def ivf_index_query(
         id_col, F.round(cosine_to_query(F.col("_e"), query_vec), 6).alias("cos_sim")
     )
     return sim.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
+    """Product-quantization ENCODE as a pure JVM expression: split the
+    vector into M contiguous subvectors, and per subspace emit the
+    index of its nearest codebook centroid (squared L2; ties break to
+    the lowest code on every engine — `array_position` returns the
+    FIRST minimum). Returns an array<int> column of M codes. Zero
+    shuffle, zero Python: at 100 TB encoding is a map fused into the
+    scan, exactly how a vector store quantizes at ingest."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(vec_col, s * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in book
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_topk_pretrained(
+    vectors: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over pre-trained PQ codebooks —
+    the IVF-pretrained precedent extended to product quantization:
+    each corpus vector collapses to M codebook indices (`pq_encode_col`,
+    a pure map), the query's distance to every codebook centroid is a
+    driver-side M x K lookup table of CONSTANTS, and the approximate
+    distance is the LEFT-FOLD sum of M table lookups — so ranking
+    costs O(M) per row instead of O(d), reads codes instead of
+    vectors, and the whole plan is one scan + TakeOrdered. The fold
+    order is fixed (s = 0..M-1) so an oracle replaying the same
+    constants matches bit-for-bit."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[s * sub_dim + i] - c[i]) ** 2
+                for i in range(sub_dim)
+            )
+            for c in book
+        ]
+        for s, book in enumerate(codebooks)
+    ]
+    v = vectors.select(
+        F.col(id_col), pq_encode_col(as_double_array(vec_col), codebooks).alias("_codes")
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        table = F.array(*[F.lit(d) for d in lut[s]])
+        adc = adc + F.element_at(table, F.element_at(F.col("_codes"), s + 1) + 1)
+    return (
+        v.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_topk_refined(
+    vectors: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ serve path with REFINEMENT — the production two-stage shape:
+    ADC over the 8-byte codes shortlists ``shortlist`` candidates
+    (cheap scan of 1.5% of the raw bytes), then ONLY those candidates'
+    full vectors are fetched for an exact squared-L2 re-rank of the
+    final top-k. This is how vector stores spend PQ's byte savings
+    without eating its recall loss: the exact pass touches
+    ``shortlist`` rows, not the corpus. Deterministic end to end
+    (ADC ties break to the lowest id; exact ties likewise), so an
+    oracle can replay both stages."""
+    cands = pq_topk_pretrained(
+        vectors, query_vec, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (
+        vectors.join(F.broadcast(cands), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        as_double_array(vec_col), qa, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    return exact.orderBy(F.col("l2_dist").asc(), F.col(id_col).asc()).limit(k)

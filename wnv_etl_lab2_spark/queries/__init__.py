@@ -138,19 +138,19 @@ _FRONT = [
     # row-level change-feed audit (the registry face of this round's
     # change_data=True write path).
     "cdf_row_level_audit",
+    "dv_delete_audit",
     "ks_drift_sources",
     "welch_ttest_sources",
     "chi2_token_source",
     "embedding_quantize_perdim",
     "gini_source_concentration",
+    "ann_topk_pq",
+    "ann_topk_pq_refined",
     # (d) pad: the oldest oracle-backed r8-evidenced queries, filling
     # the window to 50 so every slot carries an exact oracle.
     "sales_opportunity",
     "nullsafe_join",
     "order_count_histogram",
-    "order_priority_check",
-    "shipping_priority_buckets",
-    "salted_join_agg",
 ]
 
 

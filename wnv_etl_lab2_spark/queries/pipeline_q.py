@@ -874,3 +874,54 @@ def cdf_row_level_audit(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "dv_delete_audit",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN lang <> 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_dv_rows,
+           CAST(0 AS BIGINT) AS n_files_rewritten
+    FROM documents
+    """,
+)
+def dv_delete_audit(spark, sf_dir):
+    """Deletion-vector audit (round 11 — the registry face of
+    merge-on-read DELETE): CREATE the documents corpus as a versioned
+    table, DELETE the French docs with ``mode='merge_on_read'``, and
+    report what the protocol claims: the live row count the DV-applied
+    scan returns, the manifest's row accounting, the DV file's own row
+    count — and that ZERO data files were rewritten (the delete
+    version's file list is byte-identical to its parent's). Every
+    number is deterministic from the input corpus, so the oracle
+    states the expected values in pure SQL."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        create_table,
+        delete_from_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_dv_audit_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl)
+        delete_from_table(spark, tbl, "lang = 'fr'", mode="merge_on_read")
+        m0 = _read_manifest(spark, tbl, 0)
+        m1 = _read_manifest(spark, tbl, 1)
+        n_live = read_table(spark, tbl).count()
+        assert n_live == m1["n_rows"]  # manifest accounting == DV scan
+        n_dv = spark.read.parquet(*m1["dv"]).count()
+        rewritten = len(set(m1["files"]) - set(m0["files"]))
+        n_deleted = m0["n_rows"] - m1["n_rows"]
+        return spark.createDataFrame(
+            [(n_live, n_deleted, n_dv, rewritten)],
+            "n_live long, n_deleted long, n_dv_rows long, n_files_rewritten long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1347,3 +1347,163 @@ def embedding_quantize_perdim(spark, sf_dir):
             "n_saturated",
         )
     )
+
+
+# ---- Product quantization (round 11): pre-trained codebooks -----------
+# Trained by tools/train_pq_codebooks.py — the _ivf_centroids precedent
+# extended to M per-subspace codebooks: 64 dims -> 8 subspaces x 16
+# centroids, sf0.1 corpus, query vector excluded, seeded Lloyd + 3
+# refinement iterations per subspace. The oracle interpolates the SAME
+# repr-round-tripped constants and replays encode (argmin squared L2,
+# ties to the lowest code) and the ADC sum in the SAME left-fold
+# subspace order (list_sum over an s-ORDERED list), so the approximate
+# distances match bit-for-bit before the shared ROUND(_, 6).
+from wnv_etl_lab2_spark.queries._pq_codebooks import (  # noqa: E402
+    CODEBOOKS as _PQ_BOOKS,
+    SUB_DIM as _PQ_SUB_DIM,
+)
+
+
+def _pq_oracle(k: int = 10) -> str:
+    cb_rows = ",\n      ".join(
+        f"({s}, {ci}, [" + ", ".join(repr(x) for x in c) + "])"
+        for s, book in enumerate(_PQ_BOOKS)
+        for ci, c in enumerate(book)
+    )
+    d = _PQ_SUB_DIM
+    return f"""
+    WITH ev AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+    cb(s, k, cent) AS (VALUES
+      {cb_rows}
+    ),
+    lut AS (
+      SELECT cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (q.qe[cb.s * {d} + i] - cb.cent[i])
+                  * (q.qe[cb.s * {d} + i] - cb.cent[i]))) AS qd
+      FROM cb CROSS JOIN q
+    ),
+    sub AS (
+      SELECT ev.vec_id, cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (ev.e[cb.s * {d} + i] - cb.cent[i])
+                  * (ev.e[cb.s * {d} + i] - cb.cent[i]))) AS dist
+      FROM ev CROSS JOIN cb
+      WHERE ev.vec_id <> 0
+    ),
+    codes AS (
+      SELECT vec_id, s, k FROM sub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) = 1
+    )
+    SELECT c.vec_id,
+           ROUND(list_sum(list(l.qd ORDER BY l.s)), 6) AS adc_dist
+    FROM codes c JOIN lut l ON c.s = l.s AND c.k = l.k
+    GROUP BY c.vec_id
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_pq", oracle=_pq_oracle())
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization approximate top-10 neighbors of vec_id=0
+    (round 11): corpus vectors collapse to 8 codebook indices each
+    (encode = argmin squared L2 per 8-dim subspace against the
+    checked-in pre-trained codebooks — a pure map fused into the
+    scan), the query's distances to all 8 x 16 centroids form a
+    CONSTANT lookup table, and ranking sums 8 table lookups per row —
+    the asymmetric-distance (ADC) serve path every large-scale vector
+    store runs when exact vectors are too big to scan. At 100 TB the
+    codes are 8 bytes/vector (64x smaller than the float64 vectors):
+    the ranking scan reads 1.5% of the raw bytes and never shuffles
+    anything but the top-k heap. Oracle-exact: the DuckDB twin
+    interpolates the same codebook constants and replays encode + ADC
+    in the same fold order. Measured vs exact L2 brute force at k=10:
+    see SCALING.md §Similarity (PQ trades recall for a 64x byte
+    reduction; IVF/LSH remain the recall-first paths)."""
+    from wnv_etl_lab2_spark.operators.similarity import pq_topk_pretrained
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return pq_topk_pretrained(
+        emb.where(F.col("vec_id") != 0), query_vec, _PQ_BOOKS, k=10
+    )
+
+
+_PQ_SHORTLIST = 200
+
+
+def _pq_refined_oracle(k: int = 10, shortlist: int = _PQ_SHORTLIST) -> str:
+    cb_rows = ",\n      ".join(
+        f"({s}, {ci}, [" + ", ".join(repr(x) for x in c) + "])"
+        for s, book in enumerate(_PQ_BOOKS)
+        for ci, c in enumerate(book)
+    )
+    d = _PQ_SUB_DIM
+    return f"""
+    WITH ev AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+    cb(s, k, cent) AS (VALUES
+      {cb_rows}
+    ),
+    lut AS (
+      SELECT cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (q.qe[cb.s * {d} + i] - cb.cent[i])
+                  * (q.qe[cb.s * {d} + i] - cb.cent[i]))) AS qd
+      FROM cb CROSS JOIN q
+    ),
+    sub AS (
+      SELECT ev.vec_id, cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (ev.e[cb.s * {d} + i] - cb.cent[i])
+                  * (ev.e[cb.s * {d} + i] - cb.cent[i]))) AS dist
+      FROM ev CROSS JOIN cb
+      WHERE ev.vec_id <> 0
+    ),
+    codes AS (
+      SELECT vec_id, s, k FROM sub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) = 1
+    ),
+    cands AS (
+      SELECT c.vec_id
+      FROM codes c JOIN lut l ON c.s = l.s AND c.k = l.k
+      GROUP BY c.vec_id
+      ORDER BY ROUND(list_sum(list(l.qd ORDER BY l.s)), 6) ASC, c.vec_id ASC
+      LIMIT {shortlist}
+    )
+    SELECT ev.vec_id,
+           ROUND(list_sum(list_transform(range(1, LEN(ev.e) + 1),
+                 i -> (ev.e[i] - q.qe[i]) * (ev.e[i] - q.qe[i]))), 6) AS l2_dist
+    FROM ev JOIN cands ON ev.vec_id = cands.vec_id
+    CROSS JOIN q
+    ORDER BY l2_dist ASC, ev.vec_id ASC
+    LIMIT {k}
+    """
+
+
+@register("ann_topk_pq_refined", oracle=_pq_refined_oracle())
+def ann_topk_pq_refined(spark, sf_dir):
+    """The PRODUCTION PQ serve path (round 11): ADC over the 8-byte
+    codes shortlists 200 candidates, then only those rows' full
+    vectors are fetched for an exact squared-L2 re-rank of the top-10
+    — spending PQ's 64x byte reduction on the corpus scan while the
+    exact pass touches a constant 200 rows. Measured recall@10 vs
+    exact L2 brute force: 8/10/8 at sf0.001/0.01/0.1 (pure ADC ranks
+    1/5/1 on these unstructured synthetic embeddings — quantization
+    error dominates when random-Gaussian distances concentrate, which
+    is exactly why real deployments ALWAYS refine; both numbers in
+    SCALING.md §Similarity). Oracle-exact: both stages replay on the
+    interpolated codebook constants with shared rounding and
+    tie-breaks."""
+    from wnv_etl_lab2_spark.operators.similarity import pq_topk_refined
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return pq_topk_refined(
+        emb.where(F.col("vec_id") != 0), query_vec, _PQ_BOOKS,
+        k=10, shortlist=_PQ_SHORTLIST,
+    )
