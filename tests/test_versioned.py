@@ -845,3 +845,89 @@ def test_merge_on_read_delete_streams_exact_retractions(spark, tmp_path):
     final = Counter((r.id, r.grp) for r in read_table(spark, tbl).collect())
     assert +state == final
     assert not [k for k, n in state.items() if n < 0]
+
+
+def test_round11_features_compose_in_one_lifecycle(spark, tmp_path):
+    """Capstone composition: CHECK constraints + UPDATE + merge-on-read
+    DELETE (deletion vectors) + row-level change data + RESTORE +
+    shallow CLONE + the CDF-backed matview all operate on ONE table's
+    lifecycle without stepping on each other — the integration a real
+    deployment exercises daily, not just each feature's unit pin."""
+    from collections import Counter
+
+    import pytest
+
+    from test_matview import _cagg, _cmerge_signed
+
+    from wnv_etl_lab2_spark.operators.matview import refresh_incremental_cdf
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        append_table,
+        clone_table,
+        create_table,
+        delete_from_table,
+        merge_upsert_table,
+        read_table,
+        restore_table,
+        update_table,
+    )
+
+    tbl, view, clone = str(tmp_path / "t"), str(tmp_path / "v"), str(tmp_path / "c")
+    create_table(
+        spark.createDataFrame(
+            [(i, "u%d" % (i % 3), i * 10) for i in range(12)],
+            "id long, user string, v long",
+        ),
+        tbl,
+    )
+    add_check_constraint(spark, tbl, "v_nonneg", "v >= 0")  # v1
+
+    merge, retract = _cmerge_signed(F.lit(1)), _cmerge_signed(F.lit(-1))
+
+    def refresh():
+        return refresh_incremental_cdf(
+            spark, tbl, view, "id", _cagg, merge, retract
+        )
+
+    def assert_view_fresh():
+        want = {(r.user, r.n, float(r.sv)) for r in _cagg(read_table(spark, tbl)).collect()}
+        got = {(r.user, r.n, float(r.sv)) for r in read_table(spark, view).collect()}
+        assert got == want
+
+    refresh()  # full build at v1
+    assert_view_fresh()
+
+    # UPDATE with row-level change data; constraint enforced en route
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        update_table(spark, tbl, {"v": "-5"}, "id = 0")
+    update_table(spark, tbl, {"v": "v + 7"}, "user = 'u1'", change_data=True)  # v2
+    refresh()
+    assert_view_fresh()
+
+    # merge-on-read DELETE: no files rewritten, view still refreshes
+    delete_from_table(spark, tbl, "id >= 9", mode="merge_on_read")  # v3
+    refresh()
+    assert_view_fresh()
+
+    # appends carry both constraints AND deletion vectors forward
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        append_table(spark.createDataFrame([(50, "u0", -1)], "id long, user string, v long"), tbl)
+    append_table(spark.createDataFrame([(50, "u0", 5)], "id long, user string, v long"), tbl)  # v4
+    refresh()
+    assert_view_fresh()
+
+    # shallow clone sees the DV-applied snapshot and lives independently
+    clone_table(spark, tbl, clone)
+    assert Counter(r.id for r in read_table(spark, clone).collect()) == Counter(
+        r.id for r in read_table(spark, tbl).collect()
+    )
+    merge_upsert_table(spark.createDataFrame([(99, "u2", 1)], "id long, user string, v long"), clone, key="id")
+    assert 99 not in {r.id for r in read_table(spark, tbl).collect()}
+
+    # RESTORE to the pre-delete version; the CDF refresher retracts/
+    # applies across BOTH the delete and the restore correctly
+    restore_table(spark, tbl, 2)  # v5: ids 9..11 are back, id 50 gone
+    got = {r.id for r in read_table(spark, tbl).collect()}
+    assert got == set(range(12))
+    refresh()
+    assert_view_fresh()
