@@ -130,11 +130,14 @@ def test_appended_schema_evolution_reads_as_union(spark, tmp_path):
 
 def test_random_op_sequences_match_model(spark, tmp_path):
     """Model-based check of the whole DML surface: a seeded random
-    sequence of create/append/merge/delete/overwrite/optimize is
+    sequence of create/append/merge/delete (copy-on-write AND
+    merge-on-read deletion vectors)/update/overwrite/optimize is
     applied both to the versioned table and to a plain in-memory dict
     model {id: v}; after EVERY op the latest snapshot must equal the
     model, and at the end every historical version must equal its
-    recorded model snapshot (time travel over the full history)."""
+    recorded model snapshot (time travel over the full history) —
+    including DV versions, whose time travel must re-apply their
+    vectors."""
     import random
 
     from wnv_etl_lab2_spark.sources.versioned import (
@@ -143,6 +146,7 @@ def test_random_op_sequences_match_model(spark, tmp_path):
         merge_upsert_table,
         optimize_table,
         overwrite_table,
+        update_table,
     )
 
     rng = random.Random(42)
@@ -159,8 +163,10 @@ def test_random_op_sequences_match_model(spark, tmp_path):
     history = [dict(model)]
 
     next_id = 100
-    for _ in range(10):
-        op = rng.choice(["append", "merge", "delete", "overwrite", "optimize"])
+    for _ in range(14):
+        op = rng.choice(
+            ["append", "merge", "delete", "delete_dv", "update", "overwrite", "optimize"]
+        )
         if op == "append":
             batch = {next_id + j: rng.randrange(1000) for j in range(rng.randrange(1, 4))}
             next_id += 10
@@ -172,15 +178,22 @@ def test_random_op_sequences_match_model(spark, tmp_path):
             batch = {k: rng.randrange(1000) for k in keys}
             merge_upsert_table(df_of(batch), path, "id")
             model.update(batch)
-        elif op == "delete":
+        elif op in ("delete", "delete_dv"):
             cut = rng.randrange(1000)
-            delete_from_table(spark, path, f"v < {cut}")
+            delete_from_table(
+                spark, path, f"v < {cut}",
+                mode="merge_on_read" if op == "delete_dv" else "copy_on_write",
+            )
             model = {k: v for k, v in model.items() if not v < cut}
             if not model:  # refill so later ops stay meaningful
                 model = {next_id: 1}
                 next_id += 10
                 overwrite_table(df_of(model), path)
                 history.append(dict({k: v for k, v in history[-1].items() if not v < cut}))
+        elif op == "update":
+            cut = rng.randrange(1000)
+            update_table(spark, path, {"v": "v + 3"}, f"v < {cut}")
+            model = {k: (v + 3 if v < cut else v) for k, v in model.items()}
         elif op == "overwrite":
             model = {next_id + j: rng.randrange(1000) for j in range(3)}
             next_id += 10
