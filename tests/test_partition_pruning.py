@@ -64,3 +64,47 @@ def test_partition_scan_reads_fewer_files(spark, partitioned_events):
         return df.select(F.input_file_name()).distinct().count()
 
     assert n_files(one_type) < n_files(all_types)
+
+
+def test_bloom_file_skipping_equality_lookup(spark, tmp_path):
+    """collect_blooms + read_table_bloom_pruned: a point lookup on a
+    value clustered into one file scans a strict subset of the files
+    (never dropping the true file — blooms have no false negatives),
+    returns exactly the full-filter result, an absent value returns
+    empty, and deletion vectors still apply to the pruned scan."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        collect_blooms,
+        create_table,
+        delete_from_table,
+        read_table,
+        read_table_bloom_pruned,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # 8 files, each owning one source value (range-clustered)
+    df = spark.createDataFrame(
+        [(i, f"src{i % 8}", i) for i in range(400)], "id long, source string, v long"
+    ).repartitionByRange(8, "source")
+    create_table(df, tbl)
+    collect_blooms(spark, tbl, ["source"])
+
+    pruned = read_table_bloom_pruned(spark, tbl, "source", "src3")
+    full = read_table(spark, tbl).where(F.col("source") == "src3")
+    assert sorted(r.id for r in pruned.collect()) == sorted(r.id for r in full.collect())
+    n_total = len(read_table(spark, tbl).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert 1 <= n_pruned < n_total  # skipped most files, kept the true one
+
+    # absent value: bloom says definitely-absent for every file
+    assert read_table_bloom_pruned(spark, tbl, "source", "nope").count() == 0
+
+    # a DV delete after the bloom still applies to the pruned scan
+    delete_from_table(spark, tbl, "id = 3", mode="merge_on_read")
+    # blooms are version-pinned metadata: re-read at latest (the DV
+    # version carries them forward? they are NOT carried by writes —
+    # recollect to exercise the carry through the analyze commit)
+    collect_blooms(spark, tbl, ["source"])
+    got = {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "src3").collect()}
+    assert got == {i for i in range(400) if i % 8 == 3 and i != 3}
