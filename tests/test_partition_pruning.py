@@ -108,3 +108,50 @@ def test_bloom_file_skipping_equality_lookup(spark, tmp_path):
     collect_blooms(spark, tbl, ["source"])
     got = {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "src3").collect()}
     assert got == {i for i in range(400) if i % 8 == 3 and i != 3}
+
+
+def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
+    """collect_blooms reuses the previous collection's bitmaps for
+    files it already covered (files are immutable): after an append,
+    only the NEW files contribute scan work, and the merged bloom set
+    prunes correctly across old and new files alike."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        collect_blooms,
+        create_table,
+        latest_version,
+        read_table,
+        read_table_bloom_pruned,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, f"src{i % 4}") for i in range(100)], "id long, source string"
+        ).repartitionByRange(4, "source"),
+        tbl,
+    )
+    collect_blooms(spark, tbl, ["source"])
+    before = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+
+    append_table(
+        spark.createDataFrame([(500, "srcNEW"), (501, "srcNEW")], "id long, source string"),
+        tbl,
+    )
+    collect_blooms(spark, tbl, ["source"])
+    after = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+    # old files' bitmaps are reused VERBATIM; only the appended file(s) are new
+    for f, per_col in before.items():
+        assert after[f] == per_col
+    assert len(after) > len(before)
+
+    got = {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "srcNEW").collect()}
+    assert got == {500, 501}
+    pruned = read_table_bloom_pruned(spark, tbl, "source", "srcNEW")
+    assert len(pruned.inputFiles()) < len(read_table(spark, tbl).inputFiles())
+    # and an old value still resolves across the merged set
+    want = {r.id for r in read_table(spark, tbl).where(F.col("source") == "src2").collect()}
+    assert {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "src2").collect()} == want

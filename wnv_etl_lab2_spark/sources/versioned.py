@@ -1234,9 +1234,24 @@ def collect_blooms(
         raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, cur)
     files = _resolve_files(spark, table_path, cur)
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
-    blooms: dict = {}
-    for col in cols:
+    # INCREMENTAL by default: files already covered by the previous
+    # bloom collection (same m/k, all requested cols present) reuse
+    # their recorded bitmaps — after an append, only the new files
+    # scan, O(new data) like the append itself. Files are immutable
+    # once committed, so reuse can never go stale.
+    prev_meta = m.get("blooms", {})
+    reused: dict = {}
+    if prev_meta.get("m_bits") == m_bits and prev_meta.get("k") == k:
+        for f, per_col in prev_meta.get("files", {}).items():
+            if f in set(files) and all(c in per_col for c in cols):
+                reused[f] = per_col
+    todo = [f for f in files if f not in reused]
+    blooms: dict = dict(reused)
+    if not todo:
+        df = None
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*todo)
+    for col in cols if todo else []:
         pos = F.explode(
             F.array(
                 *[
