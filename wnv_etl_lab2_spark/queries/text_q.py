@@ -1815,12 +1815,22 @@ def chi2_token_source(spark, sf_dir):
     engines); ZERO cells still contribute their expected mass, via a
     full top-tokens x sources grid left-joined to the observations.
 
-    Scale shape: the explode + two count aggregations are the only
-    row-scale work (combinable, token-keyed); everything after runs on
-    bounded artifacts (20 tokens x |sources| cells), and the 1-row
-    totals cross-join is the registry's accepted broadcast pattern.
-    Integer counts keep obs/exp engine-exact; the final sum of ~400
-    cell terms is rounded at 6."""
+    Scale shape: exactly TWO corpus passes - the global token count
+    (top-20) and the restricted (token, source) contingency count -
+    both combinable, token-keyed aggregations. The contingency frame
+    is a BOUNDED artifact (<= 20 x |sources| rows), so the per-source
+    and grand totals DERIVE from it instead of re-scanning the corpus
+    (the first cut re-aggregated the exploded corpus once per total:
+    4-5 scans); both bounded frames are localCheckpoint'd because each
+    has multiple consumers and a lazy plan would re-run its corpus
+    scan per consumer. The 1-row totals cross-join is the registry's
+    accepted broadcast pattern. Integer counts keep obs/exp
+    engine-exact; the final sum of ~400 cell terms is rounded at 6.
+    Local trade, measured: the two checkpoint materializations cost
+    ~0.3 s of fixed driver-sync at sf0.1 (0.55 -> 0.88 s) while
+    cutting corpus passes 5 -> 2 - the right side of the trade at any
+    real scale, same reasoning as source_similarity_matrix's eager tf
+    frame."""
     toks = load_table(spark, "documents", sf_dir).select(
         F.explode(F.split("text", " ")).alias("w"), "source"
     )
@@ -1829,11 +1839,16 @@ def chi2_token_source(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("rt"))
         .orderBy(F.col("rt").desc(), F.col("w").asc())
         .limit(20)
+        .localCheckpoint()  # 20 rows; 2 consumers (join probe + grid)
     )
-    r = toks.join(F.broadcast(top.select("w")), "w")
-    col = r.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
-    tot = r.agg(F.count(F.lit(1)).alias("n"))
-    obs = r.groupBy("w", "source").agg(F.count(F.lit(1)).alias("o"))
+    obs = (
+        toks.join(F.broadcast(top.select("w")), "w")
+        .groupBy("w", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()  # <= 20 x |sources| rows; 3 consumers
+    )
+    col = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
     cells = (
         top.crossJoin(col)
         .crossJoin(tot)
