@@ -91,6 +91,14 @@ _FRONT = [
     # computed from the union of CORRECTNESS_r01..r10.json); (c) the
     # new round-11 operators (first evidence). After this window
     # lands, no query's evidence is older than r8.
+    # PRE-COMMITTED for round 12: the r8-evidenced cohort becomes the
+    # oldest (49 queries; the 3 pads below re-verify in r11 and drop
+    # out of it) — rotate it in full, head slots going to any r12
+    # operators and plan-changed queries first, then the r8-stale
+    # set oldest-first. chi2_token_source's plan changed late in r11
+    # (5 -> 2 corpus passes) AFTER this window was captured only if
+    # the driver ran before the replan landed; if its r11 row
+    # pre-dates commit b4d83e6, re-verify it in r12.
     # (a) late-r10 registrations — first driver evidence
     "lsh_recall_forecast",
     "bigram_logprob_quality",

@@ -1852,7 +1852,7 @@ def chi2_token_source(spark, sf_dir):
     cells = (
         top.crossJoin(col)
         .crossJoin(tot)
-        .join(obs, ["w", "source"], "left")
+        .join(F.broadcast(obs), ["w", "source"], "left")
         .select(
             F.coalesce("o", F.lit(0)).alias("o"),
             (F.col("rt") * F.col("ct") / F.col("n")).alias("e"),
