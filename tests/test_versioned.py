@@ -944,3 +944,45 @@ def test_round11_features_compose_in_one_lifecycle(spark, tmp_path):
     assert got == set(range(12))
     refresh()
     assert_view_fresh()
+
+
+def test_table_history_and_vacuum_dry_run(spark, tmp_path):
+    """DESCRIBE HISTORY reports every version's op and protocol flags
+    (change data, deletion vectors, constraints, restore provenance);
+    VACUUM dry_run previews the drop list without deleting anything."""
+    import glob
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        append_table,
+        create_table,
+        delete_from_table,
+        read_table,
+        restore_table,
+        table_history,
+        vacuum_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, 5), (2, 6)], "id long, v long"), tbl)
+    append_table(spark.createDataFrame([(3, 7)], "id long, v long"), tbl)
+    add_check_constraint(spark, tbl, "v_pos", "v > 0")
+    delete_from_table(spark, tbl, "id = 1", mode="merge_on_read", change_data=True)
+    restore_table(spark, tbl, 1)
+
+    h = {r.version: r for r in table_history(spark, tbl).collect()}
+    assert [h[v].op for v in range(5)] == ["create", "append", "analyze", "delete", "restore"]
+    assert h[3].has_dv and h[3].has_change_data and h[3].n_rows == 2
+    assert h[3].constraints == ["v_pos"]
+    assert h[4].restored_from == 1 and not h[4].has_dv
+    assert h[4].n_rows == 3 and not h[4].txn_pending
+
+    manifests_before = sorted(glob.glob(f"{tbl}/_log/*.json"))
+    data_before = sorted(glob.glob(f"{tbl}/data/*/*"))
+    assert vacuum_table(spark, tbl, keep_last=2, dry_run=True) == [0, 1, 2]
+    # dry run deleted NOTHING
+    assert sorted(glob.glob(f"{tbl}/_log/*.json")) == manifests_before
+    assert sorted(glob.glob(f"{tbl}/data/*/*")) == data_before
+    assert read_table(spark, tbl, 0).count() == 2  # still time-travelable
+    # the real vacuum then drops exactly the previewed versions
+    assert vacuum_table(spark, tbl, keep_last=2) == [0, 1, 2]

@@ -1001,7 +1001,9 @@ def optimize_table(
     return _write_version(compacted, table_path, cur + 1, "optimize", expect_latest=cur)
 
 
-def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> list[int]:
+def vacuum_table(
+    spark: SparkSession, table_path: str, keep_last: int = 1, dry_run: bool = False
+) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests
     are removed and any data file no kept version references is
     deleted (a file may be shared if a future format change adds
@@ -1012,7 +1014,10 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
     version N is committed by anyone (N <= latest) the attempt is
     provably dead and its dir is garbage, while an in-flight writer
     always targets latest+1 and is never touched. Returns the
-    vacuumed version numbers; time travel to them now fails loudly."""
+    vacuumed version numbers; time travel to them now fails loudly.
+    ``dry_run=True`` (round 11, Delta's VACUUM DRY RUN) returns the
+    SAME version list while deleting nothing — the operator's preview
+    before an irreversible collection."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (a table must keep its latest version)")
     versions = _list_versions(spark, table_path)
@@ -1029,6 +1034,8 @@ def vacuum_table(spark: SparkSession, table_path: str, keep_last: int = 1) -> li
         )
     drop = versions[:-keep_last]
     kept = versions[-keep_last:]
+    if dry_run:
+        return drop  # preview only: nothing deleted, no checkpoint written
     fs, jvm = _fs(spark, table_path)
     # resolve kept versions WHILE their parent manifests still exist,
     # qualified on both sides of the reference count (manifests may mix
@@ -1345,6 +1352,44 @@ def read_table_bloom_pruned(
     if dv:
         df = _apply_dv(spark, df, dv)
     return df
+
+
+def table_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY — one row per committed version, oldest first:
+    (version, op, n_rows, n_files, and which protocol features the
+    manifest carries: batch/writer stamps, change files, deletion
+    vectors, constraints, clone/restore provenance). Driver-side
+    manifest reads only (KBs each), returned as a DataFrame so the
+    audit composes with everything else."""
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    rows = []
+    for v in versions:
+        m = _read_manifest(spark, table_path, v)
+        rows.append(
+            (
+                v,
+                m["op"],
+                int(m["n_rows"]) if "n_rows" in m else None,
+                len(m["files"]) if "files" in m else len(m.get("add", [])),
+                m.get("batch_id"),
+                m.get("writer_id"),
+                "changes" in m,
+                bool(m.get("dv")),
+                sorted(m.get("constraints", {})),
+                m.get("restored_from"),
+                m.get("cloned_from", {}).get("path") if "cloned_from" in m else None,
+                not _txn_visible(spark, m),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, n_rows long, n_files int, batch_id long, "
+        "writer_id string, has_change_data boolean, has_dv boolean, "
+        "constraints array<string>, restored_from int, cloned_from string, "
+        "txn_pending boolean",
+    )
 
 
 def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
