@@ -1117,8 +1117,8 @@ def decode_raster(payload: bytes):
 
 
 def resize_raster_images(df: DataFrame, target: int = 8) -> DataFrame:
-    """REAL image resize over a mixed binary raster column (BMP and
-    PNG sniffed by magic): decode, average-pool to <= target x target
+    """REAL image resize over a mixed binary raster column (BMP, PNG,
+    baseline JPEG, and GIF sniffed by magic via `decode_raster`): decode, average-pool to <= target x target
     (aspect preserved), emit per-channel means and the raw RGB
     thumbnail bytes — the downsample an image-dedup / quality pass
     runs before hashing. Payloads in neither format yield null
