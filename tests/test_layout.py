@@ -86,3 +86,55 @@ def test_zorder_preserves_content_and_prunes_both_dims(spark, sf_dir, tmp_path):
     nc_vals = sorted(r.n_chars for r in docs.select("n_chars").collect())
     lo_nc, hi_nc = nc_vals[0], nc_vals[len(nc_vals) // 10]
     assert len(files_matching(z_nc, lo_nc, hi_nc)) < len(z_nc)
+
+
+def test_morton_n_columns_and_three_key_zorder_skipping(spark, tmp_path):
+    """N-column Morton (round 11): the 3-key interleave clusters ALL
+    three columns at once — after OPTIMIZE ZORDER BY (a, b, c) +
+    ANALYZE, a range probe on EACH of the three columns individually
+    prunes files (min/max stays narrow per key), and the code rejects
+    interleaves that would overflow a BIGINT."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.layout import morton_code_n
+    from wnv_etl_lab2_spark.sources.versioned import (
+        collect_stats,
+        create_table,
+        optimize_table,
+        read_table,
+        read_table_pruned,
+    )
+
+    # overflow guard
+    with pytest.raises(ValueError, match="BIGINT"):
+        morton_code_n([F.lit(0)] * 4, bits=16)
+
+    # bit layout: 3 columns, bit n*i+j comes from column j's bit i
+    row = (
+        spark.range(1)
+        .select(
+            morton_code_n([F.lit(1).cast("bigint"), F.lit(2).cast("bigint"),
+                           F.lit(4).cast("bigint")], bits=3).alias("z")
+        )
+        .head()
+    )
+    # a=0b001 -> bit 0; b=0b010 -> bit 3*1+1=4; c=0b100 -> bit 3*2+2=8
+    assert row.z == (1 << 0) + (1 << 4) + (1 << 8)
+
+    tbl = str(tmp_path / "tbl")
+    rows = [(i, (i * 7) % 1000, (i * 13) % 1000, (i * 29) % 1000) for i in range(4000)]
+    create_table(
+        spark.createDataFrame(rows, "id long, a long, b long, c long").repartition(8),
+        tbl,
+    )
+    optimize_table(spark, tbl, target_files=8, zorder_by=("a", "b", "c"))
+    collect_stats(spark, tbl, ["a", "b", "c"])
+    total = len(read_table(spark, tbl).inputFiles())
+    for col in ("a", "b", "c"):
+        pruned = read_table_pruned(spark, tbl, col, 0, 99)
+        want = sorted(
+            r.id for r in read_table(spark, tbl).where(F.col(col).between(0, 99)).collect()
+        )
+        assert sorted(r.id for r in pruned.collect()) == want
+        assert len(pruned.inputFiles()) < total, col  # every key prunes

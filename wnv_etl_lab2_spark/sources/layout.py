@@ -47,11 +47,32 @@ def morton_code(a: "F.Column", b: "F.Column", bits: int = _BITS) -> "F.Column":
     """Interleave the low ``bits`` bits of two non-negative BIGINT
     columns: result bit 2i = a's bit i, bit 2i+1 = b's bit i. Pure
     JVM arithmetic (shiftright/pmod), fully inside codegen."""
+    return morton_code_n([a, b], bits=bits)
+
+
+def morton_code_n(cols: list, bits: int = _BITS) -> "F.Column":
+    """N-column Morton interleave (round 11 — OPTIMIZE ZORDER past two
+    keys): result bit n*i + j = cols[j]'s bit i, so every column
+    contributes equally at every granularity and each written file's
+    per-column [min, max] ranges stay narrow for ALL n keys at once.
+    The code must fit a signed BIGINT, so n * bits <= 63 — with the
+    default 16-bit grid that is up to 3 columns; pass a smaller
+    ``bits`` for 4+ (resolution beyond the file count is wasted
+    anyway: 2^bits cells per axis only needs to exceed the file
+    count). Pure JVM arithmetic, fully inside codegen."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("morton_code_n needs at least one column")
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} exceeds a signed BIGINT; "
+            f"lower bits to <= {63 // n}"
+        )
     code = F.lit(0).cast("bigint")
     for i in range(bits):
-        abit = F.shiftright(a, i) % 2
-        bbit = F.shiftright(b, i) % 2
-        code = code + (abit * F.lit(1 << (2 * i))) + (bbit * F.lit(1 << (2 * i + 1)))
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c, i) % 2
+            code = code + bit * F.lit(1 << (n * i + j))
     return code
 
 

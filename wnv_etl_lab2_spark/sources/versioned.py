@@ -963,14 +963,17 @@ def optimize_table(
     spark: SparkSession,
     table_path: str,
     target_files: int = 1,
-    zorder_by: tuple[str, str] | None = None,
+    zorder_by: tuple[str, ...] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the latest snapshot into ``target_files``
     files as a new version. Content-identical by construction (same
     rows, new layout); the old small-file version remains time-
     travelable until vacuum.
 
-    ``zorder_by=(colA, colB)`` is OPTIMIZE ZORDER BY (round 9,
+    ``zorder_by=(colA, colB, ...)`` is OPTIMIZE ZORDER BY — any number
+    of keys since round 11 (n x 16 bits must fit a BIGINT, so up to 3
+    at the default grid; the layout helper documents the trade) —
+    (round 9,
     composing `sources/layout.py` into the version protocol): instead
     of a plain coalesce, rows are range-partitioned on the Morton
     interleave of the two keys and sorted within partitions, so every
@@ -989,11 +992,22 @@ def optimize_table(
     else:
         from pyspark.sql import functions as F
 
-        from wnv_etl_lab2_spark.sources.layout import _rank_col, morton_code
+        from wnv_etl_lab2_spark.sources.layout import _BITS, _rank_col, morton_code_n
 
-        a, b = zorder_by
+        # ranks are _BITS-bit; when n keys cannot interleave at full
+        # resolution inside a BIGINT, keep each rank's TOP bits (the
+        # coarse structure is what clusters; low bits are noise)
+        bits = min(_BITS, 63 // len(zorder_by))
+        keys = [
+            F.shiftright(_rank_col(base, c), _BITS - bits) if bits < _BITS
+            else _rank_col(base, c)
+            for c in zorder_by
+        ]
         compacted = (
-            base.withColumn("_z", morton_code(_rank_col(base, a), _rank_col(base, b)))
+            base.withColumn(
+                "_z",
+                morton_code_n(keys, bits=bits),
+            )
             .repartitionByRange(max(1, target_files), "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
