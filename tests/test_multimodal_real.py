@@ -463,19 +463,29 @@ def test_gif_dhash_matches_bmp_of_same_pixels(spark):
 # ---- MP3 frame-walk metadata (round 11) -------------------------------
 
 
-def make_mp3(n_frames: int, kbps_seq, sr: int = 44100, id3: bool = False) -> bytes:
+def make_mp3(
+    n_frames: int, kbps_seq, sr: int = 44100, id3: bool = False,
+    id3_footer: bool = False,
+) -> bytes:
     """Synthesize an MPEG-1 Layer III frame sequence: real 4-byte
     headers (sync, version=3, layer III, bitrate/sample-rate indices)
     followed by zero-fill to each frame's computed length."""
     sr_idx = {44100: 0, 48000: 1, 32000: 2}[sr]
     br_table = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
     out = bytearray()
-    if id3:
+    if id3 or id3_footer:
         body = b"x" * 100
-        out += b"ID3\x04\x00\x00" + bytes(
+        flags = 0x10 if id3_footer else 0x00
+        out += b"ID3\x04\x00" + bytes([flags]) + bytes(
             [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
              (len(body) >> 7) & 0x7F, len(body) & 0x7F]
         ) + body
+        if id3_footer:
+            # ID3v2.4 footer: 10 bytes after the body, "3DI" magic
+            out += b"3DI\x04\x00" + bytes([flags]) + bytes(
+                [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                 (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+            )
     for i in range(n_frames):
         kbps = kbps_seq[i % len(kbps_seq)]
         br_idx = br_table.index(kbps)
@@ -500,6 +510,10 @@ def test_mp3_metadata_frame_walk(spark):
     assert parse_mp3_metadata(b"not audio") is None
     # truncated final frame: the walk stops, under-reporting not crashing
     assert parse_mp3_metadata(cbr[:-10])[1] == 9
+    # ID3v2.4 footer flag adds 10 bytes after the tag body: the skip
+    # honors it (round-12 advisory fix — footered files parsed as None)
+    footered = make_mp3(10, [128], id3_footer=True)
+    assert parse_mp3_metadata(footered) == meta
 
     df = spark.createDataFrame(
         [(1, cbr), (2, vbr), (3, b"junk")], "doc_id long, payload binary"

@@ -141,11 +141,43 @@ def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
         spark.createDataFrame([(500, "srcNEW"), (501, "srcNEW")], "id long, source string"),
         tbl,
     )
+    # the append itself carries the bloom metadata forward (round-12
+    # advisory fix: without the carry, prev_meta is empty here and
+    # "incremental" reuse silently degrades to a full rescan)
+    carried = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+    assert carried == before
+
+    # POISON one old file's bitmap in the latest manifest on disk:
+    # recomputed bitmaps would be bit-identical to reused ones, so
+    # verbatim-equality alone can't distinguish reuse from rescan —
+    # a surviving poison proves the file was NOT rescanned. The poison
+    # is a superset bitmap (all bits set), so lookups stay correct
+    # (blooms only ever skip; a saturated bloom just never skips).
+    import json as _json
+    import os as _os
+
+    poisoned_file = sorted(before)[0]
+    log = _os.path.join(tbl, "_log")
+    latest_mf = _os.path.join(log, f"{latest_version(spark, tbl):08d}.json")
+    with open(latest_mf) as fh:
+        mf = _json.load(fh)
+    m_bits = mf["blooms"]["m_bits"]
+    saturated = {str(w): (1 << 64) - 1 for w in range(m_bits // 64)}
+    mf["blooms"]["files"][poisoned_file]["source"] = saturated
+    with open(latest_mf, "w") as fh:
+        _json.dump(mf, fh)
+    # drop Hadoop LocalFileSystem's checksum sidecar for the edited file
+    crc = _os.path.join(log, f".{_os.path.basename(latest_mf)}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
     collect_blooms(spark, tbl, ["source"])
     after = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
-    # old files' bitmaps are reused VERBATIM; only the appended file(s) are new
+    # old files' bitmaps are reused VERBATIM (poison survives = no rescan)
+    assert after[poisoned_file]["source"] == saturated
     for f, per_col in before.items():
-        assert after[f] == per_col
+        if f != poisoned_file:
+            assert after[f] == per_col
     assert len(after) > len(before)
 
     got = {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "srcNEW").collect()}

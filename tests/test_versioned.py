@@ -588,7 +588,9 @@ def test_restore_table_to_old_version(spark, tmp_path):
 
     def apply(df, _bid):
         for r in df.collect():
-            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     q = (
         spark.readStream.format("versioned_table")
@@ -679,7 +681,10 @@ def test_update_table_semantics_and_row_level_changes(spark, tmp_path):
     assert {r.id: (r.a, r.b) for r in read_table(spark, tbl, 0).collect()}[2] == (20, 200)
     # change set: exactly one pre-image + one post-image
     ch = [(r._change_type, r.id, r.a, r.b) for r in read_change_data(spark, tbl, 0).collect()]
-    assert sorted(ch) == [("delete", 2, 20, 200), ("insert", 2, 200, 20)]
+    assert sorted(ch) == [
+        ("update_postimage", 2, 200, 20),
+        ("update_preimage", 2, 20, 200),
+    ]
 
     with pytest.raises(ValueError, match="unknown columns"):
         update_table(spark, tbl, {"nope": "1"}, "id = 1")
@@ -721,7 +726,9 @@ def test_update_streams_row_level_through_change_feed(spark, tmp_path):
     def apply(df, _bid):
         for r in df.collect():
             per_version[r._commit_version] += 1
-            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     q = (
         spark.readStream.format("versioned_table")
@@ -812,6 +819,101 @@ def test_merge_on_read_delete_no_rewrite_and_equivalent_reads(spark, tmp_path):
     assert read_table(spark, tbl).count() == 31
 
 
+def test_purge_deletion_vectors_rewrites_only_heavy_files(spark, tmp_path):
+    """Round 12 (r11 verdict #2): purge_deletion_vectors rewrites
+    exactly the files whose deleted fraction crosses the threshold —
+    DV-free, content identical — keeps light files with their DV
+    entries, stays metadata-driven (manifest dv_counts), and vacuum
+    reclaims the purged DV files."""
+    import glob
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        create_table,
+        delete_from_table,
+        purge_deletion_vectors,
+        read_table,
+        vacuum_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # 5 range-partitioned files of 10 rows each, grp = id // 10
+    create_table(
+        spark.createDataFrame(
+            [(i, i // 10) for i in range(50)], "id long, grp long"
+        ).repartitionByRange(5, "grp"),
+        tbl,
+    )
+    # heavy damage to grp 0's file (8/10 deleted), light to grp 1 (1/10)
+    delete_from_table(spark, tbl, "grp = 0 AND id < 8", mode="merge_on_read")
+    delete_from_table(spark, tbl, "id = 10", mode="merge_on_read")
+    m = _read_manifest(spark, tbl, 2)
+    assert sum(m["dv_counts"].values()) == 9  # cumulative per-file counts
+    want = {r.id for r in read_table(spark, tbl).collect()}
+
+    files_before = set(_read_manifest(spark, tbl, 2)["files"])
+    v = purge_deletion_vectors(spark, tbl, max_deleted_fraction=0.5)
+    assert v == 3
+    m3 = _read_manifest(spark, tbl, 3)
+    # exactly one file rewritten; the other four kept verbatim
+    kept = files_before & set(m3["files"])
+    assert len(kept) == 4 and len(m3["files"]) >= 4
+    # the light file's DV entry survives; the heavy file's is gone
+    assert m3["dv"] and sum(m3["dv_counts"].values()) == 1
+    # content identical through the rewrite
+    assert {r.id for r in read_table(spark, tbl).collect()} == want
+    assert read_table(spark, tbl, 2).count() == len(want)  # time travel
+
+    # idempotent: nothing else crosses the threshold -> no new commit
+    assert purge_deletion_vectors(spark, tbl, max_deleted_fraction=0.5) is None
+    # a 0-threshold purge folds the remaining DV away entirely
+    v4 = purge_deletion_vectors(spark, tbl, max_deleted_fraction=0.0)
+    m4 = _read_manifest(spark, tbl, v4)
+    assert "dv" not in m4
+    assert {r.id for r in read_table(spark, tbl).collect()} == want
+
+    # vacuum to the purged version: every DV dir is unreferenced garbage
+    vacuum_table(spark, tbl, keep_last=1)
+    assert glob.glob(f"{tbl}/_dv/*/") == []
+    assert {r.id for r in read_table(spark, tbl).collect()} == want
+
+
+def test_apply_dv_falls_back_to_shuffled_anti_join_past_cap(spark, tmp_path):
+    """Round 12 (r11 verdict #2): _apply_dv drops the broadcast hint
+    when the DV footer row count exceeds DV_BROADCAST_MAX_ROWS — the
+    plan carries no BroadcastExchange, and reads stay correct through
+    the shuffled path."""
+    from wnv_etl_lab2_spark.sources import versioned
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        delete_from_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 4) for i in range(100)], "id long, grp long"
+        ).repartition(4),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "grp = 0", mode="merge_on_read")
+    want = {i for i in range(100) if i % 4 != 0}
+
+    assert "BroadcastExchange" in read_table(spark, tbl)._jdf.queryExecution().executedPlan().toString()
+
+    old = versioned.DV_BROADCAST_MAX_ROWS
+    versioned.DV_BROADCAST_MAX_ROWS = 0  # force the fallback
+    try:
+        df = read_table(spark, tbl)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan  # shuffled anti-join
+        assert {r.id for r in df.collect()} == want
+    finally:
+        versioned.DV_BROADCAST_MAX_ROWS = old
+    assert {r.id for r in read_table(spark, tbl).collect()} == want
+
+
 def test_merge_on_read_delete_streams_exact_retractions(spark, tmp_path):
     """A DV delete changes NO files — the change feed must still emit
     exactly the deleted rows (from the version's own DV positions),
@@ -841,7 +943,9 @@ def test_merge_on_read_delete_streams_exact_retractions(spark, tmp_path):
     def apply(df, _bid):
         for r in df.collect():
             per_version[r._commit_version] += 1
-            state[(r.id, r.grp)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.grp)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     q = (
         spark.readStream.format("versioned_table")

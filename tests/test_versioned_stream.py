@@ -219,7 +219,9 @@ def test_change_feed_streams_through_rewrites(registered, tmp_path):
         for r in df.collect():
             seen_types.add(r._change_type)
             seen_versions.add(r._commit_version)
-            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     q = (
         spark.readStream.format("versioned_table")
@@ -257,7 +259,9 @@ def test_change_feed_incremental_restart_across_rewrite(registered, tmp_path):
 
     def apply(df, _bid):
         for r in df.collect():
-            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     def drain():
         q = (
@@ -369,7 +373,9 @@ def test_row_level_change_feed_merge_emits_two_rows(registered, tmp_path):
     def apply(df, _bid):
         for r in df.collect():
             per_version[r._commit_version] += 1
-            state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     def drain():
         q = (
@@ -434,7 +440,9 @@ def test_row_level_change_feed_delete_and_mixed_modes(registered, tmp_path):
     def apply(df, _bid):
         for r in df.collect():
             per_version[r._commit_version] += 1
-            state[(r.id, r.grp)] += 1 if r._change_type == "insert" else -1
+            state[(r.id, r.grp)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
 
     q = (
         spark.readStream.format("versioned_table")
@@ -452,6 +460,111 @@ def test_row_level_change_feed_delete_and_mixed_modes(registered, tmp_path):
     assert per_version[2] > 2  # file-diff fallback: O(rewritten files)
     final = Counter((r.id, r.grp) for r in read_table(spark, tbl).collect())
     assert +state == final
+    assert not [k for k, n in state.items() if n < 0]
+
+
+def _cdf_state(registered, tmp_path, tbl):
+    """Drain the change feed; return the retract-apply Counter."""
+    from collections import Counter
+
+    state: Counter = Counter()
+
+    def apply(df, _bid):
+        for r in df.collect():
+            state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
+
+    q = (
+        registered.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return state
+
+
+def test_change_feed_dv_then_cow_rewrite_no_double_retract(registered, tmp_path):
+    """Round-12 advisory fix: a merge-on-read DELETE followed by a
+    copy-on-write rewrite must not retract the DV-deleted rows twice.
+    The CoW drops the parent's physical files, which still CONTAIN the
+    DV-deleted rows; the file-diff retraction must subtract the parent
+    manifest's DV positions or retract-apply goes net-negative."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import delete_from_table, read_table
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "id long, v string"
+        ).coalesce(1),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "id = 0", mode="merge_on_read")  # v1: DV only
+    delete_from_table(spark, tbl, "id = 1")  # v2: CoW, drops the v0 file
+
+    state = _cdf_state(spark, tmp_path, tbl)
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final == Counter({(2, "c"): 1})
+    # the regression: id=0 retracted at v1 (DV) AND inside v2's
+    # dropped-file retraction -> net -1
+    assert not [k for k, n in state.items() if n < 0]
+
+
+def test_change_feed_restore_across_mor_delete(registered, tmp_path):
+    """RESTORE across a merge-on-read DELETE: (a) restoring to the
+    pre-delete version re-inserts exactly the DV-deleted positions of
+    the KEPT files (same file list, DV delta only); (b) restoring TO a
+    DV-bearing version after a full rewrite inserts the restored files
+    MINUS their manifest's DV positions."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        overwrite_table,
+        read_table,
+        restore_table,
+    )
+
+    spark = registered
+
+    # (a) kept-file DV delta: v0 create -> v1 MoR delete -> v2 restore v0
+    tbl = str(tmp_path / "a")
+    create_table(
+        spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "id long, v string"
+        ).coalesce(1),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "id = 0", mode="merge_on_read")
+    restore_table(spark, tbl, 0)
+    state = _cdf_state(spark, tmp_path / "a_ck", tbl)
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final == Counter({(0, "a"): 1, (1, "b"): 1, (2, "c"): 1})
+    assert not [k for k, n in state.items() if n < 0]
+
+    # (b) insert-side DV: v0 create -> v1 MoR delete -> v2 overwrite
+    # -> v3 restore v1 (manifest carries the DV)
+    tbl = str(tmp_path / "b")
+    create_table(
+        spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "id long, v string"
+        ).coalesce(1),
+        tbl,
+    )
+    delete_from_table(spark, tbl, "id = 0", mode="merge_on_read")
+    overwrite_table(spark.createDataFrame([(9, "z")], "id long, v string"), tbl)
+    restore_table(spark, tbl, 1)
+    state = _cdf_state(spark, tmp_path / "b_ck", tbl)
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final == Counter({(1, "b"): 1, (2, "c"): 1})
     assert not [k for k, n in state.items() if n < 0]
 
 
@@ -483,7 +596,9 @@ def test_read_change_data_batch_range(spark, tmp_path):
     feed = read_change_data(spark, tbl, 0)  # (0, latest]
     state: Counter = Counter()
     for r in feed.collect():
-        state[(r.id, r.v)] += 1 if r._change_type == "insert" else -1
+        state[(r.id, r.v)] += (
+                1 if r._change_type in ("insert", "update_postimage") else -1
+            )
     start = Counter((r.id, r.v) for r in read_table(spark, tbl, 0).collect())
     final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
     assert start + state == final

@@ -1206,6 +1206,12 @@ def parse_mp3_metadata(payload: bytes):
             | (payload[9] & 0x7F)
         )
         pos = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: 10 more bytes AFTER the tag body —
+            # without the skip the first sync check lands inside the
+            # footer and a valid file reads as corrupt (round-12
+            # advisory fix)
+            pos += 10
     n = 0
     bitrates: list[int] = []
     sample_rate = None

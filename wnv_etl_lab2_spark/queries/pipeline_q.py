@@ -805,16 +805,16 @@ def time_travel_audit(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n
     FROM documents WHERE source = 'src0'
     UNION ALL
-    SELECT CAST(2 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT)
+    SELECT CAST(2 AS BIGINT), 'update_preimage', CAST(COUNT(*) AS BIGINT)
     FROM documents WHERE source <> 'src0' AND lang = 'de'
     UNION ALL
-    SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT)
+    SELECT CAST(2 AS BIGINT), 'update_postimage', CAST(COUNT(*) AS BIGINT)
     FROM documents WHERE source <> 'src0' AND lang = 'de'
     UNION ALL
-    SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT)
+    SELECT CAST(3 AS BIGINT), 'update_preimage', CAST(COUNT(*) AS BIGINT)
     FROM documents WHERE source <> 'src0' AND lang = 'zh'
     UNION ALL
-    SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT)
+    SELECT CAST(3 AS BIGINT), 'update_postimage', CAST(COUNT(*) AS BIGINT)
     FROM documents WHERE source <> 'src0' AND lang = 'zh'
     """,
 )
@@ -825,7 +825,10 @@ def cdf_row_level_audit(spark, sf_dir):
     re-score of the German docs, and UPDATE the Chinese docs' lengths
     — all three DML verbs committing their EXACT change rows inside
     the version commit — then read the persisted feed back and return
-    its (version, change_type) row counts. The protocol is
+    its (version, change_type) row counts. MERGE-matched and UPDATE
+    rows carry the Delta CDF 'update_preimage'/'update_postimage'
+    vocabulary, agreeing with the snapshot-diff table_changes API
+    (round-12 advisory fix). The protocol is
     deterministic, so the oracle states the expected change set in
     pure SQL over the input corpus: the delete's change file holds
     precisely the src0 rows; the merge's and the update's each hold

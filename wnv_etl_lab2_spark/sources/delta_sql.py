@@ -1,0 +1,275 @@
+"""Delta-style SQL STRING surface over versioned tables (round 12 —
+r11 verdict #4): a deliberately small statement router mapping the
+lakehouse DDL/DML vocabulary onto the existing Python verbs in
+`sources/versioned.py`, so a user can drive one table's full
+lifecycle with SQL strings only:
+
+    sql = DeltaSql(spark, {"events": "/data/tables/events"})
+    sql.run("DELETE FROM events WHERE id < 0")
+    sql.run("UPDATE events SET score = score + 1 WHERE lang = 'de'")
+    sql.run("MERGE INTO events USING updates ON events.id = updates.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    sql.run("OPTIMIZE events ZORDER BY (ts, id)")
+    sql.run("DESCRIBE HISTORY events")          # -> DataFrame
+    sql.run("SELECT * FROM events VERSION AS OF 2 WHERE id > 5")
+    sql.run("RESTORE TABLE events TO VERSION AS OF 1")
+    sql.run("VACUUM events RETAIN 2 VERSIONS DRY RUN")
+
+Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
+statement head (MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE/RESTORE)
+and the time-travel suffix (`VERSION AS OF n`) are recognized here,
+with regexes anchored at the statement head; everything inside a
+SELECT (and the SET/WHERE expression text of DML) is handed verbatim
+to Spark SQL / the Python verbs, which own expression semantics. That
+keeps this file honest — a router, not a second SQL dialect — and
+means any Spark-SQL-valid expression works unchanged. Statements the
+router does not recognize raise rather than silently degrading to a
+snapshot read.
+
+SELECT statements resolve every registered table name to its LATEST
+snapshot (or the pinned `VERSION AS OF` snapshot) as a per-call temp
+view, then run through ``spark.sql`` — Catalyst optimizes the query
+exactly as if the snapshot were a native source, so the whole
+DataFrame/SQL optimizer surface (pushdown, pruning, AQE) applies
+unchanged at any scale.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    delete_from_table,
+    merge_upsert_table,
+    optimize_table,
+    purge_deletion_vectors,
+    read_table,
+    restore_table,
+    table_history,
+    update_table,
+    vacuum_table,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class DeltaSql:
+    """Statement router bound to a {table_name -> table_path} catalog.
+
+    ``run(sql)`` returns a DataFrame for queries (SELECT / DESCRIBE
+    HISTORY / VACUUM DRY RUN's version list), or the committed version
+    number (int) for DML/maintenance verbs."""
+
+    def __init__(self, spark: SparkSession, tables: dict[str, str]) -> None:
+        self.spark = spark
+        self.tables = dict(tables)
+
+    # -- helpers ---------------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        if name not in self.tables:
+            raise ValueError(
+                f"unknown table {name!r} — register it in the DeltaSql catalog"
+            )
+        return self.tables[name]
+
+    def _strip(self, sql: str) -> str:
+        s = sql.strip()
+        return s[:-1].rstrip() if s.endswith(";") else s
+
+    # -- verbs -----------------------------------------------------------
+
+    def run(self, sql: str):
+        s = self._strip(sql)
+        head = s.split(None, 1)[0].upper() if s else ""
+        if head == "SELECT" or head == "WITH":
+            return self._select(s)
+        if head == "DESCRIBE":
+            m = re.fullmatch(
+                rf"DESCRIBE\s+HISTORY\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(f"unsupported DESCRIBE statement: {sql!r}")
+            return table_history(self.spark, self._path(m.group(1)))
+        if head == "VACUUM":
+            m = re.fullmatch(
+                rf"VACUUM\s+({_IDENT})"
+                r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+                r"(\s+DRY\s+RUN)?",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported VACUUM statement: {sql!r}")
+            keep = int(m.group(2)) if m.group(2) else 1
+            return vacuum_table(
+                self.spark,
+                self._path(m.group(1)),
+                keep_last=keep,
+                dry_run=bool(m.group(3)),
+            )
+        if head == "OPTIMIZE":
+            m = re.fullmatch(
+                rf"OPTIMIZE\s+({_IDENT})"
+                rf"(?:\s+ZORDER\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+                r"(?:\s+APPLY\s*\(\s*PURGE\s*\))?",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported OPTIMIZE statement: {sql!r}")
+            if re.search(r"APPLY\s*\(\s*PURGE\s*\)", s, re.IGNORECASE):
+                return purge_deletion_vectors(self.spark, self._path(m.group(1)))
+            zorder = (
+                tuple(c.strip() for c in m.group(2).split(","))
+                if m.group(2)
+                else None
+            )
+            return optimize_table(
+                self.spark, self._path(m.group(1)), zorder_by=zorder
+            )
+        if head == "RESTORE":
+            m = re.fullmatch(
+                rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported RESTORE statement: {sql!r}")
+            return restore_table(self.spark, self._path(m.group(1)), int(m.group(2)))
+        if head == "DELETE":
+            m = re.fullmatch(
+                rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"unsupported DELETE statement: {sql!r}")
+            return delete_from_table(self.spark, self._path(m.group(1)), m.group(2))
+        if head == "UPDATE":
+            return self._update(s, sql)
+        if head == "MERGE":
+            return self._merge(s, sql)
+        raise ValueError(f"unsupported statement: {sql!r}")
+
+    def _select(self, s: str) -> DataFrame:
+        """Register each referenced table (latest or `VERSION AS OF n`
+        pinned snapshot) as a unique temp view, rewrite the statement
+        to the view names, and delegate to spark.sql."""
+        views: list[str] = []
+        try:
+            for name, path in self.tables.items():
+                # pinned references first: `name VERSION AS OF n`
+                def pin(m: re.Match) -> str:
+                    v = f"_dsql_{name}_v{m.group(1)}_{uuid.uuid4().hex[:6]}"
+                    read_table(self.spark, path, int(m.group(1))).createOrReplaceTempView(v)
+                    views.append(v)
+                    return v
+
+                s = re.sub(
+                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
+                    pin,
+                    s,
+                    flags=re.IGNORECASE,
+                )
+                if re.search(rf"\b{name}\b", s):
+                    v = f"_dsql_{name}_{uuid.uuid4().hex[:6]}"
+                    read_table(self.spark, path).createOrReplaceTempView(v)
+                    views.append(v)
+                    s = re.sub(rf"\b{name}\b", v, s)
+            # materialize the result before dropping the views so the
+            # returned frame does not depend on them... it would — so
+            # keep the views; they are session-scoped temps with
+            # collision-free names and the snapshot they pin is
+            # immutable, so a later run never changes their meaning.
+            return self.spark.sql(s)
+        except Exception:
+            for v in views:
+                self.spark.catalog.dropTempView(v)
+            raise
+
+    def _update(self, s: str, sql: str) -> int:
+        m = re.fullmatch(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"unsupported UPDATE statement: {sql!r}")
+        name, set_clause, cond = m.group(1), m.group(2), m.group(3) or "true"
+        set_exprs: dict[str, str] = {}
+        # split on top-level commas (expressions may contain commas
+        # inside parens/quotes)
+        depth, start, parts = 0, 0, []
+        quote = None
+        for i, ch in enumerate(set_clause):
+            if quote:
+                if ch == quote:
+                    quote = None
+                continue
+            if ch in "'\"":
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(set_clause[start:i])
+                start = i + 1
+        parts.append(set_clause[start:])
+        for part in parts:
+            am = re.fullmatch(
+                rf"\s*({_IDENT})\s*=\s*(.+?)\s*", part, re.DOTALL
+            )
+            if not am:
+                raise ValueError(f"unsupported SET assignment: {part!r}")
+            set_exprs[am.group(1)] = am.group(2)
+        return update_table(self.spark, self._path(name), set_exprs, cond)
+
+    def _merge(self, s: str, sql: str) -> int:
+        """The SCD-1 upsert form only — the shape merge_upsert_table
+        implements: UPDATE SET * on match, INSERT * otherwise, equi-ON
+        over one key column. ``USING`` accepts a registered table name
+        or any session temp view."""
+        m = re.fullmatch(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+USING\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+ON\s+({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})"
+            r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+            s,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                "unsupported MERGE statement (supported shape: MERGE INTO t "
+                "USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN "
+                f"NOT MATCHED THEN INSERT *): {sql!r}"
+            )
+        target, t_alias, source, s_alias = m.group(1), m.group(2), m.group(3), m.group(4)
+        l_tbl, l_col, r_tbl, r_col = m.group(5), m.group(6), m.group(7), m.group(8)
+        names = {target: target, source: source}
+        if t_alias:
+            names[t_alias] = target
+        if s_alias:
+            names[s_alias] = source
+        if names.get(l_tbl) == target and names.get(r_tbl) == source:
+            t_key, s_key = l_col, r_col
+        elif names.get(l_tbl) == source and names.get(r_tbl) == target:
+            t_key, s_key = r_col, l_col
+        else:
+            raise ValueError(f"MERGE ON must join target and source: {sql!r}")
+        if t_key != s_key:
+            raise ValueError(
+                f"MERGE upsert form needs the same key name on both sides, "
+                f"got {t_key!r} vs {s_key!r}"
+            )
+        if source in self.tables:
+            updates = read_table(self.spark, self.tables[source])
+        else:
+            updates = self.spark.table(source)  # session temp view
+        return merge_upsert_table(updates, self._path(target), key=t_key)

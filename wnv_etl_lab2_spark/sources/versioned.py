@@ -334,7 +334,8 @@ def _merge_schemas(prev_schema_json: str | None, new_schema) -> str:
 
 def _write_change_data(changes: DataFrame, table_path: str, version: int) -> list[str]:
     """Persist a rewrite's ROW-LEVEL change set (table columns +
-    ``_change_type`` in {'delete','insert'}) under a unique attempt
+    ``_change_type`` in {'delete','insert','update_preimage',
+    'update_postimage'}, the Delta CDF vocabulary) under a unique attempt
     dir in ``_changes/`` BEFORE the manifest commits — the Delta CDF
     write path: change files are part of the commit (the manifest
     lists them under ``"changes"``), so change-feed readers replay
@@ -515,6 +516,14 @@ def append_table(
         manifest["constraints"] = constraints
     if m_prev_dv := prev.get("dv"):
         manifest["dv"] = m_prev_dv  # appends never touch old rows
+    # stats/blooms are PER-FILE and files are immutable, so an append
+    # invalidates nothing: carry them forward (appended files simply
+    # have no entry and always scan) — otherwise the next
+    # collect_stats/collect_blooms finds no prior metadata and rescans
+    # the whole table instead of O(new files) (round-12 advisory fix)
+    for key in ("stats", "blooms"):
+        if prev.get(key):
+            manifest[key] = prev[key]
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
@@ -643,6 +652,33 @@ def overwrite_table(
     )
 
 
+# Above this many deleted rows, _apply_dv stops broadcasting the DV:
+# a broadcast materializes on the driver and every executor, so a DV
+# that grew to hundreds of MB (heavy MoR-delete churn between
+# purges) would OOM the driver at 100 TB; past the cap the anti-join
+# runs as a shuffled join instead — slower per row but memory-safe.
+# purge_deletion_vectors is the pressure-relief valve that keeps DVs
+# small enough to stay on the broadcast path.
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _dv_row_count(dv_files: list[str]) -> int | None:
+    """Total deleted positions across ``dv_files`` from the parquet
+    FOOTERS alone (metadata-only). None when the files are not
+    local-FS (unknown size -> caller keeps the default strategy)."""
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in dv_files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None
+        total += pq.ParquetFile(parsed.path if parsed.scheme else f).metadata.num_rows
+    return total
+
+
 def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFrame:
     """Subtract the DELETION VECTORS from a file-list scan (round 11,
     the Delta DV merge-on-read contract): ``dv_files`` hold
@@ -650,18 +686,29 @@ def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFr
     scan anti-joins on the parquet reader's ``_metadata`` file-path +
     row-index — a broadcast of O(deleted rows) against the scan, the
     standard merge-on-read read cost — and projects the metadata
-    helpers back out."""
+    helpers back out. SIZE-AWARE (round 12): when the DV footers
+    count more than `DV_BROADCAST_MAX_ROWS` positions, the broadcast
+    is dropped and the anti-join shuffles instead — correct at any DV
+    size, never driver-OOM."""
     from pyspark.sql import functions as F
 
     dv = spark.read.parquet(*dv_files).select(
         F.col("file").alias("_dv_file"), F.col("row_index").alias("_dv_ri")
     )
+    n_dv = _dv_row_count(dv_files)
+    if n_dv is None or n_dv <= DV_BROADCAST_MAX_ROWS:
+        dv = F.broadcast(dv)
+    else:
+        # the footer count PROVES the DV is too big to broadcast, so
+        # override Catalyst's size estimate (which would otherwise
+        # auto-broadcast) with an explicit shuffled-hash-join hint
+        dv = dv.hint("shuffle_hash")
     out_cols = df.columns
     return (
         df.withColumn("_f", F.col("_metadata.file_path"))
         .withColumn("_ri", F.col("_metadata.row_index"))
         .join(
-            F.broadcast(dv),
+            dv,
             (F.col("_f") == F.col("_dv_file")) & (F.col("_ri") == F.col("_dv_ri")),
             "left_anti",
         )
@@ -763,6 +810,13 @@ def _delete_merge_on_read(
         F.col("_f").alias("file"), F.col("_ri").alias("row_index")
     ).coalesce(1).write.mode("error").parquet(dv_dir)
     dv_add = _data_files(spark, dv_dir)
+    # per-file deleted-row counts, cumulative across MoR deletes
+    # (round 12): metadata for purge_deletion_vectors' rewrite-back
+    # decision — which files crossed the deleted-fraction threshold —
+    # without re-reading the DV files.
+    dv_counts = dict(m_prev.get("dv_counts", {}))
+    for r in doomed.groupBy("_f").count().collect():
+        dv_counts[r["_f"]] = dv_counts.get(r["_f"], 0) + int(r["count"])
     changes_files = None
     if change_data:
         data_cols = [c for c in doomed.columns if c not in ("_f", "_ri")]
@@ -778,8 +832,13 @@ def _delete_merge_on_read(
         "n_rows": int(m_prev["n_rows"]) - int(n_del),
         "dv": prev_dv + dv_add,
         "dv_add": dv_add,
+        "dv_counts": dv_counts,
     }
-    for key in ("schema", "constraints"):
+    # file list unchanged: per-file stats/blooms stay valid (deletes
+    # only make them conservative — false positives prune less, never
+    # wrong), so carry them; dropping them cost every post-MoR-delete
+    # read its min/max and bloom skipping (round-12 advisory fix)
+    for key in ("schema", "constraints", "stats", "blooms"):
         if key in m_prev:
             manifest[key] = m_prev[key]
     if changes_files is not None:
@@ -865,9 +924,12 @@ def update_table(
     pure map, committed as a rewrite version.
 
     ``change_data=True`` persists the row-level change set in the same
-    commit: each updated row's pre-image retracts ('delete') and its
-    post-image applies ('insert') — O(updated rows), so the change
-    feed streams a 1-row UPDATE as 2 rows."""
+    commit: each updated row's pre-image retracts
+    ('update_preimage') and its post-image applies
+    ('update_postimage') — the Delta CDF UPDATE vocabulary, matching
+    the snapshot-diff `cdf.table_changes` API (round-12 advisory fix)
+    — O(updated rows), so the change feed streams a 1-row UPDATE as
+    2 rows."""
     from pyspark.sql import functions as F
 
     cur = latest_version(spark, table_path)
@@ -890,7 +952,9 @@ def update_table(
     )
     changes_files = None
     if change_data:
-        pre = snapshot.where(hit).withColumn("_change_type", F.lit("delete"))
+        pre = snapshot.where(hit).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
         post = (
             snapshot.where(hit)
             .select(
@@ -901,7 +965,7 @@ def update_table(
                     for c in snapshot.columns
                 ]
             )
-            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_change_type", F.lit("update_postimage"))
         )
         changes_files = _write_change_data(
             pre.unionByName(post), table_path, cur + 1
@@ -920,10 +984,13 @@ def merge_upsert_table(
     decomposition (anti-join + union) with snapshot history kept.
 
     ``change_data=True`` persists the row-level change set inside the
-    same commit (round 11): the touched keys' PRE-images retract
-    (``'delete'``) and every update row applies (``'insert'``) —
+    same commit (round 11): MATCHED keys' pre-images retract as
+    ``'update_preimage'`` and their update rows apply as
+    ``'update_postimage'``; NOT-MATCHED keys' rows apply as
+    ``'insert'`` — the Delta CDF MERGE vocabulary, agreeing with the
+    snapshot-diff `cdf.table_changes` API (round-12 advisory fix) —
     exactly the multiset delta between the two snapshots, O(updates)
-    rows via one key join against the base (never a snapshot diff).
+    rows via key joins against the base (never a snapshot diff).
     Change-feed readers then stream a 1-row MERGE on a multi-file
     table as 2 change rows instead of every row of the rewritten
     files."""
@@ -944,11 +1011,16 @@ def merge_upsert_table(
         # all update rows — multiset-exact for new keys (no pre-image)
         # and for multi-row update keys alike.
         touched = updates.select(key).distinct()
+        existing = base.select(key).distinct()
         pre = base.join(touched, key, "semi").withColumn(
-            "_change_type", F.lit("delete")
+            "_change_type", F.lit("update_preimage")
         )
-        post = updates.select(*base.columns).withColumn(
-            "_change_type", F.lit("insert")
+        post = updates.select(*base.columns).join(
+            existing, key, "semi"
+        ).withColumn("_change_type", F.lit("update_postimage")).unionByName(
+            updates.select(*base.columns)
+            .join(existing, key, "anti")
+            .withColumn("_change_type", F.lit("insert"))
         )
         changes_files = _write_change_data(
             pre.unionByName(post), table_path, cur + 1
@@ -1013,6 +1085,125 @@ def optimize_table(
             .drop("_z")
         )
     return _write_version(compacted, table_path, cur + 1, "optimize", expect_latest=cur)
+
+
+def purge_deletion_vectors(
+    spark: SparkSession, table_path: str, max_deleted_fraction: float = 0.1
+) -> int | None:
+    """REWRITE-BACK of deletion-vector-heavy files (round 12 — Delta's
+    ``REORG TABLE ... APPLY (PURGE)``): every data file whose deleted
+    fraction (manifest ``dv_counts`` over the file's footer row count)
+    exceeds ``max_deleted_fraction`` is rewritten WITHOUT its deleted
+    rows; files under the threshold are kept as-is with their DV
+    entries intact. Logical content is unchanged by construction, so
+    the commit is ``op=optimize`` (data-neutral — the change feed
+    skips it, like compaction). Cost is O(rewritten files), never the
+    full snapshot: the pressure-relief valve that keeps DVs small
+    enough for `_apply_dv`'s broadcast path while bounded-churn files
+    never pay a rewrite.
+
+    Returns the new version, or None when no file crosses the
+    threshold (no commit — purge is idempotent and free to call on a
+    schedule). Old DV files the new manifest no longer references are
+    reclaimed by `vacuum_table` once the older versions drop."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    dv_files = m.get("dv") or []
+    if not dv_files:
+        return None
+    files = _resolve_files(spark, table_path, cur)
+    counts = {k: int(v) for k, v in m.get("dv_counts", {}).items()}
+    if not counts:
+        # pre-r12 DV manifest: recover the counts from the DV files
+        # themselves (O(deleted rows), driver-side)
+        for dvf in dv_files:
+            parsed = urlparse(dvf)
+            t = pq.read_table(parsed.path if parsed.scheme == "file" else dvf)
+            for f in t.column("file").to_pylist():
+                counts[f] = counts.get(f, 0) + 1
+
+    def _nrows(f: str) -> int:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"purge_deletion_vectors is local-FS-only here: {f}"
+            )
+        return pq.ParquetFile(parsed.path if parsed.scheme else f).metadata.num_rows
+
+    fs, jvm = _fs(spark, table_path)
+    qualified = {f: _qualify(fs, jvm, f) for f in files}
+    doomed = [
+        f
+        for f in files
+        if counts.get(qualified[f], counts.get(f, 0)) > 0
+        and counts.get(qualified[f], counts.get(f, 0)) / _nrows(f)
+        > max_deleted_fraction
+    ]
+    if not doomed:
+        return None
+    version = cur + 1
+    doomed_q = {qualified[f] for f in doomed} | set(doomed)
+    # rewrite ONLY the doomed files, minus their DV positions
+    live = _apply_dv(
+        spark,
+        spark.read.option("mergeSchema", "true").parquet(*doomed),
+        dv_files,
+    )
+    vdir = _attempt_dir(table_path, version)
+    live.write.mode("error").parquet(vdir)
+    new_files = _data_files(spark, vdir)
+    kept = [f for f in files if f not in doomed]
+    # remaining DV positions (kept files only) re-consolidate into ONE
+    # fresh DV file; an empty remainder drops the dv key entirely
+    dv = spark.read.parquet(*dv_files)
+    remaining = dv.where(~F.col("file").isin(*sorted(doomed_q)))
+    n_remaining = remaining.count()
+    manifest = {
+        "version": version,
+        "op": "optimize",
+        "files": kept + new_files,
+        "n_rows": int(m["n_rows"]),
+    }
+    if n_remaining:
+        new_dv_dir = posixpath.join(
+            table_path, _DV_DIR, f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
+        remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
+        manifest["dv"] = _data_files(spark, new_dv_dir)
+        manifest["dv_counts"] = {
+            f: n for f, n in counts.items() if f not in doomed_q
+        }
+    for key in ("schema", "constraints"):
+        if key in m:
+            manifest[key] = m[key]
+    # per-file stats/blooms stay valid for KEPT files; rewritten files
+    # scan until the next ANALYZE
+    for key in ("stats",):
+        if m.get(key):
+            manifest[key] = {
+                f: v for f, v in m[key].items() if f not in doomed_q
+            } or None
+            if manifest[key] is None:
+                del manifest[key]
+    if m.get("blooms"):
+        pruned = {
+            f: v
+            for f, v in m["blooms"].get("files", {}).items()
+            if f not in doomed_q
+        }
+        if pruned:
+            manifest["blooms"] = {**m["blooms"], "files": pruned}
+    _commit(spark, table_path, version, manifest)
+    return version
 
 
 def vacuum_table(
@@ -1434,7 +1625,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "files": _resolve_files(spark, table_path, version),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv"):
+    for key in ("schema", "constraints", "stats", "dv", "blooms"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1469,7 +1660,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "files": _resolve_files(spark, source_path, src_v),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv"):
+    for key in ("schema", "constraints", "stats", "dv", "blooms"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, target_path, 0, manifest)
@@ -1536,6 +1727,8 @@ def add_check_constraint(
         manifest["stats"] = m["stats"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
+    if m.get("blooms"):
+        manifest["blooms"] = m["blooms"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1565,6 +1758,8 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         manifest["stats"] = m["stats"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
+    if m.get("blooms"):
+        manifest["blooms"] = m["blooms"]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 

@@ -147,6 +147,26 @@ def _py_resolve_files(table_path: str, version: int) -> list[str]:
         v = m["parent"]
 
 
+def _py_dv_map(m: dict) -> dict[str, set[int]]:
+    """A manifest's cumulative deletion vectors as
+    {local data file path -> deleted row positions} (empty when the
+    manifest carries no ``dv`` list). Driver-side pyarrow read of the
+    DV files — O(deleted rows), the same cost class as `_apply_dv`."""
+    dv_files = m.get("dv") or []
+    if not dv_files:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for dvf in dv_files:
+        t = pq.read_table(_local(dvf))
+        for f, ri in zip(
+            t.column("file").to_pylist(), t.column("row_index").to_pylist()
+        ):
+            out.setdefault(_local(f), set()).add(int(ri))
+    return out
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -155,6 +175,7 @@ class _FilePartition(InputPartition):
         change_type: str | None = None,
         version: int | None = None,
         row_indices: list[int] | None = None,
+        skip_row_indices: list[int] | None = None,
     ) -> None:
         self.path = path
         self.columns = columns
@@ -165,6 +186,13 @@ class _FilePartition(InputPartition):
         # non-None only for deletion-vector versions: read ONLY these
         # row positions of the file (they are the deleted rows)
         self.row_indices = row_indices
+        # non-None only in the file-diff fallback when the file's
+        # manifest carried deletion vectors: SKIP these positions (the
+        # DV already removed them logically, so a whole-file
+        # retract/insert must not count them — round-12 advisory fix:
+        # retract-apply == snapshot through MoR-delete + CoW-rewrite
+        # sequences and DV-carrying restores)
+        self.skip_row_indices = skip_row_indices
 
 
 class VersionedTableStreamSource(DataSource):
@@ -293,15 +321,54 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # the rewrite dropped are retractions, rows of files
                 # it introduced are insertions (module docstring: the
                 # Delta add/remove CDC reconstruction; retract-apply
-                # == snapshot)
+                # == snapshot). Deletion vectors make "a file's rows"
+                # differ from its physical contents: a dropped file
+                # whose PARENT manifest carried DV positions has those
+                # rows already retracted (the dv_add branch emitted
+                # them at the MoR-delete version), and an added file
+                # whose NEW manifest carries DV positions (a restore
+                # to a DV-bearing version) has them logically absent —
+                # both sides subtract their manifest's DV so
+                # retract-apply == snapshot holds (round-12 advisory
+                # fix). Files present in BOTH lists with differing DVs
+                # (restore across a MoR delete) emit exactly the DV
+                # delta: newly-deleted positions retract,
+                # no-longer-deleted positions re-insert.
                 old = set(_py_resolve_files(self._path, v - 1))
                 new = set(_py_resolve_files(self._path, v))
-                parts.extend(
-                    _FilePartition(f, cols, "delete", v) for f in sorted(old - new)
-                )
-                parts.extend(
-                    _FilePartition(f, cols, "insert", v) for f in sorted(new - old)
-                )
+                old_dv = _py_dv_map(_py_read_manifest(self._path, v - 1))
+                new_dv = _py_dv_map(m)
+                for f in sorted(old - new):
+                    skip = sorted(old_dv.get(f, ()))
+                    parts.append(
+                        _FilePartition(
+                            f, cols, "delete", v, skip_row_indices=skip or None
+                        )
+                    )
+                for f in sorted(new - old):
+                    skip = sorted(new_dv.get(f, ()))
+                    parts.append(
+                        _FilePartition(
+                            f, cols, "insert", v, skip_row_indices=skip or None
+                        )
+                    )
+                for f in sorted(old & new):
+                    newly_deleted = new_dv.get(f, set()) - old_dv.get(f, set())
+                    resurrected = old_dv.get(f, set()) - new_dv.get(f, set())
+                    if newly_deleted:
+                        parts.append(
+                            _FilePartition(
+                                f, cols, "delete", v,
+                                row_indices=sorted(newly_deleted),
+                            )
+                        )
+                    if resurrected:
+                        parts.append(
+                            _FilePartition(
+                                f, cols, "insert", v,
+                                row_indices=sorted(resurrected),
+                            )
+                        )
                 continue
             else:
                 raise ValueError(
@@ -339,6 +406,13 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if partition.row_indices is not None:
             # deletion-vector partition: only the deleted positions
             table = table.take(partition.row_indices)
+        elif partition.skip_row_indices is not None:
+            # file-diff partition under a DV: every position EXCEPT
+            # the manifest's deleted ones
+            skip = set(partition.skip_row_indices)
+            table = table.take(
+                [i for i in range(table.num_rows) if i not in skip]
+            )
         rows = table.to_pylist()
         if partition.change_type is not None:
             tail = (partition.change_type, partition.version)
