@@ -76,6 +76,7 @@ HEADLINE = [
     "embedding_pca_power_iteration",  # Gram as 4096-key agg + in-plan power iteration (round 10)
     "chi2_token_source",          # token x source contingency chi2, bounded grid (round 11)
     "embedding_quantize_perdim",  # per-dim int8 calibration, 2 passes + d-row shuffle (round 11)
+    "ann_topk_ivfpq",             # IVFADC residual code scan, zero-shuffle pure map (round 12)
 ]
 
 

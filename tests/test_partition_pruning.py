@@ -118,6 +118,7 @@ def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from wnv_etl_lab2_spark.sources.versioned import (
+        _load_blooms,
         _read_manifest,
         append_table,
         collect_blooms,
@@ -135,7 +136,9 @@ def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
         tbl,
     )
     collect_blooms(spark, tbl, ["source"])
-    before = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+    before = _load_blooms(
+        spark, _read_manifest(spark, tbl, latest_version(spark, tbl))
+    )["files"]
 
     append_table(
         spark.createDataFrame([(500, "srcNEW"), (501, "srcNEW")], "id long, source string"),
@@ -144,35 +147,48 @@ def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
     # the append itself carries the bloom metadata forward (round-12
     # advisory fix: without the carry, prev_meta is empty here and
     # "incremental" reuse silently degrades to a full rescan)
-    carried = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+    carried = _load_blooms(
+        spark, _read_manifest(spark, tbl, latest_version(spark, tbl))
+    )["files"]
     assert carried == before
 
-    # POISON one old file's bitmap in the latest manifest on disk:
+    # POISON one old file's bitmap in the bloom SIDECAR on disk:
     # recomputed bitmaps would be bit-identical to reused ones, so
     # verbatim-equality alone can't distinguish reuse from rescan —
     # a surviving poison proves the file was NOT rescanned. The poison
     # is a superset bitmap (all bits set), so lookups stay correct
     # (blooms only ever skip; a saturated bloom just never skips).
-    import json as _json
     import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from wnv_etl_lab2_spark.sources.versioned import _read_manifest as _rm
 
     poisoned_file = sorted(before)[0]
-    log = _os.path.join(tbl, "_log")
-    latest_mf = _os.path.join(log, f"{latest_version(spark, tbl):08d}.json")
-    with open(latest_mf) as fh:
-        mf = _json.load(fh)
-    m_bits = mf["blooms"]["m_bits"]
-    saturated = {str(w): (1 << 64) - 1 for w in range(m_bits // 64)}
-    mf["blooms"]["files"][poisoned_file]["source"] = saturated
-    with open(latest_mf, "w") as fh:
-        _json.dump(mf, fh)
-    # drop Hadoop LocalFileSystem's checksum sidecar for the edited file
-    crc = _os.path.join(log, f".{_os.path.basename(latest_mf)}.crc")
-    if _os.path.exists(crc):
-        _os.remove(crc)
+    ref = _rm(spark, tbl, latest_version(spark, tbl))["blooms_ref"]
+    # saturate every RECORDED word (all 64 bits set); unrecorded words
+    # stay absent, so skipping behavior is unchanged for them
+    saturated = {w: -1 for w in before[poisoned_file]["source"]}
+    for side in ref["files"]:
+        local = _urlparse(side).path
+        t = _pq.read_table(local)
+        rows = t.to_pylist()
+        for r in rows:
+            if r["file"] == poisoned_file and r["col"] == "source":
+                r["bits"] = -1
+        _pq.write_table(_pa.Table.from_pylist(rows, schema=t.schema), local)
+        crc = _os.path.join(
+            _os.path.dirname(local), f".{_os.path.basename(local)}.crc"
+        )
+        if _os.path.exists(crc):
+            _os.remove(crc)
 
     collect_blooms(spark, tbl, ["source"])
-    after = _read_manifest(spark, tbl, latest_version(spark, tbl))["blooms"]["files"]
+    after = _load_blooms(
+        spark, _read_manifest(spark, tbl, latest_version(spark, tbl))
+    )["files"]
     # old files' bitmaps are reused VERBATIM (poison survives = no rescan)
     assert after[poisoned_file]["source"] == saturated
     for f, per_col in before.items():
@@ -187,3 +203,73 @@ def test_bloom_collection_is_incremental_after_append(spark, tmp_path):
     # and an old value still resolves across the merged set
     want = {r.id for r in read_table(spark, tbl).where(F.col("source") == "src2").collect()}
     assert {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "src2").collect()} == want
+
+
+def test_bloom_sidecar_keeps_manifest_flat_and_vacuumable(spark, tmp_path):
+    """Round 12 (r11 verdict #5): bloom bitmaps live in a parquet
+    SIDECAR referenced by an O(1) manifest pointer — the manifest's
+    bloom footprint does not grow with file count (only the file list
+    itself does), skipping behavior is identical through the pointer,
+    and vacuum reclaims superseded sidecar files."""
+    import glob
+    import json
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        collect_blooms,
+        create_table,
+        latest_version,
+        read_table,
+        read_table_bloom_pruned,
+        vacuum_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, f"src{i % 4}") for i in range(100)], "id long, source string"
+        ).repartitionByRange(4, "source"),
+        tbl,
+    )
+    collect_blooms(spark, tbl, ["source"])
+
+    def bloom_manifest_bytes() -> int:
+        v = latest_version(spark, tbl)
+        with open(os.path.join(tbl, "_log", f"{v:08d}.json")) as f:
+            m = json.load(f)
+        assert "blooms" not in m  # bitmaps never inline anymore
+        # pointer footprint only: the ref entry, independent of file count
+        return len(json.dumps(m["blooms_ref"]))
+
+    small = bloom_manifest_bytes()
+
+    # triple the file count; the pointer stays the same size
+    for batch in range(3):
+        append_table(
+            spark.createDataFrame(
+                [(1000 + batch * 100 + i, f"new{batch}_{i % 4}") for i in range(40)],
+                "id long, source string",
+            ).repartition(4),
+            tbl,
+        )
+    collect_blooms(spark, tbl, ["source"])
+    large = bloom_manifest_bytes()
+    assert abs(large - small) < 64  # O(1) pointer, not O(files) bitmaps
+
+    # skipping still works through the pointer (old and new values)
+    pruned = read_table_bloom_pruned(spark, tbl, "source", "new2_1")
+    want = {
+        r.id for r in read_table(spark, tbl).where("source = 'new2_1'").collect()
+    }
+    assert {r.id for r in pruned.collect()} == want and want
+    assert len(pruned.inputFiles()) < len(read_table(spark, tbl).inputFiles())
+    assert read_table_bloom_pruned(spark, tbl, "source", "absent").count() == 0
+
+    # two collections + appends left superseded sidecars; vacuum keeps
+    # only the latest manifest's referenced sidecar files
+    n_before = len(glob.glob(f"{tbl}/_blooms/*/"))
+    assert n_before >= 2
+    vacuum_table(spark, tbl, keep_last=1)
+    assert len(glob.glob(f"{tbl}/_blooms/*/")) == 1
+    assert {r.id for r in read_table_bloom_pruned(spark, tbl, "source", "new2_1").collect()} == want

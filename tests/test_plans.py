@@ -205,3 +205,96 @@ def test_plan_audit_artifact_matches_registry_count():
         f"PLAN_AUDIT.md audited {m.group(1)} queries but the registry has "
         f"{len(REGISTRY)} — rerun tools/plan_audit.py"
     )
+
+
+# The two declared exact-pair floors: >20%-of-corpus shuffles accepted
+# as the price of exactness (VERDICT r11 "keep the exact-pair floors
+# quarantined"); production near-dup routes through MinHash. No OTHER
+# query may adopt this shuffle shape.
+EXACT_PAIR_ALLOWLIST = {"ngram_jaccard_pairs", "containment_pairs"}
+
+# Shuffle-write bound for queries not yet covered by a committed
+# PLAN_AUDIT/driver round: 20% of the input dataset bytes — between
+# the digest-shuffle family (<1%) and the exact-pair floors (24-29%).
+NEW_QUERY_SHUFFLE_FRACTION = 0.20
+
+
+def _executed_shuffle_bytes(df) -> int:
+    """Total shuffle bytes written by an EXECUTED DataFrame, summed
+    from the final adaptive plan's SQL metrics (the UI/status API is
+    disabled in tests, but the metrics live on the plan nodes)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.executedPlan()
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleBytesWritten":
+                total += kv._2().value()
+        cit = node.children().iterator()
+        while cit.hasNext():
+            walk(cit.next())
+        if "QueryStage" in node.nodeName():
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(plan)
+    return total
+
+
+def test_new_registry_entries_stay_under_shuffle_fraction(spark, sf_dir):
+    """Round-12 gate (r11 verdict #8): every registry entry WITHOUT
+    committed driver evidence (not in any CORRECTNESS_r*.json — i.e.
+    registered since the last judged round) must shuffle less than
+    NEW_QUERY_SHUFFLE_FRACTION of the input dataset bytes, or be
+    explicitly listed in EXACT_PAIR_ALLOWLIST. Audited queries are
+    covered by PLAN_AUDIT.md + MEASUREMENTS.md; this stops a NEW
+    operator from silently adopting the exact-pair shuffle shape."""
+    import glob
+    import json
+    import os
+
+    _ensure_loaded()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    audited: set[str] = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            audited.update(json.load(fh).keys())
+    new = [
+        n for n in REGISTRY
+        if n not in audited and n not in EXACT_PAIR_ALLOWLIST
+    ]
+    if not new:
+        return
+    dataset_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    bound = NEW_QUERY_SHUFFLE_FRACTION * dataset_bytes
+    for name in new:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        shuffled = _executed_shuffle_bytes(df)
+        assert shuffled <= bound, (
+            f"NEW query {name!r} shuffles {shuffled} bytes "
+            f"({100 * shuffled / dataset_bytes:.1f}% of the {sf_dir} corpus; "
+            f"bound {NEW_QUERY_SHUFFLE_FRACTION:.0%}) — redesign the plan or, "
+            "if it is a declared exact-pair floor, add it to "
+            "EXACT_PAIR_ALLOWLIST with a VERDICT-visible justification"
+        )
+
+
+def test_ivfpq_adc_plan_is_scan_plus_takeordered(spark, sf_dir):
+    """The IVFADC code scan must stay a pure map + top-k heap: no
+    Exchange anywhere (assignment, nprobe filter, residual, encode,
+    LUT fold are all scan-fused JVM expressions)."""
+    plan = plan_of(spark, sf_dir, "ann_topk_ivfpq")
+    assert "TakeOrdered" in plan, plan[:800]
+    assert "Exchange" not in plan, plan[:800]

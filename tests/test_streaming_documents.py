@@ -355,3 +355,133 @@ def test_image_neardup_prune_keeps_better_member(spark):
         .collect()
     }
     assert {3, 6, 12} <= kept2 and not ({1, 2, 4, 9, 11} & kept2)
+
+
+def test_multimodal_txn_curation_replay_equals_batch_across_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12 (r11 verdict #7): text + image curation commit as ONE
+    cross-table transaction per micro-batch — mirroring
+    tests/test_transactions.py's two-table atomicity pins. A hard
+    crash mid-transaction (pending manifests published, no outcome
+    decided) leaves BOTH curated tables at their prior versions —
+    never documents without their media; the replayed batch recovers
+    the wedged slots itself (`recover_pending`) and recommits; and the
+    final replayed state equals the batch twins id-for-id
+    (minhash_band_survivors over quality-kept docs;
+    image_neardup_survivors over media). A second replay of a
+    committed batch is a no-op (exactly-once via the txn's batch_id
+    stamp)."""
+    import wnv_etl_lab2_spark.sources.transactions as tx
+    from wnv_etl_lab2_spark.curation import image_neardup_survivors
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_survivors
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        latest_version,
+        read_table,
+    )
+    from wnv_etl_lab2_spark.streaming.documents import (
+        multimodal_txn_batch_processor,
+    )
+
+    media, _groups = _image_corpus(spark)
+    payloads = {r.doc_id: r.payload for r in media.collect()}
+    base = "the torch spark query table always lights the evening mill " * 6
+    near = base.replace("always", "seldom", 1)
+    other1 = "granite rivers bend around the northern archive of stone " * 6
+    other2 = "copper wheels hum beneath the long glass bridge at dawn " * 6
+    short = "too short"  # fails the quality rules
+    texts = {
+        1: base, 2: other1, 3: other2,
+        4: base + "extra tail words here", 5: near, 6: short,
+        7: "the quiet harbor keeps a ledger of every passing sail " * 6,
+        8: "nine silver looms weave the morning fog into maps " * 6,
+        9: "a patient orchard counts its apples twice a year " * 6,
+        10: "the library of wind files every gust by name " * 6,
+        11: "twelve lanterns argue about the color of midnight " * 6,
+        12: "an iron kettle remembers every storm it boiled through " * 6,
+    }
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, payload binary"
+    )
+    rows = [
+        (i, texts[i], "en", f"s{i % 3}", len(texts[i]), payloads[i])
+        for i in range(1, 13)
+    ]
+    full = spark.createDataFrame(rows, schema)
+    batches = [
+        full.where(F.col("doc_id") <= 4),
+        full.where((F.col("doc_id") > 4) & (F.col("doc_id") <= 8)),
+        full.where(F.col("doc_id") > 8),
+    ]
+
+    docs_table = str(tmp_path / "curated_docs")
+    media_table = str(tmp_path / "curated_media")
+    txn_log = str(tmp_path / "txn")
+    create_table(full.drop("payload").limit(0), docs_table)
+    create_table(full.select("doc_id", "payload").limit(0), media_table)
+
+    proc = multimodal_txn_batch_processor(
+        str(tmp_path / "docs_index"),
+        str(tmp_path / "media_index"),
+        docs_table,
+        media_table,
+        txn_log,
+    )
+
+    proc(batches[0], 0)
+    assert latest_version(spark, docs_table) == 1
+    assert latest_version(spark, media_table) == 1
+
+    # HARD crash inside batch 1's transaction: pending manifests
+    # published on both tables, process dies before the outcome marker
+    def dead_resolve(s, log, txn_id, outcome):
+        raise RuntimeError("process died before deciding the outcome")
+
+    monkeypatch.setattr(tx, "resolve_outcome", dead_resolve)
+    with pytest.raises(Exception):
+        proc(batches[1], 1)
+    monkeypatch.undo()
+
+    # atomicity across the crash: NEITHER table advanced — a reader
+    # never sees batch-1 documents without their media or vice versa
+    assert latest_version(spark, docs_table) == 1
+    assert latest_version(spark, media_table) == 1
+    docs_ids = {r.doc_id for r in read_table(spark, docs_table).collect()}
+    media_ids = {r.doc_id for r in read_table(spark, media_table).collect()}
+    assert docs_ids <= {1, 2, 3, 4} and media_ids <= {1, 2, 3, 4}
+
+    # REPLAY of the crashed batch: recover_pending frees the wedged
+    # slots, the transaction recommits, the stream moves on
+    proc(batches[1], 1)
+    proc(batches[2], 2)
+    assert latest_version(spark, docs_table) == 3
+    assert latest_version(spark, media_table) == 3
+
+    # replay of a COMMITTED batch is a no-op (batch_id ledger)
+    proc(batches[2], 2)
+    assert latest_version(spark, docs_table) == 3
+    assert latest_version(spark, media_table) == 3
+
+    # replayed state == batch twins, id-for-id
+    from wnv_etl_lab2_spark.functions import quality as Q
+
+    want_docs = {
+        r.doc_id
+        for r in minhash_band_survivors(
+            full.drop("payload").where(Q.quality_keep())
+        ).collect()
+    }
+    want_media = {
+        r.doc_id
+        for r in image_neardup_survivors(
+            full.select("doc_id", "payload")
+        ).collect()
+    }
+    got_docs = {r.doc_id for r in read_table(spark, docs_table).collect()}
+    got_media = {r.doc_id for r in read_table(spark, media_table).collect()}
+    assert got_docs == want_docs and len(want_docs) > 0
+    assert got_media == want_media and len(want_media) > 0
+    assert 6 not in got_docs  # quality-failed text
+    assert 8 in got_media  # corrupt payload is data, not a silent loss

@@ -455,3 +455,43 @@ def test_transient_marker_rename_failure_raises_not_success(spark, tmp_path, mon
         ],
     )
     assert _ids(spark, a) == {0, 1} and _ids(spark, b) == {0, 9}
+
+
+def test_recover_pending_sweeps_only_undecided(spark, tmp_path, monkeypatch):
+    """recover_pending (round 12): aborts an UNDECIDED transaction
+    holding tip slots, cleans an already-aborted one's leftovers, and
+    never touches committed history. Idempotent."""
+    import wnv_etl_lab2_spark.sources.transactions as tx
+    from wnv_etl_lab2_spark.sources.transactions import recover_pending
+
+    a, b, log = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "txn")
+    create_table(_df(spark, [(0, "a0")]), a)
+    create_table(_df(spark, [(0, "b0")]), b)
+    # a committed txn first: must never be swept
+    commit_transaction(
+        spark, log, [TxnWrite(_df(spark, [(1, "a1")]), a, "append")]
+    )
+    assert recover_pending(spark, [a, b]) == []
+    assert latest_version(spark, a) == 1
+
+    def dead_resolve(s, txn_log, txn_id, outcome):
+        raise RuntimeError("died before deciding")
+
+    monkeypatch.setattr(tx, "resolve_outcome", dead_resolve)
+    with pytest.raises(RuntimeError):
+        commit_transaction(
+            spark,
+            log,
+            [
+                TxnWrite(_df(spark, [(2, "a2")]), a, "append"),
+                TxnWrite(_df(spark, [(2, "b2")]), b, "append"),
+            ],
+        )
+    monkeypatch.undo()
+    # both tips hold pending manifests; the sweep frees them
+    swept = recover_pending(spark, [a, b])
+    assert len(set(swept)) == 1  # one txn, seen from both tables
+    assert recover_pending(spark, [a, b]) == []  # idempotent
+    assert append_table(_df(spark, [(3, "a3")]), a) == 2
+    assert _ids(spark, a) == {0, 1, 3}
+    assert _ids(spark, b) == {0}

@@ -884,6 +884,133 @@ def pq_topk_pretrained(
     )
 
 
+def ivfpq_topk_pretrained(
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the IVFADC composition (Jegou,
+    Douze & Schmid, TPAMI 2011; round 12): the coarse quantizer
+    absorbs each vector's cell position, PQ encodes only the residual
+    e - centroid(e), and the asymmetric distance uses a PER-CELL
+    lookup table built from the query's residual against that cell.
+    Residual energy is strictly smaller than raw-vector energy, so the
+    same M x K codebook budget resolves finer structure — pure-ADC
+    recall beats raw-vector PQ at the identical 8-bytes-per-vector
+    budget (measured in SCALING.md §Similarity).
+
+    Scale shape: cell assignment and residual encode are pure JVM maps
+    fused into the scan (zero Python, zero shuffle); the nprobe filter
+    prunes the corpus BEFORE encoding cost is paid; the per-cell LUTs
+    are nprobe x M x K driver-side constants folded into the plan; and
+    ranking is one TakeOrdered heap. Fold order is fixed (s = 0..M-1)
+    so an oracle replaying the same constants matches bit-for-bit."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    # driver-side probe ranking (centroids ARE the bounded artifact)
+    qd = [
+        sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids
+    ]
+    probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: (t[1], t[0]))[:nprobe]]
+    # per-cell LUT over the query RESIDUAL: lut[c][s][k] =
+    # ||(q - cent_c)_s - codeword_sk||^2 (cells outside the probe set
+    # never evaluate — the filter runs first — but a full table keeps
+    # the expression uniform)
+    lut = [
+        [
+            [
+                sum(
+                    (
+                        (query_vec[s * sub_dim + i] - c[s * sub_dim + i])
+                        - w[i]
+                    )
+                    ** 2
+                    for i in range(sub_dim)
+                )
+                for w in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+        for c in centroids
+    ]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    v = (
+        vectors.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
+        .withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+        .where(F.col("_cl").isin(probes))
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col("_e"),
+                F.element_at(cent_arr, F.col("_cl") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .withColumn("_codes", pq_encode_col(F.col("_res"), codebooks))
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        table_s = F.array(
+            *[F.array(*[F.lit(d) for d in lut[c][s]]) for c in range(len(centroids))]
+        )
+        adc = adc + F.element_at(
+            F.element_at(table_s, F.col("_cl") + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+    return (
+        v.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivfpq_topk_refined(
+    vectors: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC serve path with exact refinement (round 12): residual-PQ
+    ADC over the probed cells shortlists ``shortlist`` candidates,
+    then only those rows' full vectors are fetched for an exact
+    squared-L2 re-rank of the final top-k — nprobe prunes the scan,
+    PQ's byte reduction prices the shortlist pass, and the exact pass
+    touches a constant ``shortlist`` rows. Deterministic end to end
+    (ADC and exact ties both break to the lowest id)."""
+    cands = ivfpq_topk_pretrained(
+        vectors, query_vec, centroids, codebooks,
+        k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+    ).select(id_col)
+    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (
+        vectors.join(F.broadcast(cands), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        as_double_array(vec_col), qa, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    return exact.orderBy(F.col("l2_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def pq_topk_refined(
     vectors: DataFrame,
     query_vec: list[float],

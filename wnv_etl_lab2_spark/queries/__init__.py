@@ -61,104 +61,86 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# the five rows-only members of the r7-stale cohort being
-# re-evidenced, each declared rows-only since registration with a
-# pytest ground-truth pin (approx-sketch outputs and provenance
-# metadata are not SQL-expressible): approx_distinct_stats,
-# approx_percentile_stats, heavy_hitters_cms, ingest_provenance,
-# neardup_band_survivors. Every other window entry carries an exact
-# oracle.
-FRONT_ROWS_ONLY_OK: set[str] = {
-    "approx_distinct_stats",
-    "approx_percentile_stats",
-    "heavy_hitters_cms",
-    "ingest_provenance",
-    "neardup_band_survivors",
-}
+# NONE — every r12 window slot carries an exact oracle (the five
+# rows-only registry queries were re-evidenced in r11 and sit
+# outside this window).
+FRONT_ROWS_ONLY_OK: set[str] = set()
 
 _FRONT = [
-    # Round-11 window — exactly the r10 verdict's ask (VERDICT.md
-    # "Next round" items 1 and 5). Rotation history: r1-r9 as
-    # documented in prior revisions of this block; r10 = the 32
-    # r6-stale deferrals + new r10 ops + 2 plan-changed + the 14
-    # oldest r7-greens (50/50 green, CORRECTNESS_r10.json).
-    # This window = (a) the 4 queries registered after the r10
-    # capture (first driver evidence; all four pass the local oracle
-    # at sf0.01 and were re-verified by the judge): lsh_recall_forecast,
-    # bigram_logprob_quality, embedding_centroid_auc,
-    # embedding_pca_power_iteration; (b) the full 34-query r7-stale
-    # cohort (every query whose latest driver evidence is r7 —
-    # computed from the union of CORRECTNESS_r01..r10.json); (c) the
-    # new round-11 operators (first evidence). After this window
-    # lands, no query's evidence is older than r8.
-    # PRE-COMMITTED for round 12: the r8-evidenced cohort becomes the
-    # oldest (49 queries; the 3 pads below re-verify in r11 and drop
-    # out of it) — rotate it in full, head slots going to any r12
-    # operators and plan-changed queries first, then the r8-stale
-    # set oldest-first. chi2_token_source's plan changed late in r11
-    # (5 -> 2 corpus passes) AFTER this window was captured only if
-    # the driver ran before the replan landed; if its r11 row
-    # pre-dates commit b4d83e6, re-verify it in r12.
-    # (a) late-r10 registrations — first driver evidence
-    "lsh_recall_forecast",
-    "bigram_logprob_quality",
-    "embedding_centroid_auc",
-    "embedding_pca_power_iteration",
-    # (b) the 34-query r7-stale cohort
-    "approx_distinct_stats",
-    "approx_percentile_stats",
-    "arrow_group_trend",
-    "asof_join_click_view",
-    "decayed_rolling_features",
-    "event_funnel",
-    "gap_fill_locf",
-    "groupby_agg",
-    "grouping_sets_agg",
-    "hard_negative_mining",
-    "heavy_hitters_cms",
-    "incremental_agg_merge",
-    "ingest_provenance",
-    "mixture_resample",
-    "multimodal_binary_features",
-    "neardup_band_survivors",
-    "ntile_length_buckets",
-    "orderby_limit_topk",
-    "outer_join_order_counts",
-    "pareto_frontier_curation",
-    "percentile_agg",
-    "pii_scrub",
-    "quota_sample_per_source",
-    "range_join_maintenance",
-    "regexp_null_funcs",
-    "scalar_subquery",
-    "sessionize_events",
-    "skew_key_diagnosis",
-    "sliding_window_batch",
-    "stats_agg",
-    "text_quality_pandas_udf",
-    "union_distinct",
-    "variant_extract",
-    "window_rank_variants",
-    # (c) new round-11 operators (first evidence) — all exact-oracle,
-    # each locally verified at sf0.01 AND sf0.1 before taking a slot:
-    # drift statistics (KS, Welch t, chi-squared), mixture
-    # concentration (Gini), per-dim int8 quantization, and the
-    # row-level change-feed audit (the registry face of this round's
-    # change_data=True write path).
-    "cdf_row_level_audit",
-    "dv_delete_audit",
-    "ks_drift_sources",
-    "welch_ttest_sources",
+    # Round-12 window — exactly the r11 verdict's ask ("Next round"
+    # item 1). Rotation history: r1-r11 as documented in prior
+    # revisions of this block; r11 = 4 late-r10 registrations + the
+    # full 34-query r7-stale cohort + 9 new r11 operators + 3 pads
+    # (50/50 green, CORRECTNESS_r11.json).
+    # This window = (a) chi2_token_source FIRST — its plan changed
+    # (5 -> 2 corpus passes, commits b4d83e6+524c8b5) after the r11
+    # capture, so its green r11 row may cover the dead plan; (b) the
+    # two new round-12 operators (first driver evidence; both
+    # oracle-exact locally at sf0.001/0.01/0.1): the IVFADC residual
+    # composition, pure-ADC and refined; (c) the full 46-query
+    # r8-evidenced cohort (every query whose latest driver evidence
+    # is r8 — computed from the union of CORRECTNESS_r01..r11.json);
+    # (d) one pad from the oldest r9-evidenced oracle-backed queries
+    # to fill the window to 50. After this window lands, no query's
+    # evidence is older than r9.
+    # PRE-COMMITTED for round 13: the remaining 48-query r9-evidenced
+    # cohort becomes the oldest — rotate it in full, head slots going
+    # to any r13 operators and plan-changed queries first, then the
+    # r9-stale set oldest-first, padding from the oldest r10 greens.
+    # (a) plan changed after its r11 capture — re-verify first
     "chi2_token_source",
-    "embedding_quantize_perdim",
-    "gini_source_concentration",
-    "ann_topk_pq",
-    "ann_topk_pq_refined",
-    # (d) pad: the oldest oracle-backed r8-evidenced queries, filling
-    # the window to 50 so every slot carries an exact oracle.
-    "sales_opportunity",
-    "nullsafe_join",
-    "order_count_histogram",
+    # (b) new round-12 operators (first evidence)
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_refined",
+    # (c) the 46-query r8-stale cohort
+    "ann_topk_bruteforce",
+    "anti_join_no_premium_order",
+    "array_functions",
+    "chunk_dedup_stats",
+    "concave_zone_clip",
+    "containment_pairs",
+    "corpus_curation_stats",
+    "cross_source_duplication",
+    "decontamination_overlap",
+    "dedup_components",
+    "dedup_distinct_rows",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "deterministic_shuffle_order",
+    "distinct_count",
+    "doc_chunking",
+    "embedding_centroid_stats",
+    "embedding_neardup_pairs",
+    "except_keys",
+    "intersect_keys",
+    "knn_join_bruteforce",
+    "misc_agg_filter_bool",
+    "ngram_counts_top",
+    "ngram_jaccard_pairs",
+    "order_priority_check",
+    "repeated_span_removal",
+    "row_count",
+    "salted_join_agg",
+    "scalar_string_date_funcs",
+    "scd2_customer_history",
+    "semi_join_open_orders",
+    "shipping_priority_buckets",
+    "source_quantile_normalize",
+    "spatial_buffer_erase",
+    "spatial_within_buffer",
+    "split_leakage_check",
+    "spray_targets",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "unpivot_part_metrics",
+    "window_navigation",
+    "window_range_frame",
+    "window_running_sum",
+    "winnow_fingerprints",
+    "zipf_top_words",
+    # (d) pad: the oldest r9-evidenced oracle-backed query
+    "attribution_last_touch",
 ]
 
 

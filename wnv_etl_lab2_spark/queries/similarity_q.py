@@ -1484,6 +1484,182 @@ def _pq_refined_oracle(k: int = 10, shortlist: int = _PQ_SHORTLIST) -> str:
     """
 
 
+# IVFADC — residual PQ over the coarse quantizer (round 12; r11
+# verdict #3). Same coarse centroids as ann_topk_ivf, residual
+# codebooks from tools/train_ivfpq_codebooks.py.
+from wnv_etl_lab2_spark.queries._ivfpq_codebooks import (  # noqa: E402
+    RESIDUAL_CODEBOOKS as _IVFPQ_BOOKS,
+    SUB_DIM as _IVFPQ_SUB_DIM,
+)
+
+_IVFPQ_NPROBE = 6
+
+
+def _ivfpq_ctes(nprobe: int) -> str:
+    """Shared CTE chain: probe ranking, cell assignment, residuals,
+    residual encode, per-cell query LUT — the DuckDB replay of the
+    IVFADC constants."""
+    cent_rows = ",\n      ".join(
+        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for ci, c in enumerate(_IVF_CENTS)
+    )
+    cb_rows = ",\n      ".join(
+        f"({s}, {ci}, [" + ", ".join(repr(x) for x in w) + "])"
+        for s, book in enumerate(_IVFPQ_BOOKS)
+        for ci, w in enumerate(book)
+    )
+    d = _IVFPQ_SUB_DIM
+    d2 = (
+        "list_sum(list_transform(range(1, LEN({v}) + 1),"
+        " i -> ({v}[i] - cent[i]) * ({v}[i] - cent[i])))"
+    )
+    return f"""
+    WITH ev AS (SELECT vec_id, {_CAST} AS e FROM embeddings),
+    c(cid, cent) AS (VALUES
+      {cent_rows}
+    ),
+    q AS (SELECT e AS qe FROM ev WHERE vec_id = 0),
+    probes AS (
+      SELECT cid, cent FROM c CROSS JOIN q
+      ORDER BY {d2.format(v="qe")}, cid
+      LIMIT {nprobe}
+    ),
+    assigned AS (
+      SELECT vec_id, e, cid
+      FROM (
+        SELECT ev.vec_id, ev.e, c.cid, {d2.format(v="e")} AS dist
+        FROM ev CROSS JOIN c
+        WHERE ev.vec_id <> 0
+      )
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    ),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, LEN(a.e) + 1), i -> a.e[i] - p.cent[i]) AS r
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+    ),
+    cb(s, k, w) AS (VALUES
+      {cb_rows}
+    ),
+    sub AS (
+      SELECT res.vec_id, res.cid, cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (res.r[cb.s * {d} + i] - cb.w[i])
+                  * (res.r[cb.s * {d} + i] - cb.w[i]))) AS dist
+      FROM res CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, cid, s, k FROM sub
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, k) = 1
+    ),
+    qres AS (
+      SELECT p.cid,
+             list_transform(range(1, LEN(q.qe) + 1), i -> q.qe[i] - p.cent[i]) AS qr
+      FROM probes p CROSS JOIN q
+    ),
+    lut AS (
+      SELECT qres.cid, cb.s, cb.k,
+             list_sum(list_transform(range(1, {d} + 1),
+               i -> (qres.qr[cb.s * {d} + i] - cb.w[i])
+                  * (qres.qr[cb.s * {d} + i] - cb.w[i]))) AS qd
+      FROM qres CROSS JOIN cb
+    ),
+    adc AS (
+      SELECT cd.vec_id,
+             ROUND(list_sum(list(l.qd ORDER BY l.s)), 6) AS adc_dist
+      FROM codes cd JOIN lut l ON cd.cid = l.cid AND cd.s = l.s AND cd.k = l.k
+      GROUP BY cd.vec_id
+    )"""
+
+
+def _ivfpq_oracle(nprobe: int = _IVFPQ_NPROBE, k: int = 10) -> str:
+    return (
+        _ivfpq_ctes(nprobe)
+        + f"""
+    SELECT vec_id, adc_dist FROM adc
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT {k}
+    """
+    )
+
+
+@register("ann_topk_ivfpq", oracle=_ivfpq_oracle())
+def ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ approximate top-10 with RESIDUAL encoding — the IVFADC
+    composition (Jegou, Douze & Schmid, TPAMI 2011; round 12): the
+    checked-in coarse quantizer (queries/_ivf_centroids.py) absorbs
+    each vector's cell position, the residual codebooks
+    (tools/train_ivfpq_codebooks.py) encode only e - centroid(e), and
+    ranking sums 8 per-CELL lookup-table constants per row over the
+    nprobe=6 probed cells. Same 8-bytes-per-vector code budget as
+    ann_topk_pq, but the codebooks spend their resolution on the
+    residual distribution (strictly lower energy), which is why
+    pure-ADC recall rises vs raw-vector PQ at the identical budget —
+    measured against exact L2 brute force in SCALING.md §Similarity.
+    Everything before the top-k heap is a pure JVM map fused into the
+    scan: assignment (argmin over 16 centroid literals), nprobe
+    filter, residual subtraction, subspace encode, LUT fold — zero
+    Python, zero data shuffle. Oracle-exact: the DuckDB twin
+    interpolates the same centroid + codebook constants and replays
+    assign -> residual -> encode -> per-cell ADC in the same fold
+    order."""
+    from wnv_etl_lab2_spark.operators.similarity import ivfpq_topk_pretrained
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return ivfpq_topk_pretrained(
+        emb.where(F.col("vec_id") != 0), query_vec, _IVF_CENTS, _IVFPQ_BOOKS,
+        k=10, nprobe=_IVFPQ_NPROBE,
+    )
+
+
+_IVFPQ_SHORTLIST = 200
+
+
+def _ivfpq_refined_oracle(
+    nprobe: int = _IVFPQ_NPROBE, k: int = 10, shortlist: int = _IVFPQ_SHORTLIST
+) -> str:
+    return (
+        _ivfpq_ctes(nprobe)
+        + f""",
+    cands AS (
+      SELECT vec_id FROM adc
+      ORDER BY adc_dist ASC, vec_id ASC
+      LIMIT {shortlist}
+    )
+    SELECT ev.vec_id,
+           ROUND(list_sum(list_transform(range(1, LEN(ev.e) + 1),
+                 i -> (ev.e[i] - q.qe[i]) * (ev.e[i] - q.qe[i]))), 6) AS l2_dist
+    FROM ev JOIN cands ON ev.vec_id = cands.vec_id
+    CROSS JOIN q
+    ORDER BY l2_dist ASC, ev.vec_id ASC
+    LIMIT {k}
+    """
+    )
+
+
+@register("ann_topk_ivfpq_refined", oracle=_ivfpq_refined_oracle())
+def ann_topk_ivfpq_refined(spark, sf_dir):
+    """The PRODUCTION IVFADC serve path (round 12): nprobe-pruned
+    residual-ADC code scan shortlists 200 candidates, then only those
+    rows' full vectors are fetched for an exact squared-L2 re-rank of
+    the top-10 — the coarse quantizer prunes the scan to 6/16 cells,
+    the 8-byte codes price the shortlist pass, and the exact pass
+    touches a constant 200 rows. Recall vs exact brute force at each
+    SF in SCALING.md §Similarity. Oracle-exact: both stages replay on
+    the interpolated constants with shared rounding and tie-breaks."""
+    from wnv_etl_lab2_spark.operators.similarity import ivfpq_topk_refined
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    return ivfpq_topk_refined(
+        emb.where(F.col("vec_id") != 0), query_vec, _IVF_CENTS, _IVFPQ_BOOKS,
+        k=10, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
+    )
+
+
 @register("ann_topk_pq_refined", oracle=_pq_refined_oracle())
 def ann_topk_pq_refined(spark, sf_dir):
     """The PRODUCTION PQ serve path (round 11): ADC over the 8-byte

@@ -316,3 +316,34 @@ def abort_transaction(
         raise ValueError(f"transaction {txn_id} already committed — cannot abort")
     for t in table_paths:
         _delete_pending(spark, t, txn_id)
+
+
+def recover_pending(
+    spark: SparkSession, table_paths: list[str]
+) -> list[str]:
+    """Crash recovery sweep (round 12): for each table whose TIP
+    manifest is stamped by a transaction with NO decided outcome —
+    a writer that died between publish and the final marker — decide
+    "aborted" and free the slot; stamped tips whose outcome is already
+    "aborted" (a crash after decide but before cleanup) get their
+    pending manifests deleted. Committed stamps are left untouched.
+    Idempotent, O(tables) manifest reads; returns the txn ids swept.
+    A transactional streaming sink calls this at batch start so its
+    own prior crash can never wedge the version slots it needs."""
+    swept: list[str] = []
+    for t in table_paths:
+        versions = _list_versions(spark, t)
+        if not versions:
+            continue
+        m = _read_manifest(spark, t, versions[-1])
+        txn = m.get("txn")
+        if txn is None:
+            continue
+        outcome = read_outcome(spark, txn["log"], txn["id"])
+        if outcome == "committed":
+            continue
+        if outcome is None:
+            resolve_outcome(spark, txn["log"], txn["id"], "aborted")
+        _delete_pending(spark, t, txn["id"])
+        swept.append(txn["id"])
+    return swept

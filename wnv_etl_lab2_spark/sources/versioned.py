@@ -63,6 +63,7 @@ _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
 _DV_DIR = "_dv"
+_BLOOM_DIR = "_blooms"
 
 
 def _attempt_dir(table_path: str, version: int) -> str:
@@ -521,7 +522,7 @@ def append_table(
     # have no entry and always scan) — otherwise the next
     # collect_stats/collect_blooms finds no prior metadata and rescans
     # the whole table instead of O(new files) (round-12 advisory fix)
-    for key in ("stats", "blooms"):
+    for key in ("stats", "blooms", "blooms_ref"):
         if prev.get(key):
             manifest[key] = prev[key]
     _commit(spark, table_path, version, manifest)
@@ -838,7 +839,7 @@ def _delete_merge_on_read(
     # only make them conservative — false positives prune less, never
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
-    for key in ("schema", "constraints", "stats", "blooms"):
+    for key in ("schema", "constraints", "stats", "blooms", "blooms_ref"):
         if key in m_prev:
             manifest[key] = m_prev[key]
     if changes_files is not None:
@@ -1194,14 +1195,18 @@ def purge_deletion_vectors(
             } or None
             if manifest[key] is None:
                 del manifest[key]
-    if m.get("blooms"):
+    old_blooms = _load_blooms(spark, m)
+    if old_blooms:
         pruned = {
             f: v
-            for f, v in m["blooms"].get("files", {}).items()
+            for f, v in old_blooms.get("files", {}).items()
             if f not in doomed_q
         }
         if pruned:
-            manifest["blooms"] = {**m["blooms"], "files": pruned}
+            manifest["blooms_ref"] = _write_bloom_sidecar(
+                spark, table_path, version, pruned,
+                old_blooms["m_bits"], old_blooms["k"],
+            )
     _commit(spark, table_path, version, manifest)
     return version
 
@@ -1314,6 +1319,24 @@ def vacuum_table(
             vpath = fs.makeQualified(st.getPath()).toString()
             if not any(f.startswith(vpath + "/") for f in kept_dv):
                 fs.delete(st.getPath(), True)
+    # and for bloom SIDECAR dirs: kept manifests' "blooms_ref" file
+    # lists are the live references (round 12) — a vacuumed version's
+    # sidecar, or a superseded recollection's, is garbage
+    kept_blooms: set[str] = set()
+    for v in kept:
+        m = _read_manifest(spark, table_path, v)
+        kept_blooms.update(
+            _qualify(fs, jvm, f) for f in m.get("blooms_ref", {}).get("files", [])
+        )
+    bdir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _BLOOM_DIR))
+    if fs.exists(bdir):
+        for st in fs.listStatus(bdir):
+            n = _attempt_version(st.getPath().getName())
+            if n is None or n > latest:
+                continue
+            vpath = fs.makeQualified(st.getPath()).toString()
+            if not any(f.startswith(vpath + "/") for f in kept_blooms):
+                fs.delete(st.getPath(), True)
     return drop
 
 
@@ -1391,8 +1414,9 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["constraints"] = m["constraints"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    if m.get("blooms"):
-        manifest["blooms"] = m["blooms"]
+    for key in ("blooms", "blooms_ref"):
+        if m.get(key):
+            manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1417,6 +1441,68 @@ def _bloom_positions(spark: SparkSession, value, dtype: str, m_bits: int, k: int
         ]
     ).head()
     return [int(row[f"p{seed}"]) for seed in range(k)]
+
+
+def _load_blooms(spark: SparkSession, manifest: dict) -> dict:
+    """The manifest's bloom metadata as {m_bits, k, files: {file ->
+    {col -> {word -> bits}}}} — from the inline ``blooms`` key (pre-r12
+    manifests) or the ``blooms_ref`` SIDECAR pointer (round 12: the
+    bitmaps live in a parquet next to the data, so the manifest stays
+    O(1) in file count for the bloom index — the Delta/Iceberg
+    stats-sidecar shape). Returns {} when neither exists. Sidecar
+    reads are driver-side pyarrow over local paths, the same documented
+    boundary as `_footer_stats`."""
+    if "blooms" in manifest:
+        return manifest["blooms"]
+    ref = manifest.get("blooms_ref")
+    if not ref:
+        return {}
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    files: dict = {}
+    for f in ref["files"]:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"bloom sidecar reads are local-FS-only here: {f}"
+            )
+        t = pq.read_table(parsed.path if parsed.scheme else f)
+        for file, col, word, bits in zip(
+            t.column("file").to_pylist(),
+            t.column("col").to_pylist(),
+            t.column("word").to_pylist(),
+            t.column("bits").to_pylist(),
+        ):
+            files.setdefault(file, {}).setdefault(col, {})[str(word)] = int(bits)
+    return {"m_bits": ref["m_bits"], "k": ref["k"], "files": files}
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession, table_path: str, version: int, blooms: dict,
+    m_bits: int, k: int,
+) -> dict:
+    """Persist the bloom bitmaps as (file, col, word, bits) parquet
+    rows under ``_blooms/v{N}-{token}`` and return the manifest
+    pointer. The sidecar is committed BEFORE the manifest (same
+    ordering as change/DV files), so a crashed attempt leaves only
+    vacuumable garbage."""
+    import uuid
+
+    rows = [
+        (f, col, int(w), int(b))
+        for f, per_col in blooms.items()
+        for col, words in per_col.items()
+        for w, b in words.items()
+    ]
+    bdir = posixpath.join(
+        table_path, _BLOOM_DIR, f"v{version}-{uuid.uuid4().hex[:8]}"
+    )
+    spark.createDataFrame(
+        rows, "file string, col string, word int, bits long"
+    ).coalesce(1).write.mode("error").parquet(bdir)
+    return {"files": _data_files(spark, bdir), "m_bits": m_bits, "k": k}
 
 
 def collect_blooms(
@@ -1451,7 +1537,7 @@ def collect_blooms(
     # their recorded bitmaps — after an append, only the new files
     # scan, O(new data) like the append itself. Files are immutable
     # once committed, so reuse can never go stale.
-    prev_meta = m.get("blooms", {})
+    prev_meta = _load_blooms(spark, m)
     reused: dict = {}
     if prev_meta.get("m_bits") == m_bits and prev_meta.get("k") == k:
         for f, per_col in prev_meta.get("files", {}).items():
@@ -1493,7 +1579,12 @@ def collect_blooms(
         "op": "analyze",
         "files": files,
         "n_rows": m["n_rows"],
-        "blooms": {"m_bits": m_bits, "k": k, "files": blooms},
+        # round 12 (r11 verdict #5): the bitmaps live in a parquet
+        # SIDECAR; the manifest carries only this O(1) pointer, so
+        # manifest bytes stay flat as the table grows files
+        "blooms_ref": _write_bloom_sidecar(
+            spark, table_path, cur + 1, blooms, m_bits, k
+        ),
     }
     for key in ("schema", "constraints", "stats", "dv"):
         if m.get(key):
@@ -1523,7 +1614,7 @@ def read_table_bloom_pruned(
             raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, version)
     files = _resolve_files(spark, table_path, version)
-    meta = m.get("blooms", {})
+    meta = _load_blooms(spark, m)
     per_file = meta.get("files", {})
     dtype = None
     sch = table_schema(spark, table_path, version)
@@ -1625,7 +1716,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "files": _resolve_files(spark, table_path, version),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv", "blooms"):
+    for key in ("schema", "constraints", "stats", "dv", "blooms", "blooms_ref"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1660,7 +1751,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "files": _resolve_files(spark, source_path, src_v),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv", "blooms"):
+    for key in ("schema", "constraints", "stats", "dv", "blooms", "blooms_ref"):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, target_path, 0, manifest)
@@ -1727,8 +1818,9 @@ def add_check_constraint(
         manifest["stats"] = m["stats"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    if m.get("blooms"):
-        manifest["blooms"] = m["blooms"]
+    for key in ("blooms", "blooms_ref"):
+        if m.get(key):
+            manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -1758,8 +1850,9 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
         manifest["stats"] = m["stats"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    if m.get("blooms"):
-        manifest["blooms"] = m["blooms"]
+    for key in ("blooms", "blooms_ref"):
+        if m.get(key):
+            manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 

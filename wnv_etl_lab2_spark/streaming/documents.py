@@ -215,40 +215,67 @@ def neardup_batch_processor(
     index_table = band_index_table_name(index_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        kept_q = batch_df.where(Q.quality_keep())
-        bands_new = minhash_band_signatures(
-            kept_q, num_hashes=num_hashes, bands=bands
-        ).localCheckpoint()  # 3 consumers below; batch-sized, bounded
-        dropped = None
-        if spark.catalog.tableExists(index_table):
-            index = spark.table(index_table).where(F.col("batch_id") < batch_id)
-            dropped = (
-                bands_new.join(index, ["band_id", "band_sig"], "left_semi")
-                .select("doc_id")
-            )
-        mnb = bands_new.groupBy("band_id", "band_sig").agg(
-            F.min("doc_id").alias("_bmn")
-        )
-        intra = (
-            bands_new.join(mnb, ["band_id", "band_sig"])
-            .where(F.col("_bmn") < F.col("doc_id"))
-            .select("doc_id")
-        )
-        dropped_ids = intra if dropped is None else intra.union(dropped)
-        survivors = kept_q.join(dropped_ids.distinct(), "doc_id", "left_anti")
-        upsert_bucketed_partition(
-            bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
-            table=index_table,
-            path=index_dir,
-            partition_col="batch_id",
-            bucket_keys=["band_id", "band_sig"],
+        survivors = text_batch_survivors(
+            batch_df, batch_id, index_dir, num_hashes=num_hashes, bands=bands
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
     return _process
+
+
+def text_batch_survivors(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """One micro-batch's TEXT curation against the persisted band
+    index (extracted from `neardup_batch_processor` so transactional
+    sinks can compose it — round 12): quality filter, greedy band
+    suppression vs earlier batches AND smaller same-batch ids, then
+    upsert this batch's bands into the index (dropped included — "any
+    smaller id" semantics). Returns the surviving rows; the CALLER
+    owns the sink. Index upsert is batch_id-idempotent, so a replayed
+    batch (aborted transaction, retried epoch) recomputes the same
+    survivor set."""
+    from wnv_etl_lab2_spark.functions import quality as Q
+    from wnv_etl_lab2_spark.operators.dedup import minhash_band_signatures
+    from wnv_etl_lab2_spark.sources.bucketing import upsert_bucketed_partition
+
+    index_table = band_index_table_name(index_dir)
+    spark = batch_df.sparkSession
+    kept_q = batch_df.where(Q.quality_keep())
+    bands_new = minhash_band_signatures(
+        kept_q, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint()  # 3 consumers below; batch-sized, bounded
+    dropped = None
+    if spark.catalog.tableExists(index_table):
+        index = spark.table(index_table).where(F.col("batch_id") < batch_id)
+        dropped = (
+            bands_new.join(index, ["band_id", "band_sig"], "left_semi")
+            .select("doc_id")
+        )
+    mnb = bands_new.groupBy("band_id", "band_sig").agg(
+        F.min("doc_id").alias("_bmn")
+    )
+    intra = (
+        bands_new.join(mnb, ["band_id", "band_sig"])
+        .where(F.col("_bmn") < F.col("doc_id"))
+        .select("doc_id")
+    )
+    dropped_ids = intra if dropped is None else intra.union(dropped)
+    survivors = kept_q.join(dropped_ids.distinct(), "doc_id", "left_anti")
+    upsert_bucketed_partition(
+        bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
+        table=index_table,
+        path=index_dir,
+        partition_col="batch_id",
+        bucket_keys=["band_id", "band_sig"],
+    )
+    return survivors
 
 
 # --- streaming IMAGE near-dup (dHash band index across micro-batches) ---
@@ -306,62 +333,91 @@ def image_neardup_batch_processor(index_dir: str, out_dir: str, max_hamming: int
     mask = (1 << width) - 1
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        hashes = (
-            image_dhash(batch_df)
-            .where(F.col("dhash").isNotNull())
-            .localCheckpoint()  # 3 consumers; batch-sized, bounded
-        )
-        bands_new = hashes.select(
-            "doc_id",
-            F.col("dhash").alias("h"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_id"),
-                            F.shiftright("dhash", b * width)
-                            .bitwiseAND(F.lit(mask))
-                            .alias("band_val"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("band"),
-        ).select("doc_id", "h", "band.band_id", "band.band_val")
-        dropped = None
-        if spark.catalog.tableExists(index_table):
-            index = spark.table(index_table).where(F.col("batch_id") < batch_id)
-            dropped = (
-                bands_new.alias("n")
-                .join(
-                    index.alias("i"),
-                    (F.col("n.band_id") == F.col("i.band_id"))
-                    & (F.col("n.band_val") == F.col("i.band_val")),
-                )
-                .where(
-                    F.bit_count(F.col("n.h").bitwiseXOR(F.col("i.h")))
-                    <= max_hamming
-                )
-                .select(F.col("n.doc_id").alias("doc_id"))
-            )
-        intra = image_neardup_pairs(hashes, max_hamming=max_hamming).select(
-            F.col("id_b").alias("doc_id")
-        )
-        dropped_ids = intra if dropped is None else intra.union(dropped)
-        survivors = batch_df.join(dropped_ids.distinct(), "doc_id", "left_anti")
-        upsert_bucketed_partition(
-            bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
-            table=index_table,
-            path=index_dir,
-            partition_col="batch_id",
-            bucket_keys=["band_id", "band_val"],
+        survivors = image_batch_survivors(
+            batch_df, batch_id, index_dir, max_hamming=max_hamming
         )
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
     return _process
+
+
+def image_batch_survivors(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """One micro-batch's IMAGE curation against the persisted dHash
+    band index (extracted from `image_neardup_batch_processor` so
+    transactional sinks can compose it — round 12): greedy suppression
+    vs earlier batches and smaller same-batch ids, index upsert
+    included (batch_id-idempotent). Returns the surviving rows; the
+    CALLER owns the sink. Undecodable payloads never hash and always
+    survive."""
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+    )
+    from wnv_etl_lab2_spark.sources.bucketing import upsert_bucketed_partition
+
+    index_table = image_index_table_name(index_dir)
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    spark = batch_df.sparkSession
+    hashes = (
+        image_dhash(batch_df)
+        .where(F.col("dhash").isNotNull())
+        .localCheckpoint()  # 3 consumers; batch-sized, bounded
+    )
+    bands_new = hashes.select(
+        "doc_id",
+        F.col("dhash").alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("dhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "h", "band.band_id", "band.band_val")
+    dropped = None
+    if spark.catalog.tableExists(index_table):
+        index = spark.table(index_table).where(F.col("batch_id") < batch_id)
+        dropped = (
+            bands_new.alias("n")
+            .join(
+                index.alias("i"),
+                (F.col("n.band_id") == F.col("i.band_id"))
+                & (F.col("n.band_val") == F.col("i.band_val")),
+            )
+            .where(
+                F.bit_count(F.col("n.h").bitwiseXOR(F.col("i.h")))
+                <= max_hamming
+            )
+            .select(F.col("n.doc_id").alias("doc_id"))
+        )
+    intra = image_neardup_pairs(hashes, max_hamming=max_hamming).select(
+        F.col("id_b").alias("doc_id")
+    )
+    dropped_ids = intra if dropped is None else intra.union(dropped)
+    survivors = batch_df.join(dropped_ids.distinct(), "doc_id", "left_anti")
+    upsert_bucketed_partition(
+        bands_new.withColumn("batch_id", F.lit(batch_id).cast("long")),
+        table=index_table,
+        path=index_dir,
+        partition_col="batch_id",
+        bucket_keys=["band_id", "band_val"],
+    )
+    return survivors
 
 
 def streaming_image_neardup_curation(
@@ -372,4 +428,104 @@ def streaming_image_neardup_curation(
     ready to ``.start()``."""
     return media_stream.writeStream.foreachBatch(
         image_neardup_batch_processor(index_dir, out_dir, max_hamming)
+    ).outputMode("append")
+
+
+# --- multimodal curation inside the TRANSACTIONAL lifecycle (round 12,
+# r11 verdict #7): one stream of multimodal rows feeds BOTH curated
+# tables, and each micro-batch's text survivors + image survivors
+# commit as ONE cross-table transaction — a consumer reading the two
+# tables never observes a batch's documents without its media or vice
+# versa, across crashes included.
+
+
+def multimodal_txn_batch_processor(
+    docs_index_dir: str,
+    media_index_dir: str,
+    docs_table: str,
+    media_table: str,
+    txn_log: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_hamming: int = 3,
+    writer_id: str = "multimodal-curation",
+):
+    """foreachBatch body committing each micro-batch's TEXT survivors
+    (quality + greedy band suppression, `text_batch_survivors`) and
+    IMAGE survivors (`image_batch_survivors`) to two versioned tables
+    in ONE `commit_transaction` — all-or-nothing per batch.
+
+    Exactly-once across restarts composes from three pieces:
+    (1) `recover_pending` at batch start aborts a prior crashed
+    attempt of THIS writer that died between slot publish and the
+    final marker, so the slots can never stay wedged; (2) the
+    transaction stamps both manifests with (batch_id, writer_id), and
+    a replayed batch whose id already committed is skipped — the
+    transaction is atomic, so "docs committed but media not" cannot
+    exist and ONE table's ledger answers for both; (3) the band-index
+    upserts are batch_id-idempotent (dynamic partition overwrite), so
+    a replay recomputes the identical survivor set. Input rows carry
+    the documents schema plus a binary ``payload`` column; media-side
+    columns are (doc_id, payload)."""
+    from wnv_etl_lab2_spark.sources.transactions import (
+        TxnWrite,
+        commit_transaction,
+        recover_pending,
+    )
+    from wnv_etl_lab2_spark.sources.versioned import (
+        last_committed_batch_id,
+        with_retries,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        recover_pending(spark, [docs_table, media_table])
+        last = last_committed_batch_id(spark, docs_table, writer_id)
+        if last is not None and batch_id <= last:
+            return  # replayed epoch: the transaction already committed
+        docs_part = batch_df.drop("payload")
+        media_part = batch_df.select("doc_id", "payload")
+        doc_survivors = text_batch_survivors(
+            docs_part, batch_id, docs_index_dir,
+            num_hashes=num_hashes, bands=bands,
+        ).localCheckpoint()  # decided BEFORE the commit: both writes
+        media_survivors = image_batch_survivors(
+            media_part, batch_id, media_index_dir, max_hamming=max_hamming
+        ).localCheckpoint()  # stage the same rows a retry would
+        with_retries(
+            lambda: commit_transaction(
+                spark,
+                txn_log,
+                [
+                    TxnWrite(
+                        doc_survivors, docs_table, "append",
+                        batch_id=batch_id, writer_id=writer_id,
+                    ),
+                    TxnWrite(
+                        media_survivors, media_table, "append",
+                        batch_id=batch_id, writer_id=writer_id,
+                    ),
+                ],
+            )
+        )
+
+    return _process
+
+
+def streaming_multimodal_txn_curation(
+    multimodal_stream: DataFrame,
+    docs_index_dir: str,
+    media_index_dir: str,
+    docs_table: str,
+    media_table: str,
+    txn_log: str,
+    **kwargs,
+):
+    """The writeStream wrapper of `multimodal_txn_batch_processor`.
+    Returns a DataStreamWriter ready to ``.start()``."""
+    return multimodal_stream.writeStream.foreachBatch(
+        multimodal_txn_batch_processor(
+            docs_index_dir, media_index_dir, docs_table, media_table,
+            txn_log, **kwargs,
+        )
     ).outputMode("append")
