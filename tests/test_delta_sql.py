@@ -139,3 +139,108 @@ def test_optimize_apply_purge_and_errors(spark, tmp_path):
         sql.run("CREATE TABLE t2 (id INT)")
     with pytest.raises(ValueError, match="unsupported MERGE"):
         sql.run("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE")
+
+
+def test_sql_time_travel_retention_and_cdf_tvf(spark, tmp_path, monkeypatch):
+    """Round-12 SQL extensions: SELECT ... TIMESTAMP AS OF, RESTORE TO
+    TIMESTAMP AS OF, VACUUM RETAIN n HOURS, and the table_changes TVF
+    — each equal to its Python-verb twin."""
+    import time as _time
+
+    from wnv_etl_lab2_spark.operators.cdf import table_changes
+
+    t0 = 1_800_000_000.0
+    clock = {"now": t0}
+    monkeypatch.setattr(_time, "time", lambda: clock["now"])
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(0, "a", 0.0), (1, "b", 1.0)],
+                              "id long, v string, score double"), tbl
+    )
+    clock["now"] = t0 + 3600
+    append_table(
+        spark.createDataFrame([(2, "c", 2.0)], "id long, v string, score double"), tbl
+    )
+    clock["now"] = t0 + 7200
+    delete_from_table(spark, tbl, "id = 0")
+
+    sql = DeltaSql(spark, {"t": tbl})
+
+    # TIMESTAMP AS OF: epoch-millis literal and ISO literal
+    mid = int((t0 + 5400) * 1000)
+    got = {r.id for r in sql.run(f"SELECT id FROM t TIMESTAMP AS OF {mid}").collect()}
+    assert got == {0, 1, 2}
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(t0 + 1, _dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    got0 = {r.id for r in sql.run(f"SELECT id FROM t TIMESTAMP AS OF '{iso}'").collect()}
+    assert got0 == {0, 1}
+
+    # table_changes TVF == operators/cdf.table_changes
+    tvf = sql.run("SELECT id, _change_type FROM table_changes('t', 'id', 0, 2)")
+    want = {
+        (r.id, r._change_type)
+        for r in table_changes(spark, tbl, "id", 0, 2).select("id", "_change_type").collect()
+    }
+    assert {(r.id, r._change_type) for r in tvf.collect()} == want and want
+
+    # RESTORE TO TIMESTAMP AS OF lands on the same version the helper picks
+    clock["now"] = t0 + 9000
+    sql.run(f"RESTORE TABLE t TO TIMESTAMP AS OF {mid}")
+    assert {r.id for r in read_table(spark, tbl).collect()} == {0, 1, 2}
+
+    # VACUUM RETAIN n HOURS == vacuum_table(retain_hours=n)
+    dry = sql.run("VACUUM t RETAIN 1.2 HOURS DRY RUN")
+    assert dry == vacuum_table(spark, tbl, retain_hours=1.2, dry_run=True)
+    assert sql.run("VACUUM t RETAIN 1.2 HOURS") == dry
+    assert {r.id for r in read_table(spark, tbl).collect()} == {0, 1, 2}
+
+
+def test_sql_ctas_insert_and_constraints(spark, tmp_path):
+    """Round-12 SQL completions: CREATE TABLE AS SELECT, INSERT INTO
+    (VALUES and SELECT forms, positional like SQL), and ALTER TABLE
+    ADD/DROP CONSTRAINT — equal to the Python verbs and enforced on
+    subsequent writes."""
+    from wnv_etl_lab2_spark.sources.versioned import table_constraints
+
+    src = str(tmp_path / "src")
+    derived = str(tmp_path / "derived")
+    create_table(
+        spark.createDataFrame(
+            [(i, f"v{i}", float(i)) for i in range(10)],
+            "id long, v string, score double",
+        ),
+        src,
+    )
+    sql = DeltaSql(spark, {"events": src, "derived": derived})
+
+    # CTAS into a registered-but-uncreated path
+    assert sql.run("CREATE TABLE derived AS SELECT id, score FROM events WHERE id < 5") == 0
+    assert {r.id for r in read_table(spark, derived).collect()} == set(range(5))
+
+    # INSERT VALUES is positional against the table schema
+    v = sql.run("INSERT INTO derived VALUES (100, 9.5)")
+    assert v == 1
+    got = {r.id: r.score for r in read_table(spark, derived).collect()}
+    assert got[100] == 9.5
+
+    # INSERT ... SELECT appends a derived frame
+    sql.run("INSERT INTO derived SELECT id, score FROM events WHERE id >= 8")
+    assert {r.id for r in read_table(spark, derived).collect()} == set(range(5)) | {100, 8, 9}
+
+    # arity mismatch refuses before writing anything
+    with pytest.raises(ValueError, match="arity"):
+        sql.run("INSERT INTO derived VALUES (1, 2.0, 'extra')")
+
+    # constraints via SQL, enforced on the next SQL write
+    sql.run("ALTER TABLE derived ADD CONSTRAINT score_pos CHECK (score >= 0)")
+    assert table_constraints(spark, derived) == {"score_pos": "score >= 0"}
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        sql.run("INSERT INTO derived VALUES (200, -1.0)")
+    sql.run("ALTER TABLE derived DROP CONSTRAINT score_pos")
+    assert table_constraints(spark, derived) == {}
+    sql.run("INSERT INTO derived VALUES (200, -1.0)")  # now allowed
+    assert 200 in {r.id for r in read_table(spark, derived).collect()}

@@ -1090,3 +1090,78 @@ def test_table_history_and_vacuum_dry_run(spark, tmp_path):
     assert read_table(spark, tbl, 0).count() == 2  # still time-travelable
     # the real vacuum then drops exactly the previewed versions
     assert vacuum_table(spark, tbl, keep_last=2) == [0, 1, 2]
+
+
+def test_timestamp_as_of_and_time_based_retention(spark, tmp_path, monkeypatch):
+    """Round 12: every commit is wall-clock stamped (ts_ms);
+    TIMESTAMP AS OF resolves to the largest visible version stamped
+    <= the target (never assuming monotonic clocks); DESCRIBE HISTORY
+    surfaces the stamp; VACUUM RETAIN n HOURS drops only versions past
+    the retention cutoff — including a NON-contiguous drop under clock
+    skew, where the kept child of a dropped append parent must stay
+    readable through its own checkpoint."""
+    import time as _time
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        create_table,
+        read_table,
+        read_table_as_of_timestamp,
+        table_history,
+        vacuum_table,
+        version_as_of_timestamp,
+    )
+
+    t0 = 1_800_000_000.0  # fixed epoch base
+    clock = {"now": t0}
+    monkeypatch.setattr(_time, "time", lambda: clock["now"])
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, "a")], "id long, v string"), tbl)
+    clock["now"] = t0 + 3600
+    append_table(spark.createDataFrame([(1, "b")], "id long, v string"), tbl)
+    clock["now"] = t0 + 7200
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)
+
+    assert version_as_of_timestamp(spark, tbl, int((t0 + 1) * 1000)) == 0
+    assert version_as_of_timestamp(spark, tbl, int((t0 + 5400) * 1000)) == 1
+    assert {
+        r.id
+        for r in read_table_as_of_timestamp(
+            spark, tbl, int((t0 + 5400) * 1000)
+        ).collect()
+    } == {0, 1}
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of_timestamp(spark, tbl, int((t0 - 10) * 1000))
+    hist = {r.version: r.ts_ms for r in table_history(spark, tbl).collect()}
+    assert hist == {
+        0: int(t0 * 1000),
+        1: int((t0 + 3600) * 1000),
+        2: int((t0 + 7200) * 1000),
+    }
+
+    # time-based retention: 1.5h before "now" = t0+2h+1s keeps v1, v2
+    clock["now"] = t0 + 7201
+    assert vacuum_table(spark, tbl, retain_hours=1.5, dry_run=True) == [0]
+    assert vacuum_table(spark, tbl, retain_hours=1.5) == [0]
+    assert {r.id for r in read_table(spark, tbl).collect()} == {0, 1, 2}
+    assert {r.id for r in read_table(spark, tbl, 1).collect()} == {0, 1}
+    with pytest.raises(ValueError):
+        read_table(spark, tbl, 0)
+
+    # NON-contiguous drop (clock skew): v0 stamped LATE, its child v1
+    # stamped early -> retention drops v1 but keeps v0 and v2; v2's
+    # append chain walked through v1, so vacuum checkpoints v2
+    tbl2 = str(tmp_path / "skew")
+    clock["now"] = t0 + 36000  # late create
+    create_table(spark.createDataFrame([(0, "a")], "id long, v string"), tbl2)
+    clock["now"] = t0  # skewed-back append
+    append_table(spark.createDataFrame([(1, "b")], "id long, v string"), tbl2)
+    clock["now"] = t0 + 36000
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl2)
+    clock["now"] = t0 + 36001
+    assert vacuum_table(spark, tbl2, retain_hours=5.0) == [1]
+    assert {r.id for r in read_table(spark, tbl2).collect()} == {0, 1, 2}
+    assert {r.id for r in read_table(spark, tbl2, 0).collect()} == {0}
+    with pytest.raises(ValueError):
+        read_table(spark, tbl2, 1)

@@ -13,8 +13,17 @@ lifecycle with SQL strings only:
     sql.run("OPTIMIZE events ZORDER BY (ts, id)")
     sql.run("DESCRIBE HISTORY events")          # -> DataFrame
     sql.run("SELECT * FROM events VERSION AS OF 2 WHERE id > 5")
+    sql.run("SELECT * FROM events TIMESTAMP AS OF '2026-08-15 12:00:00'")
+    sql.run("SELECT * FROM table_changes('events', 'id', 0, 3)")
     sql.run("RESTORE TABLE events TO VERSION AS OF 1")
+    sql.run("RESTORE TABLE events TO TIMESTAMP AS OF '2026-08-14'")
     sql.run("VACUUM events RETAIN 2 VERSIONS DRY RUN")
+    sql.run("VACUUM events RETAIN 24 HOURS")
+    sql.run("CREATE TABLE derived AS SELECT id, score FROM events")
+    sql.run("INSERT INTO events VALUES (7, 'new', 0.5)")
+    sql.run("INSERT INTO events SELECT * FROM derived WHERE score > 0")
+    sql.run("ALTER TABLE events ADD CONSTRAINT pos CHECK (score >= 0)")
+    sql.run("ALTER TABLE events DROP CONSTRAINT pos")
 
 Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
 statement head (MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE/RESTORE)
@@ -43,15 +52,21 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from wnv_etl_lab2_spark.sources.versioned import (
+    add_check_constraint,
+    append_table,
+    create_table,
     delete_from_table,
+    drop_check_constraint,
     merge_upsert_table,
     optimize_table,
     purge_deletion_vectors,
     read_table,
+    read_table_as_of_timestamp,
     restore_table,
     table_history,
     update_table,
     vacuum_table,
+    version_as_of_timestamp,
 )
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
@@ -83,6 +98,24 @@ class DeltaSql:
 
     # -- verbs -----------------------------------------------------------
 
+    @staticmethod
+    def _ts_ms(literal: str) -> int:
+        """A quoted timestamp literal as epoch millis: ISO dates
+        ('2026-08-15', '2026-08-15 12:00:00[.fff]') or a bare epoch
+        millis integer. UTC — the session timezone the engine pins."""
+        from datetime import datetime, timezone
+
+        lit = literal.strip().strip("'\"")
+        if lit.isdigit():
+            return int(lit)
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                dt = datetime.strptime(lit, fmt).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1000)
+            except ValueError:
+                continue
+        raise ValueError(f"unsupported timestamp literal: {literal!r}")
+
     def run(self, sql: str):
         s = self._strip(sql)
         head = s.split(None, 1)[0].upper() if s else ""
@@ -98,19 +131,25 @@ class DeltaSql:
         if head == "VACUUM":
             m = re.fullmatch(
                 rf"VACUUM\s+({_IDENT})"
-                r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+                r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(VERSIONS?|HOURS?))?"
                 r"(\s+DRY\s+RUN)?",
                 s,
                 re.IGNORECASE,
             )
             if not m:
                 raise ValueError(f"unsupported VACUUM statement: {sql!r}")
-            keep = int(m.group(2)) if m.group(2) else 1
+            keep, hours = 1, None
+            if m.group(2):
+                if m.group(3).upper().startswith("HOUR"):
+                    hours = float(m.group(2))
+                else:
+                    keep = int(float(m.group(2)))
             return vacuum_table(
                 self.spark,
                 self._path(m.group(1)),
                 keep_last=keep,
-                dry_run=bool(m.group(3)),
+                dry_run=bool(m.group(4)),
+                retain_hours=hours,
             )
         if head == "OPTIMIZE":
             m = re.fullmatch(
@@ -138,9 +177,83 @@ class DeltaSql:
                 s,
                 re.IGNORECASE,
             )
+            if m:
+                return restore_table(self.spark, self._path(m.group(1)), int(m.group(2)))
+            m = re.fullmatch(
+                rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                path = self._path(m.group(1))
+                return restore_table(
+                    self.spark, path,
+                    version_as_of_timestamp(self.spark, path, self._ts_ms(m.group(2))),
+                )
+            raise ValueError(f"unsupported RESTORE statement: {sql!r}")
+        if head == "CREATE":
+            m = re.fullmatch(
+                rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\s+.+|WITH\s+.+)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
             if not m:
-                raise ValueError(f"unsupported RESTORE statement: {sql!r}")
-            return restore_table(self.spark, self._path(m.group(1)), int(m.group(2)))
+                raise ValueError(
+                    f"unsupported CREATE statement (CTAS only): {sql!r}"
+                )
+            return create_table(self._select(m.group(2)), self._path(m.group(1)))
+        if head == "INSERT":
+            m = re.fullmatch(
+                rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\s+.+|WITH\s+.+|VALUES\s+.+)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"unsupported INSERT statement: {sql!r}")
+            path, body = self._path(m.group(1)), m.group(2)
+            if body.upper().startswith("VALUES"):
+                from wnv_etl_lab2_spark.sources.versioned import table_schema
+
+                df = self.spark.sql(f"SELECT * FROM {body}")
+                sch = table_schema(self.spark, path)
+                if sch is not None:
+                    if len(df.columns) != len(sch.names):
+                        raise ValueError(
+                            f"INSERT VALUES arity {len(df.columns)} != table "
+                            f"arity {len(sch.names)}"
+                        )
+                    from pyspark.sql import functions as F
+
+                    # positional + type-coerced against the table schema,
+                    # the SQL INSERT contract (VALUES literals infer
+                    # narrow types like int where the table has bigint)
+                    df = df.toDF(*sch.names).select(
+                        *[F.col(f.name).cast(f.dataType) for f in sch.fields]
+                    )
+            else:
+                df = self._select(body)
+            return append_table(df, path)
+        if head == "ALTER":
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+                r"\s+CHECK\s*\((.+)\)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                return add_check_constraint(
+                    self.spark, self._path(m.group(1)), m.group(2), m.group(3)
+                )
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                return drop_check_constraint(
+                    self.spark, self._path(m.group(1)), m.group(2)
+                )
+            raise ValueError(f"unsupported ALTER statement: {sql!r}")
         if head == "DELETE":
             m = re.fullmatch(
                 rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)",
@@ -162,17 +275,54 @@ class DeltaSql:
         to the view names, and delegate to spark.sql."""
         views: list[str] = []
         try:
+            # the table_changes TVF first: table_changes('t', key, v1[, v2])
+            # binds the keyed CDF snapshot diff (`operators/cdf`) as a view
+            def tvf(m: re.Match) -> str:
+                from wnv_etl_lab2_spark.operators.cdf import table_changes
+
+                name = m.group(1)
+                v_to = int(m.group(4)) if m.group(4) else None
+                v = f"_dsql_cdf_{name}_{uuid.uuid4().hex[:6]}"
+                table_changes(
+                    self.spark, self._path(name), m.group(2),
+                    int(m.group(3)), v_to,
+                ).createOrReplaceTempView(v)
+                views.append(v)
+                return v
+
+            s = re.sub(
+                rf"table_changes\s*\(\s*'({_IDENT})'\s*,\s*'({_IDENT})'\s*,"
+                r"\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                tvf,
+                s,
+                flags=re.IGNORECASE,
+            )
             for name, path in self.tables.items():
-                # pinned references first: `name VERSION AS OF n`
+                # pinned references first: `name VERSION AS OF n` /
+                # `name TIMESTAMP AS OF '...'`
                 def pin(m: re.Match) -> str:
                     v = f"_dsql_{name}_v{m.group(1)}_{uuid.uuid4().hex[:6]}"
                     read_table(self.spark, path, int(m.group(1))).createOrReplaceTempView(v)
                     views.append(v)
                     return v
 
+                def pin_ts(m: re.Match) -> str:
+                    v = f"_dsql_{name}_t_{uuid.uuid4().hex[:6]}"
+                    read_table_as_of_timestamp(
+                        self.spark, path, self._ts_ms(m.group(1))
+                    ).createOrReplaceTempView(v)
+                    views.append(v)
+                    return v
+
                 s = re.sub(
                     rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
                     pin,
+                    s,
+                    flags=re.IGNORECASE,
+                )
+                s = re.sub(
+                    rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)",
+                    pin_ts,
                     s,
                     flags=re.IGNORECASE,
                 )

@@ -243,8 +243,16 @@ def _commit(spark: SparkSession, table_path: str, version: int, manifest: dict) 
     concurrent writer that already committed this version makes the
     rename throw, so race losers still lose loudly and their data dirs
     stay reference-counted garbage for vacuum."""
+    import time
     import uuid
 
+    # commit wall-clock (ms) — the TIMESTAMP AS OF / retention anchor
+    # (round 12). Stamped at the atomic publish, never replayed:
+    # retries build a fresh manifest, so the stamp is the time the
+    # version actually became visible. Timestamp resolution never
+    # assumes monotonicity (clock skew between writers): AS OF picks
+    # the LARGEST version among those stamped <= the target.
+    manifest.setdefault("ts_ms", int(time.time() * 1000))
     fs, jvm = _fs(spark, table_path)
     log_dir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _LOG_DIR))
     fs.mkdirs(log_dir)
@@ -762,6 +770,39 @@ def table_schema(spark: SparkSession, table_path: str, version: int | None = Non
     return StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
 
 
+def version_as_of_timestamp(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int:
+    """TIMESTAMP AS OF resolution (round 12 — Delta's contract): the
+    LARGEST txn-visible version whose commit stamp is <= ``ts_ms``.
+    Raises if the table's earliest version is younger than the target
+    (nothing existed then). Manifests written before stamps landed
+    read as timestamp 0 — always in range, so upgraded tables keep
+    their whole history addressable. O(versions) driver-side manifest
+    reads, KBs each."""
+    best = None
+    for v in _list_versions(spark, table_path):
+        m = _read_manifest(spark, table_path, v)
+        if not _txn_visible(spark, m):
+            continue
+        if int(m.get("ts_ms", 0)) <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {table_path} existed at timestamp {ts_ms} "
+            "(the earliest commit is younger)"
+        )
+    return best
+
+
+def read_table_as_of_timestamp(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> DataFrame:
+    """The snapshot that was LATEST at wall-clock ``ts_ms`` —
+    `read_table` at `version_as_of_timestamp`."""
+    return read_table(spark, table_path, version_as_of_timestamp(spark, table_path, ts_ms))
+
+
 def _delete_merge_on_read(
     spark: SparkSession, table_path: str, condition: str, change_data: bool
 ) -> int:
@@ -1212,7 +1253,11 @@ def purge_deletion_vectors(
 
 
 def vacuum_table(
-    spark: SparkSession, table_path: str, keep_last: int = 1, dry_run: bool = False
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 1,
+    dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` versions: their manifests
     are removed and any data file no kept version references is
@@ -1227,7 +1272,12 @@ def vacuum_table(
     vacuumed version numbers; time travel to them now fails loudly.
     ``dry_run=True`` (round 11, Delta's VACUUM DRY RUN) returns the
     SAME version list while deleting nothing — the operator's preview
-    before an irreversible collection."""
+    before an irreversible collection.
+    ``retain_hours`` (round 12, Delta's RETAIN n HOURS): drop only
+    versions whose commit stamp is older than now - retain_hours,
+    never the latest — time-based retention composes with
+    ``keep_last`` (a version survives if EITHER rule keeps it).
+    Pre-stamp manifests read as timestamp 0 (always past retention)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (a table must keep its latest version)")
     versions = _list_versions(spark, table_path)
@@ -1243,7 +1293,16 @@ def vacuum_table(
             f"{versions[-1]} — commit or abort it before vacuum"
         )
     drop = versions[:-keep_last]
-    kept = versions[-keep_last:]
+    if retain_hours is not None:
+        import time
+
+        cutoff = int(time.time() * 1000) - int(retain_hours * 3600 * 1000)
+        drop = [
+            v
+            for v in drop
+            if int(_read_manifest(spark, table_path, v).get("ts_ms", 0)) < cutoff
+        ]
+    kept = [v for v in versions if v not in set(drop)]
     if dry_run:
         return drop  # preview only: nothing deleted, no checkpoint written
     fs, jvm = _fs(spark, table_path)
@@ -1254,11 +1313,23 @@ def vacuum_table(
     kept_files: set[str] = set()
     for files in kept_resolved.values():
         kept_files.update(_qualify(fs, jvm, f) for f in files)
-    # the oldest kept version gets a checkpoint BEFORE its ancestors'
-    # manifests are dropped: every kept append chain resolves through
-    # it afterwards (younger kept versions stop their walk here)
+    # every kept version whose append-chain walk passes through a
+    # dropped manifest gets a checkpoint BEFORE those manifests go:
+    # with contiguous drops (keep_last) that is just the oldest kept
+    # version; time-based retention (retain_hours) can drop
+    # NON-contiguous versions, so any kept log-structured append whose
+    # parent is dropped needs its own checkpoint too (round 12)
     if drop:
-        _write_checkpoint(spark, table_path, kept[0], kept_resolved[kept[0]])
+        dropset = set(drop)
+        for v in kept:
+            m_v = _read_manifest(spark, table_path, v)
+            walks_through_drop = v == kept[0] or (
+                "files" not in m_v
+                and not fs.exists(_ckpt_path(jvm, table_path, v))
+                and m_v.get("parent") in dropset
+            )
+            if walks_through_drop:
+                _write_checkpoint(spark, table_path, v, kept_resolved[v])
     for v in drop:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
@@ -1677,6 +1748,7 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
                 m.get("restored_from"),
                 m.get("cloned_from", {}).get("path") if "cloned_from" in m else None,
                 not _txn_visible(spark, m),
+                m.get("ts_ms"),
             )
         )
     return spark.createDataFrame(
@@ -1684,7 +1756,7 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
         "version int, op string, n_rows long, n_files int, batch_id long, "
         "writer_id string, has_change_data boolean, has_dv boolean, "
         "constraints array<string>, restored_from int, cloned_from string, "
-        "txn_pending boolean",
+        "txn_pending boolean, ts_ms long",
     )
 
 
