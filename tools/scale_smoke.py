@@ -122,6 +122,13 @@ PER_UNIT_X16_GATES = {
     # shuffle between them — per-doc cost must amortize in both.
     "chi2_token_source": 0.5,
     "embedding_quantize_perdim": 0.5,
+    # Round 12: the IVFADC residual code scan (ann_topk_ivfpq) —
+    # staged/scan-inclusive like the other embedding rows. The plan is
+    # a pure map (assign + nprobe filter + residual encode + LUT fold)
+    # into one TakeOrdered heap: zero shuffles, so per-unit cost must
+    # amortize like any linear scan. Replication multiplies corpus
+    # vectors; the probed-cell fraction stays nprobe/16 by construction.
+    "ann_topk_ivfpq": 0.5,
 }
 
 # Round 9 (VERDICT r8 #5): the blocked fuzzy join — new family in r8,
@@ -346,6 +353,7 @@ def main() -> None:
     from wnv_etl_lab2_spark.queries.joins_windows import sessionize_events
     from wnv_etl_lab2_spark.queries.sampling_q import dsir_importance_weights
     from wnv_etl_lab2_spark.queries.similarity_q import (
+        ann_topk_ivfpq,
         corpus_curation_stats,
         embedding_covariance_int8,
         embedding_quantize_perdim,
@@ -378,6 +386,7 @@ def main() -> None:
         "embedding_pca_power_iteration": embedding_pca_power_iteration,
         "chi2_token_source": chi2_token_source,
         "embedding_quantize_perdim": embedding_quantize_perdim,
+        "ann_topk_ivfpq": ann_topk_ivfpq,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
