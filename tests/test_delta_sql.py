@@ -244,3 +244,23 @@ def test_sql_ctas_insert_and_constraints(spark, tmp_path):
     assert table_constraints(spark, derived) == {}
     sql.run("INSERT INTO derived VALUES (200, -1.0)")  # now allowed
     assert 200 in {r.id for r in read_table(spark, derived).collect()}
+
+
+def test_select_rewrite_ignores_string_literals(spark, tmp_path):
+    """Round-12 router fix: a string literal containing a registered
+    table name must NOT be rewritten to the temp-view name."""
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, "events"), (2, "other")], "id long, v string"
+        ),
+        tbl,
+    )
+    sql = DeltaSql(spark, {"events": tbl})
+    got = sql.run("SELECT id FROM events WHERE v = 'events'").collect()
+    assert [r.id for r in got] == [1]
+    # literal-with-quotes edge: doubled quote escape stays intact
+    got2 = sql.run(
+        "SELECT count(*) AS n FROM events WHERE v <> 'events'' ago'"
+    ).collect()
+    assert got2[0].n == 2

@@ -269,6 +269,19 @@ class DeltaSql:
             return self._merge(s, sql)
         raise ValueError(f"unsupported statement: {sql!r}")
 
+    @staticmethod
+    def _sub_outside_quotes(pattern: str, repl, s: str) -> str:
+        """re.sub that never rewrites inside single-quoted SQL string
+        literals (round-12 fix: a literal containing a table name —
+        WHERE v = 'events' — must not be rewritten to the temp-view
+        name). Splits on quoted segments ('' escapes included), applies
+        the substitution to the unquoted segments only."""
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        return "".join(
+            part if i % 2 else re.sub(pattern, repl, part, flags=re.IGNORECASE)
+            for i, part in enumerate(parts)
+        )
+
     def _select(self, s: str) -> DataFrame:
         """Register each referenced table (latest or `VERSION AS OF n`
         pinned snapshot) as a unique temp view, rewrite the statement
@@ -314,11 +327,8 @@ class DeltaSql:
                     views.append(v)
                     return v
 
-                s = re.sub(
-                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)",
-                    pin,
-                    s,
-                    flags=re.IGNORECASE,
+                s = self._sub_outside_quotes(
+                    rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)", pin, s
                 )
                 s = re.sub(
                     rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)",
@@ -326,11 +336,16 @@ class DeltaSql:
                     s,
                     flags=re.IGNORECASE,
                 )
-                if re.search(rf"\b{name}\b", s):
+                bare = rf"\b{name}\b"
+                if any(
+                    re.search(bare, part)
+                    for i, part in enumerate(re.split(r"('(?:[^']|'')*')", s))
+                    if i % 2 == 0
+                ):
                     v = f"_dsql_{name}_{uuid.uuid4().hex[:6]}"
                     read_table(self.spark, path).createOrReplaceTempView(v)
                     views.append(v)
-                    s = re.sub(rf"\b{name}\b", v, s)
+                    s = self._sub_outside_quotes(bare, v, s)
             # materialize the result before dropping the views so the
             # returned frame does not depend on them... it would — so
             # keep the views; they are session-scoped temps with
