@@ -165,3 +165,51 @@ def test_pq_encode_deterministic_and_refined_recall(spark, sf_dir):
     }
     assert len(refined & truth) >= 7  # the refined path recovers recall
     assert len(refined & truth) >= len(adc & truth)
+
+
+def test_persisted_ivfpq_equals_inline_and_prunes(spark, sf_dir, tmp_path):
+    """Round 12: the persisted IVFADC index (codes + vectors in one
+    cell-partitioned table) must equal the inline refined serve path
+    result-for-result, probe only the nprobe cells (partition filter
+    in the plan), and read ONLY the code column during the shortlist
+    scan (column pruning — embeddings stay on disk until refine)."""
+    from wnv_etl_lab2_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_query,
+        ivfpq_topk_refined,
+    )
+    from wnv_etl_lab2_spark.queries._ivf_centroids import CENTROIDS
+    from wnv_etl_lab2_spark.queries._ivfpq_codebooks import RESIDUAL_CODEBOOKS
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = [float(v) for v in emb.where("vec_id = 0").select("embedding").head()[0]]
+    corpus = emb.where("vec_id <> 0")
+
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_index_build(corpus, idx, CENTROIDS, RESIDUAL_CODEBOOKS)
+
+    got = ivfpq_index_query(
+        spark, idx, qvec, CENTROIDS, RESIDUAL_CODEBOOKS,
+        k=10, nprobe=6, shortlist=50,
+    )
+    want = ivfpq_topk_refined(
+        corpus, qvec, CENTROIDS, RESIDUAL_CODEBOOKS,
+        k=10, nprobe=6, shortlist=50,
+    ).collect()
+    assert [(r.vec_id, r.l2_dist) for r in got.collect()] == [
+        (r.vec_id, r.l2_dist) for r in want
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # partition pruning on the cell directory column: the CODE scan
+    # carries the probe IN-list as a partition filter (the refine scan
+    # legitimately shows an empty filter — it fetches by id)
+    pf_segments = [
+        seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]
+    ]
+    assert any("_cl" in seg and " IN " in seg for seg in pf_segments), pf_segments
+    # column pruning: the shortlist scan's ReadSchema carries the codes
+    # but NOT the embedding column (the refine scan reads _e separately)
+    scans = [seg.split("]")[0] for seg in plan.split("ReadSchema: struct<")[1:]]
+    code_scans = [seg for seg in scans if "_codes" in seg]
+    assert code_scans and all("_e" not in seg for seg in code_scans)

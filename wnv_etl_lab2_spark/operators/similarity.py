@@ -813,6 +813,115 @@ def ivf_index_query(
     return sim.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_index_build(
+    vectors: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVFADC index (round 12 — the persisted
+    twin of `ivfpq_topk_pretrained`, completing the build-once/
+    query-many deployment shape the IVF index established): ONE
+    parquet table partitioned by coarse cell (``_cl=``) whose rows
+    carry (id, residual PQ codes, full vector). Because parquet is
+    columnar, the ADC serve scan reads ONLY the code column of the
+    probed partitions — partition pruning cuts the files, column
+    pruning cuts the bytes to ~8 codes/vector — while the refine stage
+    fetches the full vectors of just the shortlist from the same
+    table. Assignment + residual encode are pure JVM maps at build
+    (one corpus pass); deterministic for fixed constants."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    (
+        vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+        .withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col("_e"),
+                F.element_at(cent_arr, F.col("_cl") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .withColumn("_codes", pq_encode_col(F.col("_res"), codebooks))
+        .drop("_res")
+        .write.mode("overwrite")
+        .partitionBy("_cl")
+        .parquet(index_dir)
+    )
+
+
+def ivfpq_index_query(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVFADC index: rank cells driver-side,
+    scan ONLY the probed partitions' CODE column (partition pruning +
+    column pruning — the embedding column never leaves disk during the
+    shortlist pass), ADC via per-cell LUT constants, then fetch just
+    the ``shortlist`` winners' full vectors for the exact squared-L2
+    re-rank. Identical results to the inline `ivfpq_topk_refined` for
+    the same corpus/constants (pinned in tests/test_ann_index.py)."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids]
+    probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: (t[1], t[0]))[:nprobe]]
+    lut = [
+        [
+            [
+                sum(
+                    ((query_vec[s * sub_dim + i] - c[s * sub_dim + i]) - w[i]) ** 2
+                    for i in range(sub_dim)
+                )
+                for w in book
+            ]
+            for s, book in enumerate(codebooks)
+        ]
+        for c in centroids
+    ]
+    codes = spark.read.parquet(index_dir).where(F.col("_cl").isin(probes))
+    adc = F.lit(0.0)
+    for s in range(m):
+        table_s = F.array(
+            *[F.array(*[F.lit(d) for d in lut[c][s]]) for c in range(len(centroids))]
+        )
+        adc = adc + F.element_at(
+            F.element_at(table_s, F.col("_cl") + 1),
+            F.element_at(F.col("_codes"), s + 1) + 1,
+        )
+    cands = (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = (
+        spark.read.parquet(index_dir)
+        .join(F.broadcast(cands), id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("_e"), qa, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    return exact.orderBy(F.col("l2_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
 def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
     """Product-quantization ENCODE as a pure JVM expression: split the
     vector into M contiguous subvectors, and per subspace emit the
