@@ -522,3 +522,62 @@ def test_mp3_metadata_frame_walk(spark):
     assert rows[1].is_cbr and rows[1].n_frames == 10
     assert rows[2].is_cbr is False and rows[2].version == "mpeg1"
     assert rows[3].n_frames is None and rows[3].duration_sec is None
+
+
+# ---- FLAC STREAMINFO metadata (round 12) -------------------------------
+
+
+def make_flac(
+    sample_rate=44100, channels=2, bits=16, total=441000,
+    min_block=4096, max_block=4096, md5=b"\x01" * 16, last=True,
+) -> bytes:
+    """Synthesize a FLAC header: magic + STREAMINFO block (34 bytes,
+    spec field packing); frame data is irrelevant to the parser."""
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total
+    )
+    body = (
+        min_block.to_bytes(2, "big")
+        + max_block.to_bytes(2, "big")
+        + (0).to_bytes(3, "big")  # min frame size (unknown)
+        + (0).to_bytes(3, "big")  # max frame size
+        + packed.to_bytes(8, "big")
+        + md5
+    )
+    assert len(body) == 34
+    header = bytes([(0x80 if last else 0x00) | 0x00]) + len(body).to_bytes(3, "big")
+    return b"fLaC" + header + body + b"\x00\x00"  # token frame bytes
+
+
+def test_flac_streaminfo_metadata(spark):
+    from wnv_etl_lab2_spark.operators.multimodal import (
+        flac_metadata,
+        parse_flac_metadata,
+    )
+
+    good = make_flac()
+    meta = parse_flac_metadata(good)
+    assert meta == (44100, 2, 16, 441000, 10.0, 4096, 4096, "01" * 16)
+    mono = make_flac(sample_rate=8000, channels=1, bits=24, total=4000)
+    assert parse_flac_metadata(mono)[:5] == (8000, 1, 24, 4000, 0.5)
+    # 36-bit total samples boundary
+    big = make_flac(total=(1 << 36) - 1)
+    assert parse_flac_metadata(big)[3] == (1 << 36) - 1
+    # corrupt family: wrong magic, truncated, zero sample rate,
+    # STREAMINFO not first
+    assert parse_flac_metadata(b"OggS" + good[4:]) is None
+    assert parse_flac_metadata(good[:20]) is None
+    assert parse_flac_metadata(make_flac(sample_rate=0)) is None
+    not_first = b"fLaC" + bytes([0x04]) + (0).to_bytes(3, "big") + good[4:]
+    assert parse_flac_metadata(not_first) is None
+
+    df = spark.createDataFrame(
+        [(1, good), (2, mono), (3, b"junk")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in flac_metadata(df).collect()}
+    assert rows[1].duration_sec == 10.0 and rows[1].md5 == "01" * 16
+    assert rows[2].channels == 1 and rows[2].bits_per_sample == 24
+    assert rows[3].sample_rate is None and rows[3].md5 is None

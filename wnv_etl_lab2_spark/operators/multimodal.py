@@ -1280,3 +1280,72 @@ def mp3_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=MP3_META_SCHEMA)
+
+
+FLAC_META_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits_per_sample int, "
+    "total_samples long, duration_sec double, min_block int, max_block int, "
+    "md5 string"
+)
+
+
+def parse_flac_metadata(payload: bytes):
+    """FLAC STREAMINFO from the native container (round 12; the audio
+    twin of the MP4 box walk — real struct parsing, no codec library):
+    'fLaC' magic, then metadata blocks of (1-bit last flag, 7-bit
+    type, 24-bit length); STREAMINFO (type 0, always first per spec)
+    packs min/max block size (16+16 bits), min/max frame size (24+24),
+    then a 64-bit field of sample rate (20 bits), channels-1 (3),
+    bits-per-sample-1 (5), total samples (36), and the 128-bit
+    unencoded-audio MD5. Returns (sample_rate, channels,
+    bits_per_sample, total_samples, duration_sec, min_block,
+    max_block, md5_hex) or None for non-FLAC / truncated / malformed
+    payloads — corrupt media is data, not an exception."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    block_type = payload[pos] & 0x7F
+    size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+    if block_type != 0 or size != 34 or pos + 4 + size > len(payload):
+        return None  # STREAMINFO must be the first block, exactly 34 bytes
+    b = payload[pos + 4 : pos + 4 + 34]
+    min_block = int.from_bytes(b[0:2], "big")
+    max_block = int.from_bytes(b[2:4], "big")
+    packed = int.from_bytes(b[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    if sample_rate == 0:  # spec: 0 is invalid
+        return None
+    md5 = b[18:34].hex()
+    duration = round(total / sample_rate, 6)
+    return (sample_rate, channels, bits, total, duration, min_block, max_block, md5)
+
+
+def flac_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """STREAMINFO metadata for a binary audio column — sample rate,
+    channels, bit depth, exact duration, and the spec's unencoded-MD5
+    (a content fingerprint usable as an exact-dedup key across
+    re-encodes of the same PCM). Non-FLAC / corrupt payloads yield
+    null metadata rows. One Arrow crossing, (id, payload) only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "doc_id", "sample_rate", "channels", "bits_per_sample",
+            "total_samples", "duration_sec", "min_block", "max_block", "md5",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(doc_id)
+                meta = parse_flac_metadata(bytes(payload) if payload is not None else b"")
+                if meta is None:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                else:
+                    for k, v in zip(cols[1:], meta):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FLAC_META_SCHEMA)
