@@ -1165,3 +1165,77 @@ def test_timestamp_as_of_and_time_based_retention(spark, tmp_path, monkeypatch):
     assert {r.id for r in read_table(spark, tbl2, 0).collect()} == {0}
     with pytest.raises(ValueError):
         read_table(spark, tbl2, 1)
+
+
+def test_write_time_stats_maintenance(spark, tmp_path):
+    """Round 12 (Delta's indexed-columns contract): stats_cols declared
+    at create (or via ANALYZE) are MAINTAINED by every write — appends
+    stat only their new files, rewrites re-stat their output, MoR
+    deletes/constraint ops carry, OPTIMIZE re-stats the compacted
+    layout — so read_table_pruned skips files without any manual
+    ANALYZE after the declaration."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        collect_stats,
+        create_table,
+        delete_from_table,
+        latest_version,
+        optimize_table,
+        read_table,
+        read_table_pruned,
+        update_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(100)], "id long, v long"
+        ).repartitionByRange(4, "id"),
+        tbl,
+        stats_cols=["id"],
+    )
+    m0 = _read_manifest(spark, tbl, 0)
+    assert m0["stats_cols"] == ["id"] and len(m0["stats"]) == 4
+
+    # append: only the new files gain entries; old entries carried
+    append_table(
+        spark.createDataFrame([(1000, 0), (1001, 0)], "id long, v long").coalesce(1),
+        tbl,
+    )
+    m1 = _read_manifest(spark, tbl, 1)
+    assert m1["stats_cols"] == ["id"] and len(m1["stats"]) == 5
+    pruned = read_table_pruned(spark, tbl, "id", 1000, 2000)
+    assert {r.id for r in pruned.collect()} == {1000, 1001}
+    assert len(pruned.inputFiles()) < len(read_table(spark, tbl).inputFiles())
+
+    # rewrites re-stat their fresh output without being asked
+    update_table(spark, tbl, {"v": "v + 1"}, "id = 0")
+    m2 = _read_manifest(spark, tbl, 2)
+    assert m2["stats_cols"] == ["id"] and m2["stats"]
+    assert set(m2["stats"]) == set(m2["files"])
+
+    # MoR delete carries; OPTIMIZE re-stats the compacted layout
+    delete_from_table(spark, tbl, "id = 1", mode="merge_on_read")
+    assert _read_manifest(spark, tbl, 3)["stats_cols"] == ["id"]
+    v = optimize_table(spark, tbl, target_files=2)
+    mo = _read_manifest(spark, tbl, v)
+    assert set(mo["stats"]) == set(mo["files"]) and len(mo["files"]) <= 2
+    want = {r.id for r in read_table(spark, tbl).where("id < 50").collect()}
+    assert {r.id for r in read_table_pruned(spark, tbl, "id", 0, 49).collect()} == want
+
+    # ANALYZE declares maintenance on an undeclared table
+    tbl2 = str(tmp_path / "tbl2")
+    create_table(
+        spark.createDataFrame([(i, i) for i in range(10)], "id long, v long"),
+        tbl2,
+    )
+    assert "stats_cols" not in _read_manifest(spark, tbl2, 0)
+    collect_stats(spark, tbl2, ["v"])
+    append_table(
+        spark.createDataFrame([(99, 99)], "id long, v long"), tbl2
+    )
+    m = _read_manifest(spark, tbl2, latest_version(spark, tbl2))
+    assert m["stats_cols"] == ["v"] and any(
+        s.get("v") == [99, 99] for s in m["stats"].values()
+    )

@@ -409,6 +409,7 @@ def _write_version(
     writer_id: str | None = None,
     stamp: dict | None = None,
     changes_files: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     spark = df.sparkSession
     current = latest_version(spark, table_path)
@@ -419,7 +420,16 @@ def _write_version(
         )
     constraints: dict = {}
     if current is not None:
-        constraints = _read_manifest(spark, table_path, current).get("constraints", {})
+        m_prev = _read_manifest(spark, table_path, current)
+        constraints = m_prev.get("constraints", {})
+        if stats_cols is None:
+            # WRITE-TIME stats maintenance (round 12 — Delta's
+            # indexed-columns contract): once declared (create or
+            # ANALYZE), every rewrite re-records per-file min/max for
+            # the declared columns, so file skipping never goes stale
+            # behind a write. Footer reads here are the single-node
+            # equivalent of executors reporting stats at commit.
+            stats_cols = m_prev.get("stats_cols")
     df, check = _enforce_constraints(df, constraints, f"{op} -> {table_path}")
     vdir = _attempt_dir(table_path, version)
     df.write.mode("error").parquet(vdir)
@@ -450,6 +460,11 @@ def _write_version(
         manifest["changes"] = changes_files
     if constraints:
         manifest["constraints"] = constraints
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        stats = _footer_stats(files, list(stats_cols))
+        if stats:
+            manifest["stats"] = stats
     _commit(spark, table_path, version, manifest)
     return version
 
@@ -460,11 +475,17 @@ def create_table(
     batch_id: int | None = None,
     writer_id: str | None = None,
     stamp: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Version 0 of a new versioned table."""
+    """Version 0 of a new versioned table. ``stats_cols`` declares the
+    data-skipping columns at creation (round 12): per-file min/max is
+    recorded now and MAINTAINED by every subsequent write — appends
+    stat only their new files, rewrites re-stat their output — so
+    `read_table_pruned` works without a manual ANALYZE. `collect_stats`
+    declares the same thing after the fact."""
     return _write_version(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
-        writer_id=writer_id, stamp=stamp,
+        writer_id=writer_id, stamp=stamp, stats_cols=stats_cols,
     )
 
 
@@ -533,6 +554,13 @@ def append_table(
     for key in ("stats", "blooms", "blooms_ref"):
         if prev.get(key):
             manifest[key] = prev[key]
+    # declared-column stats MAINTENANCE (round 12): stat only the new
+    # files and merge — O(batch) footer reads, write-time skipping
+    if prev.get("stats_cols"):
+        manifest["stats_cols"] = prev["stats_cols"]
+        new_stats = _footer_stats(new_files, list(prev["stats_cols"]))
+        if new_stats:
+            manifest["stats"] = {**manifest.get("stats", {}), **new_stats}
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
@@ -880,7 +908,9 @@ def _delete_merge_on_read(
     # only make them conservative — false positives prune less, never
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
-    for key in ("schema", "constraints", "stats", "blooms", "blooms_ref"):
+    for key in (
+        "schema", "constraints", "stats", "stats_cols", "blooms", "blooms_ref"
+    ):
         if key in m_prev:
             manifest[key] = m_prev[key]
     if changes_files is not None:
@@ -1229,13 +1259,14 @@ def purge_deletion_vectors(
             manifest[key] = m[key]
     # per-file stats/blooms stay valid for KEPT files; rewritten files
     # scan until the next ANALYZE
-    for key in ("stats",):
-        if m.get(key):
-            manifest[key] = {
-                f: v for f, v in m[key].items() if f not in doomed_q
-            } or None
-            if manifest[key] is None:
-                del manifest[key]
+    kept_stats = {
+        f: v for f, v in m.get("stats", {}).items() if f not in doomed_q
+    }
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = m["stats_cols"]
+        kept_stats.update(_footer_stats(new_files, list(m["stats_cols"])))
+    if kept_stats:
+        manifest["stats"] = kept_stats
     old_blooms = _load_blooms(spark, m)
     if old_blooms:
         pruned = {
@@ -1478,6 +1509,7 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         "files": files,
         "n_rows": m["n_rows"],
         "stats": _footer_stats(files, stat_cols),
+        "stats_cols": list(stat_cols),
     }
     if "schema" in m:  # metadata-only version: snapshot schema unchanged
         manifest["schema"] = m["schema"]
@@ -1657,7 +1689,7 @@ def collect_blooms(
             spark, table_path, cur + 1, blooms, m_bits, k
         ),
     }
-    for key in ("schema", "constraints", "stats", "dv"):
+    for key in ("schema", "constraints", "stats", "stats_cols", "dv"):
         if m.get(key):
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1788,7 +1820,10 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "files": _resolve_files(spark, table_path, version),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv", "blooms", "blooms_ref"):
+    for key in (
+        "schema", "constraints", "stats", "stats_cols", "dv",
+        "blooms", "blooms_ref",
+    ):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1823,7 +1858,10 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "files": _resolve_files(spark, source_path, src_v),
         "n_rows": m["n_rows"],
     }
-    for key in ("schema", "constraints", "stats", "dv", "blooms", "blooms_ref"):
+    for key in (
+        "schema", "constraints", "stats", "stats_cols", "dv",
+        "blooms", "blooms_ref",
+    ):
         if key in m:
             manifest[key] = m[key]
     _commit(spark, target_path, 0, manifest)
@@ -1886,8 +1924,9 @@ def add_check_constraint(
     }
     if "schema" in m:
         manifest["schema"] = m["schema"]
-    if "stats" in m:
-        manifest["stats"] = m["stats"]
+    for key in ("stats", "stats_cols"):
+        if key in m:
+            manifest[key] = m[key]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in ("blooms", "blooms_ref"):
@@ -1918,8 +1957,9 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     }
     if "schema" in m:
         manifest["schema"] = m["schema"]
-    if "stats" in m:
-        manifest["stats"] = m["stats"]
+    for key in ("stats", "stats_cols"):
+        if key in m:
+            manifest[key] = m[key]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in ("blooms", "blooms_ref"):
