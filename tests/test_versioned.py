@@ -1239,3 +1239,76 @@ def test_write_time_stats_maintenance(spark, tmp_path):
     assert m["stats_cols"] == ["v"] and any(
         s.get("v") == [99, 99] for s in m["stats"].values()
     )
+
+
+def test_concurrent_writers_stress_no_lost_updates(spark, tmp_path):
+    """Round 12: N threads race appends (and a few merges) through
+    with_retries against ONE table — every batch must land exactly
+    once (no lost updates, no duplicates), versions must be a
+    contiguous winner-per-slot chain, and the final snapshot must be
+    the union of all batches. This is the optimistic-concurrency claim
+    (exclusive manifest create + rebase-and-retry) under a real
+    thread race, not a mocked one."""
+    import threading
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _list_versions,
+        _read_manifest,
+        append_table,
+        create_table,
+        merge_upsert_table,
+        read_table,
+        with_retries,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0, -1)], "id long, w long"), tbl)
+
+    n_threads, per_thread = 6, 4
+    errors: list[Exception] = []
+
+    def writer(t: int) -> None:
+        try:
+            for b in range(per_thread):
+                base = 1000 * t + 10 * b
+                rows = [(base + j, t) for j in range(3)]
+                if (t + b) % 3 == 0:
+                    # merge arm: upsert the same 3 rows (new keys)
+                    with_retries(
+                        lambda rows=rows: merge_upsert_table(
+                            spark.createDataFrame(rows, "id long, w long"),
+                            tbl,
+                            key="id",
+                        ),
+                        attempts=30,
+                    )
+                else:
+                    with_retries(
+                        lambda rows=rows: append_table(
+                            spark.createDataFrame(rows, "id long, w long"), tbl
+                        ),
+                        attempts=30,
+                    )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+
+    versions = _list_versions(spark, tbl)
+    assert versions == list(range(n_threads * per_thread + 1))  # contiguous
+    got = {r.id for r in read_table(spark, tbl).collect()}
+    want = {0} | {
+        1000 * t + 10 * b + j
+        for t in range(n_threads)
+        for b in range(per_thread)
+        for j in range(3)
+    }
+    assert got == want  # every batch exactly once
+    # n_rows bookkeeping survived the races
+    m = _read_manifest(spark, tbl, versions[-1])
+    assert int(m["n_rows"]) == len(want)
