@@ -264,3 +264,31 @@ def test_select_rewrite_ignores_string_literals(spark, tmp_path):
         "SELECT count(*) AS n FROM events WHERE v <> 'events'' ago'"
     ).collect()
     assert got2[0].n == 2
+
+
+def test_read_change_data_tvf(spark, tmp_path):
+    """read_change_data('t', v1[, v2]) binds the persisted row-level
+    feed — equal to the Python API, vocabulary included."""
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl
+    )
+    update_table(spark, tbl, {"v": "upper(v)"}, "id = 1", change_data=True)
+    sql = DeltaSql(spark, {"t": tbl})
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in sql.run(
+            "SELECT id, _change_type, _commit_version "
+            "FROM read_change_data('t', 0)"
+        ).collect()
+    }
+    want = {
+        (r.id, r._change_type, r._commit_version)
+        for r in read_change_data(spark, tbl, 0)
+        .select("id", "_change_type", "_commit_version")
+        .collect()
+    }
+    assert got == want
+    assert {t for _, t, _ in got} == {"update_preimage", "update_postimage"}

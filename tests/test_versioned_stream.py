@@ -637,3 +637,60 @@ def test_vacuum_collects_unreferenced_change_files(spark, tmp_path):
     assert vacuum_table(spark, tbl, keep_last=1) == [0, 1]
     left = sorted(os.listdir(os.path.join(tbl, "_changes")))
     assert [d.split("-")[0] for d in left] == ["v2"]  # v1's dir collected
+
+
+def test_starting_timestamp_skips_older_commits(registered, tmp_path, monkeypatch):
+    """Round 12 (Delta's startingTimestamp): the stream consumes only
+    versions committed AFTER the given wall-clock stamp; a stamp older
+    than the table streams everything; passing both start options
+    raises."""
+    import time as _time
+
+    t0 = 1_800_000_000.0
+    clock = {"now": t0}
+    monkeypatch.setattr(_time, "time", lambda: clock["now"])
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    clock["now"] = t0 + 3600
+    append_table(spark.createDataFrame([(1,)], "id long"), tbl)
+    clock["now"] = t0 + 7200
+    append_table(spark.createDataFrame([(2,)], "id long"), tbl)
+
+    def drain(opts: dict, ck: str) -> list[int]:
+        got: list[int] = []
+        reader = spark.readStream.format("versioned_table").option("path", tbl)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(got)
+
+    mid = str(int((t0 + 5400) * 1000))
+    assert drain({"startingTimestamp": mid}, "ck_mid") == [2]
+    early = str(int((t0 - 100) * 1000))
+    assert drain({"startingTimestamp": early}, "ck_early") == [0, 1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not both"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .option("startingVersion", "0")
+            .option("startingTimestamp", mid)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_both"))
+            .start()
+            .processAllAvailable()
+        )

@@ -15,6 +15,7 @@ lifecycle with SQL strings only:
     sql.run("SELECT * FROM events VERSION AS OF 2 WHERE id > 5")
     sql.run("SELECT * FROM events TIMESTAMP AS OF '2026-08-15 12:00:00'")
     sql.run("SELECT * FROM table_changes('events', 'id', 0, 3)")
+    sql.run("SELECT * FROM read_change_data('events', 0)")
     sql.run("RESTORE TABLE events TO VERSION AS OF 1")
     sql.run("RESTORE TABLE events TO TIMESTAMP AS OF '2026-08-14'")
     sql.run("VACUUM events RETAIN 2 VERSIONS DRY RUN")
@@ -307,6 +308,29 @@ class DeltaSql:
                 rf"table_changes\s*\(\s*'({_IDENT})'\s*,\s*'({_IDENT})'\s*,"
                 r"\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
                 tvf,
+                s,
+                flags=re.IGNORECASE,
+            )
+
+            # read_change_data('t', v1[, v2]): the PERSISTED row-level
+            # feed (O(changed rows)) as a view — the cheap CDF path
+            # when writers opted into change_data=True
+            def tvf_rcd(m: re.Match) -> str:
+                from wnv_etl_lab2_spark.operators.cdf import read_change_data
+
+                name = m.group(1)
+                v_to = int(m.group(3)) if m.group(3) else None
+                v = f"_dsql_rcd_{name}_{uuid.uuid4().hex[:6]}"
+                read_change_data(
+                    self.spark, self._path(name), int(m.group(2)), v_to
+                ).createOrReplaceTempView(v)
+                views.append(v)
+                return v
+
+            s = re.sub(
+                rf"read_change_data\s*\(\s*'({_IDENT})'\s*,"
+                r"\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                tvf_rcd,
                 s,
                 flags=re.IGNORECASE,
             )

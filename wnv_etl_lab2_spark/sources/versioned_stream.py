@@ -54,6 +54,10 @@ Why this composes correctly:
   emit nothing) stream their own DV files' (file, row_index)
   positions as retractions, read with a pyarrow ``take`` of exactly
   the deleted rows.
+- START POSITIONS: ``startingVersion`` (versions <= N already
+  consumed) or ``startingTimestamp`` (round 12 — epoch millis;
+  versions committed at or before the stamp are already consumed,
+  resolved against the manifests' ts_ms like TIMESTAMP AS OF).
 - SCHEMA comes from the latest manifest's recorded schema (write-path
   schema evolution records it per version); pre-evolution files
   null-fill the missing columns at read, mirroring `read_table`'s
@@ -231,8 +235,29 @@ class VersionedTableStreamSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("versioned_table needs option 'path'")
-        starting = self.options.get("startingVersion", "-1")
-        return VersionedTableStreamReader(path, schema, int(starting), self._cdf())
+        starting = self.options.get("startingVersion")
+        starting_ts = self.options.get("startingTimestamp")
+        if starting is not None and starting_ts is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if starting_ts is not None:
+            # Delta's startingTimestamp: consume versions committed
+            # AFTER the stamp — i.e. versions <= the AS-OF resolution
+            # are already seen. Largest visible version stamped <= ts
+            # (no monotonicity assumed), or -1 when the table is
+            # younger than the stamp (stream its whole history).
+            ts = int(starting_ts)
+            best = -1
+            for v in _py_list_versions(path):
+                m = _py_read_manifest(path, v)
+                if _py_visible(m) and int(m.get("ts_ms", 0)) <= ts:
+                    best = v
+            starting = best
+        return VersionedTableStreamReader(
+            path, schema, int(starting if starting is not None else -1),
+            self._cdf(),
+        )
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
