@@ -292,3 +292,20 @@ def test_read_change_data_tvf(spark, tmp_path):
     }
     assert got == want
     assert {t for _, t, _ in got} == {"update_preimage", "update_postimage"}
+
+
+def test_sql_column_ddl(spark, tmp_path):
+    """ALTER TABLE RENAME/DROP COLUMN through SQL strings."""
+    from wnv_etl_lab2_spark.sources.versioned import table_schema
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, v string, score double"),
+        tbl,
+    )
+    sql = DeltaSql(spark, {"t": tbl})
+    sql.run("ALTER TABLE t RENAME COLUMN score TO weight")
+    assert table_schema(spark, tbl).names == ["id", "v", "weight"]
+    sql.run("ALTER TABLE t DROP COLUMN v")
+    assert table_schema(spark, tbl).names == ["id", "weight"]
+    assert {r.weight for r in sql.run("SELECT weight FROM t").collect()} == {1.0}

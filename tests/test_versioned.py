@@ -1312,3 +1312,69 @@ def test_concurrent_writers_stress_no_lost_updates(spark, tmp_path):
     # n_rows bookkeeping survived the races
     m = _read_manifest(spark, tbl, versions[-1])
     assert int(m["n_rows"]) == len(want)
+
+
+def test_drop_and_rename_column_rewrites(spark, tmp_path):
+    """Round 12: DROP/RENAME COLUMN as copy-on-write rewrites — the new
+    snapshot and schema change, history keeps the old shape, declared
+    stats_cols follow the rename/drop, constraint references refuse
+    the rename, and appends against the new schema work."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        add_check_constraint,
+        append_table,
+        create_table,
+        drop_check_constraint,
+        drop_column,
+        latest_version,
+        read_table,
+        rename_column,
+        table_schema,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id long, v string, score double"
+        ),
+        tbl,
+        stats_cols=["id", "score"],
+    )
+
+    # rename refuses while a constraint references the column
+    add_check_constraint(spark, tbl, "score_pos", "score >= 0")
+    with pytest.raises(ValueError, match="constraints reference"):
+        rename_column(spark, tbl, "score", "weight")
+    drop_check_constraint(spark, tbl, "score_pos")
+
+    v = rename_column(spark, tbl, "score", "weight")
+    assert table_schema(spark, tbl).names == ["id", "v", "weight"]
+    m = _read_manifest(spark, tbl, v)
+    assert m["op"] == "rename_column" and m["stats_cols"] == ["id", "weight"]
+    assert {r.weight for r in read_table(spark, tbl).collect()} == {1.0, 2.0}
+    # history keeps the old shape
+    assert "score" in table_schema(spark, tbl, 0).names
+
+    with pytest.raises(ValueError, match="no such column"):
+        rename_column(spark, tbl, "score", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(spark, tbl, "id", "v")
+
+    v = drop_column(spark, tbl, "v")
+    assert table_schema(spark, tbl).names == ["id", "weight"]
+    assert _read_manifest(spark, tbl, v)["stats_cols"] == ["id", "weight"]
+    with pytest.raises(ValueError, match="no such column"):
+        drop_column(spark, tbl, "v")
+
+    # appends against the new schema compose; stats maintenance intact
+    append_table(spark.createDataFrame([(9, 9.0)], "id long, weight double"), tbl)
+    got = {(r.id, r.weight) for r in read_table(spark, tbl).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (9, 9.0)}
+    m = _read_manifest(spark, tbl, latest_version(spark, tbl))
+    assert m["stats_cols"] == ["id", "weight"] and m["stats"]
+
+    # last-column guard
+    tbl2 = str(tmp_path / "one")
+    create_table(spark.createDataFrame([(1,)], "id long"), tbl2)
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(spark, tbl2, "id")

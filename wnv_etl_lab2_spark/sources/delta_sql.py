@@ -25,6 +25,8 @@ lifecycle with SQL strings only:
     sql.run("INSERT INTO events SELECT * FROM derived WHERE score > 0")
     sql.run("ALTER TABLE events ADD CONSTRAINT pos CHECK (score >= 0)")
     sql.run("ALTER TABLE events DROP CONSTRAINT pos")
+    sql.run("ALTER TABLE events RENAME COLUMN score TO weight")
+    sql.run("ALTER TABLE events DROP COLUMN weight")
 
 Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
 statement head (MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE/RESTORE)
@@ -58,11 +60,13 @@ from wnv_etl_lab2_spark.sources.versioned import (
     create_table,
     delete_from_table,
     drop_check_constraint,
+    drop_column,
     merge_upsert_table,
     optimize_table,
     purge_deletion_vectors,
     read_table,
     read_table_as_of_timestamp,
+    rename_column,
     restore_table,
     table_history,
     update_table,
@@ -253,6 +257,23 @@ class DeltaSql:
             if m:
                 return drop_check_constraint(
                     self.spark, self._path(m.group(1)), m.group(2)
+                )
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                return drop_column(self.spark, self._path(m.group(1)), m.group(2))
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
+                rf"\s+TO\s+({_IDENT})",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                return rename_column(
+                    self.spark, self._path(m.group(1)), m.group(2), m.group(3)
                 )
             raise ValueError(f"unsupported ALTER statement: {sql!r}")
         if head == "DELETE":

@@ -2018,6 +2018,70 @@ def read_table_pruned(
     return df
 
 
+def drop_column(spark: SparkSession, table_path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN as a copy-on-write rewrite (round 12):
+    the new version's snapshot and recorded schema omit the column;
+    history keeps it (time travel reads the old schema). Honest about
+    cost — a full rewrite, not Delta's metadata-only column mapping —
+    because this protocol's readers resolve columns by NAME; the
+    rewrite is the price of never shipping a mapping table every
+    reader must consult. Raises if the column does not exist or is the
+    table's last column."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    snapshot = read_table(spark, table_path, cur)
+    if name not in snapshot.columns:
+        raise ValueError(f"no such column: {name!r}")
+    if len(snapshot.columns) == 1:
+        raise ValueError("cannot drop a table's last column")
+    m = _read_manifest(spark, table_path, cur)
+    return _write_version(
+        snapshot.drop(name), table_path, cur + 1, "drop_column",
+        expect_latest=cur,
+        stats_cols=[c for c in m.get("stats_cols", []) if c != name],
+    )
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a copy-on-write rewrite (round
+    12; see `drop_column` for the cost stance). Raises on a missing
+    source or an existing target. Constraints referencing the old
+    name would silently stop matching rows, so any constraint whose
+    expression mentions the old column name must be dropped first —
+    checked textually and refused loudly."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    snapshot = read_table(spark, table_path, cur)
+    if old not in snapshot.columns:
+        raise ValueError(f"no such column: {old!r}")
+    if new in snapshot.columns:
+        raise ValueError(f"column already exists: {new!r}")
+    import re as _re
+
+    offenders = [
+        cname
+        for cname, expr in m.get("constraints", {}).items()
+        if _re.search(rf"\b{_re.escape(old)}\b", expr)
+    ]
+    if offenders:
+        raise ValueError(
+            f"constraints reference column {old!r}: {offenders} — drop them "
+            "before renaming"
+        )
+    return _write_version(
+        snapshot.withColumnRenamed(old, new), table_path, cur + 1,
+        "rename_column", expect_latest=cur,
+        stats_cols=[
+            new if c == old else c for c in m.get("stats_cols", [])
+        ],
+    )
+
+
 def with_retries(op, attempts: int = 5):
     """Optimistic-concurrency retry loop for table mutations: call
     ``op()`` (any closure performing one commit — append/merge/delete/
