@@ -736,6 +736,70 @@ def arrow_group_trend(spark, sf_dir):
     )
 
 
+@register(
+    "delta_sql_lifecycle",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE source <> 'src0'
+    ),
+    upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM base
+    ),
+    ins AS (
+        SELECT doc_id, lang, n_chars FROM upd
+        UNION ALL
+        SELECT doc_id + 10000000, lang, n_chars FROM upd WHERE lang = 'fr'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM ins GROUP BY lang
+    """,
+)
+def delta_sql_lifecycle(spark, sf_dir):
+    """The Delta-style SQL STRING surface as a driver-verified query
+    (round 12 — the registry face of `sources/delta_sql.py`): stage
+    the documents corpus as a versioned table, then drive DELETE,
+    UPDATE, CTAS, and INSERT ... SELECT through SQL strings ONLY, and
+    return the final snapshot's per-language (count, char-sum) via a
+    SQL SELECT over the same surface. The protocol is deterministic,
+    so the oracle replays it as plain ANSI SQL over the input corpus —
+    every statement's semantics (snapshot isolation, append vs
+    rewrite) is thereby hash-checked end to end, not just unit-tested.
+    Same fresh-staging-table lifecycle pattern as `time_travel_audit`
+    / `cdf_row_level_audit`."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import create_table
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_dsql_life_")
+    try:
+        tbl = root + "/documents"
+        derived = root + "/derived"
+        create_table(d, tbl)
+        sql = DeltaSql(spark, {"d": tbl, "top": derived})
+        sql.run("DELETE FROM d WHERE source = 'src0'")
+        sql.run("UPDATE d SET n_chars = n_chars + 1 WHERE lang = 'de'")
+        sql.run("CREATE TABLE top AS SELECT doc_id, text, lang, source, n_chars FROM d WHERE lang = 'fr'")
+        sql.run(
+            "INSERT INTO d SELECT doc_id + 10000000 AS doc_id, text, lang, "
+            "source, n_chars FROM top"
+        )
+        out = sql.run(
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars FROM d GROUP BY lang"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, "lang string, n long, chars long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("time_travel_audit")  # filesystem protocol — rows-only; pinned in test_versioned.py
 def time_travel_audit(spark, sf_dir):
     """Versioned-table lifecycle audit (round 8, sources/versioned.py):
