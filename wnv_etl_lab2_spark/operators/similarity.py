@@ -25,6 +25,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _const_array(values) -> "F.Column":
+    """A constant array<double> column built as ONE SQL expression
+    string instead of len(values) `F.lit` py4j round trips (round 12:
+    the constant-heavy quantizer plans — 16x64 centroids, 8x16x8
+    codebooks, 8x16x16 ADC tables — spent ~85% of their wall in
+    DRIVER-SIDE plan construction, ~1 ms per py4j call; one parsed
+    string is ~10x cheaper). `repr(float)`+"D" round-trips doubles
+    bit-exactly (pinned by every oracle gate that replays the same
+    constants)."""
+    return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in values) + ")")
+
+
+def _const_array2(rows) -> "F.Column":
+    """A constant array<array<double>> as one SQL expression string."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
 def as_double_array(col) -> "F.Column":
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -225,10 +249,27 @@ def ivf_assign_col(vec_col, centroids: list[list[float]]) -> "F.Column":
     """Coarse-quantizer assignment: index of the nearest centroid
     (squared L2), computed with JVM higher-order functions against the
     centroid literals baked into the plan."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        # FULL-STRING fast path (round 12): the n_clusters x dim
+        # constant plan is built as one parsed SQL expression instead
+        # of hundreds of py4j Column/lambda round trips — identical
+        # semantics (the oracle gates replay it), ~10x cheaper to
+        # construct on the driver.
+        def d2(cent) -> str:
+            arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
+            return (
+                f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+
+        darr = "array(" + ", ".join(d2(c) for c in centroids) + ")"
+        return F.expr(
+            f"CAST(array_position({darr}, array_min({darr})) - 1 AS INT)"
+        )
+    c = vec_col
     dists = []
     for cent in centroids:
-        p = F.array(*[F.lit(float(v)) for v in cent])
+        p = _const_array(cent)
         d = F.aggregate(
             F.zip_with(c, p, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, v: acc + v
         )
@@ -288,7 +329,7 @@ def ivf_topk_pretrained(
     (queries/similarity_q.py) serves the checked-in pre-trained
     quantizer so a DuckDB oracle can replay it exactly."""
     v = vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-    assigned = v.withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+    assigned = v.withColumn("_cl", ivf_assign_col("_e", centroids))
 
     qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids]
     probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: t[1])[:nprobe]]
@@ -771,7 +812,7 @@ def ivf_index_build(
         "cluster_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     (
-        v.withColumn("_cl", ivf_assign_col(F.col("_e"), cents))
+        v.withColumn("_cl", ivf_assign_col("_e", cents))
         .write.mode("overwrite")
         .partitionBy("_cl")
         .parquet(os.path.join(index_dir, "vectors"))
@@ -832,10 +873,10 @@ def ivfpq_index_build(
     fetches the full vectors of just the shortlist from the same
     table. Assignment + residual encode are pure JVM maps at build
     (one corpus pass); deterministic for fixed constants."""
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cent_arr = _const_array2(centroids)
     (
         vectors.select(id_col, as_double_array(vec_col).alias("_e"))
-        .withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+        .withColumn("_cl", ivf_assign_col("_e", centroids))
         .withColumn(
             "_res",
             F.zip_with(
@@ -844,7 +885,7 @@ def ivfpq_index_build(
                 lambda a, b: a - b,
             ),
         )
-        .withColumn("_codes", pq_encode_col(F.col("_res"), codebooks))
+        .withColumn("_codes", pq_encode_col("_res", codebooks))
         .drop("_res")
         .write.mode("overwrite")
         .partitionBy("_cl")
@@ -890,9 +931,7 @@ def ivfpq_index_query(
     codes = spark.read.parquet(index_dir).where(F.col("_cl").isin(probes))
     adc = F.lit(0.0)
     for s in range(m):
-        table_s = F.array(
-            *[F.array(*[F.lit(d) for d in lut[c][s]]) for c in range(len(centroids))]
-        )
+        table_s = _const_array2([lut[c][s] for c in range(len(centroids))])
         adc = adc + F.element_at(
             F.element_at(table_s, F.col("_cl") + 1),
             F.element_at(F.col("_codes"), s + 1) + 1,
@@ -903,7 +942,7 @@ def ivfpq_index_query(
         .limit(shortlist)
         .select(id_col)
     )
-    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    qa = _const_array(query_vec)
     exact = (
         spark.read.parquet(index_dir)
         .join(F.broadcast(cands), id_col)
@@ -932,13 +971,32 @@ def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
     scan, exactly how a vector store quantizes at ingest."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
+    if isinstance(vec_col, str):
+        # FULL-STRING fast path (round 12; see ivf_assign_col): the
+        # whole M x K x sub_dim encode is one parsed SQL expression.
+        def code(s: int, book) -> str:
+            sub = f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})"
+
+            def dist(c) -> str:
+                arr = "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+                return (
+                    f"aggregate(zip_with({sub}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                    "0.0D, (acc, x) -> acc + x)"
+                )
+
+            dists = "array(" + ", ".join(dist(c) for c in book) + ")"
+            return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+
+        return F.expr(
+            "array(" + ", ".join(code(s, b) for s, b in enumerate(codebooks)) + ")"
+        )
     codes = []
     for s, book in enumerate(codebooks):
         sub = F.slice(vec_col, s * sub_dim + 1, sub_dim)
         dists = F.array(
             *[
                 F.aggregate(
-                    F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: (a - b) * (a - b)),
+                    F.zip_with(sub, _const_array(c), lambda a, b: (a - b) * (a - b)),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 )
@@ -980,11 +1038,11 @@ def pq_topk_pretrained(
         for s, book in enumerate(codebooks)
     ]
     v = vectors.select(
-        F.col(id_col), pq_encode_col(as_double_array(vec_col), codebooks).alias("_codes")
-    )
+        F.col(id_col), as_double_array(vec_col).alias("_pqv")
+    ).select(F.col(id_col), pq_encode_col("_pqv", codebooks).alias("_codes"))
     adc = F.lit(0.0)
     for s in range(m):
-        table = F.array(*[F.lit(d) for d in lut[s]])
+        table = _const_array(lut[s])
         adc = adc + F.element_at(table, F.element_at(F.col("_codes"), s + 1) + 1)
     return (
         v.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
@@ -1047,10 +1105,10 @@ def ivfpq_topk_pretrained(
         ]
         for c in centroids
     ]
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    cent_arr = _const_array2(centroids)
     v = (
         vectors.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
-        .withColumn("_cl", ivf_assign_col(F.col("_e"), centroids))
+        .withColumn("_cl", ivf_assign_col("_e", centroids))
         .where(F.col("_cl").isin(probes))
         .withColumn(
             "_res",
@@ -1060,13 +1118,11 @@ def ivfpq_topk_pretrained(
                 lambda a, b: a - b,
             ),
         )
-        .withColumn("_codes", pq_encode_col(F.col("_res"), codebooks))
+        .withColumn("_codes", pq_encode_col("_res", codebooks))
     )
     adc = F.lit(0.0)
     for s in range(m):
-        table_s = F.array(
-            *[F.array(*[F.lit(d) for d in lut[c][s]]) for c in range(len(centroids))]
-        )
+        table_s = _const_array2([lut[c][s] for c in range(len(centroids))])
         adc = adc + F.element_at(
             F.element_at(table_s, F.col("_cl") + 1),
             F.element_at(F.col("_codes"), s + 1) + 1,
@@ -1100,7 +1156,7 @@ def ivfpq_topk_refined(
         vectors, query_vec, centroids, codebooks,
         k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
     ).select(id_col)
-    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    qa = _const_array(query_vec)
     exact = (
         vectors.join(F.broadcast(cands), id_col)
         .select(
@@ -1141,7 +1197,7 @@ def pq_topk_refined(
     cands = pq_topk_pretrained(
         vectors, query_vec, codebooks, k=shortlist, id_col=id_col, vec_col=vec_col
     ).select(id_col)
-    qa = F.array(*[F.lit(float(x)) for x in query_vec])
+    qa = _const_array(query_vec)
     exact = (
         vectors.join(F.broadcast(cands), id_col)
         .select(
