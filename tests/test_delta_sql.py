@@ -309,3 +309,34 @@ def test_sql_column_ddl(spark, tmp_path):
     sql.run("ALTER TABLE t DROP COLUMN v")
     assert table_schema(spark, tbl).names == ["id", "weight"]
     assert {r.weight for r in sql.run("SELECT weight FROM t").collect()} == {1.0}
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: one-row summary — version, commit stamp, file/
+    row counts, current snapshot bytes, feature flags — metadata-only."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        collect_blooms,
+        delete_from_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(30)], "id long, source string"
+        ).repartition(3),
+        tbl,
+        stats_cols=["id"],
+    )
+    add_check_constraint(spark, tbl, "id_pos", "id >= 0")
+    collect_blooms(spark, tbl, ["source"])
+    delete_from_table(spark, tbl, "id = 0", mode="merge_on_read")
+
+    sql = DeltaSql(spark, {"t": tbl})
+    d = sql.run("DESCRIBE DETAIL t").collect()[0]
+    assert d.version == 3 and d.num_versions == 4
+    assert d.num_files == 3 and d.num_rows == 29  # DV-adjusted count
+    assert d.size_bytes > 0 and d.ts_ms is not None
+    assert d.has_dv and d.has_blooms
+    assert d.stats_cols == ["id"] and d.constraints == ["id_pos"]
+    assert d.location.endswith("tbl")

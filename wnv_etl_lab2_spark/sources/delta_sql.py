@@ -12,6 +12,7 @@ lifecycle with SQL strings only:
             "WHEN NOT MATCHED THEN INSERT *")
     sql.run("OPTIMIZE events ZORDER BY (ts, id)")
     sql.run("DESCRIBE HISTORY events")          # -> DataFrame
+    sql.run("DESCRIBE DETAIL events")           # -> 1-row summary
     sql.run("SELECT * FROM events VERSION AS OF 2 WHERE id > 5")
     sql.run("SELECT * FROM events TIMESTAMP AS OF '2026-08-15 12:00:00'")
     sql.run("SELECT * FROM table_changes('events', 'id', 0, 3)")
@@ -68,6 +69,7 @@ from wnv_etl_lab2_spark.sources.versioned import (
     read_table_as_of_timestamp,
     rename_column,
     restore_table,
+    table_detail,
     table_history,
     update_table,
     vacuum_table,
@@ -130,9 +132,14 @@ class DeltaSql:
             m = re.fullmatch(
                 rf"DESCRIBE\s+HISTORY\s+({_IDENT})", s, re.IGNORECASE
             )
-            if not m:
-                raise ValueError(f"unsupported DESCRIBE statement: {sql!r}")
-            return table_history(self.spark, self._path(m.group(1)))
+            if m:
+                return table_history(self.spark, self._path(m.group(1)))
+            m = re.fullmatch(
+                rf"DESCRIBE\s+DETAIL\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if m:
+                return table_detail(self.spark, self._path(m.group(1)))
+            raise ValueError(f"unsupported DESCRIBE statement: {sql!r}")
         if head == "VACUUM":
             m = re.fullmatch(
                 rf"VACUUM\s+({_IDENT})"

@@ -1792,6 +1792,44 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def table_detail(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE DETAIL — Delta's one-row table summary (round 12):
+    location, latest version + its commit stamp, file/row counts,
+    on-disk bytes of the CURRENT snapshot's data files, and which
+    protocol features are active (DVs, blooms, declared stats columns,
+    constraints). Driver-side manifest + FileSystem metadata only —
+    no data scan at any table size."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    files = _resolve_files(spark, table_path, cur)
+    fs, jvm = _fs(spark, table_path)
+    size = 0
+    for f in files:
+        size += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+    row = (
+        _qualify(fs, jvm, table_path),
+        cur,
+        m.get("ts_ms"),
+        len(files),
+        int(m.get("n_rows", 0)),
+        int(size),
+        len(_list_versions(spark, table_path)),
+        bool(m.get("dv")),
+        bool(m.get("blooms") or m.get("blooms_ref")),
+        list(m.get("stats_cols", [])),
+        sorted(m.get("constraints", {})),
+    )
+    return spark.createDataFrame(
+        [row],
+        "location string, version int, ts_ms long, num_files int, "
+        "num_rows long, size_bytes long, num_versions int, has_dv boolean, "
+        "has_blooms boolean, stats_cols array<string>, "
+        "constraints array<string>",
+    )
+
+
 def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION — Delta's RESTORE contract (round 11):
     commit a NEW version whose snapshot is exactly the target
