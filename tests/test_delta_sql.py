@@ -340,3 +340,55 @@ def test_describe_detail(spark, tmp_path):
     assert d.has_dv and d.has_blooms
     assert d.stats_cols == ["id"] and d.constraints == ["id_pos"]
     assert d.location.endswith("tbl")
+
+
+def test_sql_general_merge_clause_matrix(spark, tmp_path):
+    """Full MERGE grammar through SQL strings: conditional DELETE,
+    conditional UPDATE with t./s. expressions, conditional INSERT
+    (cols) VALUES (exprs), alias canonicalization — equal to the
+    merge_into_table twin."""
+    from wnv_etl_lab2_spark.sources.versioned import merge_into_table
+
+    schema = "id long, v string, n long"
+    rows = [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+    sql_tbl, py_tbl = str(tmp_path / "sql"), str(tmp_path / "py")
+    create_table(spark.createDataFrame(rows, schema), sql_tbl)
+    create_table(spark.createDataFrame(rows, schema), py_tbl)
+    src = spark.createDataFrame(
+        [(1, "DEL", 0), (2, "upd", 5), (3, "skip", 0), (9, "new", 90)],
+        "id long, op string, delta int",
+    )
+    src.createOrReplaceTempView("changes")
+
+    sql = DeltaSql(spark, {"events": sql_tbl})
+    sql.run(
+        "MERGE INTO events AS e USING changes AS c ON e.id = c.id "
+        "WHEN MATCHED AND c.op = 'DEL' THEN DELETE "
+        "WHEN MATCHED AND c.op = 'upd' THEN UPDATE SET "
+        "v = concat(e.v, '+', c.op), n = e.n + c.delta "
+        "WHEN NOT MATCHED AND c.op = 'new' THEN "
+        "INSERT (id, v, n) VALUES (c.id, c.op, c.delta)"
+    )
+    merge_into_table(
+        spark, py_tbl, src, on="t.id = s.id",
+        matched=[
+            ("s.op = 'DEL'", "delete", None),
+            ("s.op = 'upd'", "update", {"v": "concat(t.v, '+', s.op)", "n": "t.n + s.delta"}),
+        ],
+        not_matched=[("s.op = 'new'", {"id": "s.id", "v": "s.op", "n": "s.delta"})],
+    )
+    got = {(r.id, r.v, r.n) for r in read_table(spark, sql_tbl).collect()}
+    want = {(r.id, r.v, r.n) for r in read_table(spark, py_tbl).collect()}
+    assert got == want == {
+        (2, "b+upd", 25), (3, "c", 30), (4, "d", 40), (9, "new", 90)
+    }
+
+    # legacy fast form still routes through merge_upsert_table
+    ups = spark.createDataFrame([(2, "Z", 0), (7, "q", 7)], schema)
+    ups.createOrReplaceTempView("ups")
+    sql.run(
+        "MERGE INTO events USING ups ON events.id = ups.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id for r in read_table(spark, sql_tbl).collect()}
+    assert got == {2, 3, 4, 7, 9}

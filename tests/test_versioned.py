@@ -1378,3 +1378,88 @@ def test_drop_and_rename_column_rewrites(spark, tmp_path):
     create_table(spark.createDataFrame([(1,)], "id long"), tbl2)
     with pytest.raises(ValueError, match="last column"):
         drop_column(spark, tbl2, "id")
+
+
+def test_merge_into_full_clause_matrix(spark, tmp_path):
+    """Round 12: general conditional MERGE — ordered WHEN MATCHED
+    clauses (conditional DELETE, conditional UPDATE with expressions
+    over t AND s, first-true wins), conditional NOT MATCHED INSERT,
+    ignored unmatched source rows, * forms with null-fill and type
+    coercion, and the Delta cardinality check (ambiguous multi-match
+    raises and the table rolls back)."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        latest_version,
+        merge_into_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "id long, v string, n long",
+        ),
+        tbl,
+    )
+    src = spark.createDataFrame(
+        [
+            (1, "DEL", 0),    # matched + delete condition
+            (2, "upd", 5),    # matched + update
+            (3, "skip", 0),   # matched, no clause condition true
+            (9, "new", 90),   # not matched + insert condition true
+            (10, "drop", 0),  # not matched, insert condition false
+        ],
+        "id long, op string, delta int",
+    )
+    v = merge_into_table(
+        spark,
+        tbl,
+        src,
+        on="t.id = s.id",
+        matched=[
+            ("s.op = 'DEL'", "delete", None),
+            ("s.op = 'upd'", "update", {"v": "concat(t.v, '+', s.op)", "n": "t.n + s.delta"}),
+        ],
+        not_matched=[("s.op = 'new'", {"id": "s.id", "v": "s.op", "n": "s.delta"})],
+    )
+    assert v == 1
+    got = {(r.id, r.v, r.n) for r in read_table(spark, tbl).collect()}
+    assert got == {
+        (2, "b+upd", 25),   # updated with t AND s expressions
+        (3, "c", 30),       # matched, no true clause: kept
+        (4, "d", 40),       # unmatched target: kept
+        (9, "new", 90),     # conditional insert
+    }
+    # time travel intact
+    assert read_table(spark, tbl, 0).count() == 4
+
+    # "*" forms: update/insert every source column by name; missing
+    # target columns null-fill; int delta coerces into long n
+    src2 = spark.createDataFrame([(2, "Z"), (7, "q")], "id long, v string")
+    merge_into_table(
+        spark, tbl, src2, on="t.id = s.id",
+        matched=[(None, "update", "*")],
+        not_matched=[(None, "*")],
+    )
+    got = {(r.id, r.v, r.n) for r in read_table(spark, tbl).collect()}
+    assert (2, "Z", None) in got and (7, "q", None) in got
+    assert (3, "c", 30) in got
+
+    # cardinality violation: two source rows match one target row ->
+    # raises and the table reads at its pre-merge snapshot
+    v_before = latest_version(spark, tbl)
+    dup = spark.createDataFrame([(3, "x"), (3, "y")], "id long, v string")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into_table(
+            spark, tbl, dup, on="t.id = s.id",
+            matched=[(None, "update", "*")],
+        )
+    got_after = {(r.id, r.v, r.n) for r in read_table(spark, tbl).collect()}
+    assert got_after == got  # rolled back
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into_table(
+            spark, tbl, src2, on="t.id = s.id",
+            matched=[(None, "update", {"nope": "1"})],
+        )

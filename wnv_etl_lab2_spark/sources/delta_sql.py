@@ -62,6 +62,7 @@ from wnv_etl_lab2_spark.sources.versioned import (
     delete_from_table,
     drop_check_constraint,
     drop_column,
+    merge_into_table,
     merge_upsert_table,
     optimize_table,
     purge_deletion_vectors,
@@ -462,11 +463,7 @@ class DeltaSql:
             re.IGNORECASE,
         )
         if not m:
-            raise ValueError(
-                "unsupported MERGE statement (supported shape: MERGE INTO t "
-                "USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET * WHEN "
-                f"NOT MATCHED THEN INSERT *): {sql!r}"
-            )
+            return self._merge_general(s, sql)
         target, t_alias, source, s_alias = m.group(1), m.group(2), m.group(3), m.group(4)
         l_tbl, l_col, r_tbl, r_col = m.group(5), m.group(6), m.group(7), m.group(8)
         names = {target: target, source: source}
@@ -490,3 +487,161 @@ class DeltaSql:
         else:
             updates = self.spark.table(source)  # session temp view
         return merge_upsert_table(updates, self._path(target), key=t_key)
+
+    def _merge_general(self, s: str, sql: str) -> int:
+        """The full Delta MERGE clause matrix, routed onto
+        `merge_into_table`:
+
+            MERGE INTO t [AS a] USING src [AS b] ON <cond>
+            WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET
+                c = e, ... | DELETE
+            WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+                INSERT (c, ...) VALUES (e, ...)
+
+        Aliases (or the bare table names) are rewritten to the
+        canonical ``t``/``s`` the operator evaluates against; clause
+        conditions and assignment expressions pass through to Spark
+        SQL verbatim otherwise."""
+        head = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"\s+USING\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            r"\s+ON\s+",
+            s,
+            re.IGNORECASE,
+        )
+        if not head:
+            raise ValueError(f"unsupported MERGE statement: {sql!r}")
+        target, t_alias, source, s_alias = head.groups()
+        rest = s[head.end():]
+        # split the remainder into ON-condition + WHEN clauses at
+        # top-level ' WHEN ' boundaries (outside string literals)
+        parts = re.split(r"('(?:[^']|'')*')", rest)
+        boundaries: list[int] = []
+        offset = 0
+        for i, part in enumerate(parts):
+            if i % 2 == 0:
+                for mm in re.finditer(r"\bWHEN\b", part, re.IGNORECASE):
+                    boundaries.append(offset + mm.start())
+            offset += len(part)
+        if not boundaries:
+            raise ValueError(f"MERGE has no WHEN clauses: {sql!r}")
+        on = rest[: boundaries[0]].strip()
+        clause_texts = [
+            rest[b:e].strip()
+            for b, e in zip(boundaries, boundaries[1:] + [len(rest)])
+        ]
+
+        def canon(expr: str) -> str:
+            out = expr
+            for alias, canon_name in (
+                (t_alias or target, "t"),
+                (s_alias or source, "s"),
+            ):
+                if alias != canon_name:
+                    out = self._sub_outside_quotes(
+                        rf"\b{alias}\s*\.", canon_name + ".", out
+                    )
+            return out
+
+        def split_assignments(text: str) -> dict:
+            depth, start, parts_, quote = 0, 0, [], None
+            for i, ch in enumerate(text):
+                if quote:
+                    if ch == quote:
+                        quote = None
+                    continue
+                if ch in "'\"":
+                    quote = ch
+                elif ch in "([":
+                    depth += 1
+                elif ch in ")]":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts_.append(text[start:i])
+                    start = i + 1
+            parts_.append(text[start:])
+            out = {}
+            for part in parts_:
+                am = re.fullmatch(
+                    rf"\s*(?:[ts]\s*\.\s*)?({_IDENT})\s*=\s*(.+?)\s*",
+                    canon(part),
+                    re.DOTALL,
+                )
+                if not am:
+                    raise ValueError(f"unsupported SET assignment: {part!r}")
+                out[am.group(1)] = am.group(2)
+            return out
+
+        matched: list[tuple] = []
+        not_matched: list[tuple] = []
+        for text in clause_texts:
+            cm = re.fullmatch(
+                r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)",
+                text,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"unsupported MERGE clause: {text!r}")
+            is_not, cnd, action = bool(cm.group(1)), cm.group(2), cm.group(3).strip()
+            cnd = canon(cnd) if cnd else None
+            if not is_not:
+                if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                    matched.append((cnd, "delete", None))
+                elif re.fullmatch(r"UPDATE\s+SET\s+\*", action, re.IGNORECASE):
+                    matched.append((cnd, "update", "*"))
+                else:
+                    am = re.fullmatch(
+                        r"UPDATE\s+SET\s+(.+)", action, re.IGNORECASE | re.DOTALL
+                    )
+                    if not am:
+                        raise ValueError(f"unsupported MATCHED action: {action!r}")
+                    matched.append((cnd, "update", split_assignments(am.group(1))))
+            else:
+                if re.fullmatch(r"INSERT\s+\*", action, re.IGNORECASE):
+                    not_matched.append((cnd, "*"))
+                else:
+                    im = re.fullmatch(
+                        rf"INSERT\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)"
+                        r"\s*VALUES\s*\((.+)\)",
+                        action,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not im:
+                        raise ValueError(f"unsupported INSERT action: {action!r}")
+                    cols = [c.strip() for c in im.group(1).split(",")]
+                    vals_text = im.group(2)
+                    depth, start, vals, quote = 0, 0, [], None
+                    for i, ch in enumerate(vals_text):
+                        if quote:
+                            if ch == quote:
+                                quote = None
+                            continue
+                        if ch in "'\"":
+                            quote = ch
+                        elif ch in "([":
+                            depth += 1
+                        elif ch in ")]":
+                            depth -= 1
+                        elif ch == "," and depth == 0:
+                            vals.append(vals_text[start:i])
+                            start = i + 1
+                    vals.append(vals_text[start:])
+                    if len(cols) != len(vals):
+                        raise ValueError(
+                            f"INSERT column/value arity mismatch: {action!r}"
+                        )
+                    not_matched.append(
+                        (cnd, {c: canon(v).strip() for c, v in zip(cols, vals)})
+                    )
+        if source in self.tables:
+            src_df = read_table(self.spark, self.tables[source])
+        else:
+            src_df = self.spark.table(source)
+        return merge_into_table(
+            self.spark,
+            self._path(target),
+            src_df,
+            on=canon(on),
+            matched=matched,
+            not_matched=not_matched,
+        )

@@ -1103,6 +1103,169 @@ def merge_upsert_table(
     )
 
 
+def merge_into_table(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str,
+    matched: list[tuple[str | None, str, dict | str | None]] | None = None,
+    not_matched: list[tuple[str | None, dict | str]] | None = None,
+) -> int:
+    """General conditional MERGE — the full Delta MERGE INTO clause
+    matrix (round 12; `merge_upsert_table` stays as the fast SCD-1
+    special case):
+
+        merge_into_table(spark, path, updates,
+            on="t.id = s.id",
+            matched=[("s.op = 'del'", "delete", None),
+                     (None, "update", {"v": "s.v", "n": "t.n + 1"})],
+            not_matched=[(None, "*")])
+
+    ``on`` and every clause condition/expression are SQL over the
+    aliases ``t`` (target row) and ``s`` (source row). MATCHED clauses
+    apply IN ORDER, first true condition wins (``None`` = always);
+    ``"update"`` takes {target_col: expr} or ``"*"`` (every source
+    column by name), ``"delete"`` drops the row. NOT MATCHED clauses
+    insert {target_col: expr} or ``"*"`` (missing target columns
+    null-fill); unmatched source rows with no true clause are ignored.
+    A target row matched by MORE THAN ONE source row is ambiguous and
+    raises — the Delta cardinality check — counted DURING the join
+    pass via a window over a per-row id, no extra scan.
+
+    Scale shape: ONE full-outer join on the ON predicate (equi-ON
+    plans a hash/SMJ join; give it an equi conjunct), the clause
+    matrix is a pure CASE projection over (t, s) structs, and the
+    result commits through the standard copy-on-write rewrite. All
+    assigned/inserted values cast to the target column types."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    matched = matched or []
+    not_matched = not_matched or []
+    for _, action, _payload in matched:
+        if action not in ("update", "delete"):
+            raise ValueError(f"matched action must be update|delete: {action!r}")
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    base = read_table(spark, table_path, cur)
+    t_cols = base.columns
+    types = {f.name: f.dataType for f in base.schema.fields}
+
+    def as_struct(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(F.struct(*df.columns).alias(alias))
+
+    t = as_struct(base, "t").withColumn("_tid", F.monotonically_increasing_id())
+    sdf = as_struct(source, "s")
+    j = t.join(sdf, F.expr(on), "full_outer")
+    # Delta's cardinality check: >1 source match for one target row is
+    # ambiguous. The window runs over the SAME join output that feeds
+    # the result, so _tid (nondeterministic) is evaluated exactly once.
+    j = j.withColumn(
+        "_nm",
+        # unmatched SOURCE rows all carry _tid null and would pool into
+        # one window partition — they are not a cardinality hazard, so
+        # the count only applies where a target row exists
+        F.when(
+            F.col("t").isNotNull(),
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).over(
+                W.partitionBy("_tid")
+            ),
+        ).otherwise(F.lit(0)),
+    )
+
+    def assignments(payload) -> list["F.Column"]:
+        if payload == "*":
+            src_cols = set(source.columns)
+            return [
+                (
+                    F.expr(f"s.{c}") if c in src_cols else F.lit(None)
+                ).cast(types[c]).alias(c)
+                for c in t_cols
+            ]
+        exprs = dict(payload)
+        unknown = [c for c in exprs if c not in types]
+        if unknown:
+            raise ValueError(f"assignment targets unknown columns: {unknown}")
+        return [
+            (F.expr(exprs[c]) if c in exprs else F.expr(f"t.{c}"))
+            .cast(types[c])
+            .alias(c)
+            for c in t_cols
+        ]
+
+    def inserts(payload) -> "F.Column":
+        if payload == "*":
+            src_cols = set(source.columns)
+            fields = [
+                (
+                    F.expr(f"s.{c}") if c in src_cols else F.lit(None)
+                ).cast(types[c]).alias(c)
+                for c in t_cols
+            ]
+        else:
+            exprs = dict(payload)
+            unknown = [c for c in exprs if c not in types]
+            if unknown:
+                raise ValueError(f"INSERT targets unknown columns: {unknown}")
+            fields = [
+                (F.expr(exprs[c]) if c in exprs else F.lit(None))
+                .cast(types[c])
+                .alias(c)
+                for c in t_cols
+            ]
+        return F.struct(*fields)
+
+    def cond(c: str | None) -> "F.Column":
+        return F.lit(True) if c is None else F.coalesce(
+            F.expr(c).cast("boolean"), F.lit(False)
+        )
+
+    keep_t = F.struct(*[F.expr(f"t.{c}").alias(c) for c in t_cols])
+    # matched rows: first true clause wins; no clause -> keep target row
+    out_matched = keep_t
+    for c, action, payload in reversed(matched):
+        this = (
+            F.lit(None) if action == "delete" else F.struct(*assignments(payload))
+        )
+        out_matched = F.when(cond(c), this).otherwise(out_matched)
+    # unmatched source rows: first true insert clause, else drop
+    out_insert = F.lit(None)
+    for c, payload in reversed(not_matched):
+        out_insert = F.when(cond(c), inserts(payload)).otherwise(out_insert)
+    out = (
+        F.when(F.col("t").isNull(), out_insert)
+        .when(F.col("s").isNull(), keep_t)
+        .otherwise(out_matched)
+        .alias("_out")
+    )
+    from pyspark.sql import Observation
+
+    import uuid as _uuid
+
+    obs = Observation(f"merge-card-{_uuid.uuid4().hex[:8]}")
+    result = (
+        j.select(out, "_nm")
+        .observe(obs, F.max(F.coalesce(F.col("_nm"), F.lit(0))).alias("max_nm"))
+        .where(F.col("_out").isNotNull())
+        .select("_out.*")
+    )
+    version = _write_version(
+        result, table_path, cur + 1, "merge", expect_latest=cur
+    )
+    if int(obs.get["max_nm"] or 0) > 1:
+        # the ambiguous write already committed a version slot — fail
+        # the CALL loudly and roll the table back to the pre-merge
+        # snapshot so no reader ever consumes the ambiguous result.
+        restore_table(spark, table_path, cur)
+        raise ValueError(
+            "MERGE cardinality violation: a target row matched more than "
+            "one source row (the ambiguous commit was rolled back by an "
+            "immediate RESTORE; history shows both)"
+        )
+    return version
+
+
 def optimize_table(
     spark: SparkSession,
     table_path: str,
