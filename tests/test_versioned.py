@@ -1463,3 +1463,56 @@ def test_merge_into_full_clause_matrix(spark, tmp_path):
             spark, tbl, src2, on="t.id = s.id",
             matched=[(None, "update", {"nope": "1"})],
         )
+
+
+def test_merge_into_change_data_vocabulary(spark, tmp_path):
+    """change_data=True on the general MERGE persists the exact Delta
+    CDF change set: delete for DELETE-clause rows, update_preimage/
+    update_postimage pairs only for rows the UPDATE actually changed,
+    insert for inserted rows — and retract-apply over the feed bridges
+    the snapshots."""
+    from collections import Counter
+
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        merge_into_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+        ),
+        tbl,
+    )
+    src = spark.createDataFrame(
+        [(1, "DEL"), (2, "B"), (3, "c"), (9, "new")], "id long, v string"
+    )
+    merge_into_table(
+        spark, tbl, src, on="t.id = s.id",
+        matched=[
+            ("s.v = 'DEL'", "delete", None),
+            (None, "update", {"v": "s.v"}),
+        ],
+        not_matched=[(None, "*")],
+        change_data=True,
+    )
+    ch = [
+        (r._change_type, r.id, r.v)
+        for r in read_change_data(spark, tbl, 0).collect()
+    ]
+    # id=3's update assigned an IDENTICAL value: no change rows for it
+    assert sorted(ch) == [
+        ("delete", 1, "a"),
+        ("insert", 9, "new"),
+        ("update_postimage", 2, "B"),
+        ("update_preimage", 2, "b"),
+    ]
+    # retract-apply bridges v0 -> v1
+    state = Counter((r.id, r.v) for r in read_table(spark, tbl, 0).collect())
+    for t, i, v in ch:
+        state[(i, v)] += 1 if t in ("insert", "update_postimage") else -1
+    final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
+    assert +state == final

@@ -1110,6 +1110,7 @@ def merge_into_table(
     on: str,
     matched: list[tuple[str | None, str, dict | str | None]] | None = None,
     not_matched: list[tuple[str | None, dict | str]] | None = None,
+    change_data: bool = False,
 ) -> int:
     """General conditional MERGE — the full Delta MERGE INTO clause
     matrix (round 12; `merge_upsert_table` stays as the fast SCD-1
@@ -1250,8 +1251,40 @@ def merge_into_table(
         .where(F.col("_out").isNotNull())
         .select("_out.*")
     )
+    changes_files = None
+    if change_data:
+        # row-level CDF for the general merge (round 12): the change
+        # classification is a pure projection of (t, _out) — a won
+        # DELETE clause retracts t, a won UPDATE that actually changed
+        # the row emits the Delta update_preimage/update_postimage
+        # pair, an insert clause emits 'insert'. Second pass over the
+        # join (same cost class as the CoW rewrite itself).
+        ch = j.select(F.col("t"), out)
+        deleted = ch.where(
+            F.col("t").isNotNull() & F.col("_out").isNull()
+        ).select(F.expr("t.*"), F.lit("delete").alias("_change_type"))
+        updated = ch.where(
+            F.col("t").isNotNull()
+            & F.col("_out").isNotNull()
+            & ~F.col("t").eqNullSafe(F.col("_out"))
+        )
+        pre = updated.select(
+            F.expr("t.*"), F.lit("update_preimage").alias("_change_type")
+        )
+        post = updated.select(
+            F.expr("_out.*"), F.lit("update_postimage").alias("_change_type")
+        )
+        inserted = ch.where(
+            F.col("t").isNull() & F.col("_out").isNotNull()
+        ).select(F.expr("_out.*"), F.lit("insert").alias("_change_type"))
+        changes_files = _write_change_data(
+            deleted.unionByName(pre).unionByName(post).unionByName(inserted),
+            table_path,
+            cur + 1,
+        )
     version = _write_version(
-        result, table_path, cur + 1, "merge", expect_latest=cur
+        result, table_path, cur + 1, "merge", expect_latest=cur,
+        changes_files=changes_files,
     )
     if int(obs.get["max_nm"] or 0) > 1:
         # the ambiguous write already committed a version slot — fail
