@@ -392,3 +392,49 @@ def test_sql_general_merge_clause_matrix(spark, tmp_path):
     )
     got = {r.id for r in read_table(spark, sql_tbl).collect()}
     assert got == {2, 3, 4, 7, 9}
+
+
+def test_sql_merge_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE (Delta 2.3 parity): full-sync merge —
+    source-absent target rows delete (or update), conditions honored,
+    through both the Python verb and the SQL grammar."""
+    from wnv_etl_lab2_spark.sources.versioned import merge_into_table
+
+    schema = "id long, v string, active boolean"
+    rows = [(1, "a", True), (2, "b", True), (3, "c", True)]
+    sql_tbl, py_tbl = str(tmp_path / "sql"), str(tmp_path / "py")
+    create_table(spark.createDataFrame(rows, schema), sql_tbl)
+    create_table(spark.createDataFrame(rows, schema), py_tbl)
+    src = spark.createDataFrame([(1, "A"), (9, "new")], "id long, v string")
+    src.createOrReplaceTempView("sync_src")
+
+    sql = DeltaSql(spark, {"t": sql_tbl})
+    sql.run(
+        "MERGE INTO t USING sync_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v, active) VALUES (s.id, s.v, true) "
+        "WHEN NOT MATCHED BY SOURCE AND t.id = 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET active = false"
+    )
+    merge_into_table(
+        spark, py_tbl, src, on="t.id = s.id",
+        matched=[(None, "update", {"v": "s.v"})],
+        not_matched=[(None, {"id": "s.id", "v": "s.v", "active": "true"})],
+        not_matched_by_source=[
+            ("t.id = 2", "delete", None),
+            (None, "update", {"active": "false"}),
+        ],
+    )
+    got = {(r.id, r.v, r.active) for r in read_table(spark, sql_tbl).collect()}
+    want = {(r.id, r.v, r.active) for r in read_table(spark, py_tbl).collect()}
+    assert got == want == {
+        (1, "A", True),      # matched update
+        (3, "c", False),     # not-matched-by-source update
+        (9, "new", True),    # insert
+    }  # id=2 deleted by the conditional BY SOURCE clause
+
+    with pytest.raises(ValueError, match="meaningless"):
+        merge_into_table(
+            spark, py_tbl, src, on="t.id = s.id",
+            not_matched_by_source=[(None, "update", "*")],
+        )

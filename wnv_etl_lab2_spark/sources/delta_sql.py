@@ -574,17 +574,38 @@ class DeltaSql:
 
         matched: list[tuple] = []
         not_matched: list[tuple] = []
+        not_matched_by_source: list[tuple] = []
         for text in clause_texts:
             cm = re.fullmatch(
-                r"WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)",
+                r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?"
+                r"(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)",
                 text,
                 re.IGNORECASE | re.DOTALL,
             )
             if not cm:
                 raise ValueError(f"unsupported MERGE clause: {text!r}")
-            is_not, cnd, action = bool(cm.group(1)), cm.group(2), cm.group(3).strip()
+            is_not, by_source, cnd, action = (
+                bool(cm.group(1)),
+                bool(cm.group(2)),
+                cm.group(3),
+                cm.group(4).strip(),
+            )
             cnd = canon(cnd) if cnd else None
-            if not is_not:
+            if is_not and by_source:
+                if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                    not_matched_by_source.append((cnd, "delete", None))
+                else:
+                    am = re.fullmatch(
+                        r"UPDATE\s+SET\s+(.+)", action, re.IGNORECASE | re.DOTALL
+                    )
+                    if not am:
+                        raise ValueError(
+                            f"unsupported NOT MATCHED BY SOURCE action: {action!r}"
+                        )
+                    not_matched_by_source.append(
+                        (cnd, "update", split_assignments(am.group(1)))
+                    )
+            elif not is_not:
                 if re.fullmatch(r"DELETE", action, re.IGNORECASE):
                     matched.append((cnd, "delete", None))
                 elif re.fullmatch(r"UPDATE\s+SET\s+\*", action, re.IGNORECASE):
@@ -644,4 +665,5 @@ class DeltaSql:
             on=canon(on),
             matched=matched,
             not_matched=not_matched,
+            not_matched_by_source=not_matched_by_source,
         )

@@ -1110,6 +1110,7 @@ def merge_into_table(
     on: str,
     matched: list[tuple[str | None, str, dict | str | None]] | None = None,
     not_matched: list[tuple[str | None, dict | str]] | None = None,
+    not_matched_by_source: list[tuple[str | None, str, dict | str | None]] | None = None,
     change_data: bool = False,
 ) -> int:
     """General conditional MERGE — the full Delta MERGE INTO clause
@@ -1129,6 +1130,10 @@ def merge_into_table(
     column by name), ``"delete"`` drops the row. NOT MATCHED clauses
     insert {target_col: expr} or ``"*"`` (missing target columns
     null-fill); unmatched source rows with no true clause are ignored.
+    NOT MATCHED BY SOURCE clauses (Delta 2.3 parity) apply to target
+    rows with NO source match — update assignments may reference ``t``
+    only — enabling full-sync merges (delete everything the source no
+    longer carries).
     A target row matched by MORE THAN ONE source row is ambiguous and
     raises — the Delta cardinality check — counted DURING the join
     pass via a window over a per-row id, no extra scan.
@@ -1143,9 +1148,16 @@ def merge_into_table(
 
     matched = matched or []
     not_matched = not_matched or []
-    for _, action, _payload in matched:
+    not_matched_by_source = not_matched_by_source or []
+    for _, action, _payload in list(matched) + list(not_matched_by_source):
         if action not in ("update", "delete"):
             raise ValueError(f"matched action must be update|delete: {action!r}")
+    for _, _action, payload in not_matched_by_source:
+        if payload == "*":
+            raise ValueError(
+                "NOT MATCHED BY SOURCE has no source row — UPDATE SET * "
+                "is meaningless; give explicit t-only assignments"
+            )
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
@@ -1234,9 +1246,17 @@ def merge_into_table(
     out_insert = F.lit(None)
     for c, payload in reversed(not_matched):
         out_insert = F.when(cond(c), inserts(payload)).otherwise(out_insert)
+    # target rows with no source match: NOT MATCHED BY SOURCE clauses
+    # (expressions see t only — s is all-null here), else keep
+    out_nmbs = keep_t
+    for c, action, payload in reversed(not_matched_by_source):
+        this = (
+            F.lit(None) if action == "delete" else F.struct(*assignments(payload))
+        )
+        out_nmbs = F.when(cond(c), this).otherwise(out_nmbs)
     out = (
         F.when(F.col("t").isNull(), out_insert)
-        .when(F.col("s").isNull(), keep_t)
+        .when(F.col("s").isNull(), out_nmbs)
         .otherwise(out_matched)
         .alias("_out")
     )
