@@ -85,11 +85,11 @@ _FRONT = [
     # evidence is older than r9.
     # PRE-COMMITTED for round 13: the remaining 48-query r9-evidenced
     # cohort becomes the oldest — rotate it in full, head slots going
-    # to the late-r12 registration `delta_sql_lifecycle` (registered
-    # after this window was frozen; oracle-exact locally at
-    # sf0.001/0.01/0.1) and any r13 operators / plan-changed queries
-    # first, then the r9-stale set oldest-first, padding from the
-    # oldest r10 greens.
+    # to the late-r12 registrations `delta_sql_lifecycle` and
+    # `merge_clause_matrix` (registered after this window was frozen;
+    # both oracle-exact locally at sf0.001/0.01/0.1) and any r13
+    # operators / plan-changed queries first, then the r9-stale set
+    # oldest-first, padding from the oldest r10 greens.
     # (a) plan changed after its r11 capture — re-verify first
     "chi2_token_source",
     # (b) new round-12 operators (first evidence)

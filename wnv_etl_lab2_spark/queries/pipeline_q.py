@@ -800,6 +800,105 @@ def delta_sql_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "merge_clause_matrix",
+    oracle="""
+    WITH upd AS (
+        SELECT lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1
+                    WHEN lang = 'zh' THEN 0
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE lang <> 'fr'
+    ),
+    ins AS (
+        SELECT 'new' AS lang,
+               (doc_id + 10000000) % 100 AS n_chars
+        FROM documents WHERE lang = 'es'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    GROUP BY lang
+    """,
+)
+def merge_clause_matrix(spark, sf_dir):
+    """The GENERAL conditional MERGE as a driver-verified query (round
+    12 — the registry face of `merge_into_table`): stage documents as
+    a versioned table and run ONE merge exercising the full clause
+    matrix — conditional MATCHED DELETE (French docs), conditional
+    MATCHED UPDATE (German docs +1 char), NOT MATCHED INSERT
+    (synthetic rows derived from the Spanish docs' ids), and NOT
+    MATCHED BY SOURCE UPDATE (Chinese docs zeroed — rows the source no
+    longer carries). The oracle replays the same matrix as plain ANSI
+    SQL over the corpus, so clause ordering, conditions, and
+    cross-(t,s) expressions are hash-checked end to end."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        merge_into_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_merge_matrix_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl)
+        src = (
+            d.where(F.col("lang").isin("de", "fr"))
+            .select("doc_id", "lang")
+            .unionByName(
+                d.where(F.col("lang") == "es").select(
+                    (F.col("doc_id") + 10000000).alias("doc_id"),
+                    F.lit("new").alias("lang"),
+                )
+            )
+        )
+        merge_into_table(
+            spark,
+            tbl,
+            src,
+            on="t.doc_id = s.doc_id",
+            matched=[
+                ("s.lang = 'fr'", "delete", None),
+                ("s.lang = 'de'", "update", {"n_chars": "t.n_chars + 1"}),
+            ],
+            not_matched=[
+                (
+                    None,
+                    {
+                        "doc_id": "s.doc_id",
+                        "text": "'x'",
+                        "lang": "s.lang",
+                        "source": "'synthetic'",
+                        "n_chars": "s.doc_id % 100",
+                    },
+                )
+            ],
+            not_matched_by_source=[
+                ("t.lang = 'zh'", "update", {"n_chars": "0"})
+            ],
+        )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("time_travel_audit")  # filesystem protocol — rows-only; pinned in test_versioned.py
 def time_travel_audit(spark, sf_dir):
     """Versioned-table lifecycle audit (round 8, sources/versioned.py):
