@@ -137,8 +137,10 @@ def test_optimize_apply_purge_and_errors(spark, tmp_path):
         sql.run("DELETE FROM nope WHERE 1=1")
     with pytest.raises(ValueError, match="unsupported"):
         sql.run("CREATE TABLE t2 (id INT)")
-    with pytest.raises(ValueError, match="unsupported MERGE"):
-        sql.run("MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE")
+    # WHEN MATCHED THEN DELETE is now SUPPORTED (general grammar);
+    # the router's error path still fires on a nonsense action
+    with pytest.raises(ValueError, match="unsupported MATCHED action"):
+        sql.run("MERGE INTO t USING t ON t.id = t.id WHEN MATCHED THEN FROB x")
 
 
 def test_sql_time_travel_retention_and_cdf_tvf(spark, tmp_path, monkeypatch):
