@@ -440,3 +440,18 @@ def test_sql_merge_not_matched_by_source(spark, tmp_path):
             spark, py_tbl, src, on="t.id = s.id",
             not_matched_by_source=[(None, "update", "*")],
         )
+
+
+def test_sql_shallow_clone(spark, tmp_path):
+    """CREATE TABLE x SHALLOW CLONE y through SQL: zero-copy, then the
+    clone and source diverge independently."""
+    src, mirror = str(tmp_path / "src"), str(tmp_path / "mirror")
+    create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), src
+    )
+    sql = DeltaSql(spark, {"events": src, "mirror": mirror})
+    assert sql.run("CREATE TABLE mirror SHALLOW CLONE events") == 0
+    assert {r.id for r in sql.run("SELECT id FROM mirror").collect()} == {1, 2}
+    sql.run("DELETE FROM mirror WHERE id = 1")
+    assert {r.id for r in sql.run("SELECT id FROM mirror").collect()} == {2}
+    assert {r.id for r in sql.run("SELECT id FROM events").collect()} == {1, 2}

@@ -22,6 +22,7 @@ lifecycle with SQL strings only:
     sql.run("VACUUM events RETAIN 2 VERSIONS DRY RUN")
     sql.run("VACUUM events RETAIN 24 HOURS")
     sql.run("CREATE TABLE derived AS SELECT id, score FROM events")
+    sql.run("CREATE TABLE mirror SHALLOW CLONE events")
     sql.run("INSERT INTO events VALUES (7, 'new', 0.5)")
     sql.run("INSERT INTO events SELECT * FROM derived WHERE score > 0")
     sql.run("ALTER TABLE events ADD CONSTRAINT pos CHECK (score >= 0)")
@@ -206,13 +207,24 @@ class DeltaSql:
             raise ValueError(f"unsupported RESTORE statement: {sql!r}")
         if head == "CREATE":
             m = re.fullmatch(
+                rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import clone_table
+
+                return clone_table(
+                    self.spark, self._path(m.group(2)), self._path(m.group(1))
+                )
+            m = re.fullmatch(
                 rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\s+.+|WITH\s+.+)",
                 s,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(
-                    f"unsupported CREATE statement (CTAS only): {sql!r}"
+                    f"unsupported CREATE statement (CTAS or SHALLOW CLONE): {sql!r}"
                 )
             return create_table(self._select(m.group(2)), self._path(m.group(1)))
         if head == "INSERT":
