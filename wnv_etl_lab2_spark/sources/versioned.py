@@ -1149,6 +1149,8 @@ def merge_into_table(
     matched = matched or []
     not_matched = not_matched or []
     not_matched_by_source = not_matched_by_source or []
+    if not (matched or not_matched or not_matched_by_source):
+        raise ValueError("MERGE needs at least one WHEN clause")
     for _, action, _payload in list(matched) + list(not_matched_by_source):
         if action not in ("update", "delete"):
             raise ValueError(f"matched action must be update|delete: {action!r}")
