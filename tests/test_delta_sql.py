@@ -455,3 +455,89 @@ def test_sql_shallow_clone(spark, tmp_path):
     sql.run("DELETE FROM mirror WHERE id = 1")
     assert {r.id for r in sql.run("SELECT id FROM mirror").collect()} == {2}
     assert {r.id for r in sql.run("SELECT id FROM events").collect()} == {1, 2}
+
+
+def test_bare_vacuum_retains_default_168h(spark, tmp_path):
+    """Round-13 advisory fix: VACUUM with no RETAIN clause keeps
+    Delta's 7-day default retention instead of keep_last=1 — fresh
+    history survives a routine bare VACUUM; an explicit RETAIN 1
+    VERSIONS still collects it."""
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a", 0.0)], "id long, v string, score double"), tbl)
+    append_table(spark.createDataFrame([(2, "b", 1.0)], "id long, v string, score double"), tbl)
+    sql = DeltaSql(spark, {"t": tbl})
+    assert sql.run("VACUUM t") == []  # everything younger than 168h
+    assert read_table(spark, tbl, 0).count() == 1  # time travel intact
+    assert sql.run("VACUUM t RETAIN 1 VERSIONS") == [0]
+    with pytest.raises(ValueError, match="vacuumed or never committed"):
+        read_table(spark, tbl, 0).count()
+
+
+def test_merge_alias_named_t_or_s(spark, tmp_path):
+    """Round-13 advisory fix: user aliases literally named 't'/'s'
+    (including crossed: target AS s, source AS t) rewrite in a single
+    placeholder pass instead of sequentially mis-binding."""
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, n long"), tbl
+    )
+    spark.createDataFrame(
+        [(1, 100), (9, 900)], "id long, n long"
+    ).createOrReplaceTempView("upd_ts")
+    sql = DeltaSql(spark, {"tgt": tbl})
+    # source aliased 't', target aliased 's' — the crossed worst case
+    sql.run(
+        "MERGE INTO tgt AS s USING upd_ts AS t ON s.id = t.id "
+        "WHEN MATCHED THEN UPDATE SET n = s.n + t.n "
+        "WHEN NOT MATCHED THEN INSERT (id, n) VALUES (t.id, t.n)"
+    )
+    got = {(r.id, r.n) for r in read_table(spark, tbl).collect()}
+    assert got == {(1, 110), (2, 20), (9, 900)}
+
+
+def test_timestamp_as_of_inside_literal_untouched(spark, tmp_path, monkeypatch):
+    """Round-13 advisory fix: the TIMESTAMP AS OF rewrite is quote-
+    aware — a string literal containing the shape stays a literal,
+    while a genuine reference still rewrites."""
+    import time as _time
+
+    t0 = 1_800_000_000.0
+    clock = {"now": t0}
+    monkeypatch.setattr(_time, "time", lambda: clock["now"])
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "x")], "id long, v string"), tbl)
+    clock["now"] = t0 + 3600
+    append_table(
+        spark.createDataFrame(
+            [(2, "ev TIMESTAMP AS OF '2020-01-01'")], "id long, v string"
+        ),
+        tbl,
+    )
+    sql = DeltaSql(spark, {"ev": tbl})
+    # literal containing the shape: NOT a time travel reference
+    got = sql.run(
+        "SELECT id FROM ev WHERE v = 'ev TIMESTAMP AS OF ''2020-01-01'''"
+    ).collect()
+    assert [r.id for r in got] == [2]
+    # genuine reference in the same statement still pins the snapshot
+    mid = str(int((t0 + 1800) * 1000))
+    got2 = sql.run(f"SELECT count(*) AS n FROM ev TIMESTAMP AS OF {mid}").collect()
+    assert got2[0].n == 1
+
+
+def test_update_where_inside_quoted_set_value(spark, tmp_path):
+    """Round-13 advisory fix: UPDATE's SET/WHERE split is quote- and
+    paren-aware — a quoted SET value containing ' WHERE ' no longer
+    truncates the assignment."""
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), tbl
+    )
+    sql = DeltaSql(spark, {"t": tbl})
+    sql.run("UPDATE t SET v = 'x WHERE y' WHERE id = 1")
+    got = {(r.id, r.v) for r in read_table(spark, tbl).collect()}
+    assert got == {(1, "x WHERE y"), (2, "b")}
+    # WHERE inside a parenthesized subexpression is not the split point
+    sql.run("UPDATE t SET v = concat(v, ' WHERE ') WHERE id = 2")
+    got = {(r.id, r.v) for r in read_table(spark, tbl).collect()}
+    assert got == {(1, "x WHERE y"), (2, "b WHERE ")}

@@ -679,6 +679,11 @@ def test_starting_timestamp_skips_older_commits(registered, tmp_path, monkeypatc
     assert drain({"startingTimestamp": mid}, "ck_mid") == [2]
     early = str(int((t0 - 100) * 1000))
     assert drain({"startingTimestamp": early}, "ck_early") == [0, 1, 2]
+    # INCLUSIVE (round-13 advisory fix): a commit stamped EXACTLY at
+    # the given timestamp streams — Delta reads changes committed at
+    # or after the stamp
+    exact = str(int((t0 + 3600) * 1000))
+    assert drain({"startingTimestamp": exact}, "ck_exact") == [1, 2]
 
     import pytest as _pytest
 

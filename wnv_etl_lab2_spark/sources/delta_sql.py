@@ -152,8 +152,15 @@ class DeltaSql:
             )
             if not m:
                 raise ValueError(f"unsupported VACUUM statement: {sql!r}")
-            keep, hours = 1, None
+            # bare VACUUM keeps Delta's 7-day default retention (168
+            # hours) instead of keep_last=1 — Delta refuses to drop
+            # recent history without an explicit retention override, so
+            # a routine maintenance command must never silently destroy
+            # all time travel (round-13 advisory fix). Explicit RETAIN
+            # n VERSIONS / RETAIN n HOURS means what it says.
+            keep, hours = 1, 168.0
             if m.group(2):
+                hours = None
                 if m.group(3).upper().startswith("HOUR"):
                     hours = float(m.group(2))
                 else:
@@ -324,6 +331,28 @@ class DeltaSql:
             for i, part in enumerate(parts)
         )
 
+    @staticmethod
+    def _sub_starting_outside_quotes(pattern: str, repl, s: str) -> str:
+        """Like `_sub_outside_quotes`, but for patterns whose OWN text
+        spans a quoted literal (``name TIMESTAMP AS OF '...'``): the
+        segment-splitting helper can never match those, so this variant
+        matches the raw string and keeps only matches that START
+        outside a single-quoted literal — a literal containing the
+        shape stays untouched, while the genuine reference (whose AS OF
+        operand is itself a literal) rewrites (round 13)."""
+        spans: list[tuple[int, int]] = []
+        for qm in re.finditer(r"'(?:[^']|'')*'", s):
+            spans.append(qm.span())
+        out, last = [], 0
+        for m in re.finditer(pattern, s, flags=re.IGNORECASE):
+            if any(a <= m.start() < b for a, b in spans):
+                continue
+            out.append(s[last:m.start()])
+            out.append(repl(m) if callable(repl) else m.expand(repl))
+            last = m.end()
+        out.append(s[last:])
+        return "".join(out)
+
     def _select(self, s: str) -> DataFrame:
         """Register each referenced table (latest or `VERSION AS OF n`
         pinned snapshot) as a unique temp view, rewrite the statement
@@ -395,11 +424,16 @@ class DeltaSql:
                 s = self._sub_outside_quotes(
                     rf"\b{name}\s+VERSION\s+AS\s+OF\s+(\d+)", pin, s
                 )
-                s = re.sub(
+                # quote-aware like the VERSION AS OF rewrite (round-13
+                # advisory fix: a string literal containing this shape
+                # must not be mangled) — but the pattern's own tail IS
+                # a quoted literal, so the segment-splitting helper can
+                # never match it; this variant matches the raw string
+                # and accepts only matches STARTING outside a literal
+                s = self._sub_starting_outside_quotes(
                     rf"\b{name}\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+)",
                     pin_ts,
                     s,
-                    flags=re.IGNORECASE,
                 )
                 bare = rf"\b{name}\b"
                 if any(
@@ -424,13 +458,38 @@ class DeltaSql:
 
     def _update(self, s: str, sql: str) -> int:
         m = re.fullmatch(
-            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.+)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"unsupported UPDATE statement: {sql!r}")
-        name, set_clause, cond = m.group(1), m.group(2), m.group(3) or "true"
+        name, body = m.group(1), m.group(2)
+        # split SET ... WHERE ... at the FIRST top-level WHERE — quote-
+        # and paren-aware (round-13 advisory fix: a lazy regex split
+        # fired on a WHERE inside a quoted SET value or a subquery)
+        set_clause, cond = body, "true"
+        depth, quote = 0, None
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0 and body[i:i + 5].upper() == "WHERE":
+                before_ok = i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+                after = body[i + 5:i + 6]
+                after_ok = after == "" or not (after.isalnum() or after == "_")
+                if before_ok and after_ok:
+                    set_clause, cond = body[:i].rstrip(), body[i + 5:].strip()
+                    break
+            i += 1
         set_exprs: dict[str, str] = {}
         # split on top-level commas (expressions may contain commas
         # inside parens/quotes)
@@ -544,16 +603,22 @@ class DeltaSql:
         ]
 
         def canon(expr: str) -> str:
+            # single-pass rewrite via unique placeholders (round-13
+            # advisory fix): a sequential "target-alias -> t., then
+            # source-alias -> s." would mis-bind when a user alias is
+            # literally 't' or 's' (the first pass's OUTPUT would be
+            # rewritten again by the second). Both aliases map to
+            # placeholders first, then the placeholders resolve.
             out = expr
-            for alias, canon_name in (
-                (t_alias or target, "t"),
-                (s_alias or source, "s"),
+            for alias, ph in (
+                (t_alias or target, "\x00T\x00"),
+                (s_alias or source, "\x00S\x00"),
             ):
-                if alias != canon_name:
+                if alias not in ("\x00T\x00", "\x00S\x00"):
                     out = self._sub_outside_quotes(
-                        rf"\b{alias}\s*\.", canon_name + ".", out
+                        rf"\b{alias}\s*\.", ph + ".", out
                     )
-            return out
+            return out.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
 
         def split_assignments(text: str) -> dict:
             depth, start, parts_, quote = 0, 0, [], None

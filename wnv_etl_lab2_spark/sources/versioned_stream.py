@@ -242,16 +242,19 @@ class VersionedTableStreamSource(DataSource):
                 "pass startingVersion OR startingTimestamp, not both"
             )
         if starting_ts is not None:
-            # Delta's startingTimestamp: consume versions committed
-            # AFTER the stamp — i.e. versions <= the AS-OF resolution
-            # are already seen. Largest visible version stamped <= ts
-            # (no monotonicity assumed), or -1 when the table is
-            # younger than the stamp (stream its whole history).
+            # Delta's startingTimestamp is INCLUSIVE: changes committed
+            # AT or after the stamp are read — so only versions stamped
+            # STRICTLY BEFORE the timestamp are already consumed
+            # (round-13 advisory fix: <= silently skipped a commit
+            # stamped exactly at the given timestamp). Largest visible
+            # version stamped < ts (no monotonicity assumed), or -1
+            # when the table is younger than the stamp (stream its
+            # whole history).
             ts = int(starting_ts)
             best = -1
             for v in _py_list_versions(path):
                 m = _py_read_manifest(path, v)
-                if _py_visible(m) and int(m.get("ts_ms", 0)) <= ts:
+                if _py_visible(m) and int(m.get("ts_ms", 0)) < ts:
                     best = v
             starting = best
         return VersionedTableStreamReader(
