@@ -77,6 +77,7 @@ HEADLINE = [
     "chi2_token_source",          # token x source contingency chi2, bounded grid (round 11)
     "embedding_quantize_perdim",  # per-dim int8 calibration, 2 passes + d-row shuffle (round 11)
     "ann_topk_ivfpq",             # IVFADC residual code scan, zero-shuffle pure map (round 12)
+    "partitioned_table_lifecycle",  # hive-partitioned DML + pruned reads, path-as-metadata (round 13)
 ]
 
 

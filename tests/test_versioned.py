@@ -1447,7 +1447,9 @@ def test_merge_into_full_clause_matrix(spark, tmp_path):
     assert (3, "c", 30) in got
 
     # cardinality violation: two source rows match one target row ->
-    # raises and the table reads at its pre-merge snapshot
+    # raises WITHOUT committing anything (round 13 — no version slot is
+    # consumed, no restore needed; the pre-publish check). Equi-ON here
+    # takes the cheap key-aggregate path.
     v_before = latest_version(spark, tbl)
     dup = spark.createDataFrame([(3, "x"), (3, "y")], "id long, v string")
     with pytest.raises(ValueError, match="cardinality"):
@@ -1455,13 +1457,83 @@ def test_merge_into_full_clause_matrix(spark, tmp_path):
             spark, tbl, dup, on="t.id = s.id",
             matched=[(None, "update", "*")],
         )
+    assert latest_version(spark, tbl) == v_before  # nothing committed
     got_after = {(r.id, r.v, r.n) for r in read_table(spark, tbl).collect()}
-    assert got_after == got  # rolled back
+    assert got_after == got
+
+    # the same violation through a NON-equi ON exercises the general
+    # (window + Observation) path: the staged attempt aborts before its
+    # manifest publishes — still no committed version, not even a
+    # transient one (the manifest never existed)
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into_table(
+            spark, tbl, dup, on="abs(t.id) = abs(s.id)",
+            matched=[(None, "update", "*")],
+        )
+    assert latest_version(spark, tbl) == v_before
+    # duplicate source keys that DON'T exist in the target are fine
+    # (both insert) — the equi pre-check must semi-join against target
+    # keys, not reject any duplicate source key
+    dup_new = spark.createDataFrame([(55, "p"), (55, "q")], "id long, v string")
+    merge_into_table(
+        spark, tbl, dup_new, on="t.id = s.id",
+        matched=[(None, "update", "*")], not_matched=[(None, "*")],
+    )
+    assert read_table(spark, tbl).where("id = 55").count() == 2
 
     with pytest.raises(ValueError, match="unknown columns"):
         merge_into_table(
             spark, tbl, src2, on="t.id = s.id",
             matched=[(None, "update", {"nope": "1"})],
+        )
+
+
+def test_merge_equi_cardinality_check_plan(spark, tmp_path, monkeypatch):
+    """Round 13 (r12 verdict #8): a pure equi-ON MERGE plans NO window
+    for the Delta cardinality check — the check runs as digest-sized
+    key aggregates BEFORE any write — while a general ON keeps the
+    window (evaluated pre-publish via the Observation). Pinned by
+    capturing the frame MERGE hands to _write_version."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+
+    tbl = str(tmp_path / "tbl")
+    V.create_table(spark.createDataFrame([(1, 10)], "id long, n long"), tbl)
+    captured = {}
+    real = V._write_version
+
+    def spy(df, *a, **k):
+        captured["plan"] = df._jdf.queryExecution().executedPlan().toString()
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(V, "_write_version", spy)
+    src = spark.createDataFrame([(1, 99), (2, 22)], "id long, n long")
+    V.merge_into_table(
+        spark, tbl, src, on="t.id = s.id",
+        matched=[(None, "update", "*")], not_matched=[(None, "*")],
+    )
+    assert "Window" not in captured["plan"]
+    V.merge_into_table(
+        spark, tbl, src, on="abs(t.id) = abs(s.id)",
+        matched=[(None, "update", "*")],
+    )
+    assert "Window" in captured["plan"]
+
+    # the ON-shape detector: only pure t/s equi-conjunctions qualify,
+    # and it only ever downgrades to the general path
+    assert V._equi_on_pairs("t.id = s.id") == [("id", "id")]
+    assert V._equi_on_pairs("s.a = t.b AND t.c = s.d") == [("b", "a"), ("c", "d")]
+    assert V._equi_on_pairs("t.id = s.id AND s.op = 'x AND y'") is None
+    assert V._equi_on_pairs("abs(t.id) = s.id") is None
+    assert V._equi_on_pairs("t.id = s.id OR t.v = s.v") is None
+    assert V._equi_on_pairs("t.id = t.id") is None
+
+    # unknown ON columns raise loudly on the equi path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        V.merge_into_table(
+            spark, tbl, src, on="t.nope = s.id",
+            matched=[(None, "update", "*")],
         )
 
 
@@ -1516,3 +1588,83 @@ def test_merge_into_change_data_vocabulary(spark, tmp_path):
         state[(i, v)] += 1 if t in ("insert", "update_postimage") else -1
     final = Counter((r.id, r.v) for r in read_table(spark, tbl).collect())
     assert +state == final
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """Round 13 (r12 verdict #7): MERGE with schema_evolution=True —
+    source-only columns extend the target schema via the additive-union
+    rule; pre-merge rows (old files) read them as NULL; INSERT * /
+    UPDATE SET * carry them by name; the CDF change rows align with the
+    evolved schema; and a type change still refuses."""
+    from wnv_etl_lab2_spark.operators.cdf import read_change_data
+    from wnv_etl_lab2_spark.sources.versioned import (
+        create_table,
+        merge_into_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), tbl
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30)], "id long, v string, extra long"
+    )
+    # without evolution, * insert null-fills ONLY target columns and
+    # the schema stays put
+    v = merge_into_table(
+        spark, tbl, src, on="t.id = s.id",
+        matched=[(None, "update", "*")], not_matched=[(None, "*")],
+    )
+    assert read_table(spark, tbl, v).columns == ["id", "v"]
+
+    v2 = merge_into_table(
+        spark, tbl, src, on="t.id = s.id",
+        matched=[(None, "update", "*")], not_matched=[(None, "*")],
+        schema_evolution=True, change_data=True,
+    )
+    got = read_table(spark, tbl, v2)
+    assert got.columns == ["id", "v", "extra"]
+    rows = {(r.id, r.v, r.extra) for r in got.collect()}
+    # id=1 untouched by the merge: evolved column reads NULL
+    assert rows == {(1, "a", None), (2, "B", 20), (3, "c", 30)}
+
+    # CDF rows align with the EVOLVED schema (pre-images read NULL for
+    # the new column)
+    ch = read_change_data(spark, tbl, v2 - 1, v2)
+    assert set(ch.columns) == {"id", "v", "extra", "_change_type", "_commit_version"}
+    by_type = {
+        (r.id, r._change_type): r.extra for r in ch.collect()
+    }
+    assert by_type[(2, "update_preimage")] is None
+    assert by_type[(2, "update_postimage")] == 20
+    assert by_type[(3, "update_postimage")] == 30  # id=3 inserted at v1... see below
+
+    # a TYPE change on an existing column refuses loudly
+    bad = spark.createDataFrame([(9, 1.5)], "id long, v double")
+    with pytest.raises(ValueError, match="incompatible schema evolution"):
+        merge_into_table(
+            spark, tbl, bad, on="t.id = s.id",
+            matched=[(None, "update", "*")], schema_evolution=True,
+        )
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    """The SQL form: MERGE WITH SCHEMA EVOLUTION INTO ... routes
+    through merge_into_table(schema_evolution=True)."""
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import create_table, read_table
+
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    spark.createDataFrame(
+        [(1, "A", 10), (2, "b", 20)], "id long, v string, extra long"
+    ).createOrReplaceTempView("evo_src")
+    sql = DeltaSql(spark, {"t": tbl})
+    sql.run(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING evo_src ON t.id = evo_src.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.id, r.v, r.extra) for r in read_table(spark, tbl).collect()}
+    assert got == {(1, "A", 10), (2, "b", 20)}

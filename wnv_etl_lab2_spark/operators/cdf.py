@@ -99,6 +99,8 @@ def read_change_data(
         read_table,
     )
 
+    from wnv_etl_lab2_spark.sources.versioned import _scan_snapshot_files
+
     if v_to is None:
         v_to = latest_version(spark, table_path)
         if v_to is None:
@@ -106,14 +108,22 @@ def read_change_data(
     out: DataFrame | None = None
     for v in range(v_from + 1, v_to + 1):
         m = _read_manifest(spark, table_path, v)
-        if m["op"] in ("analyze", "optimize"):
-            continue
+        if m["op"] in (
+            "analyze", "optimize", "drop_column", "rename_column", "add_column"
+        ):
+            continue  # metadata-only / data-neutral
         if "changes" in m:
-            part = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*m["changes"])
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-            )
+            # change files store the stable PHYSICAL names and (being
+            # ordinary files written from the full logical row) carry
+            # partition columns as data — project through this
+            # version's map to its logical schema, keeping _change_type
+            ch_manifest = {
+                "schema": m.get("schema"),
+                "column_map": m.get("column_map"),
+            }
+            part = _scan_snapshot_files(
+                spark, m["changes"], ch_manifest, extra_cols=("_change_type",)
+            ).withColumn("_commit_version", F.lit(v).cast("long"))
         elif m["op"] == "append":
             part = (
                 table_appends(spark, table_path, v - 1, v)
@@ -199,4 +209,12 @@ def table_appends(
         from wnv_etl_lab2_spark.sources.versioned import read_table
 
         return read_table(spark, table_path, v_to).where(F.lit(False))
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    # project through the range-end manifest: hive partition columns
+    # re-attach from the paths, metadata renames map physical ->
+    # logical (round 13; identity for unpartitioned/unmapped tables)
+    from wnv_etl_lab2_spark.sources.versioned import _scan_snapshot_files
+
+    m_to = _read_manifest(spark, table_path, v_to)
+    return _scan_snapshot_files(
+        spark, files, {k: m_to.get(k) for k in ("schema", "partition_by", "column_map")}
+    )

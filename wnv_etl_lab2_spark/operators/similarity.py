@@ -861,6 +861,7 @@ def ivfpq_index_build(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_version: int | None = None,
 ) -> None:
     """Build and PERSIST an IVFADC index (round 12 — the persisted
     twin of `ivfpq_topk_pretrained`, completing the build-once/
@@ -872,7 +873,12 @@ def ivfpq_index_build(
     pruning cuts the bytes to ~8 codes/vector — while the refine stage
     fetches the full vectors of just the shortlist from the same
     table. Assignment + residual encode are pure JVM maps at build
-    (one corpus pass); deterministic for fixed constants."""
+    (one corpus pass); deterministic for fixed constants.
+
+    ``source_version`` (round 13) stamps a sidecar with the source
+    table's version, so serves can demand freshness
+    (`ivfpq_index_query(expect_source_version=...)`) and
+    `ivfpq_index_append` maintains the index incrementally."""
     cent_arr = _const_array2(centroids)
     (
         vectors.select(id_col, as_double_array(vec_col).alias("_e"))
@@ -891,6 +897,87 @@ def ivfpq_index_build(
         .partitionBy("_cl")
         .parquet(index_dir)
     )
+    meta = {"n_cells": len(centroids), "m": len(codebooks)}
+    if source_version is not None:
+        meta["source_version"] = int(source_version)
+    _ivfpq_write_meta(index_dir, meta)
+
+
+def _ivfpq_meta_path(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir, "_index_meta.json")
+
+
+def _ivfpq_write_meta(index_dir: str, meta: dict) -> None:
+    import json as _json
+
+    with open(_ivfpq_meta_path(index_dir), "w") as f:
+        _json.dump(meta, f, sort_keys=True)
+
+
+def ivfpq_index_meta(index_dir: str) -> dict | None:
+    """The index's sidecar metadata ({source_version, n_cells, m}), or
+    None for an index built without stamping."""
+    import json as _json
+    import os
+
+    p = _ivfpq_meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    source_version: int | None = None,
+) -> None:
+    """INCREMENTAL IVFADC index maintenance (round 13 — r12 verdict
+    #4): assign + residual-encode ONLY the new batch and append its
+    rows into the existing cell partitions — O(new batch) compute and
+    IO; every previously-written index file is untouched (pinned in
+    tests/test_ann_index.py by file-list identity). Because assignment
+    and encoding are deterministic per-row functions of the FIXED
+    constants (centroids/codebooks), append == rebuild exactly: the
+    same corpus yields the same index content either way, so serves
+    need no rebuild fence. ``source_version`` re-stamps the sidecar so
+    `ivfpq_index_query(expect_source_version=...)` can refuse a stale
+    serve after source DML the maintainer has not yet applied.
+
+    At 100 TB this is the ingest path: a micro-batch of new embeddings
+    costs one map over the batch plus a hive append into nprobe-prunable
+    cell dirs — the index never rebuilds for growth (re-TRAINING the
+    constants on drifted data is the separate, deliberate act)."""
+    cent_arr = _const_array2(centroids)
+    (
+        new_vectors.select(id_col, as_double_array(vec_col).alias("_e"))
+        .withColumn("_cl", ivf_assign_col("_e", centroids))
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col("_e"),
+                F.element_at(cent_arr, F.col("_cl") + 1),
+                lambda a, b: a - b,
+            ),
+        )
+        .withColumn("_codes", pq_encode_col("_res", codebooks))
+        .drop("_res")
+        .write.mode("append")
+        .partitionBy("_cl")
+        .parquet(index_dir)
+    )
+    meta = ivfpq_index_meta(index_dir) or {
+        "n_cells": len(centroids), "m": len(codebooks)
+    }
+    if source_version is not None:
+        meta["source_version"] = int(source_version)
+    _ivfpq_write_meta(index_dir, meta)
 
 
 def ivfpq_index_query(
@@ -903,6 +990,7 @@ def ivfpq_index_query(
     nprobe: int = 4,
     shortlist: int = 100,
     id_col: str = "vec_id",
+    expect_source_version: int | None = None,
 ) -> DataFrame:
     """Top-k over a persisted IVFADC index: rank cells driver-side,
     scan ONLY the probed partitions' CODE column (partition pruning +
@@ -910,7 +998,23 @@ def ivfpq_index_query(
     shortlist pass), ADC via per-cell LUT constants, then fetch just
     the ``shortlist`` winners' full vectors for the exact squared-L2
     re-rank. Identical results to the inline `ivfpq_topk_refined` for
-    the same corpus/constants (pinned in tests/test_ann_index.py)."""
+    the same corpus/constants (pinned in tests/test_ann_index.py).
+
+    ``expect_source_version`` (round 13): refuse a STALE serve — when
+    the caller knows the source table's current version (e.g.
+    `versioned.latest_version`), a sidecar stamp mismatch raises
+    instead of silently answering from an index that predates source
+    DML the maintainer has not applied yet."""
+    if expect_source_version is not None:
+        meta = ivfpq_index_meta(index_dir)
+        stamped = (meta or {}).get("source_version")
+        if stamped != int(expect_source_version):
+            raise ValueError(
+                f"stale IVFPQ index at {index_dir}: stamped "
+                f"source_version={stamped}, caller expects "
+                f"{expect_source_version} — run ivfpq_index_append (or "
+                "rebuild) to catch up"
+            )
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
     qd = [sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids]

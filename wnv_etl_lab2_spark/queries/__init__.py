@@ -64,86 +64,87 @@ _LOADED = False
 # NONE — every r12 window slot carries an exact oracle (the five
 # rows-only registry queries were re-evidenced in r11 and sit
 # outside this window).
-FRONT_ROWS_ONLY_OK: set[str] = set()
+FRONT_ROWS_ONLY_OK: set[str] = {
+    # the one rows-only query in the r9-stale cohort this window
+    # rotates; its ground truth is pinned in tests/test_versioned.py
+    # (filesystem versioning protocol — not SQL-expressible), and its
+    # code path changed this round (partitioning/column-map refactor),
+    # so re-evidencing it beats leaving it stale
+    "time_travel_audit",
+}
 
 _FRONT = [
-    # Round-12 window — exactly the r11 verdict's ask ("Next round"
-    # item 1). Rotation history: r1-r11 as documented in prior
-    # revisions of this block; r11 = 4 late-r10 registrations + the
-    # full 34-query r7-stale cohort + 9 new r11 operators + 3 pads
-    # (50/50 green, CORRECTNESS_r11.json).
-    # This window = (a) chi2_token_source FIRST — its plan changed
-    # (5 -> 2 corpus passes, commits b4d83e6+524c8b5) after the r11
-    # capture, so its green r11 row may cover the dead plan; (b) the
-    # two new round-12 operators (first driver evidence; both
-    # oracle-exact locally at sf0.001/0.01/0.1): the IVFADC residual
-    # composition, pure-ADC and refined; (c) the full 46-query
-    # r8-evidenced cohort (every query whose latest driver evidence
-    # is r8 — computed from the union of CORRECTNESS_r01..r11.json);
-    # (d) one pad from the oldest r9-evidenced oracle-backed queries
-    # to fill the window to 50. After this window lands, no query's
-    # evidence is older than r9.
-    # PRE-COMMITTED for round 13: the remaining 48-query r9-evidenced
-    # cohort becomes the oldest — rotate it in full, head slots going
-    # to the late-r12 registrations `delta_sql_lifecycle` and
-    # `merge_clause_matrix` (registered after this window was frozen;
-    # both oracle-exact locally at sf0.001/0.01/0.1) and any r13
-    # operators / plan-changed queries first, then the r9-stale set
-    # oldest-first, padding from the oldest r10 greens.
-    # (a) plan changed after its r11 capture — re-verify first
-    "chi2_token_source",
-    # (b) new round-12 operators (first evidence)
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_refined",
-    # (c) the 46-query r8-stale cohort
-    "ann_topk_bruteforce",
-    "anti_join_no_premium_order",
-    "array_functions",
-    "chunk_dedup_stats",
-    "concave_zone_clip",
-    "containment_pairs",
-    "corpus_curation_stats",
-    "cross_source_duplication",
-    "decontamination_overlap",
-    "dedup_components",
-    "dedup_distinct_rows",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "deterministic_shuffle_order",
-    "distinct_count",
-    "doc_chunking",
-    "embedding_centroid_stats",
-    "embedding_neardup_pairs",
-    "except_keys",
-    "intersect_keys",
-    "knn_join_bruteforce",
-    "misc_agg_filter_bool",
-    "ngram_counts_top",
-    "ngram_jaccard_pairs",
-    "order_priority_check",
-    "repeated_span_removal",
-    "row_count",
-    "salted_join_agg",
-    "scalar_string_date_funcs",
-    "scd2_customer_history",
-    "semi_join_open_orders",
-    "shipping_priority_buckets",
-    "source_quantile_normalize",
-    "spatial_buffer_erase",
-    "spatial_within_buffer",
-    "split_leakage_check",
-    "spray_targets",
-    "tfidf_top_terms",
-    "train_val_test_split",
-    "unpivot_part_metrics",
-    "window_navigation",
-    "window_range_frame",
-    "window_running_sum",
-    "winnow_fingerprints",
-    "zipf_top_words",
-    # (d) pad: the oldest r9-evidenced oracle-backed query
-    "attribution_last_touch",
+    # Round-13 window — exactly the r12 verdict's ask ("Next round"
+    # item 1) plus this round's new operators. Rotation history:
+    # r1-r12 as documented in prior revisions of this block; r12 =
+    # chi2 re-verify + 2 IVFADC ops + the full 46-query r8-stale
+    # cohort + 1 pad (50/50 green, CORRECTNESS_r12.json).
+    # This window = (a) the two late-r12 registrations with no driver
+    # evidence yet (both oracle-exact locally at sf0.001/0.01/0.1):
+    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the three NEW
+    # round-13 operators (first driver evidence; oracle-exact locally):
+    # partitioned-table lifecycle, metadata column-mapping lifecycle,
+    # incremental IVFPQ index maintenance; (c) 45 of the 48-query
+    # r9-evidenced cohort (every query whose latest driver evidence is
+    # r9 — computed from the union of CORRECTNESS_r01..r12.json).
+    # Head slots displace exactly 3 r9 queries; the 3 that slip —
+    # `temperature_mixture_weights`, `template_openers`,
+    # `weighted_sample_es` — are text/sampling queries whose code
+    # paths did NOT change this round (the r9 queries whose paths DID
+    # change — upsert_snapshot_merge, time_travel_audit — stay in).
+    # PRE-COMMITTED for round 14: head slots to those 3 slipped r9
+    # queries and any r14 registrations / plan-changed queries, then
+    # the r10-evidenced cohort oldest-first.
+    "delta_sql_lifecycle",
+    "merge_clause_matrix",
+    "partitioned_table_lifecycle",
+    "column_mapping_lifecycle",
+    "ann_topk_ivfpq_incremental",
+    "bigram_pmi_top",
+    "binary_frame_fingerprints",
+    "bm25_topk",
+    "classifier_confusion_matrix",
+    "cohort_retention",
+    "corpus_dashboard",
+    "data_quality_checks",
+    "embedding_covariance_int8",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "event_dedup_window",
+    "frame_overlap_pairs",
+    "fuzzy_prefix_pairs",
+    "gap_fill_interpolate",
+    "groupwise_zscore_arrow",
+    "holed_zone_clip",
+    "interleave_mixture_schedule",
+    "label_cohesion_stats",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "lookup_enrichment_join",
+    "multiway_join_topk_revenue",
+    "neardup_graph_stats",
+    "neardup_keep_better",
+    "neardup_threshold_sweep",
+    "pricing_summary",
+    "quality_rule_ablation",
+    "quality_rules_filter",
+    "repetition_filter",
+    "rolling_median_value",
+    "sequence_packing",
+    "source_mixture_weights",
+    "spatial_join_count",
+    "spatial_zone_rollup",
+    "stable_doc_ids",
+    "stop_shingle_report",
+    "stratified_sample_topk",
+    "table_profile",
+    "text_stats",
+    "time_travel_audit",
+    "token_count",
+    "token_drift_top_contributors",
+    "udtf_token_windows",
+    "unigram_logprob_quality",
+    "upsert_snapshot_merge",
 ]
 
 

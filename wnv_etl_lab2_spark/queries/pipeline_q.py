@@ -1091,3 +1091,175 @@ def dv_delete_audit(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "partitioned_table_lifecycle",
+    oracle="""
+    WITH after_del AS (
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE NOT (source = 'src0' AND lang <> 'de')
+    ),
+    after_upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
+        FROM after_del
+    ),
+    after_ins AS (
+        SELECT doc_id, lang, n_chars FROM after_upd
+        UNION ALL
+        SELECT doc_id + 10000000, lang, n_chars FROM after_upd WHERE lang = 'fr'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM after_ins GROUP BY lang
+    """,
+)
+def partitioned_table_lifecycle(spark, sf_dir):
+    """PARTITIONED versioned tables as a driver-verified query (round
+    13 — r12 verdict #2, the registry face of
+    ``create_table(partition_by=...)``): stage documents as a
+    hive-partitioned versioned table (partitioned by lang), run DML
+    across partitions (a mixed-predicate DELETE, a partition-scoped
+    UPDATE, an APPEND into one partition), then compute the per-lang
+    rollup by UNIONING one PARTITION-PRUNED read per language — every
+    output row flows through `read_table(partition_filter=...)`, so the
+    driver's hash check verifies the pruning path end to end (a file
+    wrongly pruned or leaked would change the numbers). The oracle
+    replays the lifecycle as plain SQL. Pruning cost model: each
+    filtered read lists the snapshot's file names driver-side and scans
+    only the matching hive dir — at 100 TB a one-partition read is
+    O(partition), and the union here is O(distinct langs) plan nodes
+    over disjoint file sets (no file read twice)."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        create_table,
+        delete_from_table,
+        read_table,
+        update_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_part_life_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl, partition_by=("lang",))
+        delete_from_table(spark, tbl, "source = 'src0' AND lang <> 'de'")
+        update_table(spark, tbl, {"n_chars": "n_chars + 1"}, "lang = 'de'")
+        fr = read_table(spark, tbl, partition_filter={"lang": "fr"})
+        append_table(
+            fr.select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            ),
+            tbl,
+        )
+        langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+        per_lang = None
+        for lang in sorted(langs):
+            part = (
+                read_table(spark, tbl, partition_filter={"lang": lang})
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("n_chars").cast("long").alias("chars"),
+                )
+            )
+            per_lang = part if per_lang is None else per_lang.unionByName(part)
+        rows = per_lang.collect()
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "column_mapping_lifecycle",
+    oracle="""
+    WITH upd AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'es' THEN n_chars + 2 ELSE n_chars END
+                   AS size_chars
+        FROM documents
+    ),
+    ins AS (
+        SELECT lang, size_chars, CAST(NULL AS VARCHAR) AS flag FROM upd
+        UNION ALL
+        SELECT lang, size_chars, 'dup' AS flag FROM upd WHERE lang = 'de'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(size_chars) AS BIGINT) AS chars,
+           CAST(COUNT(flag) AS BIGINT) AS flagged
+    FROM ins GROUP BY lang
+    """,
+)
+def column_mapping_lifecycle(spark, sf_dir):
+    """METADATA-ONLY column DDL as a driver-verified query (round 13 —
+    r12 verdict #3, the registry face of the column map): stage
+    documents as a versioned table, RENAME n_chars -> size_chars
+    (manifest-only; the stable physical name keeps every existing file
+    readable), UPDATE through the new name, metadata-DROP source,
+    metadata-ADD a flag column (null backfill), APPEND rows that
+    populate it, and aggregate through the mapped names. The oracle
+    replays the same lifecycle over the raw corpus, so the rename
+    indirection, the drop projection, and the add backfill are all
+    hash-checked — a map that leaked a physical name or resurrected a
+    dropped column would change the result. Every DDL step here is
+    O(manifest) at any table size; only the UPDATE and APPEND touch
+    data."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_column,
+        append_table,
+        create_table,
+        drop_column,
+        read_table,
+        rename_column,
+        update_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    root = tempfile.mkdtemp(prefix="wnv_cmap_life_")
+    try:
+        tbl = root + "/documents"
+        create_table(d, tbl)
+        rename_column(spark, tbl, "n_chars", "size_chars")  # metadata
+        update_table(
+            spark, tbl, {"size_chars": "size_chars + 2"}, "lang = 'es'"
+        )
+        drop_column(spark, tbl, "source")  # metadata: tombstoned
+        add_column(spark, tbl, "flag", "string")  # metadata: null backfill
+        de = read_table(spark, tbl).where(F.col("lang") == "de")
+        append_table(
+            de.select(
+                (F.col("doc_id") + 20000000).alias("doc_id"),
+                "text", "lang", "size_chars",
+                F.lit("dup").alias("flag"),
+            ),
+            tbl,
+        )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("size_chars").cast("long").alias("chars"),
+                F.count("flag").cast("long").alias("flagged"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"], r["flagged"]) for r in rows],
+            "lang string, n long, chars long, flagged long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

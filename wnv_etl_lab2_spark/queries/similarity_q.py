@@ -1683,3 +1683,50 @@ def ann_topk_pq_refined(spark, sf_dir):
         emb.where(F.col("vec_id") != 0), query_vec, _PQ_BOOKS,
         k=10, shortlist=_PQ_SHORTLIST,
     )
+
+
+@register("ann_topk_ivfpq_incremental", oracle=_ivfpq_refined_oracle())
+def ann_topk_ivfpq_incremental(spark, sf_dir):
+    """INCREMENTAL index maintenance as a driver-verified query (round
+    13 — r12 verdict #4, the registry face of `ivfpq_index_append`):
+    build the persisted IVFADC index over 90% of the corpus, APPEND the
+    remaining 10% as a maintenance batch (O(batch) work — existing
+    index files untouched, pinned in tests/test_ann_index.py), stamp
+    the source version, and serve the refined top-10 from the
+    incrementally-maintained index with the freshness check armed. The
+    oracle is the SAME full-corpus IVFADC-refined SQL as
+    `ann_topk_ivfpq_refined` — hash-equality proves append == rebuild
+    end to end, not just that the append ran."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.operators.similarity import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_index_query,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    query_vec = [float(v) for v in qvec]
+    corpus = emb.where(F.col("vec_id") != 0)
+    root = tempfile.mkdtemp(prefix="wnv_ivfpq_inc_")
+    try:
+        idx = root + "/index"
+        ivfpq_index_build(
+            corpus.where(F.col("vec_id") % 10 != 3), idx,
+            _IVF_CENTS, _IVFPQ_BOOKS, source_version=0,
+        )
+        ivfpq_index_append(
+            corpus.where(F.col("vec_id") % 10 == 3), idx,
+            _IVF_CENTS, _IVFPQ_BOOKS, source_version=1,
+        )
+        out = ivfpq_index_query(
+            spark, idx, query_vec, _IVF_CENTS, _IVFPQ_BOOKS,
+            k=10, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
+            expect_source_version=1,
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -142,6 +142,15 @@ class DeltaSql:
             if m:
                 return table_detail(self.spark, self._path(m.group(1)))
             raise ValueError(f"unsupported DESCRIBE statement: {sql!r}")
+        if head == "SHOW":
+            m = re.fullmatch(
+                rf"SHOW\s+PARTITIONS\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import table_partitions
+
+                return table_partitions(self.spark, self._path(m.group(1)))
+            raise ValueError(f"unsupported SHOW statement: {sql!r}")
         if head == "VACUUM":
             m = re.fullmatch(
                 rf"VACUUM\s+({_IDENT})"
@@ -225,7 +234,9 @@ class DeltaSql:
                     self.spark, self._path(m.group(2)), self._path(m.group(1))
                 )
             m = re.fullmatch(
-                rf"CREATE\s+TABLE\s+({_IDENT})\s+AS\s+(SELECT\s+.+|WITH\s+.+)",
+                rf"CREATE\s+TABLE\s+({_IDENT})"
+                rf"(?:\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+                r"\s+AS\s+(SELECT\s+.+|WITH\s+.+)",
                 s,
                 re.IGNORECASE | re.DOTALL,
             )
@@ -233,7 +244,15 @@ class DeltaSql:
                 raise ValueError(
                     f"unsupported CREATE statement (CTAS or SHALLOW CLONE): {sql!r}"
                 )
-            return create_table(self._select(m.group(2)), self._path(m.group(1)))
+            partition_by = (
+                tuple(c.strip() for c in m.group(2).split(","))
+                if m.group(2)
+                else None
+            )
+            return create_table(
+                self._select(m.group(3)), self._path(m.group(1)),
+                partition_by=partition_by,
+            )
         if head == "INSERT":
             m = re.fullmatch(
                 rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\s+.+|WITH\s+.+|VALUES\s+.+)",
@@ -284,6 +303,18 @@ class DeltaSql:
             if m:
                 return drop_check_constraint(
                     self.spark, self._path(m.group(1)), m.group(2)
+                )
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\(?\s*"
+                rf"({_IDENT})\s+([A-Za-z_][A-Za-z0-9_()\s,<>]*?)\s*\)?",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import add_column
+
+                return add_column(
+                    self.spark, self._path(m.group(1)), m.group(2), m.group(3)
                 )
             m = re.fullmatch(
                 rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})",
@@ -574,7 +605,8 @@ class DeltaSql:
         conditions and assignment expressions pass through to Spark
         SQL verbatim otherwise."""
         head = re.match(
-            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+            rf"MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+({_IDENT})"
+            rf"(?:\s+(?:AS\s+)?({_IDENT}))?"
             rf"\s+USING\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
             r"\s+ON\s+",
             s,
@@ -582,7 +614,7 @@ class DeltaSql:
         )
         if not head:
             raise ValueError(f"unsupported MERGE statement: {sql!r}")
-        target, t_alias, source, s_alias = head.groups()
+        evolve, target, t_alias, source, s_alias = head.groups()
         rest = s[head.end():]
         # split the remainder into ON-condition + WHEN clauses at
         # top-level ' WHEN ' boundaries (outside string literals)
@@ -743,4 +775,5 @@ class DeltaSql:
             matched=matched,
             not_matched=not_matched,
             not_matched_by_source=not_matched_by_source,
+            schema_evolution=bool(evolve),
         )

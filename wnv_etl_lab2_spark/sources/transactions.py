@@ -182,14 +182,44 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         raise ValueError(f"transactional op must be append|overwrite, got {w.op!r}")
     version = cur + 1
     prev0 = _read_manifest(spark, w.table_path, cur)
-    from wnv_etl_lab2_spark.sources.versioned import _enforce_constraints
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _enforce_constraints,
+        _evolve_column_map,
+        _to_physical,
+    )
 
     constraints = prev0.get("constraints", {})
+    # partitioning + column mapping travel through transactional stages
+    # exactly like the single-table verbs (round 13)
+    partition_by = prev0.get("partition_by")
+    if partition_by:
+        missing = [c for c in partition_by if c not in w.df.columns]
+        if missing:
+            raise ValueError(
+                f"txn write to partitioned {w.table_path} must carry its "
+                f"partition columns; missing: {missing}"
+            )
+    cmap = dict(prev0.get("column_map", {}))
+    dropped = list(prev0.get("dropped_physical", []))
+    evolved = (
+        _merge_schemas(prev0.get("schema"), w.df.schema)
+        if w.op == "append"
+        else w.df.schema.json()
+    )
+    if cmap or dropped:
+        import json as _json
+
+        cmap = _evolve_column_map(
+            [f["name"] for f in _json.loads(evolved)["fields"]], cmap, dropped
+        )
     df, check = _enforce_constraints(
         w.df, constraints, f"txn {w.op} -> {w.table_path}"
     )
     vdir = _attempt_dir(w.table_path, version)
-    df.write.mode("error").parquet(vdir)
+    writer = _to_physical(df, cmap).write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
     try:
         check()
     except ValueError:
@@ -197,7 +227,7 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         raise
     files = _data_files(spark, vdir)
-    n_new = spark.read.parquet(vdir).count()
+    n_new = spark.read.parquet(vdir).count() if files else 0
     prev = prev0
     if w.op == "append":
         manifest = {
@@ -206,7 +236,7 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             "parent": cur,
             "add": files,
             "n_rows": int(prev["n_rows"]) + n_new,
-            "schema": _merge_schemas(prev.get("schema"), w.df.schema),
+            "schema": evolved,
         }
     else:
         manifest = {
@@ -214,8 +244,25 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             "op": "overwrite",
             "files": files,
             "n_rows": n_new,
-            "schema": w.df.schema.json(),
+            "schema": evolved,
         }
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
+    _nonid = {k: v for k, v in cmap.items() if k != v}
+    if _nonid:
+        manifest["column_map"] = _nonid
+    if dropped:
+        manifest["dropped_physical"] = dropped
+    if w.op == "append":
+        # appends preserve the old files, so per-file metadata stays
+        # valid — carry it like the single-table append does (round 13;
+        # dropping it silently resurrected MoR-deleted rows and reset
+        # stats/bloom skipping after a transactional append)
+        for key in (
+            "dv", "dv_counts", "stats", "stats_cols", "blooms", "blooms_ref"
+        ):
+            if prev.get(key):
+                manifest[key] = prev[key]
     if w.batch_id is not None:
         manifest["batch_id"] = int(w.batch_id)
         if w.writer_id is not None:

@@ -50,6 +50,19 @@ source's readChangeFeed consume O(changed rows)), CHECK CONSTRAINTS
 (`add_check_constraint` — enforced during every write action via an
 Observation, zero extra scans), RESTORE to an older version and
 zero-copy shallow CLONE (both metadata-only commits).
+
+Round 13 adds HIVE-PARTITIONED TABLES (``create_table(partition_by=)``
+— the path is the per-file partition metadata, so manifests stay
+O(batch); `read_table(partition_filter=)` prunes files driver-side
+before any scan; every DML verb and the streaming source respect the
+layout) and METADATA-ONLY COLUMN MAPPING (RENAME/DROP/ADD COLUMN as
+manifest-only commits over stable physical names — `rename_column` /
+`drop_column` default ``mode="metadata"``, `add_column` null-backfills;
+tombstoned physical names prevent dropped bytes from ever resurfacing),
+plus MERGE schema evolution (``merge_into_table(schema_evolution=)``)
+and a pre-publish MERGE cardinality check (equi-ON: digest-sized key
+aggregates before any write; general ON: the staged attempt aborts
+before its manifest publishes — no commit-then-restore window).
 """
 
 from __future__ import annotations
@@ -341,7 +354,195 @@ def _merge_schemas(prev_schema_json: str | None, new_schema) -> str:
     return StructType(fields).json()
 
 
-def _write_change_data(changes: DataFrame, table_path: str, version: int) -> list[str]:
+def _hive_partition_values(path: str, partition_by) -> dict:
+    """Parse a data file's hive-style ``col=value`` path segments into
+    {col: decoded string or None} (round 13 — partitioned tables). The
+    PATH is the partition metadata: manifests stay O(files-listed) with
+    zero extra bytes per file, appends stay O(batch), and any reader —
+    JVM scan, driver pruning, the Python streaming source — recovers
+    the values without consulting anything but the file list. Decoding
+    matches what Spark's hive-style writer produces: percent-escapes
+    and the ``__HIVE_DEFAULT_PARTITION__`` null sentinel."""
+    from urllib.parse import unquote
+
+    want = set(partition_by)
+    out: dict = {}
+    for seg in path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in want:
+                out[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+    return out
+
+
+def _partition_filter_str(value) -> str | None:
+    """A partition-filter value in the string form hive paths use."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def _prune_partition_files(
+    files: list[str], partition_by, partition_filter: dict
+) -> list[str]:
+    """Driver-side PARTITION PRUNING: keep only the files whose
+    hive-path partition values match every (col, value) in
+    ``partition_filter`` (equality; None matches the null partition).
+    Pruning happens BEFORE any file is opened — at 100 TB a
+    one-partition read lists the snapshot's file names and scans only
+    the matching directory's files."""
+    unknown = [c for c in partition_filter if c not in set(partition_by)]
+    if unknown:
+        raise ValueError(
+            f"partition filter on non-partition columns: {unknown} "
+            f"(table is partitioned by {list(partition_by)})"
+        )
+    want = {c: _partition_filter_str(v) for c, v in partition_filter.items()}
+    out = []
+    for f in files:
+        vals = _hive_partition_values(f, partition_by)
+        if all(vals.get(c) == w for c, w in want.items()):
+            out.append(f)
+    return out
+
+
+def _evolve_column_map(
+    cols: list[str], cmap: dict, dropped: list[str]
+) -> dict[str, str]:
+    """Physical name for every logical column (round 13 — Delta-style
+    column mapping): existing mappings are kept (physical names are
+    STABLE for a column's lifetime — that is what makes metadata-only
+    rename free), and a NEW logical column takes its own name unless
+    that collides with a tombstoned (metadata-dropped) physical column
+    or an already-used physical — then it gets a fresh suffixed
+    physical, so a re-added logical name can never resurrect a dropped
+    column's bytes from old files."""
+    import uuid
+
+    taken = set(cmap.values()) | set(dropped)
+    out: dict[str, str] = {}
+    used: set[str] = set()
+    for c in cols:
+        if c in cmap:
+            p = cmap[c]
+        elif c in taken:
+            p = f"{c}__{uuid.uuid4().hex[:6]}"
+        else:
+            p = c
+        while p in used:
+            p = f"{c}__{uuid.uuid4().hex[:6]}"
+        used.add(p)
+        out[c] = p
+    return out
+
+
+def _physical_of(manifest: dict, col: str) -> str:
+    """A logical column's physical (in-file) name under the manifest's
+    column map (identity when unmapped)."""
+    return (manifest.get("column_map") or {}).get(col, col)
+
+
+def _to_physical(df: DataFrame, cmap: dict) -> DataFrame:
+    """Project a LOGICAL frame to the PHYSICAL column names for a data
+    file write — writers on a column-mapped table always store the
+    stable physical names, so every file ever written stays readable
+    under any future rename (identity when the map is empty)."""
+    if not cmap or all(cmap.get(c, c) == c for c in df.columns):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*[F.col(c).alias(cmap.get(c, c)) for c in df.columns])
+
+
+def _scan_snapshot_files(
+    spark: SparkSession,
+    files: list[str],
+    manifest: dict,
+    extra_cols: tuple = (),
+    keep_meta: bool = False,
+):
+    """Scan an explicit file list the way the MANIFEST declares the
+    snapshot (round 13 — the one reader all snapshot consumers share):
+
+    - mergeSchema union of the physical files (evolution);
+    - hive partition columns re-attached from the file paths via a
+      pure JVM projection (``_metadata.file_path`` regexp + url_decode
+      + cast — partitioned tables' data files do not store them; zero
+      shuffle, zero Python, works at any scale);
+    - deletion vectors subtracted when the manifest carries them;
+    - physical -> logical projection through the column map (metadata
+      renames) and onto the manifest schema in declared order, with
+      null backfill for columns no file carries yet (metadata ADD
+      COLUMN / additive evolution).
+
+    ``extra_cols`` keeps per-row bookkeeping columns (``_change_type``)
+    through the projection; ``keep_meta`` keeps ``_f``/``_ri``
+    (file path / row index) for callers that need row positions."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    schema_json = manifest.get("schema")
+    partition_by = manifest.get("partition_by") or []
+    cmap = manifest.get("column_map") or {}
+    dv = manifest.get("dv")
+    needs_meta = bool(dv) or bool(partition_by) or keep_meta
+    if needs_meta:
+        # ALL _metadata-derived columns in one projection off the raw
+        # scan: the metadata pseudo-column is only resolvable against
+        # the file source itself
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("_f"),
+            F.col("_metadata.row_index").alias("_ri"),
+        )
+    if dv:
+        df = _apply_dv(spark, df, dv, attached=True)
+    if schema_json is None and not partition_by and not cmap:
+        # legacy (pre-schema-recording) table: raw union scan, as ever
+        if needs_meta and not keep_meta:
+            df = df.drop("_f", "_ri")
+        return df
+    schema = StructType.fromJson(json.loads(schema_json))
+    if partition_by:
+        types = {f.name: f.dataType for f in schema.fields}
+        for c in partition_by:
+            raw = F.regexp_extract(
+                F.col("_f"), "(?:^|/)" + _re.escape(c) + "=([^/]*)/", 1
+            )
+            val = F.when(
+                raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+            ).otherwise(F.url_decode(raw))
+            df = df.withColumn(c, val.cast(types[c]))
+    present = set(df.columns)
+    cols = []
+    for field in schema.fields:
+        if field.name in partition_by:
+            cols.append(F.col(field.name))
+            continue
+        phys = cmap.get(field.name, field.name)
+        if phys in present:
+            cols.append(F.col(phys).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    cols.extend(F.col(c) for c in extra_cols if c in present)
+    if keep_meta:
+        cols.extend([F.col("_f"), F.col("_ri")])
+    return df.select(*cols)
+
+
+def _write_change_data(
+    changes: DataFrame,
+    table_path: str,
+    version: int,
+    column_map: dict | None = None,
+) -> list[str]:
     """Persist a rewrite's ROW-LEVEL change set (table columns +
     ``_change_type`` in {'delete','insert','update_preimage',
     'update_postimage'}, the Delta CDF vocabulary) under a unique attempt
@@ -349,10 +550,15 @@ def _write_change_data(changes: DataFrame, table_path: str, version: int) -> lis
     write path: change files are part of the commit (the manifest
     lists them under ``"changes"``), so change-feed readers replay
     deterministically and a crashed attempt leaves only vacuumable
-    garbage. Returns the written file URIs."""
+    garbage. On a column-mapped table the change rows are stored under
+    the stable PHYSICAL names (round 13) — exactly like data files —
+    so feeds written before and after a metadata rename read uniformly
+    through the current map. Returns the written file URIs."""
     import uuid
 
     spark = changes.sparkSession
+    if column_map:
+        changes = _to_physical(changes, column_map)
     cdir = posixpath.join(
         table_path, _CHANGES_DIR, f"v{version}-{uuid.uuid4().hex[:8]}"
     )
@@ -410,7 +616,20 @@ def _write_version(
     stamp: dict | None = None,
     changes_files: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    pre_commit_check=None,
+    partition_by: tuple | list | None = None,
 ) -> int:
+    """``pre_commit_check`` (round 13): an optional zero-arg callable
+    evaluated AFTER the data files are staged but BEFORE the manifest
+    publishes — raising aborts the commit and deletes the attempt dir,
+    so a data-dependent validation that can only be known post-write
+    (e.g. MERGE's cardinality Observation) never exposes its version
+    to any reader, even transiently. Contrast with commit-then-restore,
+    which durably publishes the bad snapshot for a window.
+
+    ``partition_by`` (round 13, create only) declares hive-style
+    partitioning; existing tables carry their declared partitioning
+    forward through every rewrite, so DML preserves the layout."""
     spark = df.sparkSession
     current = latest_version(spark, table_path)
     if current != expect_latest:
@@ -419,9 +638,15 @@ def _write_version(
             f"found {current} — re-read and retry"
         )
     constraints: dict = {}
+    cmap: dict = {}
+    dropped: list = []
     if current is not None:
         m_prev = _read_manifest(spark, table_path, current)
         constraints = m_prev.get("constraints", {})
+        if partition_by is None:
+            partition_by = m_prev.get("partition_by")
+        cmap = dict(m_prev.get("column_map", {}))
+        dropped = list(m_prev.get("dropped_physical", []))
         if stats_cols is None:
             # WRITE-TIME stats maintenance (round 12 — Delta's
             # indexed-columns contract): once declared (create or
@@ -430,17 +655,39 @@ def _write_version(
             # behind a write. Footer reads here are the single-node
             # equivalent of executors reporting stats at commit.
             stats_cols = m_prev.get("stats_cols")
+    partition_by = list(partition_by) if partition_by else None
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition columns missing from the written frame: {missing}"
+            )
+    # full-rewrite ops DEFINE the snapshot schema: the map keeps every
+    # surviving logical column's stable physical name and drops entries
+    # for columns the rewrite no longer carries (tombstones persist)
+    logical_schema_json = df.schema.json()
+    if cmap or dropped:
+        cmap = _evolve_column_map(df.columns, cmap, dropped)
     df, check = _enforce_constraints(df, constraints, f"{op} -> {table_path}")
     vdir = _attempt_dir(table_path, version)
-    df.write.mode("error").parquet(vdir)
+    writer = _to_physical(df, cmap).write.mode("error")
+    if partition_by:
+        # partition columns are never renamable (refused by the DDL
+        # verbs), so their physical names are their logical names
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
     try:
         check()
+        if pre_commit_check is not None:
+            pre_commit_check()
     except ValueError:
         fs, jvm = _fs(spark, table_path)
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         raise
     files = _data_files(spark, vdir)
-    n_rows = spark.read.parquet(vdir).count()
+    # an empty partitionBy write produces no files at all (hive layout
+    # has no rows to place anywhere): record the honest zero
+    n_rows = spark.read.parquet(vdir).count() if files else 0
     # full-rewrite ops (create/overwrite/delete/merge/optimize) DEFINE
     # the snapshot: the written frame's schema is the version's schema
     manifest = {
@@ -448,8 +695,15 @@ def _write_version(
         "op": op,
         "files": files,
         "n_rows": n_rows,
-        "schema": df.schema.json(),
+        "schema": logical_schema_json,
     }
+    if partition_by:
+        manifest["partition_by"] = partition_by
+    nonid = {k: v for k, v in cmap.items() if k != v}
+    if nonid:
+        manifest["column_map"] = nonid
+    if dropped:
+        manifest["dropped_physical"] = dropped
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
     if stamp is not None:
@@ -462,7 +716,9 @@ def _write_version(
         manifest["constraints"] = constraints
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
-        stats = _footer_stats(files, list(stats_cols))
+        stats = _footer_stats(
+            files, [cmap.get(c, c) for c in stats_cols]
+        )
         if stats:
             manifest["stats"] = stats
     _commit(spark, table_path, version, manifest)
@@ -476,16 +732,27 @@ def create_table(
     writer_id: str | None = None,
     stamp: dict | None = None,
     stats_cols: list[str] | None = None,
+    partition_by: tuple | list | None = None,
 ) -> int:
     """Version 0 of a new versioned table. ``stats_cols`` declares the
     data-skipping columns at creation (round 12): per-file min/max is
     recorded now and MAINTAINED by every subsequent write — appends
     stat only their new files, rewrites re-stat their output — so
     `read_table_pruned` works without a manual ANALYZE. `collect_stats`
-    declares the same thing after the fact."""
+    declares the same thing after the fact.
+
+    ``partition_by`` (round 13) declares hive-style partitioning for
+    the table's whole lifetime: every write lays files out under
+    ``col=value`` dirs, the manifest records the declaration, and
+    readers (`read_table(partition_filter=...)`, the streaming source's
+    ``partitionFilter``) prune files BEFORE any scan — at 100 TB a
+    one-partition query lists names and reads one directory. The path
+    IS the per-file partition metadata, so append manifests stay
+    O(batch) — no per-file value map to carry forward."""
     return _write_version(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
         writer_id=writer_id, stamp=stamp, stats_cols=stats_cols,
+        partition_by=partition_by,
     )
 
 
@@ -519,9 +786,29 @@ def append_table(
     prev = _read_manifest(spark, table_path, cur)
     evolved = _merge_schemas(prev.get("schema"), df.schema)
     constraints = prev.get("constraints", {})
+    partition_by = prev.get("partition_by")
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append to a partitioned table must carry its partition "
+                f"columns; missing: {missing}"
+            )
+    # column mapping (round 13): new files always store the stable
+    # PHYSICAL names; a batch introducing new logical columns extends
+    # the map (fresh physical on tombstone collision)
+    cmap = dict(prev.get("column_map", {}))
+    dropped = list(prev.get("dropped_physical", []))
+    if cmap or dropped:
+        cmap = _evolve_column_map(
+            [f["name"] for f in json.loads(evolved)["fields"]], cmap, dropped
+        )
     df, check = _enforce_constraints(df, constraints, f"append -> {table_path}")
     vdir = _attempt_dir(table_path, version)
-    df.write.mode("error").parquet(vdir)
+    writer = _to_physical(df, cmap).write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
     try:
         check()
     except ValueError:
@@ -529,7 +816,7 @@ def append_table(
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         raise
     new_files = _data_files(spark, vdir)
-    n_new = spark.read.parquet(vdir).count()
+    n_new = spark.read.parquet(vdir).count() if new_files else 0
     manifest = {
         "version": version,
         "op": "append",
@@ -538,6 +825,13 @@ def append_table(
         "n_rows": int(prev["n_rows"]) + n_new,
         "schema": evolved,
     }
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
+    nonid = {k: v for k, v in cmap.items() if k != v}
+    if nonid:
+        manifest["column_map"] = nonid
+    if dropped:
+        manifest["dropped_physical"] = dropped
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
         if writer_id is not None:
@@ -558,7 +852,9 @@ def append_table(
     # files and merge — O(batch) footer reads, write-time skipping
     if prev.get("stats_cols"):
         manifest["stats_cols"] = prev["stats_cols"]
-        new_stats = _footer_stats(new_files, list(prev["stats_cols"]))
+        new_stats = _footer_stats(
+            new_files, [cmap.get(c, c) for c in prev["stats_cols"]]
+        )
         if new_stats:
             manifest["stats"] = {**manifest.get("stats", {}), **new_stats}
     _commit(spark, table_path, version, manifest)
@@ -716,7 +1012,9 @@ def _dv_row_count(dv_files: list[str]) -> int | None:
     return total
 
 
-def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFrame:
+def _apply_dv(
+    spark: SparkSession, df: DataFrame, dv_files: list[str], attached: bool = False
+) -> DataFrame:
     """Subtract the DELETION VECTORS from a file-list scan (round 11,
     the Delta DV merge-on-read contract): ``dv_files`` hold
     (file, row_index) rows naming exactly the deleted positions; the
@@ -740,6 +1038,15 @@ def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFr
         # override Catalyst's size estimate (which would otherwise
         # auto-broadcast) with an explicit shuffled-hash-join hint
         dv = dv.hint("shuffle_hash")
+    if attached:
+        # caller already extracted _f/_ri from _metadata (and needs to
+        # keep them for downstream path-derived projections): anti-join
+        # in place, keep every column
+        return df.join(
+            dv,
+            (F.col("_f") == F.col("_dv_file")) & (F.col("_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
     out_cols = df.columns
     return (
         df.withColumn("_f", F.col("_metadata.file_path"))
@@ -753,7 +1060,12 @@ def _apply_dv(spark: SparkSession, df: DataFrame, dv_files: list[str]) -> DataFr
     )
 
 
-def read_table(spark: SparkSession, table_path: str, version: int | None = None) -> DataFrame:
+def read_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
     """The snapshot as of ``version`` (default: latest). Reads exactly
     the manifest's file list — later versions never leak in — minus
     the manifest's deletion vectors when merge-on-read deletes are in
@@ -763,7 +1075,14 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
     source's default first-file schema would silently DROP the newer
     columns from every older file's rows; with merge the snapshot
     reads as the union schema with nulls for pre-evolution rows —
-    the additive schema-evolution contract real formats document."""
+    the additive schema-evolution contract real formats document.
+    Round 13: the scan projects the snapshot to the MANIFEST's declared
+    schema — hive partition columns re-attach from the file paths,
+    metadata-renamed columns read through the column map, metadata-
+    added columns null-backfill — and ``partition_filter``
+    ({col: value}, equality) prunes the file list driver-side BEFORE
+    any file is opened: a one-partition read of a 100 TB table scans
+    one directory's files."""
     if version is None:
         version = latest_version(spark, table_path)
         if version is None:
@@ -776,11 +1095,20 @@ def read_table(spark: SparkSession, table_path: str, version: int | None = None)
     files = _resolve_files(spark, table_path, version)
     if not files:
         raise ValueError(f"version {version} lists no files")
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
-    dv = _read_manifest(spark, table_path, version).get("dv")
-    if dv:
-        df = _apply_dv(spark, df, dv)
-    return df
+    m = _read_manifest(spark, table_path, version)
+    if partition_filter:
+        if not m.get("partition_by"):
+            raise ValueError(f"table is not partitioned: {table_path}")
+        files = _prune_partition_files(
+            files, m["partition_by"], partition_filter
+        )
+        if not files:
+            # no partition matches: empty frame with the declared schema
+            all_files = _resolve_files(spark, table_path, version)
+            from pyspark.sql import functions as F
+
+            return _scan_snapshot_files(spark, all_files, m).where(F.lit(False))
+    return _scan_snapshot_files(spark, files, m)
 
 
 def table_schema(spark: SparkSession, table_path: str, version: int | None = None):
@@ -854,25 +1182,12 @@ def _delete_merge_on_read(
         raise ValueError(f"not a versioned table (no log): {table_path}")
     m_prev = _read_manifest(spark, table_path, cur)
     files = _resolve_files(spark, table_path, cur)
-    raw = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .select(
-            "*",
-            F.col("_metadata.file_path").alias("_f"),
-            F.col("_metadata.row_index").alias("_ri"),
-        )
-    )
     prev_dv = list(m_prev.get("dv", []))
-    if prev_dv:
-        dv_prev = spark.read.parquet(*prev_dv).select(
-            F.col("file").alias("_dv_file"), F.col("row_index").alias("_dv_ri")
-        )
-        raw = raw.join(
-            F.broadcast(dv_prev),
-            (F.col("_f") == F.col("_dv_file")) & (F.col("_ri") == F.col("_dv_ri")),
-            "left_anti",
-        )
+    # the shared snapshot scan (round 13) already subtracts the prior
+    # DVs, re-attaches partition columns from the paths, and projects
+    # physical -> logical, so the condition evaluates against the
+    # table's LOGICAL schema while _f/_ri keep the physical positions
+    raw = _scan_snapshot_files(spark, files, m_prev, keep_meta=True)
     doomed = raw.where(F.coalesce(F.expr(condition), F.lit(False))).localCheckpoint()
     n_del = doomed.count()
     dv_dir = posixpath.join(table_path, _DV_DIR, f"v{cur + 1}-{uuid.uuid4().hex[:8]}")
@@ -894,6 +1209,7 @@ def _delete_merge_on_read(
             doomed.select(*data_cols).withColumn("_change_type", F.lit("delete")),
             table_path,
             cur + 1,
+            column_map=m_prev.get("column_map"),
         )
     manifest = {
         "version": cur + 1,
@@ -909,7 +1225,8 @@ def _delete_merge_on_read(
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "blooms", "blooms_ref"
+        "schema", "constraints", "stats", "stats_cols", "blooms", "blooms_ref",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if key in m_prev:
             manifest[key] = m_prev[key]
@@ -971,6 +1288,7 @@ def delete_from_table(
             deleted.withColumn("_change_type", F.lit("delete")),
             table_path,
             cur + 1,
+            column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
     return _write_version(
         remaining, table_path, cur + 1, "delete", expect_latest=cur,
@@ -1040,7 +1358,8 @@ def update_table(
             .withColumn("_change_type", F.lit("update_postimage"))
         )
         changes_files = _write_change_data(
-            pre.unionByName(post), table_path, cur + 1
+            pre.unionByName(post), table_path, cur + 1,
+            column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
     return _write_version(
         updated, table_path, cur + 1, "update", expect_latest=cur,
@@ -1095,12 +1414,63 @@ def merge_upsert_table(
             .withColumn("_change_type", F.lit("insert"))
         )
         changes_files = _write_change_data(
-            pre.unionByName(post), table_path, cur + 1
+            pre.unionByName(post), table_path, cur + 1,
+            column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
     return _write_version(
         merged, table_path, cur + 1, "merge", expect_latest=cur,
         changes_files=changes_files,
     )
+
+
+def _equi_on_pairs(on: str) -> list[tuple[str, str]] | None:
+    """Parse a MERGE ``on`` predicate as a pure equi-conjunction over
+    the t/s aliases — ``t.a = s.b [AND t.c = s.d ...]`` (either side
+    order) — returning [(t_col, s_col), ...], or None when any
+    top-level conjunct is not that shape (general predicate). Quote-
+    and paren-aware split, so literals/subexpressions containing
+    ``AND`` never confuse it. The detector only ever DOWNGRADES to the
+    general (window-based) cardinality check, never mis-claims equi."""
+    import re
+
+    conjuncts: list[str] = []
+    depth, start, quote = 0, 0, None
+    i = 0
+    while i < len(on):
+        ch = on[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and on[i:i + 3].upper() == "AND":
+            before_ok = i == 0 or not (on[i - 1].isalnum() or on[i - 1] == "_")
+            after = on[i + 3:i + 4]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                conjuncts.append(on[start:i])
+                start = i + 3
+                i += 3
+                continue
+        i += 1
+    conjuncts.append(on[start:])
+    ident = r"[A-Za-z_][A-Za-z0-9_]*"
+    pairs: list[tuple[str, str]] = []
+    for c in conjuncts:
+        m = re.fullmatch(
+            rf"\s*([ts])\s*\.\s*({ident})\s*=\s*([ts])\s*\.\s*({ident})\s*", c
+        )
+        if not m or {m.group(1), m.group(3)} != {"t", "s"}:
+            return None
+        if m.group(1) == "t":
+            pairs.append((m.group(2), m.group(4)))
+        else:
+            pairs.append((m.group(4), m.group(2)))
+    return pairs or None
 
 
 def merge_into_table(
@@ -1112,6 +1482,7 @@ def merge_into_table(
     not_matched: list[tuple[str | None, dict | str]] | None = None,
     not_matched_by_source: list[tuple[str | None, str, dict | str | None]] | None = None,
     change_data: bool = False,
+    schema_evolution: bool = False,
 ) -> int:
     """General conditional MERGE — the full Delta MERGE INTO clause
     matrix (round 12; `merge_upsert_table` stays as the fast SCD-1
@@ -1134,9 +1505,29 @@ def merge_into_table(
     rows with NO source match — update assignments may reference ``t``
     only — enabling full-sync merges (delete everything the source no
     longer carries).
+    ``schema_evolution=True`` (round 13 — Delta's autoMerge / MERGE
+    WITH SCHEMA EVOLUTION): source-only columns extend the target
+    schema additively in the same commit; existing rows (and old
+    files) read them as NULL, and ``*`` forms assign/insert them by
+    name. Type changes on existing columns still refuse.
     A target row matched by MORE THAN ONE source row is ambiguous and
-    raises — the Delta cardinality check — counted DURING the join
-    pass via a window over a per-row id, no extra scan.
+    raises — the Delta cardinality check — and the check NEVER
+    publishes the ambiguous result (round 13; Delta fails the
+    operation without committing). Two strategies by ON shape:
+
+    - PURE EQUI-ON (``t.a = s.a [AND ...]``, `_equi_on_pairs`): a
+      target row can multi-match iff some source key occurring >1
+      times also exists in the target — checked BEFORE anything is
+      staged by two digest-sized key aggregates (source keys grouped
+      and counted, semi-joined to distinct target keys; both scans
+      column-pruned to the keys). No per-row window, no corpus-row
+      exchange for the check.
+    - GENERAL ON: the count rides the join as a window over a per-row
+      id + an ``Observation``, evaluated after the data files are
+      staged but BEFORE the manifest publishes (`_write_version`'s
+      ``pre_commit_check``) — an ambiguous merge aborts, leaving only
+      a vacuumable attempt dir; no reader (or crash window) can ever
+      observe the ambiguous snapshot.
 
     Scale shape: ONE full-outer join on the ON predicate (equi-ON
     plans a hash/SMJ join; give it an equi conjunct), the clause
@@ -1164,30 +1555,86 @@ def merge_into_table(
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     base = read_table(spark, table_path, cur)
+    if schema_evolution:
+        # MERGE WITH SCHEMA EVOLUTION (round 13 — Delta's autoMerge):
+        # source-only columns extend the target schema via the SAME
+        # additive-union rule appends use (`_merge_schemas` — type
+        # changes still refuse loudly); existing target rows read the
+        # new columns as NULL, and the * forms then assign/insert them
+        # by name. The evolution is part of this one commit: the
+        # rewritten snapshot's schema IS the evolved schema.
+        from pyspark.sql.types import StructType
+
+        evolved = StructType.fromJson(
+            json.loads(_merge_schemas(base.schema.json(), source.schema))
+        )
+        for f in evolved.fields:
+            if f.name not in base.columns:
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
     t_cols = base.columns
     types = {f.name: f.dataType for f in base.schema.fields}
 
     def as_struct(df: DataFrame, alias: str) -> DataFrame:
         return df.select(F.struct(*df.columns).alias(alias))
 
-    t = as_struct(base, "t").withColumn("_tid", F.monotonically_increasing_id())
+    equi_pairs = _equi_on_pairs(on)
+    if equi_pairs is not None:
+        # equi fast path (round 13): cardinality is a property of the
+        # join KEYS alone — check it up front with two digest-sized
+        # aggregates and skip the per-row window entirely. Abort here
+        # stages nothing at all.
+        missing_t = [tc for tc, _ in equi_pairs if tc not in set(t_cols)]
+        missing_s = [sc for _, sc in equi_pairs if sc not in set(source.columns)]
+        if missing_t or missing_s:
+            raise ValueError(
+                f"MERGE ON references unknown columns: target {missing_t}, "
+                f"source {missing_s}"
+            )
+        keyed = source.select(
+            *[F.col(sc).alias(f"_k{i}") for i, (_, sc) in enumerate(equi_pairs)]
+        )
+        dup_keys = (
+            keyed.groupBy(*[f"_k{i}" for i in range(len(equi_pairs))])
+            .count()
+            .where(F.col("count") > 1)
+        )
+        t_keys = base.select(
+            *[F.col(tc).alias(f"_k{i}") for i, (tc, _) in enumerate(equi_pairs)]
+        ).distinct()
+        ambiguous = (
+            dup_keys.join(
+                t_keys, [f"_k{i}" for i in range(len(equi_pairs))], "left_semi"
+            ).head(1)
+        )
+        if ambiguous:
+            raise ValueError(
+                "MERGE cardinality violation: a target row matched more "
+                "than one source row (detected before any write — nothing "
+                "was committed)"
+            )
+    t = as_struct(base, "t")
     sdf = as_struct(source, "s")
+    if equi_pairs is None:
+        t = t.withColumn("_tid", F.monotonically_increasing_id())
     j = t.join(sdf, F.expr(on), "full_outer")
-    # Delta's cardinality check: >1 source match for one target row is
-    # ambiguous. The window runs over the SAME join output that feeds
-    # the result, so _tid (nondeterministic) is evaluated exactly once.
-    j = j.withColumn(
-        "_nm",
-        # unmatched SOURCE rows all carry _tid null and would pool into
-        # one window partition — they are not a cardinality hazard, so
-        # the count only applies where a target row exists
-        F.when(
-            F.col("t").isNotNull(),
-            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).over(
-                W.partitionBy("_tid")
-            ),
-        ).otherwise(F.lit(0)),
-    )
+    if equi_pairs is None:
+        # Delta's cardinality check, general-ON path: >1 source match
+        # for one target row is ambiguous. The window runs over the
+        # SAME join output that feeds the result, so _tid
+        # (nondeterministic) is evaluated exactly once.
+        j = j.withColumn(
+            "_nm",
+            # unmatched SOURCE rows all carry _tid null and would pool
+            # into one window partition — they are not a cardinality
+            # hazard, so the count only applies where a target row
+            # exists
+            F.when(
+                F.col("t").isNotNull(),
+                F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).over(
+                    W.partitionBy("_tid")
+                ),
+            ).otherwise(F.lit(0)),
+        )
 
     def assignments(payload) -> list["F.Column"]:
         if payload == "*":
@@ -1262,17 +1709,31 @@ def merge_into_table(
         .otherwise(out_matched)
         .alias("_out")
     )
-    from pyspark.sql import Observation
+    pre_commit_check = None
+    if equi_pairs is not None:
+        result = (
+            j.select(out).where(F.col("_out").isNotNull()).select("_out.*")
+        )
+    else:
+        from pyspark.sql import Observation
 
-    import uuid as _uuid
+        import uuid as _uuid
 
-    obs = Observation(f"merge-card-{_uuid.uuid4().hex[:8]}")
-    result = (
-        j.select(out, "_nm")
-        .observe(obs, F.max(F.coalesce(F.col("_nm"), F.lit(0))).alias("max_nm"))
-        .where(F.col("_out").isNotNull())
-        .select("_out.*")
-    )
+        obs = Observation(f"merge-card-{_uuid.uuid4().hex[:8]}")
+        result = (
+            j.select(out, "_nm")
+            .observe(obs, F.max(F.coalesce(F.col("_nm"), F.lit(0))).alias("max_nm"))
+            .where(F.col("_out").isNotNull())
+            .select("_out.*")
+        )
+
+        def pre_commit_check() -> None:
+            if int(obs.get["max_nm"] or 0) > 1:
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matched more "
+                    "than one source row (the staged attempt was aborted "
+                    "before its manifest published — nothing was committed)"
+                )
     changes_files = None
     if change_data:
         # row-level CDF for the general merge (round 12): the change
@@ -1303,22 +1764,12 @@ def merge_into_table(
             deleted.unionByName(pre).unionByName(post).unionByName(inserted),
             table_path,
             cur + 1,
+            column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
-    version = _write_version(
+    return _write_version(
         result, table_path, cur + 1, "merge", expect_latest=cur,
-        changes_files=changes_files,
+        changes_files=changes_files, pre_commit_check=pre_commit_check,
     )
-    if int(obs.get["max_nm"] or 0) > 1:
-        # the ambiguous write already committed a version slot — fail
-        # the CALL loudly and roll the table back to the pre-merge
-        # snapshot so no reader ever consumes the ambiguous result.
-        restore_table(spark, table_path, cur)
-        raise ValueError(
-            "MERGE cardinality violation: a target row matched more than "
-            "one source row (the ambiguous commit was rolled back by an "
-            "immediate RESTORE; history shows both)"
-        )
-    return version
 
 
 def optimize_table(
@@ -1349,7 +1800,13 @@ def optimize_table(
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     base = read_table(spark, table_path, cur)
-    if zorder_by is None:
+    partition_by = _read_manifest(spark, table_path, cur).get("partition_by")
+    if zorder_by is None and partition_by:
+        # partitioned compaction (round 13): co-locate each partition
+        # value's rows in one task so the hive write emits one file per
+        # partition value — OPTIMIZE never crosses partition boundaries
+        compacted = base.repartition(max(1, target_files), *partition_by)
+    elif zorder_by is None:
         compacted = base.coalesce(max(1, target_files))
     else:
         from pyspark.sql import functions as F
@@ -1365,15 +1822,26 @@ def optimize_table(
             else _rank_col(base, c)
             for c in zorder_by
         ]
-        compacted = (
-            base.withColumn(
-                "_z",
-                morton_code_n(keys, bits=bits),
+        coded = base.withColumn("_z", morton_code_n(keys, bits=bits))
+        if partition_by:
+            # ZORDER WITHIN partitions (round 13): hash by the
+            # partition columns so each value's rows land in one task,
+            # then sort by the curve inside — one curve-ordered file
+            # per partition value, never a file spanning partitions
+            # (a bare range-repartition on _z would cross boundaries
+            # and the hive write would fan each task out into one file
+            # PER partition it touches)
+            compacted = (
+                coded.repartition(max(1, target_files), *partition_by)
+                .sortWithinPartitions(*partition_by, "_z")
+                .drop("_z")
             )
-            .repartitionByRange(max(1, target_files), "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
+        else:
+            compacted = (
+                coded.repartitionByRange(max(1, target_files), "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
     return _write_version(compacted, table_path, cur + 1, "optimize", expect_latest=cur)
 
 
@@ -1442,14 +1910,16 @@ def purge_deletion_vectors(
         return None
     version = cur + 1
     doomed_q = {qualified[f] for f in doomed} | set(doomed)
-    # rewrite ONLY the doomed files, minus their DV positions
-    live = _apply_dv(
-        spark,
-        spark.read.option("mergeSchema", "true").parquet(*doomed),
-        dv_files,
-    )
+    # rewrite ONLY the doomed files, minus their DV positions — via the
+    # shared snapshot scan (round 13), so partition columns re-attach
+    # from the paths and rewritten files land back under their hive
+    # dirs, and column-mapped tables write the stable physical names
+    live = _scan_snapshot_files(spark, doomed, m)
     vdir = _attempt_dir(table_path, version)
-    live.write.mode("error").parquet(vdir)
+    writer = _to_physical(live, m.get("column_map", {})).write.mode("error")
+    if m.get("partition_by"):
+        writer = writer.partitionBy(*m["partition_by"])
+    writer.parquet(vdir)
     new_files = _data_files(spark, vdir)
     kept = [f for f in files if f not in doomed]
     # remaining DV positions (kept files only) re-consolidate into ONE
@@ -1472,7 +1942,10 @@ def purge_deletion_vectors(
         manifest["dv_counts"] = {
             f: n for f, n in counts.items() if f not in doomed_q
         }
-    for key in ("schema", "constraints"):
+    for key in (
+        "schema", "constraints", "partition_by", "column_map",
+        "dropped_physical",
+    ):
         if key in m:
             manifest[key] = m[key]
     # per-file stats/blooms stay valid for KEPT files; rewritten files
@@ -1482,7 +1955,12 @@ def purge_deletion_vectors(
     }
     if m.get("stats_cols"):
         manifest["stats_cols"] = m["stats_cols"]
-        kept_stats.update(_footer_stats(new_files, list(m["stats_cols"])))
+        _cmap = m.get("column_map", {})
+        kept_stats.update(
+            _footer_stats(
+                new_files, [_cmap.get(c, c) for c in m["stats_cols"]]
+            )
+        )
     if kept_stats:
         manifest["stats"] = kept_stats
     old_blooms = _load_blooms(spark, m)
@@ -1721,12 +2199,15 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, cur)
     files = _resolve_files(spark, table_path, cur)
+    cmap = m.get("column_map", {})
     manifest = {
         "version": cur + 1,
         "op": "analyze",
         "files": files,
         "n_rows": m["n_rows"],
-        "stats": _footer_stats(files, stat_cols),
+        # stats are keyed by the PHYSICAL (in-file) column names —
+        # stable across metadata renames; lookups translate (round 13)
+        "stats": _footer_stats(files, [cmap.get(c, c) for c in stat_cols]),
         "stats_cols": list(stat_cols),
     }
     if "schema" in m:  # metadata-only version: snapshot schema unchanged
@@ -1735,7 +2216,9 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["constraints"] = m["constraints"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    for key in ("blooms", "blooms_ref"):
+    for key in (
+        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+    ):
         if m.get(key):
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1860,9 +2343,10 @@ def collect_blooms(
     # once committed, so reuse can never go stale.
     prev_meta = _load_blooms(spark, m)
     reused: dict = {}
+    _pcols = [m.get("column_map", {}).get(c, c) for c in cols]
     if prev_meta.get("m_bits") == m_bits and prev_meta.get("k") == k:
         for f, per_col in prev_meta.get("files", {}).items():
-            if f in set(files) and all(c in per_col for c in cols):
+            if f in set(files) and all(c in per_col for c in _pcols):
                 reused[f] = per_col
     todo = [f for f in files if f not in reused]
     blooms: dict = dict(reused)
@@ -1870,7 +2354,10 @@ def collect_blooms(
         df = None
     else:
         df = spark.read.option("mergeSchema", "true").parquet(*todo)
-    for col in cols if todo else []:
+    cmap = m.get("column_map", {})
+    for col in [cmap.get(c, c) for c in cols] if todo else []:
+        # bitmaps are keyed by the PHYSICAL (in-file) column name —
+        # stable across metadata renames, like footer stats (round 13)
         pos = F.explode(
             F.array(
                 *[
@@ -1907,7 +2394,10 @@ def collect_blooms(
             spark, table_path, cur + 1, blooms, m_bits, k
         ),
     }
-    for key in ("schema", "constraints", "stats", "stats_cols", "dv"):
+    for key in (
+        "schema", "constraints", "stats", "stats_cols", "dv",
+        "partition_by", "column_map", "dropped_physical",
+    ):
         if m.get(key):
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -1942,10 +2432,11 @@ def read_table_bloom_pruned(
     if sch is not None and col in sch.names:
         dtype = sch[col].dataType.simpleString()
     keep = files
+    pcol = _physical_of(m, col)  # bitmaps are keyed physical (round 13)
     if per_file and dtype is not None:
         positions = _bloom_positions(spark, value, dtype, meta["m_bits"], meta["k"])
         def maybe_contains(f: str) -> bool:
-            bloom = per_file.get(f, {}).get(col)
+            bloom = per_file.get(f, {}).get(pcol)
             if bloom is None:
                 return True  # no bloom recorded: must scan
             for p in positions:
@@ -1955,20 +2446,10 @@ def read_table_bloom_pruned(
             return True
         keep = [f for f in files if maybe_contains(f)]
     if not keep:
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
-            .where(F.lit(False))
-        )
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*keep)
-        .where(F.col(col) == F.lit(value).cast(dtype) if dtype else F.col(col) == F.lit(value))
+        return _scan_snapshot_files(spark, files, m).where(F.lit(False))
+    return _scan_snapshot_files(spark, keep, m).where(
+        F.col(col) == F.lit(value).cast(dtype) if dtype else F.col(col) == F.lit(value)
     )
-    dv = m.get("dv")
-    if dv:
-        df = _apply_dv(spark, df, dv)
-    return df
 
 
 def table_history(spark: SparkSession, table_path: str) -> DataFrame:
@@ -2048,6 +2529,38 @@ def table_detail(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def table_partitions(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """SHOW PARTITIONS (round 13): one row per partition value of the
+    snapshot as of ``version`` — (value columns as strings, n_files) —
+    computed ENTIRELY from the resolved file list's hive paths:
+    driver-side string parsing, zero files opened, any table size.
+    Raises on an unpartitioned table (Delta/Hive parity)."""
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, version)
+    pby = m.get("partition_by")
+    if not pby:
+        raise ValueError(f"table is not partitioned: {table_path}")
+    counts: dict[tuple, int] = {}
+    for f in _resolve_files(spark, table_path, version):
+        vals = _hive_partition_values(f, pby)
+        key = tuple(vals.get(c) for c in pby)
+        counts[key] = counts.get(key, 0) + 1
+    rows = [
+        key + (n,)
+        for key, n in sorted(
+            counts.items(),
+            key=lambda kv: tuple("" if v is None else v for v in kv[0]),
+        )
+    ]
+    schema = ", ".join(f"{c} string" for c in pby) + ", n_files int"
+    return spark.createDataFrame(rows, schema)
+
+
 def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION — Delta's RESTORE contract (round 11):
     commit a NEW version whose snapshot is exactly the target
@@ -2079,6 +2592,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     for key in (
         "schema", "constraints", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if key in m:
             manifest[key] = m[key]
@@ -2117,6 +2631,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
     for key in (
         "schema", "constraints", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if key in m:
             manifest[key] = m[key]
@@ -2185,7 +2700,9 @@ def add_check_constraint(
             manifest[key] = m[key]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    for key in ("blooms", "blooms_ref"):
+    for key in (
+        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+    ):
         if m.get(key):
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -2218,7 +2735,9 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
             manifest[key] = m[key]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
-    for key in ("blooms", "blooms_ref"):
+    for key in (
+        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+    ):
         if m.get(key):
             manifest[key] = m[key]
     _commit(spark, table_path, cur + 1, manifest)
@@ -2251,72 +2770,141 @@ def read_table_pruned(
     m = _read_manifest(spark, table_path, version)
     stats = m.get("stats", {})
     files = _resolve_files(spark, table_path, version)
+    pcol = _physical_of(m, col)  # stats are keyed physical (round 13)
     keep = [
         f
         for f in files
-        if col not in stats.get(f, {})
-        or not (stats[f][col][1] < lo or stats[f][col][0] > hi)
+        if pcol not in stats.get(f, {})
+        or not (stats[f][pcol][1] < lo or stats[f][pcol][0] > hi)
     ]
     if not keep:
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
-            .where(F.lit(False))
-        )
-    df = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*keep)
-        .where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return _scan_snapshot_files(spark, files, m).where(F.lit(False))
+    # residual filter on the LOGICAL column after the shared projection
+    # (Catalyst pushes it back through to the scan for data columns)
+    return _scan_snapshot_files(spark, keep, m).where(
+        F.col(col).between(F.lit(lo), F.lit(hi))
     )
-    dv = m.get("dv")
-    if dv:  # merge-on-read deletes apply to the pruned scan too
-        df = _apply_dv(spark, df, dv)
-    return df
 
 
-def drop_column(spark: SparkSession, table_path: str, name: str) -> int:
-    """ALTER TABLE DROP COLUMN as a copy-on-write rewrite (round 12):
-    the new version's snapshot and recorded schema omit the column;
-    history keeps it (time travel reads the old schema). Honest about
-    cost — a full rewrite, not Delta's metadata-only column mapping —
-    because this protocol's readers resolve columns by NAME; the
-    rewrite is the price of never shipping a mapping table every
-    reader must consult. Raises if the column does not exist or is the
-    table's last column."""
+def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
+    """Skeleton for a METADATA-ONLY column-DDL commit: same files, same
+    rows, every protocol feature carried; the caller mutates schema /
+    column_map / stats_cols before committing."""
+    manifest = {
+        "version": cur + 1,
+        "op": op,
+        "files": list(m.get("files", [])),
+        "n_rows": m["n_rows"],
+    }
+    for key in (
+        "schema", "constraints", "stats", "stats_cols", "dv", "dv_counts",
+        "blooms", "blooms_ref", "partition_by", "column_map",
+        "dropped_physical",
+    ):
+        if key in m:
+            manifest[key] = m[key]
+    return manifest
+
+
+def drop_column(
+    spark: SparkSession, table_path: str, name: str, mode: str = "metadata"
+) -> int:
+    """ALTER TABLE DROP COLUMN. Default ``mode="metadata"`` (round 13 —
+    Delta's column-mapping drop): a manifest-only commit removes the
+    column from the declared schema and TOMBSTONES its physical name —
+    zero data files touched at any table size; reads project the
+    column away, old versions time-travel with it intact, and a later
+    re-add of the same logical name gets a fresh physical name so the
+    dropped bytes can never resurface. ``mode="rewrite"`` keeps the
+    round-12 copy-on-write path (REORG-style physical cleanup that
+    actually removes the bytes). Raises if the column does not exist,
+    is the table's last column, is a partition column, or is referenced
+    by a CHECK constraint."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
-    snapshot = read_table(spark, table_path, cur)
-    if name not in snapshot.columns:
-        raise ValueError(f"no such column: {name!r}")
-    if len(snapshot.columns) == 1:
-        raise ValueError("cannot drop a table's last column")
     m = _read_manifest(spark, table_path, cur)
-    return _write_version(
-        snapshot.drop(name), table_path, cur + 1, "drop_column",
-        expect_latest=cur,
-        stats_cols=[c for c in m.get("stats_cols", []) if c != name],
-    )
+    import re as _re
+
+    offenders = [
+        cname
+        for cname, expr in m.get("constraints", {}).items()
+        if _re.search(rf"\b{_re.escape(name)}\b", expr)
+    ]
+    if offenders:
+        raise ValueError(
+            f"constraints reference column {name!r}: {offenders} — drop "
+            "them before dropping the column"
+        )
+    if mode == "rewrite":
+        snapshot = read_table(spark, table_path, cur)
+        if name not in snapshot.columns:
+            raise ValueError(f"no such column: {name!r}")
+        if len(snapshot.columns) == 1:
+            raise ValueError("cannot drop a table's last column")
+        return _write_version(
+            snapshot.drop(name), table_path, cur + 1, "drop_column",
+            expect_latest=cur,
+            stats_cols=[c for c in m.get("stats_cols", []) if c != name],
+        )
+    if mode != "metadata":
+        raise ValueError(f"mode must be metadata|rewrite, got {mode!r}")
+    if "schema" not in m:
+        raise ValueError(
+            "metadata column DDL needs a schema-recording manifest "
+            "(pre-r9 table) — use mode='rewrite'"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name not in schema.names:
+        raise ValueError(f"no such column: {name!r}")
+    if len(schema.names) == 1:
+        raise ValueError("cannot drop a table's last column")
+    if name in m.get("partition_by", []):
+        raise ValueError(
+            f"cannot drop partition column {name!r} (the hive layout is "
+            "the partition metadata; repartition via a rewrite instead)"
+        )
+    manifest = _metadata_ddl_manifest(m, cur, "drop_column")
+    manifest["schema"] = StructType(
+        [f for f in schema.fields if f.name != name]
+    ).json()
+    cmap = dict(m.get("column_map", {}))
+    phys = cmap.pop(name, name)
+    dropped = list(m.get("dropped_physical", []))
+    if phys not in dropped:
+        dropped.append(phys)
+    manifest["dropped_physical"] = dropped
+    if cmap:
+        manifest["column_map"] = cmap
+    else:
+        manifest.pop("column_map", None)
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = [c for c in m["stats_cols"] if c != name]
+    # files unchanged — resolve through the chain for append tips
+    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
 
 
 def rename_column(
-    spark: SparkSession, table_path: str, old: str, new: str
+    spark: SparkSession, table_path: str, old: str, new: str,
+    mode: str = "metadata",
 ) -> int:
-    """ALTER TABLE RENAME COLUMN as a copy-on-write rewrite (round
-    12; see `drop_column` for the cost stance). Raises on a missing
-    source or an existing target. Constraints referencing the old
-    name would silently stop matching rows, so any constraint whose
-    expression mentions the old column name must be dropped first —
-    checked textually and refused loudly."""
+    """ALTER TABLE RENAME COLUMN. Default ``mode="metadata"`` (round
+    13 — Delta's column mapping): a manifest-only commit renames the
+    LOGICAL column and keeps the stable PHYSICAL name in the column
+    map — zero data files touched at any table size; every file ever
+    written (and every change file) keeps reading through the map, and
+    old versions time-travel under their old names. ``mode="rewrite"``
+    keeps the round-12 copy-on-write path. Raises on a missing source,
+    an existing target, a partition column, or a constraint referencing
+    the old name (it would silently stop matching rows)."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
     m = _read_manifest(spark, table_path, cur)
-    snapshot = read_table(spark, table_path, cur)
-    if old not in snapshot.columns:
-        raise ValueError(f"no such column: {old!r}")
-    if new in snapshot.columns:
-        raise ValueError(f"column already exists: {new!r}")
     import re as _re
 
     offenders = [
@@ -2329,13 +2917,105 @@ def rename_column(
             f"constraints reference column {old!r}: {offenders} — drop them "
             "before renaming"
         )
-    return _write_version(
-        snapshot.withColumnRenamed(old, new), table_path, cur + 1,
-        "rename_column", expect_latest=cur,
-        stats_cols=[
-            new if c == old else c for c in m.get("stats_cols", [])
-        ],
+    if mode == "rewrite":
+        snapshot = read_table(spark, table_path, cur)
+        if old not in snapshot.columns:
+            raise ValueError(f"no such column: {old!r}")
+        if new in snapshot.columns:
+            raise ValueError(f"column already exists: {new!r}")
+        return _write_version(
+            snapshot.withColumnRenamed(old, new), table_path, cur + 1,
+            "rename_column", expect_latest=cur,
+            stats_cols=[
+                new if c == old else c for c in m.get("stats_cols", [])
+            ],
+        )
+    if mode != "metadata":
+        raise ValueError(f"mode must be metadata|rewrite, got {mode!r}")
+    if "schema" not in m:
+        raise ValueError(
+            "metadata column DDL needs a schema-recording manifest "
+            "(pre-r9 table) — use mode='rewrite'"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if old not in schema.names:
+        raise ValueError(f"no such column: {old!r}")
+    if new in schema.names:
+        raise ValueError(f"column already exists: {new!r}")
+    if old in m.get("partition_by", []):
+        raise ValueError(
+            f"cannot rename partition column {old!r} (hive paths carry "
+            "the physical name; rewrite the table to repartition)"
+        )
+    manifest = _metadata_ddl_manifest(m, cur, "rename_column")
+    manifest["schema"] = StructType(
+        [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+    ).json()
+    cmap = dict(m.get("column_map", {}))
+    phys = cmap.pop(old, old)
+    cmap[new] = phys  # the physical name never changes — that's the point
+    manifest["column_map"] = {k: v for k, v in cmap.items() if k != v}
+    if not manifest["column_map"]:
+        manifest.pop("column_map")
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = [
+            new if c == old else c for c in m["stats_cols"]
+        ]
+    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def add_column(
+    spark: SparkSession, table_path: str, name: str, sql_type: str
+) -> int:
+    """ALTER TABLE ADD COLUMN ``name`` ``sql_type`` as a METADATA-ONLY
+    commit (round 13): the declared schema grows the column, no data
+    file is touched, and every existing row reads it as NULL (the
+    shared snapshot scan backfills declared-but-absent columns) — the
+    same additive-evolution rule appends already enforce, exposed as
+    DDL. If the logical name was previously metadata-dropped, the new
+    column gets a fresh physical name so the dropped bytes never
+    resurface. Raises if the column already exists."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    if "schema" not in m:
+        raise ValueError(
+            "metadata column DDL needs a schema-recording manifest "
+            "(pre-r9 table)"
+        )
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if name in schema.names:
+        raise ValueError(f"column already exists: {name!r}")
+    dtype = _parse_datatype_string(sql_type)
+    manifest = _metadata_ddl_manifest(m, cur, "add_column")
+    manifest["schema"] = StructType(
+        list(schema.fields) + [StructField(name, dtype, True)]
+    ).json()
+    cmap = _evolve_column_map(
+        schema.names + [name],
+        dict(m.get("column_map", {})),
+        list(m.get("dropped_physical", [])),
     )
+    nonid = {k: v for k, v in cmap.items() if k != v}
+    if nonid:
+        manifest["column_map"] = nonid
+    else:
+        manifest.pop("column_map", None)
+    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
 
 
 def with_retries(op, attempts: int = 5):

@@ -171,6 +171,53 @@ def _py_dv_map(m: dict) -> dict[str, set[int]]:
     return out
 
 
+def _py_partition_values(path: str, partition_by) -> dict:
+    """Python twin of `versioned._hive_partition_values` (the reader
+    runs in workers without a JVM session): a data file's hive-path
+    ``col=value`` segments as {col: decoded string or None}."""
+    from urllib.parse import unquote
+
+    want = set(partition_by)
+    out: dict = {}
+    for seg in path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in want:
+                out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return out
+
+
+def _py_filter_str(value) -> str | None:
+    """A partitionFilter value in the string form hive paths use."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def _py_convert_pv(s, dtype):
+    """A hive partition-value string as the schema's Python type."""
+    if s is None:
+        return None
+    t = dtype.typeName()
+    if t in ("integer", "long", "short", "byte"):
+        return int(s)
+    if t in ("double", "float"):
+        return float(s)
+    if t == "boolean":
+        return s == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(s)
+    if t.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(s)
+    return s
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -180,9 +227,17 @@ class _FilePartition(InputPartition):
         version: int | None = None,
         row_indices: list[int] | None = None,
         skip_row_indices: list[int] | None = None,
+        partition_values: dict | None = None,
+        column_map: dict | None = None,
     ) -> None:
         self.path = path
         self.columns = columns
+        # hive-path partition values for this file (partitioned tables'
+        # data files do not store the partition columns — round 13)
+        self.partition_values = partition_values
+        # logical -> physical in-file names (metadata renames) — files
+        # always store the stable physical names (round 13)
+        self.column_map = column_map
         # non-None only in change-feed mode: every row of this file
         # reads as one change of this type at this commit version
         self.change_type = change_type
@@ -257,20 +312,31 @@ class VersionedTableStreamSource(DataSource):
                 if _py_visible(m) and int(m.get("ts_ms", 0)) < ts:
                     best = v
             starting = best
+        pf = self.options.get("partitionFilter")
+        partition_filter = json.loads(pf) if pf else None
         return VersionedTableStreamReader(
             path, schema, int(starting if starting is not None else -1),
-            self._cdf(),
+            self._cdf(), partition_filter,
         )
 
 
 class VersionedTableStreamReader(DataSourceStreamReader):
     def __init__(
-        self, table_path: str, schema, starting_version: int, cdf: bool = False
+        self,
+        table_path: str,
+        schema,
+        starting_version: int,
+        cdf: bool = False,
+        partition_filter: dict | None = None,
     ) -> None:
         self._path = table_path
         self._schema = schema
         self._start = starting_version
         self._cdf = cdf
+        # option("partitionFilter", '{"col": "value"}') — round 13:
+        # skip whole files by their hive-path partition values BEFORE
+        # any read, the streaming twin of read_table(partition_filter=)
+        self._pfilter = partition_filter
 
     def initialOffset(self) -> dict:
         # versions <= startingVersion are considered already consumed;
@@ -296,10 +362,40 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if self._cdf:
             cols = cols[:-2]  # _change_type/_commit_version are synthesized
         parts: list[_FilePartition] = []
+        want = {
+            c: _py_filter_str(w) for c, w in (self._pfilter or {}).items()
+        }
+        vstart = 0
+
+        def _stamp(m: dict) -> None:
+            """Stamp this version's new parts with their hive partition
+            values + column map, and apply the partitionFilter by PATH
+            (files of non-matching partitions never open — round 13).
+            Row-carried change files (_FROM_FILE) are not
+            path-addressable; read() filters their rows instead."""
+            pby = m.get("partition_by") or []
+            cmap = m.get("column_map") or {}
+            fresh = parts[vstart:]
+            del parts[vstart:]
+            for p in fresh:
+                p.column_map = cmap
+                if pby and p.change_type != _FROM_FILE:
+                    p.partition_values = _py_partition_values(p.path, pby)
+                    if want and not all(
+                        p.partition_values.get(c) == w for c, w in want.items()
+                    ):
+                        continue  # pruned whole file
+                parts.append(p)
+
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             m = _py_read_manifest(self._path, v)
-            if m["op"] == "analyze":
-                continue  # metadata-only
+            vstart = len(parts)  # stamp this version's parts at loop end
+            if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
+                continue  # metadata-only: no data change (column DDL is
+                # manifest-only since round 13; the reader keeps its
+                # start-time schema — physical names are stable, so
+                # files keep reading; restart the stream to adopt a
+                # renamed/added logical schema, Delta's contract)
             if self._cdf and m["op"] == "optimize":
                 continue  # compaction is data-neutral: no logical change
             if m["op"] == "create":
@@ -329,6 +425,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         )
                         for f, ris in sorted(by_file.items())
                     )
+                    _stamp(m)
                     continue
                 if "changes" in m:
                     # round 11 — ROW-LEVEL precision: the rewrite
@@ -343,6 +440,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         _FilePartition(_local(f), cols, _FROM_FILE, v)
                         for f in sorted(m["changes"])
                     )
+                    _stamp(m)
                     continue
                 # history rewrite without change files: reconstruct
                 # the change set from the file diff — rows of files
@@ -397,6 +495,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                                 row_indices=sorted(resurrected),
                             )
                         )
+                _stamp(m)
                 continue
             else:
                 raise ValueError(
@@ -410,6 +509,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 _FilePartition(f, cols, change, v if self._cdf else None)
                 for f in files
             )
+            _stamp(m)
         return parts
 
     def read(self, partition: _FilePartition):
@@ -417,19 +517,64 @@ class VersionedTableStreamReader(DataSourceStreamReader):
 
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
+        cmap = partition.column_map or {}
+        types = {f.name: f.dataType for f in self._schema.fields}
+        # logical -> in-file physical (metadata renames; files always
+        # store the stable physical names — round 13)
+        src = {c: cmap.get(c, c) for c in partition.columns}
+        # hive partition columns: not in the file at all — converted
+        # once per partition from the path values
+        pv = {
+            c: _py_convert_pv(s, types[c])
+            for c, s in (partition.partition_values or {}).items()
+            if c in types
+        }
+        # TIMESTAMP (instant) columns: parquet stores the UTC instant
+        # but pyarrow surfaces it tz-NAIVE; Spark's Python serializer
+        # for TimestampType requires tz-aware values — localize to UTC
+        # (session tz is pinned UTC). TIMESTAMP_NTZ stays naive.
+        import datetime as _dt
+
+        ts_cols = {
+            c for c in partition.columns
+            if c in types and types[c].typeName() == "timestamp"
+        }
+
+        def fix(c: str, v):
+            if (
+                c in ts_cols
+                and isinstance(v, _dt.datetime)
+                and v.tzinfo is None
+            ):
+                return v.replace(tzinfo=_dt.timezone.utc)
+            return v
+
+        def out(r: dict) -> tuple:
+            return tuple(
+                fix(c, pv[c] if c in pv else r.get(src[c]))
+                for c in partition.columns
+            )
+
         if partition.change_type == _FROM_FILE:
-            # row-level change file: _change_type is a real column
-            wanted = [c for c in partition.columns if c in file_cols]
+            # row-level change file: _change_type is a real column.
+            # partitionFilter rows-filter here (change files carry the
+            # partition columns as data; they are not path-addressable)
+            want = {
+                c: _py_filter_str(w) for c, w in (self._pfilter or {}).items()
+            }
+            wanted = [src[c] for c in partition.columns if src[c] in file_cols]
             rows = pf.read(columns=wanted + ["_change_type"]).to_pylist()
             for r in rows:
-                yield tuple(r.get(c) for c in partition.columns) + (
-                    r["_change_type"],
-                    partition.version,
-                )
+                if want and not all(
+                    _py_filter_str(r.get(src.get(c, c))) == w
+                    for c, w in want.items()
+                ):
+                    continue
+                yield out(r) + (r["_change_type"], partition.version)
             return
         # read ONLY the declared columns the file actually has (column
         # pruning at the parquet reader, not after materialization)
-        wanted = [c for c in partition.columns if c in file_cols]
+        wanted = [src[c] for c in partition.columns if src[c] in file_cols]
         table = pf.read(columns=wanted)
         if partition.row_indices is not None:
             # deletion-vector partition: only the deleted positions
@@ -445,11 +590,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         if partition.change_type is not None:
             tail = (partition.change_type, partition.version)
             for r in rows:
-                yield tuple(r.get(c) for c in partition.columns) + tail
+                yield out(r) + tail
         else:
             for r in rows:
                 # null-fill pre-evolution files' missing columns, declared order
-                yield tuple(r.get(c) for c in partition.columns)
+                yield out(r)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derived from the immutable log; nothing to ack
