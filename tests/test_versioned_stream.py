@@ -782,3 +782,144 @@ def test_stream_stream_interval_join_versioned_dim(registered, tmp_path):
         ).collect()
     )
     assert sorted(got) == want and len(want) > 0
+
+
+def test_max_files_per_trigger_bounds_each_batch(registered, tmp_path):
+    """Round 13 — Delta's maxFilesPerTrigger: a limited stream drains
+    the same rows exactly once but across MANY micro-batches, each
+    admitting at most the cap's worth of create/append files (offsets
+    gain file granularity inside a version)."""
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)  # 1 file
+    append_table(
+        spark.createDataFrame([(i,) for i in range(1, 7)], "id long").repartition(3),
+        tbl,
+    )  # 3 files x 2 rows
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: batches.append([r.id for r in df.collect()])
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(i for b in batches for i in b)
+    assert got == list(range(7))  # exactly once, nothing lost
+    nonempty = [b for b in batches if b]
+    # one batch per data file (1 create + 3 append files): the cap
+    # split the 3-file append across three micro-batches
+    assert len(nonempty) == 4
+
+
+def test_max_bytes_per_trigger_is_a_soft_cap(registered, tmp_path):
+    """maxBytesPerTrigger admits files until the byte budget is spent
+    but ALWAYS at least one file per batch (Delta's soft-max contract)
+    — a 1-byte budget still makes progress, one file at a time."""
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    append_table(
+        spark.createDataFrame([(1,), (2,)], "id long").repartition(2), tbl
+    )
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("maxBytesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: batches.append([r.id for r in df.collect()])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(i for b in batches for i in b) == [0, 1, 2]
+    assert len([b for b in batches if b]) == 3  # one file each, 3 files
+
+
+def test_rate_limited_restart_resumes_exactly_once(registered, tmp_path):
+    """File-granular offsets survive checkpoint restart: drain a
+    limited stream, append more (multi-file), drain again on the SAME
+    checkpoint — only the new rows arrive, still under the cap."""
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    append_table(
+        spark.createDataFrame([(1,), (2,)], "id long").repartition(2), tbl
+    )
+
+    def drain() -> list[list[int]]:
+        batches: list[list[int]] = []
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .option("maxFilesPerTrigger", "1")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: batches.append([r.id for r in df.collect()])
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return [b for b in batches if b]
+
+    first = drain()
+    assert sorted(i for b in first for i in b) == [0, 1, 2]
+    append_table(
+        spark.createDataFrame([(3,), (4,)], "id long").repartition(2), tbl
+    )
+    second = drain()
+    assert sorted(i for b in second for i in b) == [3, 4]  # no replay
+    assert all(len(b) == 1 for b in second)  # cap still enforced
+
+
+def test_rate_limit_keeps_cdf_rewrites_atomic(registered, tmp_path):
+    """A rate-limited CHANGE FEED never splits a rewrite's
+    reconstructed change set: the update's retraction and insertion
+    land in the SAME micro-batch even under maxFilesPerTrigger=1
+    (splitting would let a crash surface half a logical change)."""
+    from wnv_etl_lab2_spark.sources.versioned import update_table
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl
+    )
+    update_table(spark, tbl, {"v": "'B'"}, "id = 1")
+    batches: list[list[tuple]] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: batches.append(
+                [(r.id, r.v, r._change_type, r._commit_version) for r in df.collect()]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckc"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    nonempty = [b for b in batches if b]
+    v1 = [
+        sorted((r[0], r[1], r[2]) for r in b if r[3] == 1)
+        for b in nonempty
+        if any(r[3] == 1 for r in b)
+    ]
+    assert len(v1) == 1  # the whole rewrite arrived in ONE batch
+    assert (1, "b", "delete") in v1[0] and (1, "B", "insert") in v1[0]

@@ -253,6 +253,41 @@ class DeltaSql:
                 self._select(m.group(3)), self._path(m.group(1)),
                 partition_by=partition_by,
             )
+        if head == "COPY":
+            # COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+            #   [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k' = 'v', ...)]
+            #   [COPY_OPTIONS ('force' = 'true')] — Delta's idempotent
+            # batch-ingest verb; semantics in versioned.copy_into.
+            m = re.fullmatch(
+                rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+                r"\s+FILEFORMAT\s*=\s*(\w+)"
+                r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+                r"(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?"
+                r"(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"unsupported COPY statement: {sql!r}")
+
+            def _opts(body: str | None) -> dict:
+                out: dict[str, str] = {}
+                for km, vm in re.findall(r"'([^']*)'\s*=\s*'([^']*)'", body or ""):
+                    out[km] = vm
+                return out
+
+            from wnv_etl_lab2_spark.sources.versioned import copy_into
+
+            copts = _opts(m.group(6))
+            return copy_into(
+                self.spark,
+                self._path(m.group(1)),
+                m.group(2),
+                file_format=m.group(3).lower(),
+                pattern=m.group(4),
+                format_options=_opts(m.group(5)) or None,
+                force=copts.get("force", "false").lower() == "true",
+            )
         if head == "INSERT":
             m = re.fullmatch(
                 rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\s+.+|WITH\s+.+|VALUES\s+.+)",

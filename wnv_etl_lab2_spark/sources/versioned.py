@@ -761,6 +761,7 @@ def append_table(
     table_path: str,
     batch_id: int | None = None,
     writer_id: str | None = None,
+    extra_manifest: dict | None = None,
 ) -> int:
     """APPEND as a new version in O(batch) — data AND metadata: only
     the new rows are written (under the new version's data dir), and
@@ -777,7 +778,9 @@ def append_table(
     ADDITIVE-ONLY and checked BEFORE any data is written: a batch may
     introduce new columns (the manifest records the evolved union
     schema; old files read as null for them) but a type change on an
-    existing column raises — see `_merge_schemas`."""
+    existing column raises — see `_merge_schemas`. ``extra_manifest``
+    lets append-family verbs (COPY INTO's load ledger) ride the SAME
+    atomic commit — protocol keys are reserved and rejected."""
     spark = df.sparkSession
     cur = latest_version(spark, table_path)
     if cur is None:
@@ -857,6 +860,13 @@ def append_table(
         )
         if new_stats:
             manifest["stats"] = {**manifest.get("stats", {}), **new_stats}
+    if extra_manifest:
+        clash = set(extra_manifest) & set(manifest)
+        if clash:
+            raise ValueError(
+                f"extra_manifest may not override protocol keys: {sorted(clash)}"
+            )
+        manifest.update(extra_manifest)
     _commit(spark, table_path, version, manifest)
     if version % CHECKPOINT_EVERY == 0:
         # after the commit, never inside it: a checkpoint is a read
@@ -953,6 +963,115 @@ def last_stamp(
         ):
             return m["stamp"]
     return None
+
+
+def copy_into_ledger(
+    spark: SparkSession, table_path: str, as_of: int | None = None
+) -> dict[str, int]:
+    """The COPY INTO load history: fully-qualified source-file URI ->
+    byte size at load time (the same name+size identity Delta's load
+    history keys on). Each `copy_into` commit stamps the MERGED
+    ledger (not just its own files), so resolution is one walk back
+    to the newest visible manifest carrying ``copy_ledger`` —
+    O(versions since the last COPY), not O(all history). Like Delta's
+    own load history, the ledger lives in the log and expires with
+    it: a vacuum that drops every COPY commit forgets those loads
+    (re-copying then reloads — document retention accordingly)."""
+    for v in reversed(_list_versions(spark, table_path)):
+        if as_of is not None and v > as_of:
+            continue
+        m = _read_manifest(spark, table_path, v)
+        if "copy_ledger" in m and _txn_visible(spark, m):
+            return dict(m["copy_ledger"])
+    return {}
+
+
+def copy_into(
+    spark: SparkSession,
+    table_path: str,
+    source: str,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+    format_options: dict | None = None,
+    force: bool = False,
+) -> dict:
+    """Delta-style ``COPY INTO``: idempotent, incremental file ingest
+    (Delta Lake's retriable batch-loading verb — the shape every
+    landing-zone pipeline runs on a schedule). Lists ``source`` (a
+    directory; ``pattern`` is a glob relative to it), diffs against
+    the table's load ledger (`copy_into_ledger`), reads ONLY the
+    never-loaded files with ``file_format``/``format_options``,
+    aligns them to the target schema BY NAME (missing target columns
+    null-backfill, type mismatches cast to the declared type, source
+    columns absent from the target raise — no silent drops), and
+    appends data + updated ledger as ONE atomic commit via
+    `append_table(extra_manifest=)`. Re-running the same statement is
+    a no-op (no new version); ``force=True`` reloads matches
+    regardless (Delta's COPY_OPTIONS force) while still stamping the
+    ledger. Scale shape: listing is O(source files), the ledger diff
+    is a driver-side set op on file names (Delta does the same log
+    replay), and the data path is a plain partition-parallel
+    read->append — nothing funnels through the driver but file names.
+
+    Returns ``{"version", "files_loaded", "rows_loaded",
+    "files_skipped"}`` (``version`` is None when nothing qualified)."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    fs, jvm = _fs(spark, source)
+    glob = posixpath.join(source, pattern or "*")
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(glob))
+    found: list[tuple[str, int]] = []
+    for st in list(statuses or []):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            found.append((st.getPath().toString(), st.getLen()))
+    found.sort()
+    ledger = copy_into_ledger(spark, table_path)
+    fresh = [p for p, _ in found if force or p not in ledger]
+    skipped = len(found) - len(fresh)
+    if not fresh:
+        return {
+            "version": None,
+            "files_loaded": 0,
+            "rows_loaded": 0,
+            "files_skipped": skipped,
+        }
+    reader = spark.read.format(file_format)
+    if format_options:
+        reader = reader.options(**format_options)
+    df = reader.load(fresh)
+    target = table_schema(spark, table_path)
+    if target is not None:
+        extra = [c for c in df.columns if c not in target.names]
+        if extra:
+            raise ValueError(
+                f"COPY INTO source carries columns absent from the target "
+                f"schema: {extra} (drop or rename them in the source, or "
+                f"evolve the target first via add_column/append)"
+            )
+        df = df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+    n_rows = df.count()
+    sizes = dict(found)
+    new_ledger = {**ledger, **{p: sizes[p] for p in fresh}}
+    version = append_table(
+        df, table_path, extra_manifest={"copy_ledger": new_ledger}
+    )
+    return {
+        "version": version,
+        "files_loaded": len(fresh),
+        "rows_loaded": int(n_rows),
+        "files_skipped": skipped,
+    }
 
 
 def overwrite_table(

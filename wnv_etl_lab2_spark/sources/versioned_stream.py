@@ -314,9 +314,17 @@ class VersionedTableStreamSource(DataSource):
             starting = best
         pf = self.options.get("partitionFilter")
         partition_filter = json.loads(pf) if pf else None
+        mft = self.options.get("maxFilesPerTrigger")
+        mbt = self.options.get("maxBytesPerTrigger")
+        if mft is not None and int(mft) < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        if mbt is not None and int(mbt) < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         return VersionedTableStreamReader(
             path, schema, int(starting if starting is not None else -1),
             self._cdf(), partition_filter,
+            max_files=int(mft) if mft is not None else None,
+            max_bytes=int(mbt) if mbt is not None else None,
         )
 
 
@@ -328,6 +336,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         starting_version: int,
         cdf: bool = False,
         partition_filter: dict | None = None,
+        max_files: int | None = None,
+        max_bytes: int | None = None,
     ) -> None:
         self._path = table_path
         self._schema = schema
@@ -337,15 +347,114 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # skip whole files by their hive-path partition values BEFORE
         # any read, the streaming twin of read_table(partition_filter=)
         self._pfilter = partition_filter
+        # Rate limiting (round 13 — Delta's maxFilesPerTrigger /
+        # maxBytesPerTrigger): cap each micro-batch's admission so a
+        # backfill of a 100 TB table streams as many bounded batches
+        # instead of one giant one. Offsets gain file granularity:
+        # {"version": v} = v fully consumed (the unlimited/legacy
+        # form, so old checkpoints restore unchanged); {"version": v,
+        # "files": k} = the first k admitted files of v consumed.
+        # Only create/append versions split (their file lists are
+        # manifest-ordered, hence replay-deterministic); rewrite/CDF-
+        # synthetic versions admit atomically — splitting a
+        # reconstructed retract/insert set across batches would let a
+        # crash surface half a logical change. Limits are soft caps
+        # admitting at least one unit per batch (Delta's contract).
+        self._max_files = max_files
+        self._max_bytes = max_bytes
+        self._pos: dict = {"version": starting_version}
+
+    @staticmethod
+    def _off_key(off: dict) -> tuple[int, float]:
+        # total order over offsets: "files" absent = version fully
+        # consumed, which sorts AFTER any partial consumption of it
+        return (int(off["version"]), off.get("files", float("inf")))
+
+    def _fast_forward(self, off: dict) -> None:
+        if self._off_key(off) > self._off_key(self._pos):
+            self._pos = dict(off)
 
     def initialOffset(self) -> dict:
         # versions <= startingVersion are considered already consumed;
         # the default -1 streams the table's entire history first
         return {"version": self._start}
 
+    def _version_units(self, v: int, m: dict):
+        """Classify version ``v`` for admission control: ``("skip",
+        None)`` for data-neutral commits, ``("files", paths)`` for
+        splittable create/append file lists, ``("atomic", n_units)``
+        for versions that must admit whole."""
+        if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
+            return "skip", None
+        if self._cdf and m["op"] == "optimize":
+            return "skip", None
+        if m["op"] == "create":
+            return "files", [_local(f) for f in m["files"]]
+        if m["op"] == "append":
+            return "files", self._added_files(v, m)
+        # rewrites: plain mode raises in partitions(); CDF mode emits
+        # a synthetic change set — atomic either way. Cost = a cheap
+        # upper bound on touched files (soft limit, never exact).
+        cost = len(m.get("changes", ())) or len(m.get("dv_add", ())) or 1
+        return "atomic", cost
+
     def latestOffset(self) -> dict:
         latest = _py_latest_visible(self._path)
-        return {"version": latest if latest is not None else self._start}
+        if latest is None:
+            return dict(self._pos)
+        if self._max_files is None and self._max_bytes is None:
+            return {"version": latest}
+        # admission-controlled advance from the last planned offset
+        # (fast-forwarded by partitions()/commit() after a restart, so
+        # a stale in-memory position can lag but never regress a
+        # checkpointed batch — partitions() treats end <= start as
+        # empty and the next trigger catches up)
+        import os
+
+        pos_v = int(self._pos["version"])
+        pos_k = self._pos.get("files")
+        files_left = self._max_files if self._max_files is not None else float("inf")
+        bytes_left = self._max_bytes if self._max_bytes is not None else float("inf")
+        end: dict = dict(self._pos)
+        admitted = 0
+        v = pos_v if pos_k is not None else pos_v + 1
+        while v <= latest and files_left > 0 and bytes_left > 0:
+            m = _py_read_manifest(self._path, v)
+            if not _py_visible(m):
+                break  # pending cross-table txn: a BARRIER, not a skip —
+                # advancing past it would lose its rows if it commits
+            kind, units = self._version_units(v, m)
+            if kind == "skip":
+                end = {"version": v}
+                v += 1
+                continue
+            if kind == "atomic":
+                if admitted:
+                    break  # next batch starts at this version
+                end = {"version": v}
+                v += 1
+                break  # one atomic rewrite per limited batch
+            skip = pos_k if (v == pos_v and pos_k is not None) else 0
+            took = skip
+            for f in units[skip:]:
+                if files_left <= 0 or bytes_left <= 0:
+                    break
+                try:
+                    sz = os.path.getsize(f)
+                except OSError:
+                    sz = 0
+                files_left -= 1
+                bytes_left -= sz
+                took += 1
+                admitted += 1
+            if took >= len(units):
+                end = {"version": v}
+            else:
+                end = {"version": v, "files": took}
+                break
+            v += 1
+        self._fast_forward(end)
+        return dict(end)
 
     def _added_files(self, v: int, m: dict) -> list[str]:
         if "add" in m:
@@ -358,6 +467,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         return [f for f in _py_resolve_files(self._path, v) if f not in parent]
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        self._fast_forward(end)  # restart: never re-advance behind a
+        # checkpointed batch the scheduler already planned
+        if self._off_key(end) <= self._off_key(start):
+            return []
         cols = [f.name for f in self._schema.fields]
         if self._cdf:
             cols = cols[:-2]  # _change_type/_commit_version are synthesized
@@ -366,6 +479,8 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             c: _py_filter_str(w) for c, w in (self._pfilter or {}).items()
         }
         vstart = 0
+        lo, lo_k = int(start["version"]), start.get("files")
+        hi, hi_k = int(end["version"]), end.get("files")
 
         def _stamp(m: dict) -> None:
             """Stamp this version's new parts with their hive partition
@@ -387,7 +502,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         continue  # pruned whole file
                 parts.append(p)
 
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+        for v in range(lo if lo_k is not None else lo + 1, hi + 1):
             m = _py_read_manifest(self._path, v)
             vstart = len(parts)  # stamp this version's parts at loop end
             if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
@@ -398,10 +513,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # renamed/added logical schema, Delta's contract)
             if self._cdf and m["op"] == "optimize":
                 continue  # compaction is data-neutral: no logical change
-            if m["op"] == "create":
-                files = [_local(f) for f in m["files"]]
-            elif m["op"] == "append":
-                files = self._added_files(v, m)
+            if m["op"] in ("create", "append"):
+                files = (
+                    [_local(f) for f in m["files"]]
+                    if m["op"] == "create"
+                    else self._added_files(v, m)
+                )
+                # rate-limited boundary versions consume a manifest-
+                # ordered PREFIX of the file list; slice to this
+                # batch's window (full versions slice [0:None])
+                a = lo_k if (v == lo and lo_k is not None) else 0
+                b = hi_k if (v == hi and hi_k is not None) else None
+                files = files[a:b]
             elif self._cdf:
                 if "changes" not in m and "dv_add" in m:
                     # merge-on-read DELETE (round 11): no file changed —
@@ -597,4 +720,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 yield out(r)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are derived from the immutable log; nothing to ack
+        # offsets derive from the immutable log — nothing to ack; but
+        # fast-forward the admission cursor so a restarted reader
+        # resumes rate-limited planning from the checkpointed position
+        self._fast_forward(end)
