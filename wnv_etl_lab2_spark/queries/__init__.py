@@ -81,18 +81,19 @@ _FRONT = [
     # cohort + 1 pad (50/50 green, CORRECTNESS_r12.json).
     # This window = (a) the two late-r12 registrations with no driver
     # evidence yet (both oracle-exact locally at sf0.001/0.01/0.1):
-    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the three NEW
+    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the FOUR new
     # round-13 operators (first driver evidence; oracle-exact locally):
     # partitioned-table lifecycle, metadata column-mapping lifecycle,
-    # incremental IVFPQ index maintenance; (c) 45 of the 48-query
-    # r9-evidenced cohort (every query whose latest driver evidence is
-    # r9 — computed from the union of CORRECTNESS_r01..r12.json).
-    # Head slots displace exactly 3 r9 queries; the 3 that slip —
-    # `temperature_mixture_weights`, `template_openers`,
-    # `weighted_sample_es` — are text/sampling queries whose code
-    # paths did NOT change this round (the r9 queries whose paths DID
-    # change — upsert_snapshot_merge, time_travel_audit — stay in).
-    # PRE-COMMITTED for round 14: head slots to those 3 slipped r9
+    # incremental IVFPQ index maintenance, COPY INTO lifecycle; (c) 44
+    # of the 48-query r9-evidenced cohort (every query whose latest
+    # driver evidence is r9 — computed from the union of
+    # CORRECTNESS_r01..r12.json). Head slots displace exactly 4 r9
+    # queries; the 4 that slip — `temperature_mixture_weights`,
+    # `template_openers`, `weighted_sample_es`, `token_count` — are
+    # text/sampling queries whose code paths did NOT change this round
+    # (the r9 queries whose paths DID change — upsert_snapshot_merge,
+    # time_travel_audit — stay in).
+    # PRE-COMMITTED for round 14: head slots to those 4 slipped r9
     # queries and any r14 registrations / plan-changed queries, then
     # the r10-evidenced cohort oldest-first.
     "delta_sql_lifecycle",
@@ -100,6 +101,7 @@ _FRONT = [
     "partitioned_table_lifecycle",
     "column_mapping_lifecycle",
     "ann_topk_ivfpq_incremental",
+    "copy_into_lifecycle",
     "bigram_pmi_top",
     "binary_frame_fingerprints",
     "bm25_topk",
@@ -140,7 +142,6 @@ _FRONT = [
     "table_profile",
     "text_stats",
     "time_travel_audit",
-    "token_count",
     "token_drift_top_contributors",
     "udtf_token_windows",
     "unigram_logprob_quality",

@@ -899,6 +899,77 @@ def merge_clause_matrix(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "copy_into_lifecycle",
+    oracle="""
+    WITH loaded AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de')
+        UNION ALL
+        SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'fr'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM loaded GROUP BY lang
+    """,
+)
+def copy_into_lifecycle(spark, sf_dir):
+    """COPY INTO as a driver-verified query (round 13 — the registry
+    face of `sources/versioned.copy_into`): stage a landing zone with
+    the en/de documents, COPY it into an empty versioned table, prove
+    the re-run is a NO-OP (idempotence is the verb's whole contract —
+    the protocol raises here rather than return a wrong-but-plausible
+    aggregate), land a second wave (fr docs) in the SAME directory,
+    COPY again — only the new files load — and return the final
+    snapshot's per-language (count, char-sum). The oracle replays the
+    lifecycle as the plain union of the two loaded waves, so the
+    ledger semantics (skip = exactly the already-loaded files, never a
+    row more or less) are hash-checked end to end, not just
+    unit-tested. Same fresh-staging pattern as `delta_sql_lifecycle`."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        copy_into,
+        create_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="wnv_copy_into_life_")
+    try:
+        land = root + "/landing"
+        tbl = root + "/tbl"
+        d.where(F.col("lang").isin("en", "de")).write.parquet(land)
+        create_table(d.where(F.lit(False)), tbl)
+        first = copy_into(spark, tbl, land)
+        rerun = copy_into(spark, tbl, land)
+        if rerun["files_loaded"] != 0 or rerun["version"] is not None:
+            raise AssertionError(f"COPY INTO re-run was not a no-op: {rerun}")
+        d.where(F.col("lang") == "fr").write.mode("append").parquet(land)
+        second = copy_into(spark, tbl, land)
+        if second["files_skipped"] != first["files_loaded"]:
+            raise AssertionError(
+                f"second COPY skipped {second['files_skipped']} files, "
+                f"expected exactly the first wave's {first['files_loaded']}"
+            )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("time_travel_audit")  # filesystem protocol — rows-only; pinned in test_versioned.py
 def time_travel_audit(spark, sf_dir):
     """Versioned-table lifecycle audit (round 8, sources/versioned.py):
