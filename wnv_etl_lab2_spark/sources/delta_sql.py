@@ -29,6 +29,11 @@ lifecycle with SQL strings only:
     sql.run("ALTER TABLE events DROP CONSTRAINT pos")
     sql.run("ALTER TABLE events RENAME COLUMN score TO weight")
     sql.run("ALTER TABLE events DROP COLUMN weight")
+    sql.run("ALTER TABLE events ALTER COLUMN lang SET NOT NULL")
+    sql.run("ALTER TABLE events ALTER COLUMN lang DROP NOT NULL")
+    sql.run("COPY INTO events FROM '/landing/events' FILEFORMAT = PARQUET "
+            "PATTERN = '*.parquet'")
+    sql.run("SHOW PARTITIONS events")
 
 Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
 statement head (MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE/RESTORE)
@@ -368,6 +373,22 @@ class DeltaSql:
                 return rename_column(
                     self.spark, self._path(m.group(1)), m.group(2), m.group(3)
                 )
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+                r"\s+(SET|DROP)\s+NOT\s+NULL",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    drop_not_null,
+                    set_not_null,
+                )
+
+                verb = (
+                    set_not_null if m.group(3).upper() == "SET" else drop_not_null
+                )
+                return verb(self.spark, self._path(m.group(1)), m.group(2))
             raise ValueError(f"unsupported ALTER statement: {sql!r}")
         if head == "DELETE":
             m = re.fullmatch(

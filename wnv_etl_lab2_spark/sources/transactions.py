@@ -183,17 +183,22 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     version = cur + 1
     prev0 = _read_manifest(spark, w.table_path, cur)
     from wnv_etl_lab2_spark.sources.versioned import (
+        _apply_generated,
         _enforce_constraints,
         _evolve_column_map,
         _to_physical,
     )
 
     constraints = prev0.get("constraints", {})
+    generated = prev0.get("generated")
+    # generated columns compute-if-missing through transactional stages
+    # exactly like the single-table verbs (round 13)
+    wdf = _apply_generated(w.df, generated)
     # partitioning + column mapping travel through transactional stages
     # exactly like the single-table verbs (round 13)
     partition_by = prev0.get("partition_by")
     if partition_by:
-        missing = [c for c in partition_by if c not in w.df.columns]
+        missing = [c for c in partition_by if c not in wdf.columns]
         if missing:
             raise ValueError(
                 f"txn write to partitioned {w.table_path} must carry its "
@@ -202,9 +207,9 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     cmap = dict(prev0.get("column_map", {}))
     dropped = list(prev0.get("dropped_physical", []))
     evolved = (
-        _merge_schemas(prev0.get("schema"), w.df.schema)
+        _merge_schemas(prev0.get("schema"), wdf.schema)
         if w.op == "append"
-        else w.df.schema.json()
+        else wdf.schema.json()
     )
     if cmap or dropped:
         import json as _json
@@ -213,7 +218,7 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             [f["name"] for f in _json.loads(evolved)["fields"]], cmap, dropped
         )
     df, check = _enforce_constraints(
-        w.df, constraints, f"txn {w.op} -> {w.table_path}"
+        wdf, constraints, f"txn {w.op} -> {w.table_path}"
     )
     vdir = _attempt_dir(w.table_path, version)
     writer = _to_physical(df, cmap).write.mode("error")
@@ -269,6 +274,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             manifest["writer_id"] = w.writer_id
     if constraints:
         manifest["constraints"] = constraints
+    if generated:
+        manifest["generated"] = generated
     manifest["txn"] = {"id": txn_id, "log": txn_log}
     return version, manifest
 

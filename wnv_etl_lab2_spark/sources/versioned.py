@@ -605,6 +605,27 @@ def _enforce_constraints(df: DataFrame, constraints: dict, context: str):
     return out, check
 
 
+def _apply_generated(df: DataFrame, generated: dict | None) -> DataFrame:
+    """GENERATED ALWAYS AS write-path support (round 13 — Delta's
+    generated-columns contract): a written frame MISSING a generated
+    column gets it computed in-plan (pure projection, no extra scan);
+    a frame that PROVIDES one is left alone — the auto-registered
+    CHECK invariant ``col <=> (expr)`` (see `create_table`) rides the
+    same write and refuses to commit a value that disagrees with the
+    expression, so the invariant holds whether the writer computes or
+    supplies. Expressions may reference base columns only (sorted
+    application order; chains of generated-on-generated are refused
+    at declaration)."""
+    if not generated:
+        return df
+    from pyspark.sql import functions as F
+
+    for gcol, gexpr in sorted(generated.items()):
+        if gcol not in df.columns:
+            df = df.withColumn(gcol, F.expr(gexpr))
+    return df
+
+
 def _write_version(
     df: DataFrame,
     table_path: str,
@@ -618,6 +639,7 @@ def _write_version(
     stats_cols: list[str] | None = None,
     pre_commit_check=None,
     partition_by: tuple | list | None = None,
+    generated: dict | None = None,
 ) -> int:
     """``pre_commit_check`` (round 13): an optional zero-arg callable
     evaluated AFTER the data files are staged but BEFORE the manifest
@@ -629,7 +651,13 @@ def _write_version(
 
     ``partition_by`` (round 13, create only) declares hive-style
     partitioning; existing tables carry their declared partitioning
-    forward through every rewrite, so DML preserves the layout."""
+    forward through every rewrite, so DML preserves the layout.
+
+    ``generated`` (round 13, create only) declares GENERATED ALWAYS AS
+    columns; existing tables carry the declaration forward, a frame
+    missing a generated column gets it computed in-plan, and a frame
+    PROVIDING one is validated by the auto-registered CHECK invariant
+    ``col <=> (expr)`` riding the write like any constraint."""
     spark = df.sparkSession
     current = latest_version(spark, table_path)
     if current != expect_latest:
@@ -645,6 +673,8 @@ def _write_version(
         constraints = m_prev.get("constraints", {})
         if partition_by is None:
             partition_by = m_prev.get("partition_by")
+        if generated is None:
+            generated = m_prev.get("generated")
         cmap = dict(m_prev.get("column_map", {}))
         dropped = list(m_prev.get("dropped_physical", []))
         if stats_cols is None:
@@ -655,6 +685,13 @@ def _write_version(
             # behind a write. Footer reads here are the single-node
             # equivalent of executors reporting stats at commit.
             stats_cols = m_prev.get("stats_cols")
+    elif generated:
+        # creation declares the invariant once; every later write
+        # enforces it through the ordinary constraint machinery
+        constraints = dict(constraints)
+        for gcol, gexpr in sorted(generated.items()):
+            constraints[f"gen_{gcol}"] = f"{gcol} <=> ({gexpr})"
+    df = _apply_generated(df, generated)
     partition_by = list(partition_by) if partition_by else None
     if partition_by:
         missing = [c for c in partition_by if c not in df.columns]
@@ -714,6 +751,8 @@ def _write_version(
         manifest["changes"] = changes_files
     if constraints:
         manifest["constraints"] = constraints
+    if generated:
+        manifest["generated"] = generated
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         stats = _footer_stats(
@@ -733,6 +772,7 @@ def create_table(
     stamp: dict | None = None,
     stats_cols: list[str] | None = None,
     partition_by: tuple | list | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Version 0 of a new versioned table. ``stats_cols`` declares the
     data-skipping columns at creation (round 12): per-file min/max is
@@ -748,11 +788,34 @@ def create_table(
     ``partitionFilter``) prune files BEFORE any scan — at 100 TB a
     one-partition query lists names and reads one directory. The path
     IS the per-file partition metadata, so append manifests stay
-    O(batch) — no per-file value map to carry forward."""
+    O(batch) — no per-file value map to carry forward.
+
+    ``generated`` (round 13 — Delta's GENERATED ALWAYS AS, declarable
+    only at creation like Delta): {column: SQL expression over base
+    columns}. Writers that omit the column get it computed in-plan;
+    writers that supply it are validated by the auto-registered CHECK
+    invariant ``gen_<col>: col <=> (expr)`` — a stale or inconsistent
+    value REFUSES to commit rather than silently landing (UPDATE
+    recomputes after its SET projection; direct SET on a generated
+    column is rejected)."""
+    if generated:
+        import re as _re
+
+        for gcol, gexpr in generated.items():
+            hit = [
+                c
+                for c in generated
+                if c != gcol and _re.search(rf"\b{_re.escape(c)}\b", gexpr)
+            ]
+            if hit:
+                raise ValueError(
+                    f"generated column {gcol!r} references generated "
+                    f"column(s) {hit} — expressions must use base columns only"
+                )
     return _write_version(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
         writer_id=writer_id, stamp=stamp, stats_cols=stats_cols,
-        partition_by=partition_by,
+        partition_by=partition_by, generated=generated,
     )
 
 
@@ -787,6 +850,9 @@ def append_table(
         raise ValueError(f"not a versioned table (no log): {table_path}")
     version = cur + 1
     prev = _read_manifest(spark, table_path, cur)
+    generated = prev.get("generated")
+    df = _apply_generated(df, generated)  # compute-if-missing; provided
+    # values are validated by the gen_ CHECK invariant riding the write
     evolved = _merge_schemas(prev.get("schema"), df.schema)
     constraints = prev.get("constraints", {})
     partition_by = prev.get("partition_by")
@@ -841,6 +907,8 @@ def append_table(
             manifest["writer_id"] = writer_id
     if constraints:
         manifest["constraints"] = constraints
+    if generated:
+        manifest["generated"] = generated
     if m_prev_dv := prev.get("dv"):
         manifest["dv"] = m_prev_dv  # appends never touch old rows
     # stats/blooms are PER-FILE and files are immutable, so an append
@@ -1052,12 +1120,17 @@ def copy_into(
                 f"schema: {extra} (drop or rename them in the source, or "
                 f"evolve the target first via add_column/append)"
             )
+        gen = _read_manifest(spark, table_path, cur).get("generated") or {}
         df = df.select(
             *[
                 F.col(f.name).cast(f.dataType)
                 if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target.fields
+                # a GENERATED column the source omits stays absent so
+                # append_table computes it (null-backfill would land a
+                # wrong value and the gen_ invariant would refuse)
+                if f.name in df.columns or f.name not in gen
             ]
         )
     n_rows = df.count()
@@ -1344,7 +1417,7 @@ def _delete_merge_on_read(
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "blooms", "blooms_ref",
+        "schema", "constraints", "generated", "stats", "stats_cols", "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
         if key in m_prev:
@@ -1448,34 +1521,59 @@ def update_table(
     missing = [c for c in set_exprs if c not in snapshot.columns]
     if missing:
         raise ValueError(f"UPDATE SET targets unknown columns: {missing}")
+    gen = _read_manifest(spark, table_path, cur).get("generated") or {}
+    direct = sorted(set(set_exprs) & set(gen))
+    if direct:
+        raise ValueError(
+            f"UPDATE SET targets GENERATED column(s) {direct} — generated "
+            "values derive from their expression; update the base columns "
+            "and the engine recomputes"
+        )
     hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+
+    def _post(c: str):
+        # the post-update value of column c (assignments see PRE-update
+        # values; generated columns recompute over the POST-SET row)
+        if c in set_exprs:
+            return F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType)
+        return F.col(c)
+
     updated = snapshot.select(
         *[
-            F.when(hit, F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType))
-            .otherwise(F.col(c))
-            .alias(c)
-            if c in set_exprs
-            else F.col(c)
+            F.when(hit, _post(c)).otherwise(F.col(c)).alias(c)
             for c in snapshot.columns
         ]
     )
+    if gen:
+        # recompute generated columns from the post-SET row so the
+        # gen_ CHECK invariant riding the rewrite stays satisfiable
+        # (untouched rows recompute to their identical stored value)
+        updated = updated.select(
+            *[
+                F.expr(gen[c]).cast(snapshot.schema[c].dataType).alias(c)
+                if c in gen
+                else F.col(c)
+                for c in updated.columns
+            ]
+        )
     changes_files = None
     if change_data:
         pre = snapshot.where(hit).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = (
-            snapshot.where(hit)
-            .select(
+        post = snapshot.where(hit).select(
+            *[_post(c).alias(c) for c in snapshot.columns]
+        )
+        if gen:
+            post = post.select(
                 *[
-                    F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType).alias(c)
-                    if c in set_exprs
+                    F.expr(gen[c]).cast(snapshot.schema[c].dataType).alias(c)
+                    if c in gen
                     else F.col(c)
-                    for c in snapshot.columns
+                    for c in post.columns
                 ]
             )
-            .withColumn("_change_type", F.lit("update_postimage"))
-        )
+        post = post.withColumn("_change_type", F.lit("update_postimage"))
         changes_files = _write_change_data(
             pre.unionByName(post), table_path, cur + 1,
             column_map=_read_manifest(spark, table_path, cur).get("column_map"),
@@ -2062,7 +2160,7 @@ def purge_deletion_vectors(
             f: n for f, n in counts.items() if f not in doomed_q
         }
     for key in (
-        "schema", "constraints", "partition_by", "column_map",
+        "schema", "constraints", "generated", "partition_by", "column_map",
         "dropped_physical",
     ):
         if key in m:
@@ -2333,10 +2431,13 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["schema"] = m["schema"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("generated"):
+        manifest["generated"] = m["generated"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
+        "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -2514,7 +2615,7 @@ def collect_blooms(
         ),
     }
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
         "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
@@ -2709,7 +2810,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -2748,7 +2849,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -2820,7 +2921,8 @@ def add_check_constraint(
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
+        "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -2839,6 +2941,12 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     cons = dict(m.get("constraints", {}))
     if name not in cons:
         raise ValueError(f"no such constraint: {name!r}")
+    if name.startswith("gen_") and name[4:] in (m.get("generated") or {}):
+        raise ValueError(
+            f"constraint {name!r} enforces the GENERATED column "
+            f"{name[4:]!r} — it cannot be dropped while the column's "
+            "generation expression is declared"
+        )
     del cons[name]
     manifest = {
         "version": cur + 1,
@@ -2855,7 +2963,103 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "partition_by", "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
+        "dropped_physical",
+    ):
+        if m.get(key):
+            manifest[key] = m[key]
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def _flip_nullability(schema_json: str, col: str, nullable: bool) -> str:
+    sch = json.loads(schema_json)
+    hit = False
+    for f in sch["fields"]:
+        if f["name"] == col:
+            f["nullable"] = nullable
+            hit = True
+    if not hit:
+        raise ValueError(f"no such column: {col!r}")
+    return json.dumps(sch)
+
+
+def set_not_null(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ``col`` SET NOT NULL (round 13 —
+    Delta's NOT NULL column constraint): validates the EXISTING
+    snapshot holds no null (one scan; note a column added by additive
+    schema evolution null-backfills old files, so such a table must be
+    backfilled before tightening), then ONE metadata-only commit flips
+    the declared schema's nullability AND registers the enforcing
+    constraint ``nn_<col>: col IS NOT NULL`` — every subsequent write
+    refuses a null through the same Observation that enforces CHECK
+    constraints (``IS NOT NULL`` evaluates to plain FALSE on null, so
+    SQL CHECK's null-passes rule cannot let one through)."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    cons = dict(m.get("constraints", {}))
+    name = f"nn_{col}"
+    if name in cons:
+        raise ValueError(f"column {col!r} is already NOT NULL")
+    if "schema" not in m:
+        raise ValueError("table manifest records no schema (pre-r9) — "
+                         "rewrite the table before declaring NOT NULL")
+    new_schema = _flip_nullability(m["schema"], col, False)  # validates col
+    n_null = (
+        read_table(spark, table_path, cur).where(F.col(col).isNull()).count()
+    )
+    if n_null:
+        raise ValueError(
+            f"cannot set NOT NULL on {col!r}: {n_null} existing rows are null"
+        )
+    cons[name] = f"{col} IS NOT NULL"
+    manifest = {
+        "version": cur + 1,
+        "op": "analyze",
+        "files": _resolve_files(spark, table_path, cur),
+        "n_rows": m["n_rows"],
+        "constraints": cons,
+        "schema": new_schema,
+    }
+    for key in (
+        "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
+        "partition_by", "column_map", "dropped_physical",
+    ):
+        if m.get(key):
+            manifest[key] = m[key]
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def drop_not_null(spark: SparkSession, table_path: str, col: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ``col`` DROP NOT NULL: one
+    metadata-only commit relaxes the declared nullability and removes
+    the ``nn_<col>`` enforcing constraint."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    cons = dict(m.get("constraints", {}))
+    name = f"nn_{col}"
+    if name not in cons:
+        raise ValueError(f"column {col!r} is not declared NOT NULL")
+    del cons[name]
+    manifest = {
+        "version": cur + 1,
+        "op": "analyze",
+        "files": _resolve_files(spark, table_path, cur),
+        "n_rows": m["n_rows"],
+        "schema": _flip_nullability(m["schema"], col, True),
+    }
+    if cons:
+        manifest["constraints"] = cons
+    for key in (
+        "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -2916,7 +3120,7 @@ def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "stats", "stats_cols", "dv", "dv_counts",
+        "schema", "constraints", "generated", "stats", "stats_cols", "dv", "dv_counts",
         "blooms", "blooms_ref", "partition_by", "column_map",
         "dropped_physical",
     ):
@@ -2945,10 +3149,15 @@ def drop_column(
     m = _read_manifest(spark, table_path, cur)
     import re as _re
 
+    gen = dict(m.get("generated") or {})
     offenders = [
         cname
         for cname, expr in m.get("constraints", {}).items()
         if _re.search(rf"\b{_re.escape(name)}\b", expr)
+        # dropping a column takes its OWN gen_ invariant / nn_ NOT NULL
+        # with it in the same commit; any OTHER reference still refuses
+        and not (cname == f"gen_{name}" and name in gen)
+        and cname != f"nn_{name}"
     ]
     if offenders:
         raise ValueError(
@@ -2961,6 +3170,18 @@ def drop_column(
             raise ValueError(f"no such column: {name!r}")
         if len(snapshot.columns) == 1:
             raise ValueError("cannot drop a table's last column")
+        if name in gen:
+            raise ValueError(
+                f"{name!r} is a GENERATED column — drop it with "
+                "mode='metadata' (the rewrite path would re-derive it "
+                "from the carried declaration on the next write)"
+            )
+        if f"nn_{name}" in m.get("constraints", {}):
+            raise ValueError(
+                f"{name!r} is declared NOT NULL — drop_not_null first, or "
+                "use mode='metadata' (the rewrite path carries constraints "
+                "verbatim and would orphan the enforcing expression)"
+            )
         return _write_version(
             snapshot.drop(name), table_path, cur + 1, "drop_column",
             expect_latest=cur,
@@ -2989,6 +3210,19 @@ def drop_column(
     manifest["schema"] = StructType(
         [f for f in schema.fields if f.name != name]
     ).json()
+    cons = dict(m.get("constraints", {}))
+    cons.pop(f"nn_{name}", None)  # a dropped column's NOT NULL goes with it
+    if name in gen:
+        del gen[name]
+        if gen:
+            manifest["generated"] = gen
+        else:
+            manifest.pop("generated", None)
+        cons.pop(f"gen_{name}", None)
+    if cons:
+        manifest["constraints"] = cons
+    else:
+        manifest.pop("constraints", None)
     cmap = dict(m.get("column_map", {}))
     phys = cmap.pop(name, name)
     dropped = list(m.get("dropped_physical", []))
