@@ -374,3 +374,77 @@ def test_optimize_zorder_within_partitions(spark, tmp_path):
     # i % 7 in {1, 2}: residues 0..3 appear 29 times each for i < 200
     assert got.count() == 58
     assert got.where("x < 1.0 OR x > 2.0").count() == 0
+
+
+def test_partition_scoped_optimize_touches_only_matching_partition(spark, tmp_path):
+    """Round 13 — Delta's OPTIMIZE ... WHERE: compaction is a PARTIAL
+    rewrite of the matching partition only; every other partition's
+    files are carried byte-identical (same paths), content never
+    changes, and a filter matching nothing commits nothing."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        _resolve_files,
+        append_table,
+        create_table,
+        latest_version,
+        optimize_table,
+        read_table,
+    )
+
+    path = str(tmp_path / "pt")
+    rows = lambda i: [(i * 10 + j, ["de", "fr"][j % 2]) for j in range(4)]  # noqa: E731
+    create_table(
+        spark.createDataFrame(rows(0), "id long, lang string"), path,
+        partition_by=("lang",),
+    )
+    append_table(spark.createDataFrame(rows(1), "id long, lang string"), path)
+    append_table(spark.createDataFrame(rows(2), "id long, lang string"), path)
+    cur = latest_version(spark, path)
+    before = _resolve_files(spark, path, cur)
+    fr_before = sorted(f for f in before if "lang=fr" in f)
+    de_before = sorted(f for f in before if "lang=de" in f)
+    assert len(de_before) > 1  # something to compact
+    content = {tuple(r) for r in read_table(spark, path).collect()}
+
+    v = optimize_table(spark, path, partition_filter={"lang": "de"})
+    assert v == cur + 1
+    assert _read_manifest(spark, path, v)["op"] == "optimize"
+    after = _resolve_files(spark, path, v)
+    fr_after = sorted(f for f in after if "lang=fr" in f)
+    de_after = sorted(f for f in after if "lang=de" in f)
+    assert fr_after == fr_before  # untouched partition: same files
+    assert len(de_after) == 1 and not set(de_after) & set(de_before)
+    assert {tuple(r) for r in read_table(spark, path).collect()} == content
+
+    # filter matching no partition value: no commit at all
+    assert optimize_table(spark, path, partition_filter={"lang": "zz"}) is None
+    assert latest_version(spark, path) == v
+
+
+def test_partition_scoped_optimize_sql_and_guards(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        create_table,
+        optimize_table,
+        read_table,
+    )
+    import pytest as _pytest
+
+    path = str(tmp_path / "pt2")
+    create_table(
+        spark.createDataFrame([(1, "de"), (2, "fr")], "id long, lang string"),
+        path, partition_by=("lang",),
+    )
+    append_table(
+        spark.createDataFrame([(3, "de")], "id long, lang string"), path
+    )
+    sql = DeltaSql(spark, {"t": path})
+    v = sql.run("OPTIMIZE t WHERE lang = 'de'")
+    assert v == 2
+    assert read_table(spark, path).count() == 3
+
+    flat = str(tmp_path / "flat")
+    create_table(spark.createDataFrame([(1,)], "id long"), flat)
+    with _pytest.raises(ValueError, match="partitioned table"):
+        optimize_table(spark, flat, partition_filter={"id": "1"})

@@ -923,3 +923,82 @@ def test_rate_limit_keeps_cdf_rewrites_atomic(registered, tmp_path):
     ]
     assert len(v1) == 1  # the whole rewrite arrived in ONE batch
     assert (1, "b", "delete") in v1[0] and (1, "B", "insert") in v1[0]
+
+
+def test_plain_stream_skips_optimize_commits(registered, tmp_path):
+    """Compaction is data-neutral: the plain (non-CDF) stream passes
+    an OPTIMIZE version without error and without re-emitting its
+    rewritten rows (round 13 — previously it refused)."""
+    from wnv_etl_lab2_spark.sources.versioned import optimize_table
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(0,)], "id long"), tbl)
+    append_table(spark.createDataFrame([(1,)], "id long"), tbl)
+    optimize_table(spark, tbl, target_files=1)
+    append_table(spark.createDataFrame([(2,)], "id long"), tbl)
+    got: list[int] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(r.id for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == [0, 1, 2]  # exactly once, optimize invisible
+
+
+def test_ignore_deletes_and_skip_change_commits(registered, tmp_path):
+    """Delta's append-only escape hatches: ignoreDeletes streams past
+    DELETE commits (but still refuses an UPDATE); skipChangeCommits
+    streams past any rewrite. Without either option a DELETE fails the
+    plain stream loudly."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        update_table,
+    )
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    create_table(
+        spark.createDataFrame([(0, "a"), (1, "b")], "id long, v string"), tbl
+    )
+    delete_from_table(spark, tbl, "id = 0")          # v1: rewrite
+    append_table(spark.createDataFrame([(2, "c")], "id long, v string"), tbl)
+
+    def drain(ck, **opts):
+        got: list[int] = []
+        reader = spark.readStream.format("versioned_table").option("path", tbl)
+        for k, val in opts.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / ck))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return got
+
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("ck-none")
+    # ignoreDeletes: the delete commit is skipped, appends stream —
+    # the deleted row id=0 was already emitted by the create version
+    # (at-least-once view of deleted rows, Delta's documented contract)
+    assert sorted(drain("ck-del", ignoreDeletes="true")) == [0, 1, 2]
+
+    update_table(spark, tbl, {"v": "'X'"}, "id = 1")  # v3: update rewrite
+    append_table(spark.createDataFrame([(3, "d")], "id long, v string"), tbl)
+    with pytest.raises(StreamingQueryException, match="append-only"):
+        drain("ck-del2", ignoreDeletes="true")  # update still refuses
+    assert sorted(drain("ck-skip", skipChangeCommits="true")) == [0, 1, 2, 3]

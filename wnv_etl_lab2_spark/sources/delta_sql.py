@@ -189,22 +189,40 @@ class DeltaSql:
         if head == "OPTIMIZE":
             m = re.fullmatch(
                 rf"OPTIMIZE\s+({_IDENT})"
+                r"(?:\s+WHERE\s+(.+?))?"
                 rf"(?:\s+ZORDER\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
                 r"(?:\s+APPLY\s*\(\s*PURGE\s*\))?",
                 s,
-                re.IGNORECASE,
+                re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"unsupported OPTIMIZE statement: {sql!r}")
             if re.search(r"APPLY\s*\(\s*PURGE\s*\)", s, re.IGNORECASE):
                 return purge_deletion_vectors(self.spark, self._path(m.group(1)))
+            pfilter = None
+            if m.group(2):
+                # Delta's OPTIMIZE ... WHERE: partition predicates only —
+                # equality conjunctions over partition columns
+                pfilter = {}
+                for term in re.split(r"\s+AND\s+", m.group(2), flags=re.IGNORECASE):
+                    tm = re.fullmatch(
+                        rf"\s*({_IDENT})\s*=\s*('[^']*'|\S+)\s*", term
+                    )
+                    if not tm:
+                        raise ValueError(
+                            f"OPTIMIZE WHERE supports partition equality "
+                            f"conjunctions only, got: {term!r}"
+                        )
+                    v = tm.group(2)
+                    pfilter[tm.group(1)] = v[1:-1] if v.startswith("'") else v
             zorder = (
-                tuple(c.strip() for c in m.group(2).split(","))
-                if m.group(2)
+                tuple(c.strip() for c in m.group(3).split(","))
+                if m.group(3)
                 else None
             )
             return optimize_table(
-                self.spark, self._path(m.group(1)), zorder_by=zorder
+                self.spark, self._path(m.group(1)), zorder_by=zorder,
+                partition_filter=pfilter,
             )
         if head == "RESTORE":
             m = re.fullmatch(

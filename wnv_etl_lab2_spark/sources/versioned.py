@@ -1989,12 +1989,61 @@ def merge_into_table(
     )
 
 
+def _compact_frame(
+    base: DataFrame,
+    partition_by,
+    zorder_by: tuple[str, ...] | None,
+    target_files: int,
+) -> DataFrame:
+    """The OPTIMIZE layout plan over any snapshot subset: plain
+    coalesce, partition-co-located compaction (one file per value), or
+    Z-order — within partitions when the table is partitioned, so no
+    written file ever spans a partition boundary."""
+    if zorder_by is None and partition_by:
+        return base.repartition(max(1, target_files), *partition_by)
+    if zorder_by is None:
+        return base.coalesce(max(1, target_files))
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.layout import _BITS, _rank_col, morton_code_n
+
+    # ranks are _BITS-bit; when n keys cannot interleave at full
+    # resolution inside a BIGINT, keep each rank's TOP bits (the
+    # coarse structure is what clusters; low bits are noise)
+    bits = min(_BITS, 63 // len(zorder_by))
+    keys = [
+        F.shiftright(_rank_col(base, c), _BITS - bits) if bits < _BITS
+        else _rank_col(base, c)
+        for c in zorder_by
+    ]
+    coded = base.withColumn("_z", morton_code_n(keys, bits=bits))
+    if partition_by:
+        # ZORDER WITHIN partitions (round 13): hash by the
+        # partition columns so each value's rows land in one task,
+        # then sort by the curve inside — one curve-ordered file
+        # per partition value, never a file spanning partitions
+        # (a bare range-repartition on _z would cross boundaries
+        # and the hive write would fan each task out into one file
+        # PER partition it touches)
+        return (
+            coded.repartition(max(1, target_files), *partition_by)
+            .sortWithinPartitions(*partition_by, "_z")
+            .drop("_z")
+        )
+    return (
+        coded.repartitionByRange(max(1, target_files), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+
+
 def optimize_table(
     spark: SparkSession,
     table_path: str,
     target_files: int = 1,
     zorder_by: tuple[str, ...] | None = None,
-) -> int:
+    partition_filter: dict | None = None,
+) -> int | None:
     """OPTIMIZE: rewrite the latest snapshot into ``target_files``
     files as a new version. Content-identical by construction (same
     rows, new layout); the old small-file version remains time-
@@ -2012,54 +2061,131 @@ def optimize_table(
     following ANALYZE + `read_table_pruned` skip most files on EITHER
     predicate column, exactly Delta/Iceberg's OPTIMIZE ZORDER. The
     helper code column is dropped before the write, so the snapshot
-    schema (and content) is unchanged."""
+    schema (and content) is unchanged.
+
+    ``partition_filter`` (round 13 — Delta's ``OPTIMIZE ... WHERE``):
+    compact ONLY the matching partitions as a partial rewrite — every
+    other partition's files are carried untouched with their per-file
+    stats/bloom/DV metadata intact. At 100 TB this is the only
+    OPTIMIZE that exists in practice: compaction runs where the small
+    files are (today's ingest partition), never rewriting the
+    petabytes that are already well-laid-out. Returns None when no
+    file matches (no commit)."""
     cur = latest_version(spark, table_path)
     if cur is None:
         raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    partition_by = m.get("partition_by")
+    if partition_filter is not None:
+        if not partition_by:
+            raise ValueError(
+                "OPTIMIZE with a partition filter needs a partitioned table "
+                f"({table_path} declares no partition_by)"
+            )
+        files = _resolve_files(spark, table_path, cur)
+        target = _prune_partition_files(files, partition_by, partition_filter)
+        if not target:
+            return None
+        live = _scan_snapshot_files(spark, target, m)
+        compacted = _compact_frame(live, partition_by, zorder_by, target_files)
+        return _commit_subset_rewrite(
+            spark, table_path, cur, m, target, compacted
+        )
     base = read_table(spark, table_path, cur)
-    partition_by = _read_manifest(spark, table_path, cur).get("partition_by")
-    if zorder_by is None and partition_by:
-        # partitioned compaction (round 13): co-locate each partition
-        # value's rows in one task so the hive write emits one file per
-        # partition value — OPTIMIZE never crosses partition boundaries
-        compacted = base.repartition(max(1, target_files), *partition_by)
-    elif zorder_by is None:
-        compacted = base.coalesce(max(1, target_files))
-    else:
-        from pyspark.sql import functions as F
-
-        from wnv_etl_lab2_spark.sources.layout import _BITS, _rank_col, morton_code_n
-
-        # ranks are _BITS-bit; when n keys cannot interleave at full
-        # resolution inside a BIGINT, keep each rank's TOP bits (the
-        # coarse structure is what clusters; low bits are noise)
-        bits = min(_BITS, 63 // len(zorder_by))
-        keys = [
-            F.shiftright(_rank_col(base, c), _BITS - bits) if bits < _BITS
-            else _rank_col(base, c)
-            for c in zorder_by
-        ]
-        coded = base.withColumn("_z", morton_code_n(keys, bits=bits))
-        if partition_by:
-            # ZORDER WITHIN partitions (round 13): hash by the
-            # partition columns so each value's rows land in one task,
-            # then sort by the curve inside — one curve-ordered file
-            # per partition value, never a file spanning partitions
-            # (a bare range-repartition on _z would cross boundaries
-            # and the hive write would fan each task out into one file
-            # PER partition it touches)
-            compacted = (
-                coded.repartition(max(1, target_files), *partition_by)
-                .sortWithinPartitions(*partition_by, "_z")
-                .drop("_z")
-            )
-        else:
-            compacted = (
-                coded.repartitionByRange(max(1, target_files), "_z")
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
+    compacted = _compact_frame(base, partition_by, zorder_by, target_files)
     return _write_version(compacted, table_path, cur + 1, "optimize", expect_latest=cur)
+
+
+def _commit_subset_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    cur: int,
+    m: dict,
+    doomed: list[str],
+    live_df: DataFrame,
+) -> int:
+    """Commit a PARTIAL rewrite as ``op=optimize`` (data-neutral):
+    ``live_df`` replaces exactly the ``doomed`` files; every other
+    file is carried untouched WITH its per-file metadata — stats and
+    bloom entries survive for kept files (rewritten files scan until
+    the next ANALYZE), and DV positions belonging to doomed files are
+    dropped (the rewrite materialized their deletions) while kept
+    files' positions re-consolidate into one fresh DV file. Shared by
+    `purge_deletion_vectors` and partition-scoped `optimize_table` —
+    the two maintenance verbs whose whole point at 100 TB is rewriting
+    O(selected files), never the snapshot."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    version = cur + 1
+    files = _resolve_files(spark, table_path, cur)
+    fs, jvm = _fs(spark, table_path)
+    qualified = {f: _qualify(fs, jvm, f) for f in files}
+    doomed_q = {qualified[f] for f in doomed} | set(doomed)
+    vdir = _attempt_dir(table_path, version)
+    writer = _to_physical(live_df, m.get("column_map", {})).write.mode("error")
+    if m.get("partition_by"):
+        writer = writer.partitionBy(*m["partition_by"])
+    writer.parquet(vdir)
+    new_files = _data_files(spark, vdir)
+    kept = [f for f in files if f not in doomed]
+    manifest = {
+        "version": version,
+        "op": "optimize",
+        "files": kept + new_files,
+        "n_rows": int(m["n_rows"]),
+    }
+    dv_files = m.get("dv") or []
+    if dv_files:
+        dv = spark.read.parquet(*dv_files)
+        remaining = dv.where(~F.col("file").isin(*sorted(doomed_q)))
+        n_remaining = remaining.count()
+        if n_remaining:
+            new_dv_dir = posixpath.join(
+                table_path, _DV_DIR, f"v{version}-{_uuid.uuid4().hex[:8]}"
+            )
+            remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
+            manifest["dv"] = _data_files(spark, new_dv_dir)
+            manifest["dv_counts"] = {
+                r["file"]: int(r["n"])
+                for r in remaining.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    for key in (
+        "schema", "constraints", "generated", "partition_by", "column_map",
+        "dropped_physical",
+    ):
+        if key in m:
+            manifest[key] = m[key]
+    kept_stats = {
+        f: v for f, v in m.get("stats", {}).items() if f not in doomed_q
+    }
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = m["stats_cols"]
+        _cmap = m.get("column_map", {})
+        kept_stats.update(
+            _footer_stats(
+                new_files, [_cmap.get(c, c) for c in m["stats_cols"]]
+            )
+        )
+    if kept_stats:
+        manifest["stats"] = kept_stats
+    old_blooms = _load_blooms(spark, m)
+    if old_blooms:
+        pruned = {
+            f: v
+            for f, v in old_blooms.get("files", {}).items()
+            if f not in doomed_q
+        }
+        if pruned:
+            manifest["blooms_ref"] = _write_bloom_sidecar(
+                spark, table_path, version, pruned,
+                old_blooms["m_bits"], old_blooms["k"],
+            )
+    _commit(spark, table_path, version, manifest)
+    return version
 
 
 def purge_deletion_vectors(
@@ -2081,9 +2207,6 @@ def purge_deletion_vectors(
     threshold (no commit — purge is idempotent and free to call on a
     schedule). Old DV files the new manifest no longer references are
     reclaimed by `vacuum_table` once the older versions drop."""
-    import uuid
-
-    from pyspark.sql import functions as F
     from urllib.parse import urlparse
 
     import pyarrow.parquet as pq
@@ -2125,75 +2248,14 @@ def purge_deletion_vectors(
     ]
     if not doomed:
         return None
-    version = cur + 1
-    doomed_q = {qualified[f] for f in doomed} | set(doomed)
     # rewrite ONLY the doomed files, minus their DV positions — via the
     # shared snapshot scan (round 13), so partition columns re-attach
     # from the paths and rewritten files land back under their hive
-    # dirs, and column-mapped tables write the stable physical names
+    # dirs, and column-mapped tables write the stable physical names;
+    # manifest assembly (kept-file stats/blooms, DV re-consolidation)
+    # is the shared partial-rewrite commit
     live = _scan_snapshot_files(spark, doomed, m)
-    vdir = _attempt_dir(table_path, version)
-    writer = _to_physical(live, m.get("column_map", {})).write.mode("error")
-    if m.get("partition_by"):
-        writer = writer.partitionBy(*m["partition_by"])
-    writer.parquet(vdir)
-    new_files = _data_files(spark, vdir)
-    kept = [f for f in files if f not in doomed]
-    # remaining DV positions (kept files only) re-consolidate into ONE
-    # fresh DV file; an empty remainder drops the dv key entirely
-    dv = spark.read.parquet(*dv_files)
-    remaining = dv.where(~F.col("file").isin(*sorted(doomed_q)))
-    n_remaining = remaining.count()
-    manifest = {
-        "version": version,
-        "op": "optimize",
-        "files": kept + new_files,
-        "n_rows": int(m["n_rows"]),
-    }
-    if n_remaining:
-        new_dv_dir = posixpath.join(
-            table_path, _DV_DIR, f"v{version}-{uuid.uuid4().hex[:8]}"
-        )
-        remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
-        manifest["dv"] = _data_files(spark, new_dv_dir)
-        manifest["dv_counts"] = {
-            f: n for f, n in counts.items() if f not in doomed_q
-        }
-    for key in (
-        "schema", "constraints", "generated", "partition_by", "column_map",
-        "dropped_physical",
-    ):
-        if key in m:
-            manifest[key] = m[key]
-    # per-file stats/blooms stay valid for KEPT files; rewritten files
-    # scan until the next ANALYZE
-    kept_stats = {
-        f: v for f, v in m.get("stats", {}).items() if f not in doomed_q
-    }
-    if m.get("stats_cols"):
-        manifest["stats_cols"] = m["stats_cols"]
-        _cmap = m.get("column_map", {})
-        kept_stats.update(
-            _footer_stats(
-                new_files, [_cmap.get(c, c) for c in m["stats_cols"]]
-            )
-        )
-    if kept_stats:
-        manifest["stats"] = kept_stats
-    old_blooms = _load_blooms(spark, m)
-    if old_blooms:
-        pruned = {
-            f: v
-            for f, v in old_blooms.get("files", {}).items()
-            if f not in doomed_q
-        }
-        if pruned:
-            manifest["blooms_ref"] = _write_bloom_sidecar(
-                spark, table_path, version, pruned,
-                old_blooms["m_bits"], old_blooms["k"],
-            )
-    _commit(spark, table_path, version, manifest)
-    return version
+    return _commit_subset_rewrite(spark, table_path, cur, m, doomed, live)
 
 
 def vacuum_table(

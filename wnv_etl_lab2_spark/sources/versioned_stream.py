@@ -320,11 +320,16 @@ class VersionedTableStreamSource(DataSource):
             raise ValueError("maxFilesPerTrigger must be >= 1")
         if mbt is not None and int(mbt) < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        def _flag(name: str) -> bool:
+            return self.options.get(name, "false").lower() == "true"
+
         return VersionedTableStreamReader(
             path, schema, int(starting if starting is not None else -1),
             self._cdf(), partition_filter,
             max_files=int(mft) if mft is not None else None,
             max_bytes=int(mbt) if mbt is not None else None,
+            ignore_deletes=_flag("ignoreDeletes"),
+            skip_change_commits=_flag("skipChangeCommits"),
         )
 
 
@@ -338,11 +343,21 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         partition_filter: dict | None = None,
         max_files: int | None = None,
         max_bytes: int | None = None,
+        ignore_deletes: bool = False,
+        skip_change_commits: bool = False,
     ) -> None:
         self._path = table_path
         self._schema = schema
         self._start = starting_version
         self._cdf = cdf
+        # Delta's append-only-stream escape hatches (round 13):
+        # ignoreDeletes tolerates DELETE commits (their retractions are
+        # silently skipped — the caller accepts an at-least-once view of
+        # deleted rows); skipChangeCommits skips ANY rewrite commit
+        # (update/merge/restore), streaming only appended data. Without
+        # either, a rewrite still fails the plain stream loudly.
+        self._ignore_deletes = ignore_deletes
+        self._skip_change_commits = skip_change_commits
         # option("partitionFilter", '{"col": "value"}') — round 13:
         # skip whole files by their hive-path partition values BEFORE
         # any read, the streaming twin of read_table(partition_filter=)
@@ -386,12 +401,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for versions that must admit whole."""
         if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
             return "skip", None
-        if self._cdf and m["op"] == "optimize":
+        if m["op"] == "optimize":
+            # compaction is data-neutral in BOTH modes (same logical
+            # rows; processing its file diff would double-emit)
             return "skip", None
         if m["op"] == "create":
             return "files", [_local(f) for f in m["files"]]
         if m["op"] == "append":
             return "files", self._added_files(v, m)
+        if not self._cdf and (
+            self._skip_change_commits
+            or (self._ignore_deletes and m["op"] == "delete")
+        ):
+            return "skip", None
         # rewrites: plain mode raises in partitions(); CDF mode emits
         # a synthetic change set — atomic either way. Cost = a cheap
         # upper bound on touched files (soft limit, never exact).
@@ -511,8 +533,11 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # start-time schema — physical names are stable, so
                 # files keep reading; restart the stream to adopt a
                 # renamed/added logical schema, Delta's contract)
-            if self._cdf and m["op"] == "optimize":
-                continue  # compaction is data-neutral: no logical change
+            if m["op"] == "optimize":
+                continue  # compaction is data-neutral in BOTH modes (same
+                # logical rows, new layout — Delta streams past
+                # dataChange=false commits; round 13 extended the skip to
+                # the plain stream, which previously refused OPTIMIZE)
             if m["op"] in ("create", "append"):
                 files = (
                     [_local(f) for f in m["files"]]
@@ -620,11 +645,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                         )
                 _stamp(m)
                 continue
+            elif self._skip_change_commits or (
+                self._ignore_deletes and m["op"] == "delete"
+            ):
+                continue  # Delta's skipChangeCommits / ignoreDeletes:
+                # the caller opted into an appends-only view; this
+                # rewrite's changes are deliberately not streamed
             else:
                 raise ValueError(
                     f"version {v} is op={m['op']!r} — the streaming source "
                     "consumes append-only tables (use option "
-                    "readChangeFeed=true to stream through rewrites, or "
+                    "readChangeFeed=true to stream through rewrites, "
+                    "ignoreDeletes/skipChangeCommits to skip them, or "
                     "operators/cdf.table_changes for a batch range)"
                 )
             change = "insert" if self._cdf else None
