@@ -183,7 +183,9 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     version = cur + 1
     prev0 = _read_manifest(spark, w.table_path, cur)
     from wnv_etl_lab2_spark.sources.versioned import (
+        _advance_identity,
         _apply_generated,
+        _assign_identity,
         _enforce_constraints,
         _evolve_column_map,
         _to_physical,
@@ -191,9 +193,10 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
 
     constraints = prev0.get("constraints", {})
     generated = prev0.get("generated")
-    # generated columns compute-if-missing through transactional stages
-    # exactly like the single-table verbs (round 13)
-    wdf = _apply_generated(w.df, generated)
+    identity = prev0.get("identity")
+    # generated/identity columns compute-if-missing through
+    # transactional stages exactly like the single-table verbs (r13)
+    wdf = _assign_identity(_apply_generated(w.df, generated), identity)
     # partitioning + column mapping travel through transactional stages
     # exactly like the single-table verbs (round 13)
     partition_by = prev0.get("partition_by")
@@ -233,6 +236,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         raise
     files = _data_files(spark, vdir)
     n_new = spark.read.parquet(vdir).count() if files else 0
+    if identity and files:
+        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
     prev = prev0
     if w.op == "append":
         manifest = {
@@ -276,6 +281,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         manifest["constraints"] = constraints
     if generated:
         manifest["generated"] = generated
+    if identity:
+        manifest["identity"] = identity
     manifest["txn"] = {"id": txn_id, "log": txn_log}
     return version, manifest
 

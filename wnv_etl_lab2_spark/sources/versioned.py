@@ -626,6 +626,87 @@ def _apply_generated(df: DataFrame, generated: dict | None) -> DataFrame:
     return df
 
 
+def _assign_identity(df: DataFrame, identity: dict | None) -> DataFrame:
+    """IDENTITY allocation (round 13 — Delta's GENERATED BY DEFAULT AS
+    IDENTITY): for each declared identity column ABSENT from the
+    written frame, assign ``high + step * rank`` where rank is a DENSE
+    1..n numbering computed scale-safely — NO global window funnel:
+
+    1. one tiny aggregate counts rows per input partition (O(num
+       partitions) rows to the driver),
+    2. cumulative offsets per partition become a broadcast literal map,
+    3. rank = per-partition row_number (each window partition is one
+       input partition — no shuffle beyond the count's digest) plus the
+       partition's offset.
+
+    A frame that SUPPLIES the column keeps its values (BY DEFAULT
+    semantics); the writer then advances the high-water mark past the
+    batch max so later allocations never collide with what it saw.
+    Values are unique and monotone per allocation batch, with gaps
+    across batches — exactly the identity contract real formats
+    document (no dense global sequence; that cannot exist without a
+    single point of coordination)."""
+    if not identity:
+        return df
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    missing = [c for c in sorted(identity) if c not in df.columns]
+    if not missing:
+        return df
+    tagged = df.withColumn("_id_pid", F.spark_partition_id()).withColumn(
+        "_id_mid", F.monotonically_increasing_id()
+    )
+    tagged = tagged.localCheckpoint(eager=False)  # counts + ranks must
+    # see the SAME partition layout (a recomputed scan could repartition)
+    counts = sorted(
+        (r["_id_pid"], r["n"])
+        for r in tagged.groupBy("_id_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("_id_pid").orderBy("_id_mid")
+    ) + off_map[F.col("_id_pid")]
+    for c in missing:
+        spec = identity[c]
+        tagged = tagged.withColumn(
+            c,
+            (F.lit(int(spec["high"])) + F.lit(int(spec["step"])) * rank).cast(
+                "long"
+            ),
+        )
+    return tagged.drop("_id_pid", "_id_mid")
+
+
+def _advance_identity(identity: dict, written_df, cmap: dict) -> dict:
+    """The post-write high-water update: one aggregate over the JUST-
+    WRITTEN batch (O(batch), same scan class as the row count the
+    writer already pays) takes each identity column's max — covering
+    both engine-assigned and caller-supplied values — and the new high
+    is max(old, batch max). Written files store PHYSICAL names, so the
+    agg reads through the column map."""
+    from pyspark.sql import functions as F
+
+    cols = sorted(identity)
+    row = written_df.agg(
+        *[F.max(cmap.get(c, c)).alias(c) for c in cols]
+    ).collect()[0]
+    out = {}
+    for c, spec in identity.items():
+        high = int(spec["high"])
+        if row[c] is not None:
+            high = max(high, int(row[c]))
+        out[c] = {**spec, "high": high}
+    return out
+
+
 def _write_version(
     df: DataFrame,
     table_path: str,
@@ -640,6 +721,7 @@ def _write_version(
     pre_commit_check=None,
     partition_by: tuple | list | None = None,
     generated: dict | None = None,
+    identity: dict | None = None,
 ) -> int:
     """``pre_commit_check`` (round 13): an optional zero-arg callable
     evaluated AFTER the data files are staged but BEFORE the manifest
@@ -657,7 +739,13 @@ def _write_version(
     columns; existing tables carry the declaration forward, a frame
     missing a generated column gets it computed in-plan, and a frame
     PROVIDING one is validated by the auto-registered CHECK invariant
-    ``col <=> (expr)`` riding the write like any constraint."""
+    ``col <=> (expr)`` riding the write like any constraint.
+
+    ``identity`` (round 13, create only) declares IDENTITY columns
+    ({col: {start, step, high}}): a frame missing one gets monotone
+    values allocated from the high-water mark (`_assign_identity`),
+    and every commit advances the mark past the written batch
+    (`_advance_identity`) so allocations never collide."""
     spark = df.sparkSession
     current = latest_version(spark, table_path)
     if current != expect_latest:
@@ -675,6 +763,8 @@ def _write_version(
             partition_by = m_prev.get("partition_by")
         if generated is None:
             generated = m_prev.get("generated")
+        if identity is None:
+            identity = m_prev.get("identity")
         cmap = dict(m_prev.get("column_map", {}))
         dropped = list(m_prev.get("dropped_physical", []))
         if stats_cols is None:
@@ -692,6 +782,7 @@ def _write_version(
         for gcol, gexpr in sorted(generated.items()):
             constraints[f"gen_{gcol}"] = f"{gcol} <=> ({gexpr})"
     df = _apply_generated(df, generated)
+    df = _assign_identity(df, identity)
     partition_by = list(partition_by) if partition_by else None
     if partition_by:
         missing = [c for c in partition_by if c not in df.columns]
@@ -725,6 +816,8 @@ def _write_version(
     # an empty partitionBy write produces no files at all (hive layout
     # has no rows to place anywhere): record the honest zero
     n_rows = spark.read.parquet(vdir).count() if files else 0
+    if identity and files:
+        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
     # full-rewrite ops (create/overwrite/delete/merge/optimize) DEFINE
     # the snapshot: the written frame's schema is the version's schema
     manifest = {
@@ -753,6 +846,8 @@ def _write_version(
         manifest["constraints"] = constraints
     if generated:
         manifest["generated"] = generated
+    if identity:
+        manifest["identity"] = identity
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         stats = _footer_stats(
@@ -773,6 +868,7 @@ def create_table(
     stats_cols: list[str] | None = None,
     partition_by: tuple | list | None = None,
     generated: dict[str, str] | None = None,
+    identity: dict[str, dict] | None = None,
 ) -> int:
     """Version 0 of a new versioned table. ``stats_cols`` declares the
     data-skipping columns at creation (round 12): per-file min/max is
@@ -797,7 +893,30 @@ def create_table(
     invariant ``gen_<col>: col <=> (expr)`` — a stale or inconsistent
     value REFUSES to commit rather than silently landing (UPDATE
     recomputes after its SET projection; direct SET on a generated
-    column is rejected)."""
+    column is rejected).
+
+    ``identity`` (round 13 — Delta's GENERATED BY DEFAULT AS IDENTITY):
+    {col: {"start": s, "step": k}}. Writers that omit the column get
+    monotone values allocated from the table's high-water mark
+    (scale-safe dense ranks — see `_assign_identity`); writers that
+    supply it keep their values and the mark advances past the batch
+    max, so later allocations never collide with anything observed.
+    Gaps across batches are expected (the documented identity contract
+    of real formats; a dense global sequence would need a single point
+    of coordination)."""
+    if identity:
+        norm = {}
+        for c, spec in identity.items():
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column {c!r}: step must be nonzero")
+            if generated and c in generated:
+                raise ValueError(
+                    f"column {c!r} cannot be both GENERATED and IDENTITY"
+                )
+            norm[c] = {"start": start, "step": step, "high": start - step}
+        identity = norm
     if generated:
         import re as _re
 
@@ -815,7 +934,7 @@ def create_table(
     return _write_version(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
         writer_id=writer_id, stamp=stamp, stats_cols=stats_cols,
-        partition_by=partition_by, generated=generated,
+        partition_by=partition_by, generated=generated, identity=identity,
     )
 
 
@@ -853,6 +972,9 @@ def append_table(
     generated = prev.get("generated")
     df = _apply_generated(df, generated)  # compute-if-missing; provided
     # values are validated by the gen_ CHECK invariant riding the write
+    identity = prev.get("identity")
+    df = _assign_identity(df, identity)  # allocate-if-missing from the
+    # high-water mark; supplied values advance the mark post-write
     evolved = _merge_schemas(prev.get("schema"), df.schema)
     constraints = prev.get("constraints", {})
     partition_by = prev.get("partition_by")
@@ -886,6 +1008,8 @@ def append_table(
         raise
     new_files = _data_files(spark, vdir)
     n_new = spark.read.parquet(vdir).count() if new_files else 0
+    if identity and new_files:
+        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
     manifest = {
         "version": version,
         "op": "append",
@@ -909,6 +1033,8 @@ def append_table(
         manifest["constraints"] = constraints
     if generated:
         manifest["generated"] = generated
+    if identity:
+        manifest["identity"] = identity
     if m_prev_dv := prev.get("dv"):
         manifest["dv"] = m_prev_dv  # appends never touch old rows
     # stats/blooms are PER-FILE and files are immutable, so an append
@@ -1120,17 +1246,20 @@ def copy_into(
                 f"schema: {extra} (drop or rename them in the source, or "
                 f"evolve the target first via add_column/append)"
             )
-        gen = _read_manifest(spark, table_path, cur).get("generated") or {}
+        m_cur = _read_manifest(spark, table_path, cur)
+        derived = set(m_cur.get("generated") or {}) | set(
+            m_cur.get("identity") or {}
+        )
         df = df.select(
             *[
                 F.col(f.name).cast(f.dataType)
                 if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in target.fields
-                # a GENERATED column the source omits stays absent so
-                # append_table computes it (null-backfill would land a
-                # wrong value and the gen_ invariant would refuse)
-                if f.name in df.columns or f.name not in gen
+                # a GENERATED/IDENTITY column the source omits stays
+                # absent so append_table computes/allocates it
+                # (null-backfill would land a wrong value)
+                if f.name in df.columns or f.name not in derived
             ]
         )
     n_rows = df.count()
@@ -1417,7 +1546,7 @@ def _delete_merge_on_read(
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
     for key in (
-        "schema", "constraints", "generated", "stats", "stats_cols", "blooms", "blooms_ref",
+        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
         if key in m_prev:
@@ -1521,13 +1650,20 @@ def update_table(
     missing = [c for c in set_exprs if c not in snapshot.columns]
     if missing:
         raise ValueError(f"UPDATE SET targets unknown columns: {missing}")
-    gen = _read_manifest(spark, table_path, cur).get("generated") or {}
+    m_cur = _read_manifest(spark, table_path, cur)
+    gen = m_cur.get("generated") or {}
     direct = sorted(set(set_exprs) & set(gen))
     if direct:
         raise ValueError(
             f"UPDATE SET targets GENERATED column(s) {direct} — generated "
             "values derive from their expression; update the base columns "
             "and the engine recomputes"
+        )
+    ident_hit = sorted(set(set_exprs) & set(m_cur.get("identity") or {}))
+    if ident_hit:
+        raise ValueError(
+            f"UPDATE SET targets IDENTITY column(s) {ident_hit} — identity "
+            "values are engine-allocated and immutable"
         )
     hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
 
@@ -2154,7 +2290,7 @@ def _commit_subset_rewrite(
                 .collect()
             }
     for key in (
-        "schema", "constraints", "generated", "partition_by", "column_map",
+        "schema", "constraints", "generated", "identity", "partition_by", "column_map",
         "dropped_physical",
     ):
         if key in m:
@@ -2495,11 +2631,13 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["constraints"] = m["constraints"]
     if m.get("generated"):
         manifest["generated"] = m["generated"]
+    if m.get("identity"):
+        manifest["identity"] = m["identity"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
-        "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "partition_by",
+        "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -2677,7 +2815,7 @@ def collect_blooms(
         ),
     }
     for key in (
-        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
         "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
@@ -2872,7 +3010,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -2911,7 +3049,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -2983,8 +3121,8 @@ def add_check_constraint(
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
-        "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "partition_by",
+        "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3025,8 +3163,8 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "partition_by", "column_map",
-        "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "partition_by",
+        "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3089,7 +3227,7 @@ def set_not_null(spark: SparkSession, table_path: str, col: str) -> int:
     }
     for key in (
         "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
-        "partition_by", "column_map", "dropped_physical",
+        "identity", "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3121,7 +3259,7 @@ def drop_not_null(spark: SparkSession, table_path: str, col: str) -> int:
         manifest["constraints"] = cons
     for key in (
         "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
-        "partition_by", "column_map", "dropped_physical",
+        "identity", "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3182,7 +3320,7 @@ def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "stats", "stats_cols", "dv", "dv_counts",
+        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv", "dv_counts",
         "blooms", "blooms_ref", "partition_by", "column_map",
         "dropped_physical",
     ):
@@ -3281,6 +3419,13 @@ def drop_column(
         else:
             manifest.pop("generated", None)
         cons.pop(f"gen_{name}", None)
+    ident = dict(m.get("identity") or {})
+    if name in ident:  # a dropped column's identity declaration too
+        del ident[name]
+        if ident:
+            manifest["identity"] = ident
+        else:
+            manifest.pop("identity", None)
     if cons:
         manifest["constraints"] = cons
     else:
