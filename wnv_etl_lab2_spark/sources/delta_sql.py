@@ -31,6 +31,10 @@ lifecycle with SQL strings only:
     sql.run("ALTER TABLE events DROP COLUMN weight")
     sql.run("ALTER TABLE events ALTER COLUMN lang SET NOT NULL")
     sql.run("ALTER TABLE events ALTER COLUMN lang DROP NOT NULL")
+    sql.run("ALTER TABLE events SET TBLPROPERTIES ('owner' = 'x')")
+    sql.run("ALTER TABLE events UNSET TBLPROPERTIES ('owner')")
+    sql.run("SHOW TBLPROPERTIES events")
+    sql.run("REORG TABLE events APPLY (PURGE)")
     sql.run("COPY INTO events FROM '/landing/events' FILEFORMAT = PARQUET "
             "PATTERN = '*.parquet'")
     sql.run("SHOW PARTITIONS events")
@@ -155,7 +159,28 @@ class DeltaSql:
                 from wnv_etl_lab2_spark.sources.versioned import table_partitions
 
                 return table_partitions(self.spark, self._path(m.group(1)))
+            m = re.fullmatch(
+                rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import table_properties
+
+                props = table_properties(self.spark, self._path(m.group(1)))
+                return self.spark.createDataFrame(
+                    sorted(props.items()) or [], "key string, value string"
+                )
             raise ValueError(f"unsupported SHOW statement: {sql!r}")
+        if head == "REORG":
+            # REORG TABLE t APPLY (PURGE) — Delta's canonical spelling of
+            # the DV rewrite-back (OPTIMIZE ... APPLY (PURGE) also works)
+            m = re.fullmatch(
+                rf"REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported REORG statement: {sql!r}")
+            return purge_deletion_vectors(self.spark, self._path(m.group(1)))
         if head == "VACUUM":
             m = re.fullmatch(
                 rf"VACUUM\s+({_IDENT})"
@@ -170,9 +195,21 @@ class DeltaSql:
             # hours) instead of keep_last=1 — Delta refuses to drop
             # recent history without an explicit retention override, so
             # a routine maintenance command must never silently destroy
-            # all time travel (round-13 advisory fix). Explicit RETAIN
+            # all time travel (round-13 advisory fix). A table-level
+            # 'retention.hours' property overrides the default (the
+            # deletedFileRetentionDuration shape); explicit RETAIN
             # n VERSIONS / RETAIN n HOURS means what it says.
             keep, hours = 1, 168.0
+            if not m.group(2):
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    table_properties,
+                )
+
+                prop = table_properties(
+                    self.spark, self._path(m.group(1))
+                ).get("retention.hours")
+                if prop is not None:
+                    hours = float(prop)
             if m.group(2):
                 hours = None
                 if m.group(3).upper().startswith("HOUR"):
@@ -407,6 +444,38 @@ class DeltaSql:
                     set_not_null if m.group(3).upper() == "SET" else drop_not_null
                 )
                 return verb(self.spark, self._path(m.group(1)), m.group(2))
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+                r"\(([^)]*)\)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    set_table_properties,
+                )
+
+                props = dict(
+                    re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group(2))
+                )
+                return set_table_properties(
+                    self.spark, self._path(m.group(1)), props
+                )
+            m = re.fullmatch(
+                rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+                r"\(([^)]*)\)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    unset_table_properties,
+                )
+
+                keys = re.findall(r"'([^']*)'", m.group(2))
+                return unset_table_properties(
+                    self.spark, self._path(m.group(1)), keys
+                )
             raise ValueError(f"unsupported ALTER statement: {sql!r}")
         if head == "DELETE":
             m = re.fullmatch(

@@ -283,6 +283,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         manifest["generated"] = generated
     if identity:
         manifest["identity"] = identity
+    if prev0.get("properties"):
+        manifest["properties"] = prev0["properties"]
     manifest["txn"] = {"id": txn_id, "log": txn_log}
     return version, manifest
 

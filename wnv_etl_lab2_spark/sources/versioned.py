@@ -756,9 +756,11 @@ def _write_version(
     constraints: dict = {}
     cmap: dict = {}
     dropped: list = []
+    properties: dict | None = None
     if current is not None:
         m_prev = _read_manifest(spark, table_path, current)
         constraints = m_prev.get("constraints", {})
+        properties = m_prev.get("properties")
         if partition_by is None:
             partition_by = m_prev.get("partition_by")
         if generated is None:
@@ -848,6 +850,8 @@ def _write_version(
         manifest["generated"] = generated
     if identity:
         manifest["identity"] = identity
+    if properties:
+        manifest["properties"] = properties
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         stats = _footer_stats(
@@ -1035,6 +1039,8 @@ def append_table(
         manifest["generated"] = generated
     if identity:
         manifest["identity"] = identity
+    if prev.get("properties"):
+        manifest["properties"] = prev["properties"]
     if m_prev_dv := prev.get("dv"):
         manifest["dv"] = m_prev_dv  # appends never touch old rows
     # stats/blooms are PER-FILE and files are immutable, so an append
@@ -1546,7 +1552,7 @@ def _delete_merge_on_read(
     # wrong), so carry them; dropping them cost every post-MoR-delete
     # read its min/max and bloom skipping (round-12 advisory fix)
     for key in (
-        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "blooms", "blooms_ref",
+        "schema", "constraints", "generated", "identity", "properties", "stats", "stats_cols", "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
         if key in m_prev:
@@ -2290,7 +2296,7 @@ def _commit_subset_rewrite(
                 .collect()
             }
     for key in (
-        "schema", "constraints", "generated", "identity", "partition_by", "column_map",
+        "schema", "constraints", "generated", "identity", "properties", "partition_by", "column_map",
         "dropped_physical",
     ):
         if key in m:
@@ -2633,11 +2639,13 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
         manifest["generated"] = m["generated"]
     if m.get("identity"):
         manifest["identity"] = m["identity"]
+    if m.get("properties"):
+        manifest["properties"] = m["properties"]
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "identity", "partition_by",
-        "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "properties",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -2815,7 +2823,7 @@ def collect_blooms(
         ),
     }
     for key in (
-        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "properties", "stats", "stats_cols", "dv",
         "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
@@ -2939,13 +2947,14 @@ def table_detail(spark: SparkSession, table_path: str) -> DataFrame:
         bool(m.get("blooms") or m.get("blooms_ref")),
         list(m.get("stats_cols", [])),
         sorted(m.get("constraints", {})),
+        dict(m.get("properties", {})),
     )
     return spark.createDataFrame(
         [row],
         "location string, version int, ts_ms long, num_files int, "
         "num_rows long, size_bytes long, num_versions int, has_dv boolean, "
         "has_blooms boolean, stats_cols array<string>, "
-        "constraints array<string>",
+        "constraints array<string>, properties map<string,string>",
     )
 
 
@@ -3010,7 +3019,7 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "properties", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -3049,7 +3058,7 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv",
+        "schema", "constraints", "generated", "identity", "properties", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
         "partition_by", "column_map", "dropped_physical",
     ):
@@ -3121,8 +3130,8 @@ def add_check_constraint(
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "identity", "partition_by",
-        "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "properties",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3163,8 +3172,8 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     if m.get("dv"):
         manifest["dv"] = m["dv"]
     for key in (
-        "blooms", "blooms_ref", "generated", "identity", "partition_by",
-        "column_map", "dropped_physical",
+        "blooms", "blooms_ref", "generated", "identity", "properties",
+        "partition_by", "column_map", "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3182,6 +3191,71 @@ def _flip_nullability(schema_json: str, col: str, nullable: bool) -> str:
     if not hit:
         raise ValueError(f"no such column: {col!r}")
     return json.dumps(sch)
+
+
+def table_properties(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict[str, str]:
+    """The table's free-form properties as of ``version`` (default
+    latest) — {key: value}. Properties travel in the manifest like
+    constraints: versioned, time-travelable state. The engine consults
+    ``retention.hours`` for bare VACUUM's default retention
+    (`delta_sql` — the Delta ``deletedFileRetentionDuration`` shape);
+    everything else is caller-defined metadata (owners, pipelines,
+    quality tiers)."""
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"not a versioned table (no log): {table_path}")
+    return dict(_read_manifest(spark, table_path, version).get("properties", {}))
+
+
+def set_table_properties(
+    spark: SparkSession, table_path: str, props: dict[str, str]
+) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES: one metadata-only commit
+    merging ``props`` into the table's property map (existing keys
+    overwrite, others persist)."""
+    if not props:
+        raise ValueError("SET TBLPROPERTIES needs at least one key")
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    manifest = _metadata_ddl_manifest(m, cur, "analyze")
+    manifest["properties"] = {
+        **m.get("properties", {}),
+        **{str(k): str(v) for k, v in props.items()},
+    }
+    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
+
+
+def unset_table_properties(
+    spark: SparkSession, table_path: str, keys: list[str]
+) -> int:
+    """ALTER TABLE ... UNSET TBLPROPERTIES: metadata-only commit
+    removing ``keys`` (raises on a key that is not set — silently
+    unsetting a typo would leave the caller believing it's gone)."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    props = dict(m.get("properties", {}))
+    missing = [k for k in keys if k not in props]
+    if missing:
+        raise ValueError(f"properties not set: {missing}")
+    for k in keys:
+        del props[k]
+    manifest = _metadata_ddl_manifest(m, cur, "analyze")
+    if props:
+        manifest["properties"] = props
+    else:
+        manifest.pop("properties", None)
+    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _commit(spark, table_path, cur + 1, manifest)
+    return cur + 1
 
 
 def set_not_null(spark: SparkSession, table_path: str, col: str) -> int:
@@ -3227,7 +3301,8 @@ def set_not_null(spark: SparkSession, table_path: str, col: str) -> int:
     }
     for key in (
         "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
-        "identity", "partition_by", "column_map", "dropped_physical",
+        "identity", "properties", "partition_by", "column_map",
+        "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3259,7 +3334,8 @@ def drop_not_null(spark: SparkSession, table_path: str, col: str) -> int:
         manifest["constraints"] = cons
     for key in (
         "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
-        "identity", "partition_by", "column_map", "dropped_physical",
+        "identity", "properties", "partition_by", "column_map",
+        "dropped_physical",
     ):
         if m.get(key):
             manifest[key] = m[key]
@@ -3320,7 +3396,7 @@ def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
         "n_rows": m["n_rows"],
     }
     for key in (
-        "schema", "constraints", "generated", "identity", "stats", "stats_cols", "dv", "dv_counts",
+        "schema", "constraints", "generated", "identity", "properties", "stats", "stats_cols", "dv", "dv_counts",
         "blooms", "blooms_ref", "partition_by", "column_map",
         "dropped_physical",
     ):
