@@ -135,8 +135,12 @@ def test_optimize_apply_purge_and_errors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown table"):
         sql.run("DELETE FROM nope WHERE 1=1")
-    with pytest.raises(ValueError, match="unsupported"):
+    # column-def CREATE is supported since round 13 — an UNREGISTERED
+    # name fails the catalog lookup, a registered one creates
+    with pytest.raises(ValueError, match="unknown table"):
         sql.run("CREATE TABLE t2 (id INT)")
+    with pytest.raises(ValueError, match="unsupported CREATE"):
+        sql.run("CREATE TABLE t LIKE t")
     # WHEN MATCHED THEN DELETE is now SUPPORTED (general grammar);
     # the router's error path still fires on a nonsense action
     with pytest.raises(ValueError, match="unsupported MATCHED action"):

@@ -76,3 +76,85 @@ def test_bare_vacuum_honors_retention_property(spark, table):
     from wnv_etl_lab2_spark.sources.versioned import read_table
 
     assert read_table(spark, table).count() == 3  # tip intact
+
+
+def test_create_table_with_column_defs(spark, tmp_path):
+    """Round 13: the explicit-schema CREATE TABLE form declares NOT
+    NULL, GENERATED, IDENTITY, PARTITIONED BY and TBLPROPERTIES in one
+    statement; subsequent writes honor every declaration."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        read_table,
+        table_constraints,
+        table_schema,
+    )
+
+    path = str(tmp_path / "ddl")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run(
+        "CREATE TABLE t ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 5),"
+        "  name STRING NOT NULL,"
+        "  amount BIGINT,"
+        "  total BIGINT GENERATED ALWAYS AS (amount * 2),"
+        "  lang STRING"
+        ") PARTITIONED BY (lang) TBLPROPERTIES ('owner' = 'ddl')"
+    )
+    assert read_table(spark, path).count() == 0
+    assert set(table_schema(spark, path).names) == {
+        "rid", "name", "amount", "total", "lang"
+    }
+    assert not table_schema(spark, path)["name"].nullable
+    cons = table_constraints(spark, path)
+    assert cons["nn_name"] == "name IS NOT NULL"
+    assert cons["gen_total"] == "total <=> (amount * 2)"
+    assert table_properties(spark, path) == {"owner": "ddl"}
+
+    # first write into the empty partitioned table: identity allocates
+    # (start 10, step 5), generated computes, hive layout applies
+    from wnv_etl_lab2_spark.sources.versioned import append_table
+
+    append_table(
+        spark.createDataFrame(
+            [("a", 3, "de"), ("b", 4, "fr")],
+            "name string, amount long, lang string",
+        ),
+        path,
+    )
+    rows = {
+        (r.rid, r.name, r.amount, r.total, r.lang)
+        for r in read_table(spark, path).collect()
+    }
+    assert {(n, a, t, lg) for _, n, a, t, lg in rows} == {
+        ("a", 3, 6, "de"), ("b", 4, 8, "fr")
+    }
+    assert {r[0] for r in rows} == {10, 15}
+    assert read_table(spark, path, partition_filter={"lang": "de"}).count() == 1
+
+
+def test_create_table_ddl_writes_enforce_declarations(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import append_table, read_table
+
+    path = str(tmp_path / "ddl2")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run(
+        "CREATE TABLE t ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY,"
+        "  name STRING NOT NULL,"
+        "  amount BIGINT,"
+        "  total BIGINT GENERATED ALWAYS AS (amount * 2)"
+        ")"
+    )
+    append_table(
+        spark.createDataFrame([("a", 4), ("b", 5)], "name string, amount long"),
+        path,
+    )
+    rows = {
+        (r.name, r.amount, r.total) for r in read_table(spark, path).collect()
+    }
+    assert rows == {("a", 4, 8), ("b", 5, 10)}
+    ids = [r.rid for r in read_table(spark, path).collect()]
+    assert sorted(ids) == [1, 2]  # identity allocated from start 1
+    with pytest.raises(ValueError, match="nn_name"):
+        append_table(
+            spark.createDataFrame([(None, 1)], "name string, amount long"), path
+        )

@@ -293,6 +293,11 @@ class DeltaSql:
                 return clone_table(
                     self.spark, self._path(m.group(2)), self._path(m.group(1))
                 )
+            m = re.match(
+                rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE
+            )
+            if m:
+                return self._create_with_columns(s, m, sql)
             m = re.fullmatch(
                 rf"CREATE\s+TABLE\s+({_IDENT})"
                 rf"(?:\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
@@ -302,7 +307,8 @@ class DeltaSql:
             )
             if not m:
                 raise ValueError(
-                    f"unsupported CREATE statement (CTAS or SHALLOW CLONE): {sql!r}"
+                    f"unsupported CREATE statement (column defs, CTAS or "
+                    f"SHALLOW CLONE): {sql!r}"
                 )
             partition_by = (
                 tuple(c.strip() for c in m.group(2).split(","))
@@ -491,6 +497,108 @@ class DeltaSql:
         if head == "MERGE":
             return self._merge(s, sql)
         raise ValueError(f"unsupported statement: {sql!r}")
+
+    def _create_with_columns(self, s: str, head_m: "re.Match", sql: str):
+        """CREATE TABLE t (col TYPE [NOT NULL] [GENERATED ALWAYS AS
+        (expr) | GENERATED ALWAYS AS IDENTITY [(START WITH n
+        [INCREMENT BY k])]], ...) [PARTITIONED BY (...)]
+        [TBLPROPERTIES (...)] — the explicit-schema creation form
+        (round 13), declaring every round-13 column feature in one
+        statement. Creates an EMPTY versioned table at version 0."""
+        from wnv_etl_lab2_spark.sources.versioned import (
+            create_table,
+            set_not_null,
+        )
+
+        # find the column-def list's matching close paren by depth
+        open_at = s.index("(", head_m.end(1))
+        depth, close_at = 0, -1
+        for i in range(open_at, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_at = i
+                    break
+        if close_at < 0:
+            raise ValueError(f"unbalanced parens in CREATE TABLE: {sql!r}")
+        body, tail = s[open_at + 1 : close_at], s[close_at + 1 :].strip()
+        partition_by = None
+        props = None
+        mt = re.fullmatch(
+            rf"(?:PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+            r"\s*(?:TBLPROPERTIES\s*\(([^)]*)\))?",
+            tail,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not mt:
+            raise ValueError(f"unsupported CREATE TABLE suffix: {tail!r}")
+        if mt.group(1):
+            partition_by = tuple(c.strip() for c in mt.group(1).split(","))
+        if mt.group(2):
+            props = dict(re.findall(r"'([^']*)'\s*=\s*'([^']*)'", mt.group(2)))
+        # split column defs at depth-0 commas (types/exprs may nest)
+        defs, depth, start = [], 0, 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                defs.append(body[start:i])
+                start = i + 1
+        defs.append(body[start:])
+        schema_parts: list[str] = []
+        not_null: list[str] = []
+        generated: dict[str, str] = {}
+        identity: dict[str, dict] = {}
+        for d in defs:
+            d = d.strip()
+            cm = re.match(rf"({_IDENT})\s+(.+)$", d, re.DOTALL)
+            if not cm:
+                raise ValueError(f"unsupported column definition: {d!r}")
+            name, rest = cm.group(1), cm.group(2)
+            mid = re.search(
+                r"\bGENERATED\s+ALWAYS\s+AS\s+IDENTITY\b"
+                r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+                r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?",
+                rest,
+                re.IGNORECASE,
+            )
+            mgen = None
+            if mid:
+                identity[name] = {
+                    "start": int(mid.group(1) or 1),
+                    "step": int(mid.group(2) or 1),
+                }
+                rest = rest[: mid.start()] + rest[mid.end() :]
+            else:
+                mgen = re.search(
+                    r"\bGENERATED\s+ALWAYS\s+AS\s*\((.*)\)",
+                    rest,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if mgen:
+                    generated[name] = mgen.group(1).strip()
+                    rest = rest[: mgen.start()] + rest[mgen.end() :]
+            if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
+                not_null.append(name)
+                rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE)
+            col_type = rest.strip()
+            if not col_type:
+                raise ValueError(f"column {name!r} is missing a type: {d!r}")
+            schema_parts.append(f"{name} {col_type}")
+        empty = self.spark.createDataFrame([], ", ".join(schema_parts))
+        path = self._path(head_m.group(1))
+        v = create_table(
+            empty, path, partition_by=partition_by,
+            generated=generated or None, identity=identity or None,
+            properties=props,
+        )
+        for col in not_null:
+            v = set_not_null(self.spark, path, col)
+        return v
 
     @staticmethod
     def _sub_outside_quotes(pattern: str, repl, s: str) -> str:

@@ -722,6 +722,7 @@ def _write_version(
     partition_by: tuple | list | None = None,
     generated: dict | None = None,
     identity: dict | None = None,
+    properties: dict | None = None,
 ) -> int:
     """``pre_commit_check`` (round 13): an optional zero-arg callable
     evaluated AFTER the data files are staged but BEFORE the manifest
@@ -756,7 +757,6 @@ def _write_version(
     constraints: dict = {}
     cmap: dict = {}
     dropped: list = []
-    properties: dict | None = None
     if current is not None:
         m_prev = _read_manifest(spark, table_path, current)
         constraints = m_prev.get("constraints", {})
@@ -873,8 +873,11 @@ def create_table(
     partition_by: tuple | list | None = None,
     generated: dict[str, str] | None = None,
     identity: dict[str, dict] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> int:
-    """Version 0 of a new versioned table. ``stats_cols`` declares the
+    """Version 0 of a new versioned table.
+    ``properties`` stamps TBLPROPERTIES at creation (see
+    `set_table_properties`). ``stats_cols`` declares the
     data-skipping columns at creation (round 12): per-file min/max is
     recorded now and MAINTAINED by every subsequent write — appends
     stat only their new files, rewrites re-stat their output — so
@@ -939,6 +942,9 @@ def create_table(
         df, table_path, 0, "create", expect_latest=None, batch_id=batch_id,
         writer_id=writer_id, stamp=stamp, stats_cols=stats_cols,
         partition_by=partition_by, generated=generated, identity=identity,
+        properties={str(k): str(v) for k, v in properties.items()}
+        if properties
+        else None,
     )
 
 
@@ -1420,9 +1426,21 @@ def read_table(
             "not readable until its .committed marker lands"
         )
     files = _resolve_files(spark, table_path, version)
-    if not files:
-        raise ValueError(f"version {version} lists no files")
     m = _read_manifest(spark, table_path, version)
+    if not files:
+        # a legitimately EMPTY snapshot (explicit-schema CREATE TABLE,
+        # or an empty hive write): zero rows under the declared schema.
+        # Tables predating schema recording have nothing to type an
+        # empty frame with — those still refuse.
+        if "schema" not in m:
+            raise ValueError(
+                f"version {version} lists no files and records no schema"
+            )
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
     if partition_filter:
         if not m.get("partition_by"):
             raise ValueError(f"table is not partitioned: {table_path}")
