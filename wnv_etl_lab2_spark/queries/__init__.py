@@ -81,19 +81,21 @@ _FRONT = [
     # cohort + 1 pad (50/50 green, CORRECTNESS_r12.json).
     # This window = (a) the two late-r12 registrations with no driver
     # evidence yet (both oracle-exact locally at sf0.001/0.01/0.1):
-    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the FOUR new
+    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the FIVE new
     # round-13 operators (first driver evidence; oracle-exact locally):
     # partitioned-table lifecycle, metadata column-mapping lifecycle,
-    # incremental IVFPQ index maintenance, COPY INTO lifecycle; (c) 44
-    # of the 48-query r9-evidenced cohort (every query whose latest
-    # driver evidence is r9 — computed from the union of
-    # CORRECTNESS_r01..r12.json). Head slots displace exactly 4 r9
-    # queries; the 4 that slip — `temperature_mixture_weights`,
-    # `template_openers`, `weighted_sample_es`, `token_count` — are
+    # incremental IVFPQ index maintenance, COPY INTO lifecycle, and
+    # the schema-DDL lifecycle (explicit-schema CREATE + IDENTITY +
+    # GENERATED + NOT NULL); (c) 43 of the 48-query r9-evidenced
+    # cohort (every query whose latest driver evidence is r9 —
+    # computed from the union of CORRECTNESS_r01..r12.json). Head
+    # slots displace exactly 5 r9 queries; the 5 that slip —
+    # `temperature_mixture_weights`, `template_openers`,
+    # `weighted_sample_es`, `token_count`, `text_stats` — are
     # text/sampling queries whose code paths did NOT change this round
     # (the r9 queries whose paths DID change — upsert_snapshot_merge,
     # time_travel_audit — stay in).
-    # PRE-COMMITTED for round 14: head slots to those 4 slipped r9
+    # PRE-COMMITTED for round 14: head slots to those 5 slipped r9
     # queries and any r14 registrations / plan-changed queries, then
     # the r10-evidenced cohort oldest-first.
     "delta_sql_lifecycle",
@@ -102,6 +104,7 @@ _FRONT = [
     "column_mapping_lifecycle",
     "ann_topk_ivfpq_incremental",
     "copy_into_lifecycle",
+    "schema_ddl_lifecycle",
     "bigram_pmi_top",
     "binary_frame_fingerprints",
     "bm25_topk",
@@ -140,7 +143,6 @@ _FRONT = [
     "stop_shingle_report",
     "stratified_sample_topk",
     "table_profile",
-    "text_stats",
     "time_travel_audit",
     "token_drift_top_contributors",
     "udtf_token_windows",

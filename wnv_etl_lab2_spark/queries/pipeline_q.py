@@ -970,6 +970,90 @@ def copy_into_lifecycle(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "schema_ddl_lifecycle",
+    oracle="""
+    WITH langs AS (
+        SELECT lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END
+                 AS n_chars
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars,
+               CAST(SUM(n_chars) * 2 AS BIGINT) AS dchars
+        FROM langs GROUP BY lang
+    ),
+    ids AS (
+        SELECT '__ids__' AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS chars,
+               CAST(COUNT(*) AS BIGINT) AS dchars
+        FROM documents
+    )
+    SELECT * FROM per_lang UNION ALL SELECT * FROM ids
+    """,
+)
+def schema_ddl_lifecycle(spark, sf_dir):
+    """The round-13 schema-feature DDL as ONE driver-verified
+    lifecycle (registry face of explicit-schema CREATE TABLE, IDENTITY
+    allocation, GENERATED recompute, and NOT NULL enforcement): CREATE
+    an empty table via the SQL string surface declaring an IDENTITY
+    key, a NOT NULL column, and a GENERATED doubled-chars column; load
+    the corpus in TWO append waves (src0 first — identity continues
+    across waves without collision); UPDATE German docs' n_chars
+    (the generated column must recompute); and return per-language
+    (count, chars, generated-chars) plus an ``__ids__`` row whose
+    chars field is SUM(identity) — dense per-batch allocation makes
+    that exactly N(N+1)/2 REGARDLESS of partition layout, so the
+    allocator's no-gap/no-collision contract is hash-checked against
+    closed-form arithmetic, not just unit-tested."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import append_table, read_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_ddl_life_")
+    try:
+        tbl = root + "/tbl"
+        sql = DeltaSql(spark, {"t": tbl})
+        sql.run(
+            "CREATE TABLE t ("
+            "  rid BIGINT GENERATED ALWAYS AS IDENTITY,"
+            "  doc_id BIGINT,"
+            "  lang STRING NOT NULL,"
+            "  n_chars BIGINT,"
+            "  dchars BIGINT GENERATED ALWAYS AS (n_chars * 2)"
+            ")"
+        )
+        append_table(d.where(F.col("source") == "src0").drop("source"), tbl)
+        append_table(d.where(F.col("source") != "src0").drop("source"), tbl)
+        sql.run("UPDATE t SET n_chars = n_chars + 1 WHERE lang = 'de'")
+        out = sql.run(
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars, "
+            "CAST(sum(dchars) AS BIGINT) AS dchars FROM t GROUP BY lang"
+        ).collect()
+        snap = read_table(spark, tbl)
+        ids = snap.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("rid").cast("long").alias("sum_rid"),
+        ).collect()[0]
+        rows = [(r["lang"], r["n"], r["chars"], r["dchars"]) for r in out]
+        rows.append(("__ids__", ids["n"], ids["sum_rid"], ids["n"]))
+        return spark.createDataFrame(
+            rows, "lang string, n long, chars long, dchars long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register("time_travel_audit")  # filesystem protocol — rows-only; pinned in test_versioned.py
 def time_travel_audit(spark, sf_dir):
     """Versioned-table lifecycle audit (round 8, sources/versioned.py):
