@@ -545,3 +545,47 @@ def test_update_where_inside_quoted_set_value(spark, tmp_path):
     sql.run("UPDATE t SET v = concat(v, ' WHERE ') WHERE id = 2")
     got = {(r.id, r.v) for r in read_table(spark, tbl).collect()}
     assert got == {(1, "x WHERE y"), (2, "b WHERE ")}
+
+
+def test_insert_column_list_truncate_and_overwrite(spark, tmp_path):
+    """Round 13 DML forms: INSERT INTO t (cols) binds the named subset
+    (identity allocates, generated computes for the omitted rest),
+    INSERT OVERWRITE replaces the snapshot, TRUNCATE TABLE logically
+    empties it while history stays time-travelable."""
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    path = str(tmp_path / "dml")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run(
+        "CREATE TABLE t ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY,"
+        "  name STRING,"
+        "  amount BIGINT,"
+        "  total BIGINT GENERATED ALWAYS AS (amount * 2)"
+        ")"
+    )
+    sql.run("INSERT INTO t (name, amount) VALUES ('a', 3), ('b', 4)")
+    rows = {
+        (r.name, r.amount, r.total) for r in read_table(spark, path).collect()
+    }
+    assert rows == {("a", 3, 6), ("b", 4, 8)}
+    assert sorted(r.rid for r in read_table(spark, path).collect()) == [1, 2]
+
+    # out-of-schema-order column list binds by NAME
+    sql.run("INSERT INTO t (amount, name) VALUES (5, 'c')")
+    assert ("c", 5, 10) in {
+        (r.name, r.amount, r.total) for r in read_table(spark, path).collect()
+    }
+
+    sql.run("TRUNCATE TABLE t")
+    assert read_table(spark, path).count() == 0
+    # history is intact: the pre-truncate snapshot still reads
+    assert read_table(spark, path, version=2).count() == 3
+
+    sql.run(
+        "INSERT OVERWRITE t SELECT 99 AS rid, 'z' AS name, "
+        "1 AS amount, 2 AS total"
+    )
+    assert {(r.rid, r.name) for r in read_table(spark, path).collect()} == {
+        (99, "z")
+    }

@@ -354,36 +354,79 @@ class DeltaSql:
                 format_options=_opts(m.group(5)) or None,
                 force=copts.get("force", "false").lower() == "true",
             )
+        if head == "TRUNCATE":
+            m = re.fullmatch(
+                rf"TRUNCATE\s+TABLE\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(f"unsupported TRUNCATE statement: {sql!r}")
+            # a logical DELETE of every row: schema, constraints, and
+            # history survive; old versions stay time-travelable
+            return delete_from_table(self.spark, self._path(m.group(1)), "true")
         if head == "INSERT":
             m = re.fullmatch(
-                rf"INSERT\s+INTO\s+({_IDENT})\s+(SELECT\s+.+|WITH\s+.+|VALUES\s+.+)",
+                rf"INSERT\s+(INTO|OVERWRITE)\s+({_IDENT})"
+                rf"(?:\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+                r"\s+(SELECT\s+.+|WITH\s+.+|VALUES\s+.+)",
                 s,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"unsupported INSERT statement: {sql!r}")
-            path, body = self._path(m.group(1)), m.group(2)
+            path, body = self._path(m.group(2)), m.group(4)
+            col_list = (
+                [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+            )
+            from pyspark.sql import functions as F
+
+            from wnv_etl_lab2_spark.sources.versioned import table_schema
+
+            sch = table_schema(self.spark, path)
             if body.upper().startswith("VALUES"):
-                from wnv_etl_lab2_spark.sources.versioned import table_schema
-
                 df = self.spark.sql(f"SELECT * FROM {body}")
-                sch = table_schema(self.spark, path)
-                if sch is not None:
-                    if len(df.columns) != len(sch.names):
-                        raise ValueError(
-                            f"INSERT VALUES arity {len(df.columns)} != table "
-                            f"arity {len(sch.names)}"
-                        )
-                    from pyspark.sql import functions as F
-
-                    # positional + type-coerced against the table schema,
-                    # the SQL INSERT contract (VALUES literals infer
-                    # narrow types like int where the table has bigint)
-                    df = df.toDF(*sch.names).select(
-                        *[F.col(f.name).cast(f.dataType) for f in sch.fields]
-                    )
             else:
                 df = self._select(body)
+            if col_list is not None:
+                # INSERT INTO t (a, b): positional binding to the NAMED
+                # columns only — omitted columns are left to the write
+                # path (identity allocates, generated computes, plain
+                # columns null-backfill via additive evolution)
+                if sch is None:
+                    raise ValueError(
+                        "INSERT with a column list needs a schema-recording "
+                        "table"
+                    )
+                unknown = [c for c in col_list if c not in sch.names]
+                if unknown:
+                    raise ValueError(f"INSERT column list has unknown: {unknown}")
+                if len(df.columns) != len(col_list):
+                    raise ValueError(
+                        f"INSERT arity {len(df.columns)} != column list "
+                        f"arity {len(col_list)}"
+                    )
+                df = df.toDF(*col_list).select(
+                    *[
+                        F.col(c).cast(sch[c].dataType)
+                        for c in sch.names
+                        if c in col_list
+                    ]
+                )
+            elif body.upper().startswith("VALUES") and sch is not None:
+                if len(df.columns) != len(sch.names):
+                    raise ValueError(
+                        f"INSERT VALUES arity {len(df.columns)} != table "
+                        f"arity {len(sch.names)}"
+                    )
+                # positional + type-coerced against the table schema,
+                # the SQL INSERT contract (VALUES literals infer
+                # narrow types like int where the table has bigint)
+                df = df.toDF(*sch.names).select(
+                    *[F.col(f.name).cast(f.dataType) for f in sch.fields]
+                )
+            if m.group(1).upper() == "OVERWRITE":
+                from wnv_etl_lab2_spark.sources.versioned import overwrite_table
+
+                return overwrite_table(df, path)
             return append_table(df, path)
         if head == "ALTER":
             m = re.fullmatch(
