@@ -589,3 +589,14 @@ def test_insert_column_list_truncate_and_overwrite(spark, tmp_path):
     assert {(r.rid, r.name) for r in read_table(spark, path).collect()} == {
         (99, "z")
     }
+
+
+def test_bare_delete_empties_table(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    path = str(tmp_path / "bd")
+    create_table(spark.createDataFrame([(1,), (2,)], "id long"), path)
+    sql = DeltaSql(spark, {"t": path})
+    assert sql.run("DELETE FROM t") == 1  # new version committed
+    assert read_table(spark, path).count() == 0
+    assert read_table(spark, path, version=0).count() == 2  # time travel

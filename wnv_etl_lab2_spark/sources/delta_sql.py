@@ -528,13 +528,17 @@ class DeltaSql:
             raise ValueError(f"unsupported ALTER statement: {sql!r}")
         if head == "DELETE":
             m = re.fullmatch(
-                rf"DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+)",
+                rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?",
                 s,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"unsupported DELETE statement: {sql!r}")
-            return delete_from_table(self.spark, self._path(m.group(1)), m.group(2))
+            # bare DELETE FROM t = delete every row (Delta semantics;
+            # same logical result as TRUNCATE TABLE)
+            return delete_from_table(
+                self.spark, self._path(m.group(1)), m.group(2) or "true"
+            )
         if head == "UPDATE":
             return self._update(s, sql)
         if head == "MERGE":
