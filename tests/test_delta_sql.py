@@ -600,3 +600,61 @@ def test_bare_delete_empties_table(spark, tmp_path):
     assert sql.run("DELETE FROM t") == 1  # new version committed
     assert read_table(spark, path).count() == 0
     assert read_table(spark, path, version=0).count() == 2  # time travel
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE reconstructs the full declaration — columns
+    with NOT NULL/GENERATED/IDENTITY, PARTITIONED BY, TBLPROPERTIES,
+    plain CHECKs as ALTER lines — and the emitted DDL ROUND-TRIPS:
+    running it on a fresh path yields identical declarations."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        table_constraints,
+        table_properties,
+        table_schema,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    sql = DeltaSql(spark, {"a": src, "b": dst})
+    sql.run(
+        "CREATE TABLE a ("
+        "  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 3),"
+        "  name STRING NOT NULL,"
+        "  amount BIGINT,"
+        "  total BIGINT GENERATED ALWAYS AS (amount * 2),"
+        "  lang STRING"
+        ") PARTITIONED BY (lang) TBLPROPERTIES ('owner' = 'x')"
+    )
+    sql.run("ALTER TABLE a ADD CONSTRAINT pos CHECK (amount >= 0)")
+    stmt = sql.run("SHOW CREATE TABLE a").collect()[0]["createtab_stmt"]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 3)" in stmt
+    assert "name STRING NOT NULL" in stmt
+    assert "GENERATED ALWAYS AS (amount * 2)" in stmt
+    assert "PARTITIONED BY (lang)" in stmt
+    assert "'owner' = 'x'" in stmt
+    assert "ADD CONSTRAINT pos CHECK (amount >= 0)" in stmt
+
+    for piece in stmt.replace("TABLE a", "TABLE b").split(";\n"):
+        sql.run(piece)
+    assert table_schema(spark, dst).json() == table_schema(spark, src).json()
+    assert table_constraints(spark, dst) == table_constraints(spark, src)
+    assert table_properties(spark, dst) == table_properties(spark, src)
+    ma = _read_manifest(spark, src, 0)
+    mb = _read_manifest(spark, dst, 0)
+    assert mb["identity"] == ma["identity"]
+    assert mb["generated"] == ma["generated"]
+    assert mb["partition_by"] == ma["partition_by"]
+
+
+def test_shallow_clone_version_as_of(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    create_table(spark.createDataFrame([(1,)], "id long"), src)
+    append_table(spark.createDataFrame([(2,)], "id long"), src)
+    sql = DeltaSql(spark, {"s": src, "c": dst})
+    sql.run("CREATE TABLE c SHALLOW CLONE s VERSION AS OF 0")
+    assert {r.id for r in read_table(spark, dst).collect()} == {1}
+    assert {r.id for r in read_table(spark, src).collect()} == {1, 2}

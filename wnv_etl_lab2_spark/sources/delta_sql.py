@@ -34,6 +34,8 @@ lifecycle with SQL strings only:
     sql.run("ALTER TABLE events SET TBLPROPERTIES ('owner' = 'x')")
     sql.run("ALTER TABLE events UNSET TBLPROPERTIES ('owner')")
     sql.run("SHOW TBLPROPERTIES events")
+    sql.run("SHOW CREATE TABLE events")          # -> round-trippable DDL
+    sql.run("CREATE TABLE snap SHALLOW CLONE events VERSION AS OF 2")
     sql.run("REORG TABLE events APPLY (PURGE)")
     sql.run("COPY INTO events FROM '/landing/events' FILEFORMAT = PARQUET "
             "PATTERN = '*.parquet'")
@@ -169,6 +171,20 @@ class DeltaSql:
                 return self.spark.createDataFrame(
                     sorted(props.items()) or [], "key string, value string"
                 )
+            m = re.fullmatch(
+                rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})", s, re.IGNORECASE
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    show_create_table,
+                )
+
+                stmt = show_create_table(
+                    self.spark, self._path(m.group(1)), name=m.group(1)
+                )
+                return self.spark.createDataFrame(
+                    [(stmt,)], "createtab_stmt string"
+                )
             raise ValueError(f"unsupported SHOW statement: {sql!r}")
         if head == "REORG":
             # REORG TABLE t APPLY (PURGE) — Delta's canonical spelling of
@@ -283,7 +299,8 @@ class DeltaSql:
             raise ValueError(f"unsupported RESTORE statement: {sql!r}")
         if head == "CREATE":
             m = re.fullmatch(
-                rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})",
+                rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+                r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?",
                 s,
                 re.IGNORECASE,
             )
@@ -291,7 +308,8 @@ class DeltaSql:
                 from wnv_etl_lab2_spark.sources.versioned import clone_table
 
                 return clone_table(
-                    self.spark, self._path(m.group(2)), self._path(m.group(1))
+                    self.spark, self._path(m.group(2)), self._path(m.group(1)),
+                    version=int(m.group(3)) if m.group(3) else None,
                 )
             m = re.match(
                 rf"CREATE\s+TABLE\s+({_IDENT})\s*\(", s, re.IGNORECASE

@@ -3047,7 +3047,12 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     return cur + 1
 
 
-def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
+def clone_table(
+    spark: SparkSession,
+    source_path: str,
+    target_path: str,
+    version: int | None = None,
+) -> int:
     """SHALLOW CLONE — Delta's zero-copy table fork (round 11): create
     ``target_path`` as a new versioned table whose v0 manifest
     REFERENCES the source's current data files (no bytes move — the
@@ -3061,10 +3066,17 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
     version's files breaks the clone (each table's vacuum
     reference-counts only its own manifests). Keep the source's
     cloned version alive, or deep-copy (read_table + create_table)
-    when lifecycles must be independent."""
+    when lifecycles must be independent.
+
+    ``version`` (round 13) clones a PINNED historical snapshot —
+    SHALLOW CLONE ... VERSION AS OF n — instead of the latest."""
     src_v = latest_version(spark, source_path)
     if src_v is None:
         raise ValueError(f"not a versioned table (no log): {source_path}")
+    if version is not None:
+        if version not in _list_versions(spark, source_path):
+            raise ValueError(f"no such version to clone: {version}")
+        src_v = version
     if latest_version(spark, target_path) is not None:
         raise ValueError(f"target already a versioned table: {target_path}")
     m = _read_manifest(spark, source_path, src_v)
@@ -3084,6 +3096,61 @@ def clone_table(spark: SparkSession, source_path: str, target_path: str) -> int:
             manifest[key] = m[key]
     _commit(spark, target_path, 0, manifest)
     return 0
+
+
+def show_create_table(
+    spark: SparkSession, table_path: str, name: str = "t"
+) -> str:
+    """SHOW CREATE TABLE: reconstruct the DDL that declares this
+    table's CURRENT shape — columns with NOT NULL / GENERATED ALWAYS
+    AS (expr) / GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT
+    BY k), PARTITIONED BY, TBLPROPERTIES — followed by one ALTER ...
+    ADD CONSTRAINT line per plain CHECK constraint. The emitted string
+    round-trips through `DeltaSql.run` (pinned in
+    tests/test_delta_sql.py): running it against a fresh path yields a
+    table with identical declarations (identity restarts at its
+    declared START — the high-water mark is table state, not DDL)."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    if "schema" not in m:
+        raise ValueError("pre-r9 table records no schema to render")
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromJson(json.loads(m["schema"]))
+    cons = dict(m.get("constraints", {}))
+    gen = m.get("generated") or {}
+    ident = m.get("identity") or {}
+    cols = []
+    for f in sch.fields:
+        c = f.name
+        part = f"  {c} {f.dataType.simpleString().upper()}"
+        if c in ident:
+            part += (
+                f" GENERATED ALWAYS AS IDENTITY (START WITH "
+                f"{ident[c]['start']} INCREMENT BY {ident[c]['step']})"
+            )
+        elif c in gen:
+            part += f" GENERATED ALWAYS AS ({gen[c]})"
+        if f"nn_{c}" in cons:
+            part += " NOT NULL"
+        cols.append(part)
+    stmt = f"CREATE TABLE {name} (\n" + ",\n".join(cols) + "\n)"
+    if m.get("partition_by"):
+        stmt += " PARTITIONED BY (" + ", ".join(m["partition_by"]) + ")"
+    props = m.get("properties") or {}
+    if props:
+        stmt += " TBLPROPERTIES (" + ", ".join(
+            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+        ) + ")"
+    extra = [
+        f"ALTER TABLE {name} ADD CONSTRAINT {cname} CHECK ({expr})"
+        for cname, expr in sorted(cons.items())
+        if not (cname.startswith("nn_") and cname[3:] in set(sch.names))
+        and not (cname.startswith("gen_") and cname[4:] in gen)
+    ]
+    return ";\n".join([stmt] + extra)
 
 
 def table_constraints(
