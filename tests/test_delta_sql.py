@@ -556,9 +556,12 @@ def test_insert_column_list_truncate_and_overwrite(spark, tmp_path):
 
     path = str(tmp_path / "dml")
     sql = DeltaSql(spark, {"t": path})
+    # BY DEFAULT identity: supplied values are legal (the OVERWRITE
+    # below writes rid explicitly); ALWAYS-refusal is pinned in
+    # test_identity_always_vs_by_default (round 14)
     sql.run(
         "CREATE TABLE t ("
-        "  rid BIGINT GENERATED ALWAYS AS IDENTITY,"
+        "  rid BIGINT GENERATED BY DEFAULT AS IDENTITY,"
         "  name STRING,"
         "  amount BIGINT,"
         "  total BIGINT GENERATED ALWAYS AS (amount * 2)"

@@ -1,0 +1,444 @@
+"""Round-14 lakehouse-protocol features (r13 verdict asks #2-#5 and
+the r13 ADVICE fixes): manifest feature gates, metadata-only type
+widening, CREATE OR REPLACE TABLE + DEEP CLONE, GENERATED ALWAYS vs
+BY DEFAULT identity semantics, negative identity steps, the INSERT
+OVERWRITE column-list null-fill, and copy_into's (path, size) ledger
+identity."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+from wnv_etl_lab2_spark.sources.versioned import (
+    SUPPORTED_FEATURES,
+    _read_manifest,
+    alter_column_type,
+    append_table,
+    clone_table,
+    create_table,
+    latest_version,
+    read_table,
+    replace_table,
+    table_schema,
+    vacuum_table,
+)
+
+
+def _tamper_features(table_path: str, feats: list[str]) -> None:
+    """Rewrite the tip manifest's features list in place (simulating a
+    future writer), clearing Hadoop's local-FS checksum sidecar so the
+    read exercises the FEATURE gate, not the CRC."""
+    logs = sorted(glob.glob(table_path + "/_log/0*.json"))
+    m = json.loads(open(logs[-1]).read())
+    m["features"] = feats
+    open(logs[-1], "w").write(json.dumps(m))
+    for crc in glob.glob(table_path + "/_log/.*.crc"):
+        os.remove(crc)
+
+
+# --------------------------------------------------------------- features
+
+
+def test_feature_gate_stamped_only_when_used(spark, tmp_path):
+    plain = str(tmp_path / "plain")
+    create_table(spark.createDataFrame([(1,)], "x long"), plain)
+    assert "features" not in _read_manifest(spark, plain, 0)
+
+    part = str(tmp_path / "part")
+    create_table(
+        spark.createDataFrame([(1, "a")], "x long, p string"),
+        part,
+        partition_by=["p"],
+    )
+    assert _read_manifest(spark, part, 0)["features"] == ["partitioning"]
+
+    gen = str(tmp_path / "gen")
+    create_table(
+        spark.createDataFrame([(1,)], "x long"),
+        gen,
+        generated={"d": "x * 2"},
+    )
+    # generated auto-registers its CHECK invariant, so both stamp
+    assert _read_manifest(spark, gen, 0)["features"] == [
+        "check_constraints",
+        "generated_columns",
+    ]
+
+
+def test_feature_gate_refuses_unknown_required_feature(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,)], "x long"), path)
+    _tamper_features(path, ["quantum_compression"])
+    with pytest.raises(ValueError, match="quantum_compression"):
+        read_table(spark, path)
+
+
+def test_feature_gate_legacy_manifest_reads(spark, tmp_path):
+    """A manifest with NO features field (legacy / feature-free) reads
+    exactly as before the gate existed."""
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,), (2,)], "x long"), path)
+    m = _read_manifest(spark, path, 0)
+    assert "features" not in m
+    assert read_table(spark, path).count() == 2
+    # a KNOWN feature list also reads
+    _tamper_features(path, sorted(SUPPORTED_FEATURES)[:2])
+    assert read_table(spark, path).count() == 2
+
+
+# --------------------------------------------------------------- widening
+
+
+def test_type_widening_is_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], "id int, score float"),
+        path,
+    )
+    files0 = _read_manifest(spark, path, 0)["files"]
+    v = alter_column_type(spark, path, "id", "bigint")
+    alter_column_type(spark, path, "score", "double")
+    m = _read_manifest(spark, path, latest_version(spark, path))
+    assert m["files"] == files0  # zero data files touched
+    assert "type_widening" in m["features"]
+    assert m["widened"] == {"id": "int", "score": "float"}
+    assert v == 1
+
+    # mixed-generation read: old int32 files + a new int64 file
+    append_table(
+        spark.createDataFrame([(3_000_000_000, 9.25)], "id long, score double"),
+        path,
+    )
+    got = sorted((r.id, r.score) for r in read_table(spark, path).collect())
+    assert got == [(1, 1.5), (2, 2.5), (3_000_000_000, 9.25)]
+
+    # a still-narrow append up-casts in-plan instead of raising
+    append_table(
+        spark.createDataFrame([(7, 1.0)], "id int, score float"), path
+    )
+    assert read_table(spark, path).where("id = 7").count() == 1
+
+    # time travel reads v0 under its ORIGINAL types
+    assert table_schema(spark, path, 0).simpleString() == (
+        "struct<id:int,score:float>"
+    )
+    assert table_schema(spark, path).simpleString() == (
+        "struct<id:bigint,score:double>"
+    )
+
+
+def test_type_widening_rejects_lossy_and_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, p string, v double"),
+        path,
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="lossless"):
+        alter_column_type(spark, path, "id", "int")  # narrowing
+    with pytest.raises(ValueError, match="lossless"):
+        alter_column_type(spark, path, "v", "string")  # lossy
+    with pytest.raises(ValueError, match="partition"):
+        alter_column_type(spark, path, "p", "string")
+    with pytest.raises(ValueError, match="already"):
+        alter_column_type(spark, path, "id", "bigint")
+
+
+def test_type_widening_sql_verb_and_show_create(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (id INT, score FLOAT)")
+    sql.run("INSERT INTO t VALUES (1, 1.5)")
+    sql.run("ALTER TABLE t ALTER COLUMN id TYPE BIGINT")
+    ddl = sql.run("SHOW CREATE TABLE t").collect()[0][0]
+    assert "id BIGINT" in ddl
+    # round-trip: the emitted DDL declares the widened type directly
+    path2 = str(tmp_path / "t2")
+    DeltaSql(spark, {"t": path2}).run(ddl)
+    assert table_schema(spark, path2)["id"].dataType.simpleString() == "bigint"
+
+
+def test_widened_survives_dml_and_normalizes_on_rewrite(spark, tmp_path):
+    """Metadata DDL and appends CARRY the widened marker (old narrow
+    files remain); a full rewrite (OPTIMIZE-style overwrite) writes
+    every file at the declared type and DROPS it."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_column,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,), (2,)], "id int"), path)
+    alter_column_type(spark, path, "id", "bigint")
+    append_table(spark.createDataFrame([(3,)], "id int"), path)
+    add_column(spark, path, "note", "string")
+    cur = latest_version(spark, path)
+    assert _read_manifest(spark, path, cur)["widened"] == {"id": "int"}
+    optimize_table(spark, path, target_files=1)
+    cur = latest_version(spark, path)
+    m = _read_manifest(spark, path, cur)
+    assert "widened" not in m  # fresh files carry the declared type
+    assert sorted(r.id for r in read_table(spark, path).collect()) == [1, 2, 3]
+
+
+# ---------------------------------------------------------- replace/clone
+
+
+def test_create_or_replace_is_one_atomic_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    v = replace_table(
+        spark.createDataFrame([(2.5, True)], "x double, flag boolean"), path
+    )
+    assert v == 1  # exactly one new version: old-or-new, never absent
+    assert table_schema(spark, path).simpleString() == (
+        "struct<x:double,flag:boolean>"
+    )
+    # prior definition stays time-travelable
+    assert read_table(spark, path, 0).collect()[0].v == "a"
+
+
+def test_replace_does_not_carry_old_declarations(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import table_properties
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(1,)], "x long"),
+        path,
+        generated={"d": "x * 2"},
+        properties={"owner": "old"},
+    )
+    replace_table(spark.createDataFrame([(5, 7)], "x long, d long"), path)
+    m = _read_manifest(spark, path, 1)
+    assert "generated" not in m and "constraints" not in m
+    assert table_properties(spark, path) == {}
+    # d is now a PLAIN column: a disagreeing value commits fine
+    append_table(spark.createDataFrame([(1, 999)], "x long, d long"), path)
+    assert read_table(spark, path).where("d = 999").count() == 1
+
+
+def test_create_or_replace_sql_forms(spark, tmp_path):
+    src = str(tmp_path / "src")
+    create_table(spark.createDataFrame([(i,) for i in range(5)], "n long"), src)
+    tgt = str(tmp_path / "tgt")
+    sql = DeltaSql(spark, {"src": src, "tgt": tgt})
+    sql.run("CREATE TABLE tgt AS SELECT n FROM src WHERE n < 2")
+    sql.run("CREATE OR REPLACE TABLE tgt AS SELECT n * 10 AS n FROM src")
+    assert sorted(r.n for r in read_table(spark, tgt).collect()) == [
+        0, 10, 20, 30, 40,
+    ]
+    sql.run("CREATE OR REPLACE TABLE tgt (a INT, b STRING)")
+    assert table_schema(spark, tgt).simpleString() == "struct<a:int,b:string>"
+    sql.run("CREATE OR REPLACE TABLE tgt SHALLOW CLONE src")
+    assert read_table(spark, tgt).count() == 5
+
+
+def test_deep_clone_survives_source_vacuum(spark, tmp_path):
+    """The r13 verdict's pinned requirement: vacuum the source down to
+    zero retained old versions and the deep clone still reads."""
+    from wnv_etl_lab2_spark.sources.versioned import overwrite_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    create_table(
+        spark.createDataFrame([(i, f"r{i}") for i in range(20)], "n long, s string"),
+        src,
+        stats_cols=["n"],
+    )
+    append_table(spark.createDataFrame([(20, "r20")], "n long, s string"), src)
+    clone_table(spark, src, dst, deep=True)
+    m = _read_manifest(spark, dst, 0)
+    # the clone owns its bytes: no file path points into the source
+    assert all("/src/" not in f for f in m["files"])
+    assert m.get("stats_cols") == ["n"] and m.get("stats")
+    overwrite_table(spark.createDataFrame([(99, "z")], "n long, s string"), src)
+    vacuum_table(spark, src, keep_last=1, retain_hours=0)
+    assert read_table(spark, dst).count() == 21
+
+    # contrast: a SHALLOW clone of the same (now-vacuumed) source
+    # would have been broken — the documented caveat deep repairs
+
+
+def test_deep_clone_carries_declarations_and_identity_mark(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    sql = DeltaSql(spark, {"src": src})
+    sql.run(
+        "CREATE TABLE src (rid BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)"
+    )
+    append_table(spark.createDataFrame([("a",), ("b",)], "v string"), src)
+    clone_table(spark, src, dst, deep=True)
+    # allocation continues PAST the source's mark — no collisions
+    append_table(spark.createDataFrame([("c",)], "v string"), dst)
+    assert sorted(r.rid for r in read_table(spark, dst).collect()) == [1, 2, 3]
+    # ALWAYS enforcement traveled too
+    with pytest.raises(ValueError, match="ALWAYS"):
+        append_table(
+            spark.createDataFrame([(9, "x")], "rid long, v string"), dst
+        )
+
+
+def test_deep_clone_sql_verb(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    create_table(spark.createDataFrame([(1,), (2,)], "n long"), src)
+    sql = DeltaSql(spark, {"src": src, "dst": dst})
+    sql.run("CREATE TABLE dst DEEP CLONE src")
+    assert read_table(spark, dst).count() == 2
+    sql.run("CREATE OR REPLACE TABLE dst DEEP CLONE src VERSION AS OF 0")
+    assert read_table(spark, dst).count() == 2
+
+
+# ------------------------------------------------------- identity semantics
+
+
+def test_identity_always_vs_by_default(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    append_table(spark.createDataFrame([("a",)], "v string"), path)
+    with pytest.raises(ValueError, match="ALWAYS"):
+        append_table(
+            spark.createDataFrame([(5, "x")], "rid long, v string"), path
+        )
+    with pytest.raises(ValueError, match="ALWAYS"):
+        sql.run("INSERT INTO t (rid, v) VALUES (7, 'x')")
+    ddl = sql.run("SHOW CREATE TABLE t").collect()[0][0]
+    assert "GENERATED ALWAYS AS IDENTITY" in ddl
+
+    path2 = str(tmp_path / "t2")
+    sql2 = DeltaSql(spark, {"t": path2})
+    sql2.run(
+        "CREATE TABLE t (rid BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)"
+    )
+    append_table(
+        spark.createDataFrame([(50, "x")], "rid long, v string"), path2
+    )
+    append_table(spark.createDataFrame([("y",)], "v string"), path2)
+    # supplied value advanced the mark: the allocation lands past 50
+    assert sorted(r.rid for r in read_table(spark, path2).collect()) == [50, 51]
+    ddl2 = sql2.run("SHOW CREATE TABLE t").collect()[0][0]
+    assert "GENERATED BY DEFAULT AS IDENTITY" in ddl2
+    # the emitted DDL round-trips with the same enforcement mode
+    path3 = str(tmp_path / "t3")
+    DeltaSql(spark, {"t": path3}).run(ddl2)
+    append_table(spark.createDataFrame([(9, "z")], "rid long, v string"), path3)
+
+
+def test_identity_negative_step_allocates_downward(spark, tmp_path):
+    """r13 ADVICE high: with INCREMENT BY -n the water mark must track
+    min(), not max() — otherwise every batch re-issues the same ids."""
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY "
+        "(START WITH 100 INCREMENT BY -2), v STRING)"
+    )
+    append_table(spark.createDataFrame([("a",), ("b",)], "v string"), path)
+    append_table(spark.createDataFrame([("c",)], "v string"), path)
+    ids = sorted(r.rid for r in read_table(spark, path).collect())
+    assert ids == [96, 98, 100]  # unique, descending across batches
+    assert len(set(ids)) == 3
+
+
+def test_identity_int_declaration_stays_appendable(spark, tmp_path):
+    """r13 ADVICE medium: allocated values cast to the DECLARED type
+    (INT here), so the append never trips the type-change check."""
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (rid INT GENERATED BY DEFAULT AS IDENTITY, v STRING)"
+    )
+    append_table(spark.createDataFrame([("a",)], "v string"), path)
+    append_table(spark.createDataFrame([("b",)], "v string"), path)
+    assert table_schema(spark, path)["rid"].dataType.simpleString() == "int"
+    assert sorted(r.rid for r in read_table(spark, path).collect()) == [1, 2]
+
+
+def test_generated_expression_casts_to_declared_type(spark, tmp_path):
+    """r13 ADVICE medium: a generated expr whose inferred type differs
+    from the declared column type casts to the declaration."""
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (n INT, d BIGINT GENERATED ALWAYS AS (n * 2))"
+    )
+    append_table(spark.createDataFrame([(3,)], "n int"), path)
+    append_table(spark.createDataFrame([(4,)], "n int"), path)
+    assert table_schema(spark, path)["d"].dataType.simpleString() == "bigint"
+    assert {(r.n, r.d) for r in read_table(spark, path).collect()} == {
+        (3, 6), (4, 8),
+    }
+
+
+# ----------------------------------------------------- INSERT OVERWRITE
+
+
+def test_insert_overwrite_column_list_null_fills(spark, tmp_path):
+    """r13 ADVICE medium: OVERWRITE with a partial column list keeps
+    the FULL schema, null-filling unlisted plain columns instead of
+    silently dropping them from the table."""
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (a INT, b STRING, c DOUBLE)")
+    sql.run("INSERT INTO t VALUES (1, 'x', 1.5)")
+    sql.run("INSERT OVERWRITE t (a) VALUES (42)")
+    assert table_schema(spark, path).simpleString() == (
+        "struct<a:int,b:string,c:double>"
+    )
+    row = read_table(spark, path).collect()[0]
+    assert (row.a, row.b, row.c) == (42, None, None)
+
+
+def test_insert_overwrite_column_list_leaves_derived_to_engine(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "n INT, d BIGINT GENERATED ALWAYS AS (n * 2), note STRING)"
+    )
+    sql.run("INSERT INTO t (n) VALUES (1), (2)")
+    sql.run("INSERT OVERWRITE t (n) VALUES (5)")
+    row = read_table(spark, path).collect()[0]
+    # identity re-allocated (not null-filled), generated recomputed,
+    # plain unlisted column null-filled
+    assert (row.n, row.d, row.note) == (5, 10, None)
+    assert row.rid is not None
+
+
+# ------------------------------------------------------------- copy_into
+
+
+def test_copy_into_reloads_resized_file(spark, tmp_path):
+    """r13 ADVICE low: ledger freshness keys on (path, size) — an
+    in-place overwrite with different content re-qualifies."""
+    import shutil
+
+    from wnv_etl_lab2_spark.sources.versioned import copy_into
+
+    land = str(tmp_path / "landing")
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(land)
+    spark.createDataFrame([(1,), (2,)], "x long").coalesce(1).write.parquet(
+        land + "/w1"
+    )
+    part = glob.glob(land + "/w1/part-*.parquet")[0]
+    shutil.copy(part, land + "/data.parquet")
+    shutil.rmtree(land + "/w1")
+    create_table(spark.createDataFrame([], "x long"), tbl)
+    first = copy_into(spark, tbl, land)
+    assert first["files_loaded"] == 1 and first["rows_loaded"] == 2
+    assert copy_into(spark, tbl, land)["files_loaded"] == 0  # no-op re-run
+
+    # overwrite the SAME path with different content (different size)
+    spark.createDataFrame([(3,), (4,), (5,)], "x long").coalesce(
+        1
+    ).write.parquet(land + "/w2")
+    part2 = glob.glob(land + "/w2/part-*.parquet")[0]
+    os.remove(land + "/data.parquet")
+    shutil.copy(part2, land + "/data.parquet")
+    shutil.rmtree(land + "/w2")
+    second = copy_into(spark, tbl, land)
+    assert second["files_loaded"] == 1 and second["rows_loaded"] == 3
+    assert copy_into(spark, tbl, land)["files_loaded"] == 0
+    assert read_table(spark, tbl).count() == 5

@@ -120,6 +120,7 @@ def read_change_data(
             ch_manifest = {
                 "schema": m.get("schema"),
                 "column_map": m.get("column_map"),
+                "widened": m.get("widened"),
             }
             part = _scan_snapshot_files(
                 spark, m["changes"], ch_manifest, extra_cols=("_change_type",)
@@ -216,5 +217,6 @@ def table_appends(
 
     m_to = _read_manifest(spark, table_path, v_to)
     return _scan_snapshot_files(
-        spark, files, {k: m_to.get(k) for k in ("schema", "partition_by", "column_map")}
+        spark, files,
+        {k: m_to.get(k) for k in ("schema", "partition_by", "column_map", "widened")}
     )

@@ -194,9 +194,26 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     constraints = prev0.get("constraints", {})
     generated = prev0.get("generated")
     identity = prev0.get("identity")
+    declared_types: dict = {}
+    if "schema" in prev0:
+        import json as _json
+
+        from pyspark.sql.types import StructType as _ST
+
+        declared_types = {
+            f.name: f.dataType
+            for f in _ST.fromJson(_json.loads(prev0["schema"])).fields
+        }
     # generated/identity columns compute-if-missing through
-    # transactional stages exactly like the single-table verbs (r13)
-    wdf = _assign_identity(_apply_generated(w.df, generated), identity)
+    # transactional stages exactly like the single-table verbs (r13);
+    # declared-type casts + ALWAYS-identity refusal like the r14
+    # single-table write paths (txn stages are user-facing writes)
+    wdf = _assign_identity(
+        _apply_generated(w.df, generated, declared_types),
+        identity,
+        declared_types,
+        forbid_supplied=True,
+    )
     # partitioning + column mapping travel through transactional stages
     # exactly like the single-table verbs (round 13)
     partition_by = prev0.get("partition_by")
@@ -269,7 +286,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         # dropping it silently resurrected MoR-deleted rows and reset
         # stats/bloom skipping after a transactional append)
         for key in (
-            "dv", "dv_counts", "stats", "stats_cols", "blooms", "blooms_ref"
+            "dv", "dv_counts", "stats", "stats_cols", "blooms", "blooms_ref",
+            "widened",
         ):
             if prev.get(key):
                 manifest[key] = prev[key]
