@@ -1002,3 +1002,102 @@ def test_ignore_deletes_and_skip_change_commits(registered, tmp_path):
     with pytest.raises(StreamingQueryException, match="append-only"):
         drain("ck-del2", ignoreDeletes="true")  # update still refuses
     assert sorted(drain("ck-skip", skipChangeCommits="true")) == [0, 1, 2, 3]
+
+
+def test_available_now_drains_then_stops_and_restart_drains_delta(
+    registered, tmp_path
+):
+    """Trigger.AvailableNow (round 14 — r13 verdict ask #7): a run
+    over a multi-version table equals the batch read and TERMINATES
+    on its own; a restart after more appends drains only the delta."""
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    spark = registered
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(1,), (2,)], "x long"), tbl)
+    for i in range(3, 9):
+        append_table(spark.createDataFrame([(i,)], "x long"), tbl)
+
+    got: list[int] = []
+    sink = lambda df, _bid: got.extend(r.x for r in df.collect())  # noqa: E731
+
+    def run_available_now() -> None:
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", tbl)
+            .option("availableNow", "true")
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)  # catch-up-then-STOP, no q.stop()
+        assert not q.isActive
+
+    run_available_now()
+    batch = sorted(r.x for r in read_table(spark, tbl).collect())
+    assert sorted(got) == batch  # availableNow drain == batch read
+
+    append_table(spark.createDataFrame([(100,)], "x long"), tbl)
+    append_table(spark.createDataFrame([(101,)], "x long"), tbl)
+    got.clear()
+    run_available_now()
+    assert sorted(got) == [100, 101]  # restart drains ONLY the delta
+
+    got.clear()
+    run_available_now()
+    assert got == []  # nothing new -> empty drain, still terminates
+
+
+def test_available_now_freezes_target_and_paces_under_rate_limit(tmp_path):
+    """Unit-level pin of the option's two latestOffset roles: the
+    first call captures the full catch-up target; later calls pace
+    rate-limited batch ends toward it and never pass it — appends
+    landing after the capture wait for the next run (Delta's
+    AvailableNow contract)."""
+    from pyspark.sql.types import StructType
+
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+
+    # a table only the reader's plain-python log walker touches
+    from wnv_etl_lab2_spark import get_spark
+
+    spark = get_spark(app_name="wnv-etl-lab2-tests", cpus=8, shuffle_partitions=8)
+    tbl = str(tmp_path / "tbl")
+    create_table(spark.createDataFrame([(1,)], "x long"), tbl)
+    for i in range(2, 6):
+        append_table(spark.createDataFrame([(i,)], "x long"), tbl)
+
+    schema = StructType.fromJson(
+        __import__("json").loads(
+            __import__(
+                "wnv_etl_lab2_spark.sources.versioned", fromlist=["x"]
+            )._read_manifest(spark, tbl, 4)["schema"]
+        )
+    )
+    r = VersionedTableStreamReader(
+        tbl, schema, -1, max_files=1, available_now=True
+    )
+    target = r.latestOffset()  # capture call
+    assert target == {"version": 4}
+
+    # a concurrent append AFTER capture must not move the target
+    append_table(spark.createDataFrame([(99,)], "x long"), tbl)
+
+    ends = []
+    prev = r.initialOffset()
+    for _ in range(20):
+        end = r.latestOffset()
+        if end == prev:
+            break
+        r.partitions(prev, end)
+        ends.append(end)
+        prev = end
+    assert ends[-1] == {"version": 4}  # drained exactly to the target
+    assert len(ends) >= 4  # bounded steps, not one giant batch
+    assert all(e["version"] <= 4 for e in ends)
