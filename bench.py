@@ -78,7 +78,14 @@ HEADLINE = [
     "embedding_quantize_perdim",  # per-dim int8 calibration, 2 passes + d-row shuffle (round 11)
     "ann_topk_ivfpq",             # IVFADC residual code scan, zero-shuffle pure map (round 12)
     "partitioned_table_lifecycle",  # hive-partitioned DML + pruned reads, path-as-metadata (round 13)
+    "type_widening_lifecycle",    # metadata-only ALTER COLUMN TYPE + mixed-generation widened read (round 14)
 ]
+# Round-14 registrations deliberately NOT in the headline set:
+# substring_dedup_spans is the third declared exact-pair floor
+# (quarantined family — SCALE_SMOKE gates it per-unit instead, 0.54
+# vs 1.0), and replace_deep_clone_lifecycle's wall is a corpus copy
+# job (deep clone) whose timing measures IO volume, not a plan shape
+# worth regression-tracking per round. Both are driver-evidenced.
 
 
 # Declared per-query wall bounds at sf0.1 (round-7 verdict #3): the

@@ -207,11 +207,20 @@ def test_plan_audit_artifact_matches_registry_count():
     )
 
 
-# The two declared exact-pair floors: >20%-of-corpus shuffles accepted
+# The declared exact-pair floors: >20%-of-corpus shuffles accepted
 # as the price of exactness (VERDICT r11 "keep the exact-pair floors
 # quarantined"); production near-dup routes through MinHash. No OTHER
-# query may adopt this shuffle shape.
-EXACT_PAIR_ALLOWLIST = {"ngram_jaccard_pairs", "containment_pairs"}
+# query may adopt this shuffle shape. substring_dedup_spans joined in
+# round 14 BY EXPLICIT VERDICT ASK (r13 "What's missing" #4 / next-
+# round #6: exact cross-doc verbatim-span dedup, the Lee-et-al.
+# family) — seed-gram universe is O(total chars) by the family's
+# nature, df-capped like the backbone, driver-evidenced r14, and kept
+# OUT of the bench headline set.
+EXACT_PAIR_ALLOWLIST = {
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "substring_dedup_spans",
+}
 
 # Shuffle-write bound for queries not yet covered by a committed
 # PLAN_AUDIT/driver round: 20% of the input dataset bytes — between

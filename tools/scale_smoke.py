@@ -122,6 +122,15 @@ PER_UNIT_X16_GATES = {
     # shuffle between them — per-doc cost must amortize in both.
     "chi2_token_source": 0.5,
     "embedding_quantize_perdim": 0.5,
+    # Round 14: exact substring dedup (the third declared exact-pair
+    # floor, added by r13 verdict ask #6). Seed grams are O(total
+    # chars) by the family's nature; the df cap (<= 8 docs per gram)
+    # bounds in-bucket pair work, and adversarial replication piles
+    # every gram to the cap AND multiplies qualifying span pairs k^2
+    # per duplicate cluster — output-shaped growth like the backbone
+    # rows, so the honest gate is per-unit <= 1.0 (per-doc cost may
+    # not RISE). Staged/scan-inclusive.
+    "substring_dedup_spans": 1.0,
     # Round 12: the IVFADC residual code scan (ann_topk_ivfpq) —
     # staged/scan-inclusive like the other embedding rows. The plan is
     # a pure map (assign + nprobe filter + residual encode + LUT fold)
@@ -361,6 +370,7 @@ def main() -> None:
     from wnv_etl_lab2_spark.queries.text_q import (
         bm25_topk,
         chi2_token_source,
+        substring_dedup_spans,
         fuzzy_prefix_pairs,
         ngram_counts_top,
         tfidf_top_terms,
@@ -387,6 +397,7 @@ def main() -> None:
         "chi2_token_source": chi2_token_source,
         "embedding_quantize_perdim": embedding_quantize_perdim,
         "ann_topk_ivfpq": ann_topk_ivfpq,
+        "substring_dedup_spans": substring_dedup_spans,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

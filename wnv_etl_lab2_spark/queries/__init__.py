@@ -65,89 +65,90 @@ _LOADED = False
 # rows-only registry queries were re-evidenced in r11 and sit
 # outside this window).
 FRONT_ROWS_ONLY_OK: set[str] = {
-    # the one rows-only query in the r9-stale cohort this window
-    # rotates; its ground truth is pinned in tests/test_versioned.py
-    # (filesystem versioning protocol — not SQL-expressible), and its
-    # code path changed this round (partitioning/column-map refactor),
-    # so re-evidencing it beats leaving it stale
-    "time_travel_audit",
+    # the two rows-only queries inside the r10 cohort this window
+    # re-evidences; their ground truths are pinned in pytest
+    # (embedding_cluster_profile: k-means geometry in test_clustering;
+    # semantic_dedup_keep: keep-set invariants in test_dedup) — both
+    # code-unchanged this round, re-evidenced on age alone
+    "embedding_cluster_profile",
+    "semantic_dedup_keep",
 }
 
 _FRONT = [
-    # Round-13 window — exactly the r12 verdict's ask ("Next round"
+    # Round-14 window — exactly the r13 verdict's ask ("Next round"
     # item 1) plus this round's new operators. Rotation history:
-    # r1-r12 as documented in prior revisions of this block; r12 =
-    # chi2 re-verify + 2 IVFADC ops + the full 46-query r8-stale
-    # cohort + 1 pad (50/50 green, CORRECTNESS_r12.json).
-    # This window = (a) the two late-r12 registrations with no driver
-    # evidence yet (both oracle-exact locally at sf0.001/0.01/0.1):
-    # `delta_sql_lifecycle`, `merge_clause_matrix`; (b) the FIVE new
-    # round-13 operators (first driver evidence; oracle-exact locally):
-    # partitioned-table lifecycle, metadata column-mapping lifecycle,
-    # incremental IVFPQ index maintenance, COPY INTO lifecycle, and
-    # the schema-DDL lifecycle (explicit-schema CREATE + IDENTITY +
-    # GENERATED + NOT NULL); (c) 43 of the 48-query r9-evidenced
-    # cohort (every query whose latest driver evidence is r9 —
-    # computed from the union of CORRECTNESS_r01..r12.json). Head
-    # slots displace exactly 5 r9 queries; the 5 that slip —
-    # `temperature_mixture_weights`, `template_openers`,
-    # `weighted_sample_es`, `token_count`, `text_stats` — are
-    # text/sampling queries whose code paths did NOT change this round
-    # (the r9 queries whose paths DID change — upsert_snapshot_merge,
-    # time_travel_audit — stay in).
-    # PRE-COMMITTED for round 14: head slots to those 5 slipped r9
-    # queries and any r14 registrations / plan-changed queries, then
-    # the r10-evidenced cohort oldest-first.
-    "delta_sql_lifecycle",
-    "merge_clause_matrix",
-    "partitioned_table_lifecycle",
-    "column_mapping_lifecycle",
-    "ann_topk_ivfpq_incremental",
-    "copy_into_lifecycle",
-    "schema_ddl_lifecycle",
-    "bigram_pmi_top",
-    "binary_frame_fingerprints",
-    "bm25_topk",
-    "classifier_confusion_matrix",
-    "cohort_retention",
-    "corpus_dashboard",
-    "data_quality_checks",
-    "embedding_covariance_int8",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "event_dedup_window",
-    "frame_overlap_pairs",
-    "fuzzy_prefix_pairs",
-    "gap_fill_interpolate",
-    "groupwise_zscore_arrow",
-    "holed_zone_clip",
-    "interleave_mixture_schedule",
-    "label_cohesion_stats",
-    "lang_id_heuristic",
-    "lang_quality_agg",
-    "lookup_enrichment_join",
-    "multiway_join_topk_revenue",
-    "neardup_graph_stats",
-    "neardup_keep_better",
-    "neardup_threshold_sweep",
-    "pricing_summary",
-    "quality_rule_ablation",
-    "quality_rules_filter",
-    "repetition_filter",
-    "rolling_median_value",
-    "sequence_packing",
-    "source_mixture_weights",
-    "spatial_join_count",
-    "spatial_zone_rollup",
-    "stable_doc_ids",
-    "stop_shingle_report",
-    "stratified_sample_topk",
-    "table_profile",
-    "time_travel_audit",
-    "token_drift_top_contributors",
-    "udtf_token_windows",
-    "unigram_logprob_quality",
-    "upsert_snapshot_merge",
+    # r1-r13 as documented in prior revisions of this block; r13 =
+    # the two late-r12 registrations + 5 new r13 lifecycle queries +
+    # 43 of the 48-query r9 cohort (50/50 green, CORRECTNESS_r13).
+    # This window = (a) the FIVE r9-stale queries the r13 window
+    # slipped — the pre-committed head, executing the in-code promise;
+    # (b) the THREE new round-14 registrations (first driver
+    # evidence; oracle-exact locally at sf0.001/0.01/0.1):
+    # substring_dedup_spans (exact cross-doc verbatim-span dedup),
+    # type_widening_lifecycle (metadata-only ALTER COLUMN TYPE), and
+    # replace_deep_clone_lifecycle (CREATE OR REPLACE + DEEP CLONE
+    # surviving source vacuum); (c) 42 of the 50-query r10-evidenced
+    # cohort. Head slots displace exactly 8 r10 queries; the 8 that
+    # slip — the TPC-H revenue family (disjunctive_predicate_revenue,
+    # forecast_revenue_change, large_volume_orders, late_shipper_chain,
+    # nation_market_share, nation_volume_shipping, promo_revenue_share,
+    # regional_revenue) — are exact-oracle single/two-shuffle
+    # relational shapes whose code paths did NOT change this round
+    # (no r10-cohort query touches the versioned/stream code r14
+    # modified), all covered by the local oracle gate every round.
+    # PRE-COMMITTED for round 15: head slots to those 8 slipped r10
+    # queries and any r15 registrations / plan-changed queries, then
+    # the r11-evidenced cohort oldest-first.
+    "temperature_mixture_weights",
+    "template_openers",
+    "weighted_sample_es",
+    "token_count",
+    "text_stats",
+    "substring_dedup_spans",
+    "type_widening_lifecycle",
+    "replace_deep_clone_lifecycle",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "argmax_per_group",
+    "bpe_pair_merge_counts",
+    "clean_cast_filter",
+    "collect_sorted_agg",
+    "constant_column",
+    "correlated_exists",
+    "cube_agg",
+    "customer_rfm_segments",
+    "dedup_simhash",
+    "denylist_scrub",
+    "deterministic_sample",
+    "dsir_importance_weights",
+    "dup_cluster_histogram",
+    "embedding_cluster_profile",
+    "event_transition_matrix",
+    "except_all_multiset",
+    "grouped_agg_pandas_udaf",
+    "hybrid_rrf_retrieval",
+    "incremental_dedup_new_docs",
+    "intersect_all_multiset",
+    "json_extraction",
+    "logreg_gd_steps",
+    "pivot_agg",
+    "points_from_xy",
+    "polygon_clip_area",
+    "projection_concat",
+    "returned_item_ranking",
+    "rolling_zscore_events",
+    "rollup_agg",
+    "salted_groupby",
+    "semantic_decontamination",
+    "semantic_dedup_keep",
+    "small_qty_part_revenue",
+    "source_similarity_matrix",
+    "top_supplier_revenue",
+    "tumbling_window_batch",
+    "vocab_coverage",
+    "window_topk_per_group",
+    "word_entropy_quality",
+    "zone_overlay",
 ]
 
 

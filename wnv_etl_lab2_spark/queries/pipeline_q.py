@@ -1418,3 +1418,172 @@ def column_mapping_lifecycle(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "type_widening_lifecycle",
+    oracle="""
+    WITH waves AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE source = 'src0'
+        UNION ALL
+        SELECT lang, CAST(n_chars AS BIGINT) + 3000000000 AS n_chars
+        FROM documents WHERE source <> 'src0'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM waves GROUP BY lang
+    """,
+)
+def type_widening_lifecycle(spark, sf_dir):
+    """Metadata-only TYPE WIDENING as a driver-verified lifecycle
+    (round 14 — registry face of `sources/versioned.alter_column_type`,
+    r13 verdict ask #4): CREATE a versioned table from the src0 wave
+    with n_chars declared INT, widen it to BIGINT via the SQL verb —
+    the protocol raises here if the commit touched ANY data file or
+    forgot the type_widening feature stamp — then append the remaining
+    docs with n_chars pushed past INT range (+3e9, impossible to store
+    narrow), and return per-language (count, sum). The final aggregate
+    scans MIXED file generations (int32 files from wave 1, int64 from
+    wave 2) through the explicit up-converting read schema, so the
+    whole widened-read path is hash-checked against DuckDB replaying
+    the two waves arithmetically."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        create_table,
+        latest_version,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("lang", "n_chars", "source")
+    root = tempfile.mkdtemp(prefix="wnv_widen_life_")
+    try:
+        tbl = root + "/tbl"
+        create_table(
+            d.where(F.col("source") == "src0").select(
+                "lang", F.col("n_chars").cast("int").alias("n_chars")
+            ),
+            tbl,
+        )
+        files_before = _read_manifest(spark, tbl, 0)["files"]
+        DeltaSql(spark, {"t": tbl}).run(
+            "ALTER TABLE t ALTER COLUMN n_chars TYPE BIGINT"
+        )
+        m = _read_manifest(spark, tbl, latest_version(spark, tbl))
+        if m["files"] != files_before:
+            raise AssertionError("type widening rewrote data files")
+        if "type_widening" not in m.get("features", []):
+            raise AssertionError(f"feature stamp missing: {m.get('features')}")
+        append_table(
+            d.where(F.col("source") != "src0").select(
+                "lang",
+                (F.col("n_chars") + F.lit(3_000_000_000)).alias("n_chars"),
+            ),
+            tbl,
+        )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "replace_deep_clone_lifecycle",
+    oracle="""
+    WITH clone AS (
+        SELECT 'clone' AS role, lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'en' GROUP BY lang
+    ), source AS (
+        SELECT 'source' AS role, lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'de' GROUP BY lang
+    )
+    SELECT * FROM clone UNION ALL SELECT * FROM source
+    """,
+)
+def replace_deep_clone_lifecycle(spark, sf_dir):
+    """DEEP CLONE + CREATE OR REPLACE as one driver-verified lifecycle
+    (round 14 — registry face of `clone_table(deep=True)` and
+    `replace_table`, r13 verdict ask #5): CREATE the source table from
+    the English docs, DEEP CLONE it (the clone materializes its own
+    files — the protocol raises here if any clone file still points
+    into the source dir), atomically REPLACE the source with the
+    German docs via CREATE OR REPLACE ... AS SELECT (one commit — the
+    protocol raises if more than one version landed), VACUUM the
+    source with zero retention so every English file it owned is
+    GONE, and return per-role (count, chars): the clone must still
+    read the full English wave from its own copies while the source
+    reads German. The oracle replays both sides from the corpus."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        clone_table,
+        create_table,
+        latest_version,
+        read_table,
+        vacuum_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="wnv_clone_life_")
+    try:
+        src, cl = root + "/src", root + "/clone"
+        create_table(d.where(F.col("lang") == "en"), src)
+        clone_table(spark, src, cl, deep=True)
+        if any("/src/" in f for f in _read_manifest(spark, cl, 0)["files"]):
+            raise AssertionError("deep clone still references source files")
+        d.where(F.col("lang") == "de").createOrReplaceTempView(
+            "_r14_clone_life_de"
+        )
+        before = latest_version(spark, src)
+        DeltaSql(spark, {"src": src}).run(
+            "CREATE OR REPLACE TABLE src AS "
+            "SELECT lang, n_chars FROM _r14_clone_life_de"
+        )
+        after = latest_version(spark, src)
+        if after != before + 1:
+            raise AssertionError(
+                f"REPLACE was not one atomic commit: v{before} -> v{after}"
+            )
+        vacuum_table(spark, src, keep_last=1, retain_hours=0)
+        rows = []
+        for role, tbl in (("clone", cl), ("source", src)):
+            got = (
+                read_table(spark, tbl)
+                .groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("n_chars").cast("long").alias("chars"),
+                )
+                .collect()
+            )
+            rows.extend((role, r["lang"], r["n"], r["chars"]) for r in got)
+        return spark.createDataFrame(
+            rows, "role string, lang string, n long, chars long"
+        )
+    finally:
+        spark.catalog.dropTempView("_r14_clone_life_de")
+        shutil.rmtree(root, ignore_errors=True)

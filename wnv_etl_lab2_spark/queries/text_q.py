@@ -1869,3 +1869,61 @@ def chi2_token_source(spark, sf_dir):
         .select(((F.col("_nt") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"))
     )
     return chi2.crossJoin(dof)
+
+
+@register(
+    "substring_dedup_spans",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 19, 0))) AS p
+      FROM documents WHERE length(text) >= 20
+    ), seeds AS (
+      SELECT doc_id AS d, p, substr(text, p, 20) AS g FROM pos
+    ), keep AS (
+      SELECT g FROM seeds GROUP BY g
+      HAVING count(DISTINCT d) BETWEEN 2 AND 8
+    ), w AS (
+      SELECT s.g, s.d, s.p FROM seeds s JOIN keep USING (g)
+    ), pair_seeds AS (
+      SELECT a.d AS doc_a, b.d AS doc_b, a.p AS pos_a, b.p AS pos_b,
+             a.p - b.p AS diag
+      FROM w a JOIN w b USING (g)
+      WHERE a.d < b.d
+    ), runs AS (
+      SELECT doc_a, doc_b, diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+             ) AS island
+      FROM pair_seeds
+    ), spans AS (
+      SELECT CAST(doc_a AS BIGINT) AS doc_a,
+             CAST(doc_b AS BIGINT) AS doc_b,
+             CAST(MIN(pos_a) AS BIGINT) AS start_a,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(MAX(pos_a) - MIN(pos_a) + 20 AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT * FROM spans WHERE span_len >= 40
+    ORDER BY span_len DESC, doc_a, doc_b, start_a, start_b
+    LIMIT 20
+    """,
+)
+def substring_dedup_spans(spark, sf_dir):
+    """EXACT SUBSTRING dedup (round 14 — the Lee-et-al. cross-doc
+    verbatim-span family, r13 verdict ask #6): the 20 longest verbatim
+    character spans (>= 40 chars, maximal) duplicated between any two
+    documents, found by `operators/substring.verbatim_span_pairs` —
+    seed 20-grams, df-capped (<= 8 docs) inverted-index pair join,
+    gaps-and-islands maximal diagonal runs. The oracle replays the
+    identical algebra in SQL, so the operator's exactness (every
+    duplicated span >= min_len appears, with exact boundaries) is
+    hash-checked against an independent engine, not just unit-tested.
+    Deterministic total order: (span_len DESC, ids, starts) is a key."""
+    from wnv_etl_lab2_spark.operators.substring import verbatim_span_pairs
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    spans = verbatim_span_pairs(d, k=20, min_len=40, max_df=8)
+    return spans.orderBy(
+        F.col("span_len").desc(), "doc_a", "doc_b", "start_a", "start_b"
+    ).limit(20)
