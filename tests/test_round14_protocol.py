@@ -442,3 +442,88 @@ def test_copy_into_reloads_resized_file(spark, tmp_path):
     assert second["files_loaded"] == 1 and second["rows_loaded"] == 3
     assert copy_into(spark, tbl, land)["files_loaded"] == 0
     assert read_table(spark, tbl).count() == 5
+
+
+# ------------------------------------------------------ MERGE interplay
+
+
+def test_merge_allocates_identity_and_recomputes_generated(spark, tmp_path):
+    """MERGE on an identity + generated table (round 14): inserted
+    rows allocate identity at write (never null, no collisions),
+    updated rows KEEP their identity, and generated columns recompute
+    from their expressions for every surviving row — the gen_ CHECK
+    invariant holds by construction instead of refusing the merge."""
+    from wnv_etl_lab2_spark.sources.versioned import merge_into_table
+
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT, n BIGINT, d BIGINT GENERATED ALWAYS AS (n * 2))"
+    )
+    append_table(spark.createDataFrame([(1, 10), (2, 20)], "k long, n long"), path)
+    rid_before = {
+        r.k: r.rid for r in read_table(spark, path).collect()
+    }
+    src = spark.createDataFrame([(2, 99), (3, 30)], "k long, n long")
+    merge_into_table(
+        spark, path, src, on="t.k = s.k",
+        matched=[(None, "update", {"n": "s.n"})],
+        not_matched=[(None, {"k": "s.k", "n": "s.n"})],
+    )
+    rows = {r.k: r for r in read_table(spark, path).collect()}
+    assert {(k, r.n, r.d) for k, r in rows.items()} == {
+        (1, 10, 20), (2, 99, 198), (3, 30, 60),
+    }
+    # updated/kept rows keep their ids; the inserted row got a fresh one
+    assert rows[1].rid == rid_before[1] and rows[2].rid == rid_before[2]
+    rids = [r.rid for r in rows.values()]
+    assert all(v is not None for v in rids) and len(set(rids)) == 3
+
+
+def test_merge_refuses_assigning_always_identity_and_generated(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import merge_into_table
+
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT, n BIGINT, d BIGINT GENERATED ALWAYS AS (n * 2))"
+    )
+    append_table(spark.createDataFrame([(1, 10)], "k long, n long"), path)
+    src = spark.createDataFrame([(1, 99)], "k long, n long")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        merge_into_table(
+            spark, path, src, on="t.k = s.k",
+            not_matched=[(None, {"rid": "s.k", "k": "s.k", "n": "s.n"})],
+        )
+    with pytest.raises(ValueError, match="GENERATED column"):
+        merge_into_table(
+            spark, path, src, on="t.k = s.k",
+            matched=[(None, "update", {"d": "1"})],
+        )
+    # * forms refuse only when the SOURCE carries the ALWAYS column
+    src_with_rid = spark.createDataFrame(
+        [(9, 1, 99)], "rid long, k long, n long"
+    )
+    with pytest.raises(ValueError, match="IDENTITY"):
+        merge_into_table(
+            spark, path, src_with_rid, on="t.k = s.k",
+            matched=[(None, "update", "*")],
+        )
+
+
+def test_merge_star_update_keeps_identity(spark, tmp_path):
+    from wnv_etl_lab2_spark.sources.versioned import merge_into_table
+
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, "
+        "k BIGINT, n BIGINT)"
+    )
+    append_table(spark.createDataFrame([(1, 10), (2, 20)], "k long, n long"), path)
+    src = spark.createDataFrame([(2, 99)], "k long, n long")
+    merge_into_table(
+        spark, path, src, on="t.k = s.k", matched=[(None, "update", "*")]
+    )
+    rows = {r.k: r.rid for r in read_table(spark, path).collect()}
+    assert rows[2] is not None and rows[1] is not None
+    assert len(set(rows.values())) == 2

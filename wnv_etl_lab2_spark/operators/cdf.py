@@ -109,7 +109,8 @@ def read_change_data(
     for v in range(v_from + 1, v_to + 1):
         m = _read_manifest(spark, table_path, v)
         if m["op"] in (
-            "analyze", "optimize", "drop_column", "rename_column", "add_column"
+            "analyze", "optimize", "drop_column", "rename_column",
+            "add_column", "alter_column_type"
         ):
             continue  # metadata-only / data-neutral
         if "changes" in m:

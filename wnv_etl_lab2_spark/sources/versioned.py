@@ -749,6 +749,7 @@ def _assign_identity(
     identity: dict | None,
     declared_types: dict | None = None,
     forbid_supplied: bool = False,
+    fill_nulls: bool = False,
 ) -> DataFrame:
     """IDENTITY allocation (round 13 — Delta's identity-column
     contract): for each declared identity column ABSENT from the
@@ -795,7 +796,10 @@ def _assign_identity(
             )
     declared_types = declared_types or {}
     missing = [c for c in sorted(identity) if c not in df.columns]
-    if not missing:
+    fill = (
+        [c for c in sorted(identity) if c in df.columns] if fill_nulls else []
+    )
+    if not missing and not fill:
         return df
     tagged = df.withColumn("_id_pid", F.spark_partition_id()).withColumn(
         "_id_mid", F.monotonically_increasing_id()
@@ -824,6 +828,20 @@ def _assign_identity(
             (F.lit(int(spec["high"])) + F.lit(int(spec["step"])) * rank).cast(
                 declared_types.get(c, "long")
             ),
+        )
+    for c in fill:
+        # ``fill_nulls`` (round 14 — the MERGE insert path): the merged
+        # frame CARRIES the identity column (existing rows keep their
+        # values), and only the rows a NOT MATCHED INSERT created — the
+        # nulls — get allocated values. Identity columns are never
+        # null, exactly Delta's contract; the rank covers all rows, so
+        # filled values are unique (gaps are the documented norm).
+        spec = identity[c]
+        alloc = (
+            F.lit(int(spec["high"])) + F.lit(int(spec["step"])) * rank
+        ).cast(declared_types.get(c, "long"))
+        tagged = tagged.withColumn(
+            c, F.when(F.col(c).isNull(), alloc).otherwise(F.col(c))
         )
     return tagged.drop("_id_pid", "_id_mid")
 
@@ -880,6 +898,7 @@ def _write_version(
     properties: dict | None = None,
     replace: bool = False,
     constraints: dict | None = None,
+    identity_fill_nulls: bool = False,
 ) -> int:
     """``pre_commit_check`` (round 13): an optional zero-arg callable
     evaluated AFTER the data files are staged but BEFORE the manifest
@@ -968,7 +987,8 @@ def _write_version(
     # merge/optimize) re-write existing rows and legitimately carry the
     # column. append_table enforces its own path.
     df = _assign_identity(
-        df, identity, declared_types, forbid_supplied=(op == "overwrite")
+        df, identity, declared_types, forbid_supplied=(op == "overwrite"),
+        fill_nulls=identity_fill_nulls,
     )
     partition_by = list(partition_by) if partition_by else None
     if partition_by:
@@ -2238,6 +2258,50 @@ def merge_into_table(
                 base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
     t_cols = base.columns
     types = {f.name: f.dataType for f in base.schema.fields}
+    # GENERATED / IDENTITY interplay (round 14): generated columns are
+    # never assignable through MERGE — every surviving row's value is
+    # RECOMPUTED from its expression after the clause matrix (so the
+    # gen_ invariant holds by construction); ALWAYS identity columns
+    # refuse explicit assignment (Delta's contract), while BY DEFAULT
+    # keeps supplied values; identity columns on rows a NOT MATCHED
+    # INSERT creates allocate from the water mark (`_assign_identity`
+    # fill_nulls through `_write_version`).
+    m_meta = _read_manifest(spark, table_path, cur)
+    gen_cols = m_meta.get("generated") or {}
+    ident_specs = m_meta.get("identity") or {}
+    always_ident = {c for c, sp in ident_specs.items() if sp.get("always")}
+
+    def _guard_payload(payload) -> None:
+        if payload in ("*", None) or isinstance(payload, str):
+            return
+        bad_gen = [c for c in payload if c in gen_cols]
+        if bad_gen:
+            raise ValueError(
+                f"MERGE cannot assign GENERATED column(s) {bad_gen} — "
+                "they recompute from their expressions"
+            )
+        bad_id = [c for c in payload if c in always_ident]
+        if bad_id:
+            raise ValueError(
+                f"MERGE cannot assign GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {bad_id} — omit them (BY DEFAULT identity "
+                "accepts explicit values)"
+            )
+
+    for _, _action, payload in list(matched) + list(not_matched_by_source):
+        _guard_payload(payload)
+    for _, payload in not_matched:
+        _guard_payload(payload)
+    star_ident_clash = sorted(always_ident & set(source.columns))
+    if star_ident_clash and (
+        any(p == "*" for _, _a, p in matched)
+        or any(p == "*" for _, p in not_matched)
+    ):
+        raise ValueError(
+            f"MERGE * forms would write GENERATED ALWAYS AS IDENTITY "
+            f"column(s) {star_ident_clash} from the source — drop them "
+            "from the source frame (BY DEFAULT identity accepts this)"
+        )
 
     def as_struct(df: DataFrame, alias: str) -> DataFrame:
         return df.select(F.struct(*df.columns).alias(alias))
@@ -2303,12 +2367,23 @@ def merge_into_table(
 
     def assignments(payload) -> list["F.Column"]:
         if payload == "*":
-            src_cols = set(source.columns)
+            # generated columns never copy from the source under * —
+            # they keep the target value here and recompute from their
+            # expressions after the clause matrix
+            src_cols = set(source.columns) - set(gen_cols)
+
+            def star_val(c: str):
+                if c in src_cols:
+                    return F.expr(f"s.{c}")
+                if c in gen_cols or c in ident_specs:
+                    # an updated row KEEPS its identity; generated
+                    # recomputes after the matrix (null-filling either
+                    # would corrupt the row's stable id / invariant)
+                    return F.expr(f"t.{c}")
+                return F.lit(None)
+
             return [
-                (
-                    F.expr(f"s.{c}") if c in src_cols else F.lit(None)
-                ).cast(types[c]).alias(c)
-                for c in t_cols
+                star_val(c).cast(types[c]).alias(c) for c in t_cols
             ]
         exprs = dict(payload)
         unknown = [c for c in exprs if c not in types]
@@ -2323,7 +2398,7 @@ def merge_into_table(
 
     def inserts(payload) -> "F.Column":
         if payload == "*":
-            src_cols = set(source.columns)
+            src_cols = set(source.columns) - set(gen_cols)
             fields = [
                 (
                     F.expr(f"s.{c}") if c in src_cols else F.lit(None)
@@ -2399,14 +2474,35 @@ def merge_into_table(
                     "than one source row (the staged attempt was aborted "
                     "before its manifest published — nothing was committed)"
                 )
+    if gen_cols:
+        # recompute EVERY surviving row's generated columns from their
+        # expressions (round 14): the clause matrix may change the base
+        # columns an expression reads, and the gen_ CHECK invariant
+        # riding the write refuses anything inconsistent — recomputing
+        # uniformly makes the invariant hold by construction (kept rows
+        # recompute to their existing values, a no-op)
+        for gcol, gexpr in sorted(gen_cols.items()):
+            result = result.withColumn(
+                gcol, F.expr(gexpr).cast(types[gcol])
+            )
     changes_files = None
+    if change_data and ident_specs and not_matched:
+        raise ValueError(
+            "row-level change_data for a MERGE that can INSERT into an "
+            "IDENTITY table is not supported: inserted rows' identity "
+            "values allocate at write time, after change files are "
+            "staged — use the stream's file-diff CDF reconstruction "
+            "(it reads the final files) or drop the insert clauses"
+        )
     if change_data:
         # row-level CDF for the general merge (round 12): the change
         # classification is a pure projection of (t, _out) — a won
         # DELETE clause retracts t, a won UPDATE that actually changed
         # the row emits the Delta update_preimage/update_postimage
         # pair, an insert clause emits 'insert'. Second pass over the
-        # join (same cost class as the CoW rewrite itself).
+        # join (same cost class as the CoW rewrite itself). Generated
+        # columns recompute in the change projections exactly as in
+        # the snapshot result.
         ch = j.select(F.col("t"), out)
         deleted = ch.where(
             F.col("t").isNotNull() & F.col("_out").isNull()
@@ -2425,6 +2521,11 @@ def merge_into_table(
         inserted = ch.where(
             F.col("t").isNull() & F.col("_out").isNotNull()
         ).select(F.expr("_out.*"), F.lit("insert").alias("_change_type"))
+        for gcol, gexpr in sorted(gen_cols.items()):
+            post = post.withColumn(gcol, F.expr(gexpr).cast(types[gcol]))
+            inserted = inserted.withColumn(
+                gcol, F.expr(gexpr).cast(types[gcol])
+            )
         changes_files = _write_change_data(
             deleted.unionByName(pre).unionByName(post).unionByName(inserted),
             table_path,
@@ -2434,6 +2535,7 @@ def merge_into_table(
     return _write_version(
         result, table_path, cur + 1, "merge", expect_latest=cur,
         changes_files=changes_files, pre_commit_check=pre_commit_check,
+        identity_fill_nulls=bool(ident_specs and not_matched),
     )
 
 

@@ -426,7 +426,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         None)`` for data-neutral commits, ``("files", paths)`` for
         splittable create/append file lists, ``("atomic", n_units)``
         for versions that must admit whole."""
-        if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
+        if m["op"] in (
+            "analyze", "drop_column", "rename_column", "add_column",
+            "alter_column_type",
+        ):
             return "skip", None
         if m["op"] == "optimize":
             # compaction is data-neutral in BOTH modes (same logical
@@ -586,7 +589,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for v in range(lo if lo_k is not None else lo + 1, hi + 1):
             m = _py_read_manifest(self._path, v)
             vstart = len(parts)  # stamp this version's parts at loop end
-            if m["op"] in ("analyze", "drop_column", "rename_column", "add_column"):
+            if m["op"] in (
+                "analyze", "drop_column", "rename_column", "add_column",
+                "alter_column_type",
+            ):
                 continue  # metadata-only: no data change (column DDL is
                 # manifest-only since round 13; the reader keeps its
                 # start-time schema — physical names are stable, so
