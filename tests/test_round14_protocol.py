@@ -527,3 +527,140 @@ def test_merge_star_update_keeps_identity(spark, tmp_path):
     rows = {r.k: r.rid for r in read_table(spark, path).collect()}
     assert rows[2] is not None and rows[1] is not None
     assert len(set(rows.values())) == 2
+
+
+# ---------------------------------------------- write-write conflict matrix
+
+
+def test_lost_append_race_rebases_without_rewriting_data(spark, tmp_path):
+    """r13 verdict "what's missing" #6 (write-write conflict matrix),
+    append row: an append losing the commit race to a compatible
+    winner re-commits its ALREADY-WRITTEN files against the new tip —
+    no batch rewrite, no garbage attempt dir."""
+    import os
+
+    import wnv_etl_lab2_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(1,)], "x long"), path, stats_cols=["x"]
+    )
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                append_table(
+                    spark.createDataFrame([(100,)], "x long"), path
+                )
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        v = append_table(spark.createDataFrame([(200,)], "x long"), path)
+    finally:
+        V._commit = real_commit
+    assert v == 2  # rebased onto the competitor's tip, not re-run
+    assert sorted(r.x for r in read_table(spark, path).collect()) == [
+        1, 100, 200,
+    ]
+    m = _read_manifest(spark, path, 2)
+    assert m["parent"] == 1 and m["n_rows"] == 3
+    # the staged dir was RENAMED under the new version — every data
+    # dir on disk is referenced by the final snapshot (no garbage)
+    from wnv_etl_lab2_spark.sources.versioned import _resolve_files
+
+    ref_dirs = {
+        f.rsplit("/", 2)[-2] for f in _resolve_files(spark, path, 2)
+    }
+    disk_dirs = set(os.listdir(os.path.join(path, "data")))
+    assert disk_dirs == ref_dirs
+    assert all(d.startswith(("v0-", "v1-", "v2-")) for d in disk_dirs)
+    # per-file stats cover the rebased files too (skipping stays
+    # fresh); empty part files legitimately record no footer entry
+    live = set(_resolve_files(spark, path, 2))
+    assert set(m["stats"]) <= live
+    assert any(f in m["stats"] and "/v2-" in f for f in live)
+
+
+def test_lost_append_race_with_schema_conflict_falls_back(spark, tmp_path):
+    """A winner that CHANGED declarations (ADD COLUMN) invalidates the
+    staged batch's validation context: the rebase refuses and the
+    ordinary with_retries closure re-run takes over (and succeeds,
+    revalidating against the new schema)."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import add_column, with_retries
+
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,)], "x long"), path)
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "append" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                add_column(spark, path, "note", "string")
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        with pytest.raises(Exception):
+            append_table(spark.createDataFrame([(200,)], "x long"), path)
+        fired.clear()
+        fired["x"] = True  # competitor already landed; plain retry now
+        v = with_retries(
+            lambda: append_table(
+                spark.createDataFrame([(300,)], "x long"), path
+            )
+        )
+    finally:
+        V._commit = real_commit
+    assert v == 2
+    rows = {(r.x, r.note) for r in read_table(spark, path).collect()}
+    assert rows == {(1, None), (300, None)}
+
+
+def test_lost_append_race_on_identity_table_reruns(spark, tmp_path):
+    """IDENTITY tables never rebase (the batch allocated from a stale
+    water mark); the closure re-run re-allocates, so two racing
+    appends still produce unique ids."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import with_retries
+
+    path = str(tmp_path / "t")
+    DeltaSql(spark, {"t": path}).run(
+        "CREATE TABLE t (rid BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)"
+    )
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "append" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                append_table(spark.createDataFrame([("w",)], "v string"), path)
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        with_retries(
+            lambda: append_table(
+                spark.createDataFrame([("a",), ("b",)], "v string"), path
+            )
+        )
+    finally:
+        V._commit = real_commit
+    ids = sorted(r.rid for r in read_table(spark, path).collect())
+    assert len(ids) == 3 and len(set(ids)) == 3  # no collisions
