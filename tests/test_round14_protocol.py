@@ -664,3 +664,45 @@ def test_lost_append_race_on_identity_table_reruns(spark, tmp_path):
         V._commit = real_commit
     ids = sorted(r.rid for r in read_table(spark, path).collect())
     assert len(ids) == 3 and len(set(ids)) == 3  # no collisions
+
+
+# --------------------------------------------- widening x streaming / CDF
+
+
+def test_stream_and_cdf_over_widened_table(spark, tmp_path):
+    """A metadata-only ALTER COLUMN TYPE is data-neutral to consumers:
+    the plain stream SKIPS it (instead of refusing a 'rewrite'), the
+    batch CDF range spanning it replays only real changes, and rows
+    appended after the widening flow through both paths."""
+    from wnv_etl_lab2_spark.operators.cdf import table_changes
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(1,), (2,)], "x int"), tbl)
+    alter_column_type(spark, tbl, "x", "bigint")           # v1 (metadata)
+    append_table(spark.createDataFrame([(3_000_000_000,)], "x long"), tbl)
+
+    got: list[int] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(r.x for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(got) == [1, 2, 3_000_000_000]
+
+    # keyed CDF diff across the widening version: only the append shows
+    ch = table_changes(spark, tbl, "x", 0, 2)
+    assert {(r.x, r._change_type) for r in ch.collect()} == {
+        (3_000_000_000, "insert"),
+    }
