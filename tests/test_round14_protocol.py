@@ -706,3 +706,99 @@ def test_stream_and_cdf_over_widened_table(spark, tmp_path):
     assert {(r.x, r._change_type) for r in ch.collect()} == {
         (3_000_000_000, "insert"),
     }
+
+
+def test_partition_optimize_rebases_over_concurrent_append(spark, tmp_path):
+    """Conflict-matrix row 2: a partition-scoped OPTIMIZE losing the
+    commit race to a plain append re-commits against the new tip —
+    the appended files survive, the compacted partition is compacted,
+    row counts reconcile, and no attempt dir is orphaned."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _resolve_files,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "x long, p string"
+        ).repartition(3),
+        path,
+        partition_by=["p"],
+        stats_cols=["x"],
+    )
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "optimize" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                append_table(
+                    spark.createDataFrame([(9, "b")], "x long, p string"),
+                    path,
+                )
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        v = optimize_table(spark, path, partition_filter={"p": "a"})
+    finally:
+        V._commit = real_commit
+    assert v == 2  # rebased onto the append's tip
+    m = _read_manifest(spark, path, 2)
+    assert m["n_rows"] == 4  # 3 original + the racing append's row
+    rows = sorted((r.x, r.p) for r in read_table(spark, path).collect())
+    assert rows == [(1, "a"), (2, "a"), (3, "b"), (9, "b")]
+    # the appended file survived the rebase; the 'a' partition compacted
+    live = _resolve_files(spark, path, 2)
+    assert sum("p=a" in f for f in live) == 1
+    assert len(m.get("stats", {})) >= 1  # stats re-keyed to live files
+
+
+def test_partition_optimize_race_with_rewrite_falls_back(spark, tmp_path):
+    """A racing winner that is NOT a plain append (a DELETE rewrote
+    history) refuses the rebase; the with_retries closure re-runs and
+    the re-run compacts the post-delete snapshot."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import (
+        delete_from_table,
+        optimize_table,
+        with_retries,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "x long, p string"
+        ).repartition(3),
+        path,
+        partition_by=["p"],
+    )
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "optimize" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                delete_from_table(spark, path, "x = 2")
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        v = with_retries(
+            lambda: optimize_table(spark, path, partition_filter={"p": "a"})
+        )
+    finally:
+        V._commit = real_commit
+    assert v == 2
+    rows = sorted((r.x, r.p) for r in read_table(spark, path).collect())
+    assert rows == [(1, "a"), (3, "b")]  # the delete was honored

@@ -2830,7 +2830,91 @@ def _commit_subset_rewrite(
                 spark, table_path, version, pruned,
                 old_blooms["m_bits"], old_blooms["k"],
             )
-    _commit(spark, table_path, version, manifest)
+
+    def _rebase_after_lost_race(staged: dict):
+        """Conflict-matrix row 2 (round 14): a SUBSET rewrite — it
+        touches exactly the ``doomed`` files — COMMUTES with pure
+        appends (they only add files), so losing the commit race to an
+        append chain re-commits against the new tip: kept files = tip
+        files minus doomed, row count = the tip's (the rewrite is
+        row-neutral), stats = tip's minus doomed plus the new files'.
+        This is Delta's OPTIMIZE-vs-append no-conflict rule — at 100 TB
+        compaction always races ingest, and re-running the compaction
+        scan per lost race would make maintenance starve under load.
+        Falls back to the closure re-run when any winner is not a
+        plain visible append, changed any declaration, or when this
+        rewrite consolidated DV / bloom sidecars (their version-named
+        artifacts would need re-staging — the rare case serializes)."""
+        nonlocal vdir
+        if staged.get("dv") != m.get("dv") or (
+            staged.get("blooms_ref") != m.get("blooms_ref")
+        ):
+            return None
+        new_cur = latest_version(spark, table_path)
+        all_vs = _list_versions(spark, table_path)
+        if (
+            new_cur is None
+            or not all_vs
+            or max(all_vs) != new_cur
+            or new_cur <= cur
+        ):
+            return None
+        for v in range(cur + 1, new_cur + 1):
+            w = _read_manifest(spark, table_path, v)
+            if not _txn_visible(spark, w) or w.get("op") != "append":
+                return None
+        tip = _read_manifest(spark, table_path, new_cur)
+        for key in (
+            "schema", "constraints", "partition_by", "column_map",
+            "dropped_physical", "generated", "identity", "properties",
+            "widened", "stats_cols", "dv", "dv_counts", "blooms",
+            "blooms_ref",
+        ):
+            if tip.get(key) != m.get(key):
+                return None
+        nv = new_cur + 1
+        nf = staged["files"][len(kept):]  # this attempt's new files
+        if nf:
+            new_vdir = _attempt_dir(table_path, nv)
+            fs2, jvm2 = _fs(spark, table_path)
+            jp = jvm2.org.apache.hadoop.fs.Path
+            if not fs2.rename(jp(vdir), jp(new_vdir)):
+                return None  # racing vacuum collected it: re-run rewrites
+            vdir = new_vdir
+            nf = _data_files(spark, new_vdir)
+        tip_files = _resolve_files(spark, table_path, new_cur)
+        m2 = dict(staged)
+        m2["version"] = nv
+        m2["files"] = [f for f in tip_files if f not in doomed_q] + nf
+        m2["n_rows"] = int(tip["n_rows"])
+        stats2 = {
+            f: s for f, s in tip.get("stats", {}).items() if f not in doomed_q
+        }
+        if m.get("stats_cols"):
+            _cm = m.get("column_map", {})
+            stats2.update(
+                _footer_stats(nf, [_cm.get(c, c) for c in m["stats_cols"]])
+            )
+        if stats2:
+            m2["stats"] = stats2
+        else:
+            m2.pop("stats", None)
+        return nv, m2
+
+    rebases = 0
+    while True:
+        try:
+            _commit(spark, table_path, version, manifest)
+            break
+        except Exception:
+            vs_now = _list_versions(spark, table_path)
+            rebases += 1
+            if not vs_now or max(vs_now) < version or rebases >= 5:
+                raise
+            rebased = _rebase_after_lost_race(manifest)
+            if rebased is None:
+                raise  # caller's with_retries closure re-runs
+            version, manifest = rebased
     return version
 
 
