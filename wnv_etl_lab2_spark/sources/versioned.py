@@ -2775,6 +2775,9 @@ def _commit_subset_rewrite(
         writer = writer.partitionBy(*m["partition_by"])
     writer.parquet(vdir)
     new_files = _data_files(spark, vdir)
+    rewritten_files = [new_files]  # 1-slot cell: the rebase helper
+    # updates it after renaming the attempt dir, so a SECOND rebase
+    # iteration sees the current paths
     kept = [f for f in files if f not in doomed]
     manifest = {
         "version": version,
@@ -2873,7 +2876,9 @@ def _commit_subset_rewrite(
             if tip.get(key) != m.get(key):
                 return None
         nv = new_cur + 1
-        nf = staged["files"][len(kept):]  # this attempt's new files
+        nf = rewritten_files[0]  # this attempt's new files (tracked —
+        # NOT a positional slice of staged["files"], which goes stale
+        # after the first rebase iteration)
         if nf:
             new_vdir = _attempt_dir(table_path, nv)
             fs2, jvm2 = _fs(spark, table_path)
@@ -2882,6 +2887,7 @@ def _commit_subset_rewrite(
                 return None  # racing vacuum collected it: re-run rewrites
             vdir = new_vdir
             nf = _data_files(spark, new_vdir)
+            rewritten_files[0] = nf
         tip_files = _resolve_files(spark, table_path, new_cur)
         m2 = dict(staged)
         m2["version"] = nv
