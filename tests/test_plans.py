@@ -220,6 +220,7 @@ EXACT_PAIR_ALLOWLIST = {
     "ngram_jaccard_pairs",
     "containment_pairs",
     "substring_dedup_spans",
+    "substring_dedup_yield",  # the removal half: same seed universe
 }
 
 # Shuffle-write bound for queries not yet covered by a committed

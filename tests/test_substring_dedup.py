@@ -100,3 +100,24 @@ def test_strip_merges_overlapping_spans(spark):
 def test_min_len_below_k_refused(spark):
     with pytest.raises(ValueError, match="min_len"):
         verbatim_span_pairs(_docs(spark, [(1, "abc")]), k=20, min_len=10)
+
+
+def test_prehash_df_pass_equals_exact_on_corpus(spark, sf_dir):
+    """The 100 TB knob: keying the df pass on xxhash64(gram) instead
+    of the gram string produces identical spans on the corpus (pair
+    seeds still require real gram equality, so collisions can never
+    fabricate a span; the 2^-64 cap-side false-negative risk is the
+    documented trade)."""
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    exact = sorted(
+        map(tuple, verbatim_span_pairs(d, k=20, min_len=40).collect())
+    )
+    hashed = sorted(
+        map(
+            tuple,
+            verbatim_span_pairs(d, k=20, min_len=40, prehash=True).collect(),
+        )
+    )
+    assert exact == hashed and len(exact) > 0

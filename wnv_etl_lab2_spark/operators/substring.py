@@ -58,11 +58,23 @@ def verbatim_span_pairs(
     max_df: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prehash: bool = False,
 ) -> DataFrame:
     """All maximal cross-doc verbatim spans of length >= ``min_len``
     (witnessed by seed grams with document frequency <= ``max_df``) as
     ``(doc_a, doc_b, start_a, start_b, span_len)`` with doc_a < doc_b
-    and 1-based character starts."""
+    and 1-based character starts.
+
+    ``prehash=True`` is the 100 TB knob: the df pass and the witness
+    join key on ``xxhash64(gram)`` (8 bytes) instead of the k-char
+    gram string, cutting the heaviest shuffle's key width ~60%. Pair
+    seeds still require REAL gram equality (the pair join filters on
+    the strings), so a hash collision can never fabricate a span; the
+    only deviation from the exact default is the df CAP being counted
+    per hash bucket — a collision could merge two grams' counts past
+    ``max_df`` and drop both (a ~2^-64-probability false negative).
+    The default stays oracle-exact; pytest pins prehash == exact on
+    the test corpus."""
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     seeds = docs.select(
@@ -81,17 +93,22 @@ def verbatim_span_pairs(
     # checkpoint is O(total chars) rows — this operator's declared
     # floor either way; at cluster scale the same role is played by a
     # persisted StorageLevel.DISK_ONLY seed table.
-    # Stop-gram cap + cross-doc witness filter on the GRAM STRING (the
-    # oracle's exact universe; a production variant shuffles
-    # xxhash64(gram) digests here instead, trading provable exactness
-    # for 60% less shuffle)
+    # Stop-gram cap + cross-doc witness filter — on the GRAM STRING by
+    # default (the oracle's exact universe), or on its xxhash64 digest
+    # under ``prehash`` (see docstring)
+    key = "_g"
+    if prehash:
+        seeds = seeds.withColumn("_h", F.xxhash64("_g"))
+        key = "_h"
     keep = (
-        seeds.groupBy("_g")
+        seeds.groupBy(key)
         .agg(F.count_distinct("_d").alias("_df"))
         .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .select("_g")
+        .select(key)
     )
-    witnessed = seeds.join(keep, "_g")
+    witnessed = seeds.join(keep, key)
+    if prehash:
+        witnessed = witnessed.drop("_h")
     a = witnessed.select(
         F.col("_g"), F.col("_d").alias("doc_a"), F.col("_p").alias("pos_a")
     )

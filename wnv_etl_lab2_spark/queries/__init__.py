@@ -82,21 +82,23 @@ _FRONT = [
     # 43 of the 48-query r9 cohort (50/50 green, CORRECTNESS_r13).
     # This window = (a) the FIVE r9-stale queries the r13 window
     # slipped — the pre-committed head, executing the in-code promise;
-    # (b) the THREE new round-14 registrations (first driver
+    # (b) the FOUR new round-14 registrations (first driver
     # evidence; oracle-exact locally at sf0.001/0.01/0.1):
-    # substring_dedup_spans (exact cross-doc verbatim-span dedup),
-    # type_widening_lifecycle (metadata-only ALTER COLUMN TYPE), and
-    # replace_deep_clone_lifecycle (CREATE OR REPLACE + DEEP CLONE
-    # surviving source vacuum); (c) 42 of the 50-query r10-evidenced
-    # cohort. Head slots displace exactly 8 r10 queries; the 8 that
-    # slip — the TPC-H revenue family (disjunctive_predicate_revenue,
-    # forecast_revenue_change, large_volume_orders, late_shipper_chain,
-    # nation_market_share, nation_volume_shipping, promo_revenue_share,
-    # regional_revenue) — are exact-oracle single/two-shuffle
+    # substring_dedup_spans + substring_dedup_yield (exact cross-doc
+    # verbatim-span dedup: detection and removal, each with an
+    # independent oracle), type_widening_lifecycle (metadata-only
+    # ALTER COLUMN TYPE), and replace_deep_clone_lifecycle (CREATE OR
+    # REPLACE + DEEP CLONE surviving source vacuum); (c) 41 of the
+    # 50-query r10-evidenced cohort. Head slots displace exactly 9 r10
+    # queries; the 9 that slip — the TPC-H revenue family
+    # (disjunctive_predicate_revenue, forecast_revenue_change,
+    # large_volume_orders, late_shipper_chain, nation_market_share,
+    # nation_volume_shipping, promo_revenue_share, regional_revenue,
+    # returned_item_ranking) — are exact-oracle single/two-shuffle
     # relational shapes whose code paths did NOT change this round
     # (no r10-cohort query touches the versioned/stream code r14
     # modified), all covered by the local oracle gate every round.
-    # PRE-COMMITTED for round 15: head slots to those 8 slipped r10
+    # PRE-COMMITTED for round 15: head slots to those 9 slipped r10
     # queries and any r15 registrations / plan-changed queries, then
     # the r11-evidenced cohort oldest-first.
     "temperature_mixture_weights",
@@ -105,6 +107,7 @@ _FRONT = [
     "token_count",
     "text_stats",
     "substring_dedup_spans",
+    "substring_dedup_yield",
     "type_widening_lifecycle",
     "replace_deep_clone_lifecycle",
     "ann_topk_ivf",
@@ -135,7 +138,6 @@ _FRONT = [
     "points_from_xy",
     "polygon_clip_area",
     "projection_concat",
-    "returned_item_ranking",
     "rolling_zscore_events",
     "rollup_agg",
     "salted_groupby",

@@ -1927,3 +1927,96 @@ def substring_dedup_spans(spark, sf_dir):
     return spans.orderBy(
         F.col("span_len").desc(), "doc_a", "doc_b", "start_a", "start_b"
     ).limit(20)
+
+
+@register(
+    "substring_dedup_yield",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 19, 0))) AS p
+      FROM documents WHERE length(text) >= 20
+    ), seeds AS (
+      SELECT doc_id AS d, p, substr(text, p, 20) AS g FROM pos
+    ), keep AS (
+      SELECT g FROM seeds GROUP BY g
+      HAVING count(DISTINCT d) BETWEEN 2 AND 8
+    ), w AS (
+      SELECT s.g, s.d, s.p FROM seeds s JOIN keep USING (g)
+    ), pair_seeds AS (
+      SELECT a.d AS doc_a, b.d AS doc_b, a.p AS pos_a, b.p AS pos_b,
+             a.p - b.p AS diag
+      FROM w a JOIN w b USING (g)
+      WHERE a.d < b.d
+    ), runs AS (
+      SELECT doc_a, doc_b, diag, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+             ) AS island
+      FROM pair_seeds
+    ), spans AS (
+      SELECT doc_b, MIN(pos_b) AS s,
+             MIN(pos_b) + MAX(pos_a) - MIN(pos_a) + 20 AS e
+      FROM runs GROUP BY doc_a, doc_b, diag, island
+      HAVING MAX(pos_a) - MIN(pos_a) + 20 >= 40
+    ), marked AS (
+      SELECT doc_b, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_b ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS brk
+      FROM spans
+    ), grp AS (
+      SELECT doc_b, s, e,
+             SUM(brk) OVER (PARTITION BY doc_b ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+      FROM marked
+    ), merged AS (
+      SELECT doc_b, gid, MIN(s) AS ms, MAX(e) AS me
+      FROM grp GROUP BY doc_b, gid
+    ), removed AS (
+      SELECT doc_b AS doc_id, CAST(SUM(me - ms) AS BIGINT) AS removed_chars
+      FROM merged GROUP BY doc_b
+    )
+    SELECT r.doc_id,
+           CAST(LENGTH(d.text) AS BIGINT) AS orig_chars,
+           r.removed_chars,
+           CAST(LENGTH(d.text) - r.removed_chars AS BIGINT) AS kept_chars
+    FROM removed r JOIN documents d ON d.doc_id = r.doc_id
+    ORDER BY r.doc_id
+    """,
+)
+def substring_dedup_yield(spark, sf_dir):
+    """The REMOVAL half of exact substring dedup as a driver-verified
+    query (round 14 — registry face of
+    `operators/substring.strip_verbatim_spans`): find every cross-doc
+    verbatim span (same parameters as `substring_dedup_spans`), strip
+    each from its LATER doc (keep-first), and report per affected doc
+    (original chars, removed chars, kept chars). The oracle computes
+    the expected removal INDEPENDENTLY — the merged-interval union
+    length per doc via SQL gaps-and-islands over the span intervals —
+    so the JVM `aggregate` stitch (cursor walk, overlap merging, 1-
+    based substring arithmetic) is hash-checked against set algebra it
+    shares no code with. Off-by-one in the stitch = hash mismatch."""
+    from wnv_etl_lab2_spark.operators.substring import (
+        strip_verbatim_spans,
+        verbatim_span_pairs,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    spans = verbatim_span_pairs(d, k=20, min_len=40, max_df=8)
+    stripped = strip_verbatim_spans(d, spans).select(
+        "doc_id", F.length("text").alias("_kept")
+    )
+    return (
+        d.select("doc_id", F.length("text").alias("_orig"))
+        .join(stripped, "doc_id")
+        .where(F.col("_kept") < F.col("_orig"))
+        .select(
+            "doc_id",
+            F.col("_orig").cast("long").alias("orig_chars"),
+            (F.col("_orig") - F.col("_kept")).cast("long").alias("removed_chars"),
+            F.col("_kept").cast("long").alias("kept_chars"),
+        )
+        .orderBy("doc_id")
+    )
