@@ -802,3 +802,168 @@ def test_partition_optimize_race_with_rewrite_falls_back(spark, tmp_path):
     assert v == 2
     rows = sorted((r.x, r.p) for r in read_table(spark, path).collect())
     assert rows == [(1, "a"), (3, "b")]  # the delete was honored
+
+
+# -------------------------------------------------- r14 self-review fixes
+
+
+def test_rebase_refuses_same_writer_ledger_commits(spark, tmp_path):
+    """Exactly-once guard: a batch_id-stamped append (the streaming
+    sink) must NOT rebase past a same-writer winner — a zombie replay
+    of an already-committed micro-batch would land twice. The rebase
+    refuses; the closure re-run re-reads the ledger and skips."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,)], "x long"), path)
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "append" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                # the twin attempt of the SAME micro-batch wins first
+                append_table(
+                    spark.createDataFrame([(42,)], "x long"), path,
+                    batch_id=7, writer_id="sink-a",
+                )
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        with pytest.raises(Exception):
+            append_table(
+                spark.createDataFrame([(42,)], "x long"), path,
+                batch_id=7, writer_id="sink-a",
+            )
+    finally:
+        V._commit = real_commit
+    # exactly one copy of the batch landed
+    assert [r.x for r in read_table(spark, path).where("x = 42").collect()] == [42]
+
+
+def test_rebased_commit_stamps_fresh_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF correctness: a rebased commit must be stamped
+    when IT became visible — never with the failed attempt's earlier
+    clock, which would order it before its predecessor."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,)], "x long"), path)
+    real_commit = V._commit
+    fired = {}
+
+    def racing_commit(sp, tp, version, manifest):
+        if tp == path and manifest.get("op") == "append" and not fired:
+            fired["x"] = True
+            V._commit = real_commit
+            try:
+                import time
+
+                time.sleep(0.05)
+                append_table(spark.createDataFrame([(100,)], "x long"), path)
+            finally:
+                V._commit = racing_commit
+        return real_commit(sp, tp, version, manifest)
+
+    V._commit = racing_commit
+    try:
+        v = append_table(spark.createDataFrame([(200,)], "x long"), path)
+    finally:
+        V._commit = real_commit
+    assert v == 2
+    ts = [
+        int(_read_manifest(spark, path, i)["ts_ms"]) for i in range(3)
+    ]
+    assert ts[1] <= ts[2], ts  # visibility order == timestamp order
+
+
+def test_create_with_not_null_is_one_atomic_commit(spark, tmp_path):
+    """NOT NULL column defs land IN the create/replace commit itself —
+    no window where the table exists without its constraints."""
+    from wnv_etl_lab2_spark.sources.versioned import table_constraints
+
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (a INT NOT NULL, b STRING NOT NULL, c DOUBLE)")
+    assert latest_version(spark, path) == 0  # ONE commit, not three
+    cons = table_constraints(spark, path, 0)
+    assert cons == {"nn_a": "a IS NOT NULL", "nn_b": "b IS NOT NULL"}
+    sch = table_schema(spark, path)
+    assert not sch["a"].nullable and not sch["b"].nullable and sch["c"].nullable
+    with pytest.raises(ValueError, match="nn_a"):
+        sql.run("INSERT INTO t VALUES (NULL, 'x', 1.0)")
+    sql.run("CREATE OR REPLACE TABLE t (z BIGINT NOT NULL)")
+    assert latest_version(spark, path) == 1  # atomic redefinition
+    assert table_constraints(spark, path) == {"nn_z": "z IS NOT NULL"}
+
+
+def test_stream_source_enforces_feature_gate(spark, tmp_path):
+    """The pure-Python stream reader refuses a snapshot requiring an
+    unknown table feature, exactly like the JVM read path."""
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamSource,
+        _py_read_manifest,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    path = str(tmp_path / "t")
+    create_table(spark.createDataFrame([(1,)], "x long"), path)
+    _tamper_features(path, ["quantum_compression"])
+    with pytest.raises(ValueError, match="quantum_compression"):
+        _py_read_manifest(path, 0)
+
+
+def test_available_now_works_after_history_vacuum(spark, tmp_path):
+    """The availableNow capture must not walk vacuumed-away history:
+    a table whose early manifests are gone still drains from a
+    startingVersion inside the retained tail."""
+    from wnv_etl_lab2_spark.sources.versioned import optimize_table
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(spark.createDataFrame([(0,)], "x long"), tbl)
+    for i in range(1, 6):
+        append_table(spark.createDataFrame([(i,)], "x long"), tbl)
+    optimize_table(spark, tbl, target_files=1)  # v6 rewrites history
+    vacuum_table(spark, tbl, keep_last=2, retain_hours=0)  # v0-4 gone
+    got: list[int] = []
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("availableNow", "true")
+        .option("startingVersion", "6")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(r.x for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert got == []  # v6 consumed by startingVersion; nothing to drain
+    append_table(spark.createDataFrame([(99,)], "x long"), tbl)
+    q2 = (
+        spark.readStream.format("versioned_table")
+        .option("path", tbl)
+        .option("availableNow", "true")
+        .option("startingVersion", "6")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _b: got.extend(r.x for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    assert got == [99]

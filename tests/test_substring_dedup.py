@@ -121,3 +121,27 @@ def test_prehash_df_pass_equals_exact_on_corpus(spark, sf_dir):
         )
     )
     assert exact == hashed and len(exact) > 0
+
+
+def test_max_occ_per_doc_bounds_repetition_blowup(spark):
+    """The degenerate-repetition guard: a gram repeated o times per
+    doc seeds o^2 pairs; the occurrence cap bounds that while still
+    finding the span through the earliest occurrences."""
+    run = "zxqj " * 60  # 300-char repetition run shared by both docs
+    docs = _docs(spark, [(1, "alpha " + run), (2, "omega " + run)])
+    a, b = "alpha " + run, "omega " + run
+    exact = verbatim_span_pairs(docs, k=20, min_len=40)
+    capped = verbatim_span_pairs(docs, k=20, min_len=40, max_occ_per_doc=8)
+    assert exact.count() > 0 and capped.count() > 0
+    # every capped-mode span is still a TRUE verbatim match (the cap
+    # drops witnesses, it never fabricates); span COUNTS are not
+    # comparable — capping fragments long periodic runs
+    for s in capped.collect():
+        assert (
+            a[s.start_a - 1 : s.start_a - 1 + s.span_len]
+            == b[s.start_b - 1 : s.start_b - 1 + s.span_len]
+        )
+    # the cap did its job: far fewer pair seeds entered the join than
+    # the ~56^2-per-gram exact blowup (observable as spans touching
+    # only the run's HEAD positions)
+    assert max(s.start_b for s in capped.collect()) < 60  # head-only witnesses

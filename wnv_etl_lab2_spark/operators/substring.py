@@ -18,7 +18,10 @@ shape as the repo's other pair operators (never all-pairs):
    stop-grams (boilerplate the caller excludes by contract — same
    stance as the shingle backbone's cap); grams in a single doc
    cannot witness a cross-doc span and drop too. The cap bounds the
-   candidate join at cap^2 rows per gram.
+   candidate join at cap^2 DOC pairs per gram — but occurrences
+   WITHIN a doc multiply on top (a gram repeated o times in each of
+   two docs seeds o^2 pairs), so pathological repetition runs (huge
+   whitespace/boilerplate blocks) need the ``max_occ_per_doc`` knob.
 3. PAIR SEEDS: self-equi-join on the gram (doc_a < doc_b) — an
    inverted-index bucket join, executor-parallel, bounded by the cap.
 4. MAXIMAL RUNS: per (doc_a, doc_b, diagonal), consecutive seed
@@ -59,6 +62,7 @@ def verbatim_span_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     prehash: bool = False,
+    max_occ_per_doc: int | None = None,
 ) -> DataFrame:
     """All maximal cross-doc verbatim spans of length >= ``min_len``
     (witnessed by seed grams with document frequency <= ``max_df``) as
@@ -74,7 +78,15 @@ def verbatim_span_pairs(
     per hash bucket — a collision could merge two grams' counts past
     ``max_df`` and drop both (a ~2^-64-probability false negative).
     The default stays oracle-exact; pytest pins prehash == exact on
-    the test corpus."""
+    the test corpus.
+
+    ``max_occ_per_doc`` caps how many occurrences of one gram PER DOC
+    enter the pair join (keeping the earliest positions) — the guard
+    against degenerate repetition runs, where a gram repeated o times
+    in each of two docs seeds o^2 candidate pairs regardless of the
+    df cap. Spans witnessed only by occurrences past the cap go
+    undetected (declared approximation; None = exact, the default —
+    the registered oracle query runs exact)."""
     if min_len < k:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     seeds = docs.select(
@@ -109,6 +121,13 @@ def verbatim_span_pairs(
     witnessed = seeds.join(keep, key)
     if prehash:
         witnessed = witnessed.drop("_h")
+    if max_occ_per_doc is not None:
+        occ = Window.partitionBy("_d", "_g").orderBy("_p")
+        witnessed = (
+            witnessed.withColumn("_occ", F.row_number().over(occ))
+            .where(F.col("_occ") <= max_occ_per_doc)
+            .drop("_occ")
+        )
     a = witnessed.select(
         F.col("_g"), F.col("_d").alias("doc_a"), F.col("_p").alias("pos_a")
     )

@@ -630,11 +630,15 @@ class DeltaSql:
         [TBLPROPERTIES (...)] — the explicit-schema creation form
         (round 13), declaring every column feature in one statement.
         Creates an EMPTY versioned table (v0, or the next version as an
-        atomic redefinition under OR REPLACE — round 14)."""
+        atomic redefinition under OR REPLACE — round 14). The WHOLE
+        declaration — including NOT NULL columns (schema nullability +
+        the enforcing nn_ constraints) — lands in ONE commit, so no
+        reader can observe a redefined table missing its constraints
+        and no concurrent writer can slip a null in between (r14
+        review fix: NOT NULL previously landed as follow-up commits)."""
         from wnv_etl_lab2_spark.sources.versioned import (
             create_table,
             replace_table,
-            set_not_null,
         )
 
         # find the column-def list's matching close paren by depth
@@ -676,7 +680,7 @@ class DeltaSql:
                 defs.append(body[start:i])
                 start = i + 1
         defs.append(body[start:])
-        schema_parts: list[str] = []
+        col_defs: list[tuple[str, str]] = []
         not_null: list[str] = []
         generated: dict[str, str] = {}
         identity: dict[str, dict] = {}
@@ -719,18 +723,32 @@ class DeltaSql:
             col_type = rest.strip()
             if not col_type:
                 raise ValueError(f"column {name!r} is missing a type: {d!r}")
-            schema_parts.append(f"{name} {col_type}")
-        empty = self.spark.createDataFrame([], ", ".join(schema_parts))
+            col_defs.append((name, col_type))
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            _parse_datatype_string,
+        )
+
+        nn = set(not_null)
+        empty = self.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(n, _parse_datatype_string(t), n not in nn)
+                    for n, t in col_defs
+                ]
+            ),
+        )
         path = self._path(head_m.group(1))
         maker = replace_table if replace else create_table
-        v = maker(
+        return maker(
             empty, path, partition_by=partition_by,
             generated=generated or None, identity=identity or None,
             properties=props,
+            constraints={f"nn_{c}": f"{c} IS NOT NULL" for c in not_null}
+            or None,
         )
-        for col in not_null:
-            v = set_not_null(self.spark, path, col)
-        return v
 
     @staticmethod
     def _sub_outside_quotes(pattern: str, repl, s: str) -> str:

@@ -1124,8 +1124,13 @@ def create_table(
     generated: dict[str, str] | None = None,
     identity: dict[str, dict] | None = None,
     properties: dict[str, str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Version 0 of a new versioned table.
+    ``constraints`` seeds the CHECK-constraint set in the SAME v0
+    commit (round 14 — the explicit-schema CREATE declares NOT NULL
+    columns atomically instead of via follow-up commits); generated
+    columns' gen_ invariants are added on top.
     ``properties`` stamps TBLPROPERTIES at creation (see
     `set_table_properties`). ``stats_cols`` declares the
     data-skipping columns at creation (round 12): per-file min/max is
@@ -1170,6 +1175,7 @@ def create_table(
         properties={str(k): str(v) for k, v in properties.items()}
         if properties
         else None,
+        constraints=constraints,
     )
 
 
@@ -1181,6 +1187,7 @@ def replace_table(
     generated: dict[str, str] | None = None,
     identity: dict[str, dict] | None = None,
     properties: dict[str, str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """CREATE OR REPLACE TABLE (round 14 — r13 verdict ask #5): one
     ATOMIC commit that redefines the table from scratch — schema,
@@ -1206,12 +1213,13 @@ def replace_table(
             df, table_path, 0, "create", expect_latest=None,
             stats_cols=stats_cols, partition_by=partition_by,
             generated=generated, identity=identity, properties=props,
+            constraints=constraints,
         )
     return _write_version(
         df, table_path, cur + 1, "replace", expect_latest=cur,
         stats_cols=stats_cols, partition_by=partition_by,
         generated=generated, identity=identity, properties=props,
-        replace=True,
+        replace=True, constraints=constraints,
     )
 
 
@@ -1421,6 +1429,19 @@ def append_table(
                 return None
             if "copy_ledger" in w and "copy_ledger" in staged:
                 return None
+            if (
+                ("batch_id" in staged or "stamp" in staged)
+                and w.get("writer_id", "default")
+                == staged.get("writer_id", "default")
+                and ("batch_id" in w or "stamp" in w)
+            ):
+                # idempotence-ledger writes (streaming sink batch_id,
+                # matview stamps) must NOT rebase past a winner from
+                # the SAME writer: a zombie replay of an
+                # already-committed micro-batch would land its rows
+                # twice — the closure re-run consults the ledger and
+                # skips (the sink's exactly-once contract)
+                return None
         tip = _read_manifest(spark, table_path, new_cur)
         for key in (
             "schema", "constraints", "partition_by", "column_map",
@@ -1440,6 +1461,10 @@ def append_table(
             vdir = new_vdir
             files = _data_files(spark, new_vdir)
         m2 = dict(staged)
+        m2.pop("ts_ms", None)  # the failed attempt stamped its own
+        # time; the rebased commit must stamp when IT becomes visible,
+        # or TIMESTAMP AS OF would resolve to a version stamped before
+        # its predecessor (r14 review fix)
         m2["version"] = new_version
         m2["parent"] = new_cur
         m2["add"] = files
@@ -2890,6 +2915,7 @@ def _commit_subset_rewrite(
             rewritten_files[0] = nf
         tip_files = _resolve_files(spark, table_path, new_cur)
         m2 = dict(staged)
+        m2.pop("ts_ms", None)  # fresh visibility stamp (see append rebase)
         m2["version"] = nv
         m2["files"] = [f for f in tip_files if f not in doomed_q] + nf
         m2["n_rows"] = int(tip["n_rows"])

@@ -108,7 +108,24 @@ def _py_list_versions(table_path: str) -> list[int]:
 def _py_read_manifest(table_path: str, version: int) -> dict:
     p = os.path.join(_local(table_path), _LOG_DIR, f"{version:08d}.json")
     with open(p) as f:
-        return json.load(f)
+        m = json.load(f)
+    # the same reader feature gate the JVM path enforces (round 14 —
+    # `versioned._read_manifest`): the streaming source must refuse a
+    # snapshot requiring an unknown table feature rather than silently
+    # mis-reading it (lazy import keeps this module JVM-session-free;
+    # the worker already has the package on its path)
+    feats = m.get("features")
+    if feats:
+        from wnv_etl_lab2_spark.sources.versioned import SUPPORTED_FEATURES
+
+        unknown = set(feats) - SUPPORTED_FEATURES
+        if unknown:
+            raise ValueError(
+                f"cannot stream {table_path} v{version}: the snapshot "
+                f"requires table feature(s) {sorted(unknown)} this reader "
+                "does not implement"
+            )
+    return m
 
 
 def _py_visible(m: dict) -> bool:
@@ -393,15 +410,19 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # and every later call paces bounded batches toward — never
         # past — that frozen target, so appends landing after query
         # start wait for the next run, exactly Delta's AvailableNow
-        # contract. Composition notes: with .trigger(availableNow=True)
-        # Spark plans ONE batch to the captured target (the engine
-        # consults the source's pacing only under processing-time
-        # triggers) — memory stays bounded anyway because the batch
-        # reads as one InputPartition per file; with a processing-time
-        # trigger the option freezes the target and the paced batches
-        # drain to it in rate-limited steps, then idle (stop() when
-        # lastProgress shows the batch end reached the start-time tip —
-        # the manual backfill loop).
+        # contract. Composition notes (honest, measured): with
+        # .trigger(availableNow=True) Spark calls latestOffset ONCE and
+        # plans ONE batch to the captured target — rate limits do not
+        # split that batch (memory stays bounded anyway: the batch
+        # reads as one InputPartition per file). Under a
+        # processing-time trigger the FIRST batch likewise spans the
+        # whole frozen target (its end is the capture call's answer);
+        # the paced-toward-target branch serves manual protocol
+        # drains (a driver loop calling latestOffset/partitions
+        # directly — pinned in tests), not the engine's trigger
+        # pacing. For a rate-limited engine-paced backfill, run a
+        # plain processing-time stream WITHOUT availableNow and stop
+        # it when lastProgress catches up to the start-time tip.
         self._available_now = available_now
         self._an_target: dict | None = None
         self._pos: dict = {"version": starting_version}
@@ -450,25 +471,23 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         cost = len(m.get("changes", ())) or len(m.get("dv_add", ())) or 1
         return "atomic", cost
 
-    def _visible_tip_from(self, pos_v: int) -> int:
-        """Largest version reachable from ``pos_v`` without crossing a
-        pending-transaction barrier (an invisible manifest blocks, not
-        skips — its rows would be lost if it later commits)."""
-        latest = _py_latest_visible(self._path)
-        if latest is None:
-            return pos_v
-        v = pos_v
-        while v < latest and _py_visible(_py_read_manifest(self._path, v + 1)):
-            v += 1
-        return v
-
     def latestOffset(self) -> dict:
         if self._available_now:
             pos_v = int(self._pos["version"])
             if self._an_target is None:
-                # the capture call: freeze the drain target
+                # the capture call: freeze the drain target at the
+                # latest VISIBLE version. Invisible (pending-txn)
+                # manifests can only exist ABOVE it — a pending txn
+                # holds its version slot exclusively, so nothing ever
+                # commits past one — which makes the visible tail the
+                # exact barrier-respecting target with ONE tail read,
+                # no forward walk over (possibly vacuumed) history
+                # (r14 review fix: the walk crashed on tables whose
+                # early manifests were vacuumed, and cost O(versions)
+                # per capture).
+                tip = _py_latest_visible(self._path)
                 self._an_target = {
-                    "version": max(self._visible_tip_from(pos_v), pos_v)
+                    "version": pos_v if tip is None else max(tip, pos_v)
                 }
                 return dict(self._an_target)
             if self._max_files is None and self._max_bytes is None:
