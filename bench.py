@@ -197,13 +197,20 @@ def _previous_calibration() -> dict[str, float] | None:
     return None
 
 
-def _previous_round_timings() -> dict[str, float]:
-    """Per-query baseline timings for the regression report
-    (delta_vs_prev): the UNION of per-query mins across every
-    BENCH_r{N}.json next to this script, newest round winning — so a
-    query that first shipped last round keeps its baseline even if an
-    older round never ran it (round-6 verdict #7: carry first-round
-    numbers forward).
+def _previous_round_timings() -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query baseline timings, TWO views over every
+    BENCH_r{N}.json next to this script:
+
+    - ``prev`` (first return): newest round winning — the
+      round-over-round comparison base for delta_vs_prev and the
+      host-normalized relative gate (round-6 verdict #7: carry
+      first-round numbers forward).
+    - ``hist_min`` (second return): the all-time per-query MIN — the
+      re-basing-proof base for the ABSOLUTE backstop (round 15, r14
+      verdict #2b): because ``prev`` re-bases every round, N
+      consecutive host-shift-absorbed +9% rounds would compound to
+      +30% raw with ``regressions: []`` each time; the all-time min
+      never re-bases, so drift past the fixed ceiling always flags.
 
     A round whose JSON line was truncated by the driver records
     ``parsed: null`` plus the literal ``tail`` of the line; such a
@@ -221,6 +228,16 @@ def _previous_round_timings() -> dict[str, float]:
         if m:
             rounds.append((int(m.group(1)), path))
     acc: dict[str, float] = {}
+    hist_min: dict[str, float] = {}
+    # truncated-round tail reconstruction can sweep the calibration
+    # probe's pairs in with the per-query mins; they are not queries
+    _NOT_QUERIES = {"numpy_matmul_sec", "python_loop_sec"}
+
+    def _fold_min(vals: dict[str, float]) -> None:
+        for k, v in vals.items():
+            if k not in _NOT_QUERIES:
+                hist_min[k] = min(hist_min.get(k, v), v)
+
     for _, path in sorted(rounds):  # oldest -> newest; newest overwrites
         try:
             with open(path) as f:
@@ -229,7 +246,9 @@ def _previous_round_timings() -> dict[str, float]:
             continue
         parsed = doc.get("parsed", doc)
         if isinstance(parsed, dict) and parsed.get("queries"):
-            acc.update({k: float(v) for k, v in parsed["queries"].items()})
+            vals = {k: float(v) for k, v in parsed["queries"].items()}
+            acc.update(vals)
+            _fold_min(vals)
             continue
         tail = doc.get("tail") or ""
         if not tail:
@@ -243,7 +262,13 @@ def _previous_round_timings() -> dict[str, float]:
         head = tail
         for marker in ('"queries_median"', '"stat"', '"delta_vs_prev"'):
             head = head.split(marker)[0]
-        recon.update({k: float(v) for k, v in _PAIR_RE.findall(head)})
+        recon.update(
+            {
+                k: float(v)
+                for k, v in _PAIR_RE.findall(head)
+                if k not in _NOT_QUERIES
+            }
+        )
         mm = re.search(r'"delta_vs_prev": \{([^}]*)\}', tail)
         if mm:
             for k, v in _PAIR_RE.findall(mm.group(1)):
@@ -254,7 +279,8 @@ def _previous_round_timings() -> dict[str, float]:
             for k, v in _PAIR_RE.findall(med.group(1)):
                 recon.setdefault(k, float(v))
         acc.update(recon)
-    return acc
+        _fold_min(recon)
+    return acc, hist_min
 
 
 def main() -> None:
@@ -304,7 +330,7 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    prev = _previous_round_timings()
+    prev, hist_min = _previous_round_timings()
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -411,6 +437,33 @@ def main() -> None:
             name
             for name, bound in DECLARED_WALL_BOUNDS_SF01.items()
             if out["sf"] == 0.1 and timings.get(name, 0.0) > bound
+        )
+        # ABSOLUTE BACKSTOP (round 15, r14 verdict #2b): the relative
+        # gate re-bases on the NEWEST prior round and normalizes by the
+        # session's host shift, so consecutive absorbed shifts could
+        # compound raw drift past the driver's 2x rule with
+        # regressions:[] every round. This gate is immune to both
+        # mechanisms by construction: RAW time (never normalized)
+        # against the ALL-TIME per-query min (never re-based) at a
+        # fixed 1.8x ceiling — inside the driver's 2x rule with margin.
+        # Declared-bound queries are exempt: their ceilings are already
+        # absolute raw numbers that never re-base (bounds_exceeded_raw
+        # reports them), so the backstop would only double-count. A
+        # genuine host-contention day can trip this loudly — that is
+        # the point: near the driver's own 2x ceiling, the round must
+        # adjudicate in the open instead of auto-absorbing.
+        out["backstop_ceiling_x"] = 1.8
+        backstop_exceeded = sorted(
+            name
+            for name, t in timings.items()
+            if out["sf"] == 0.1
+            and name not in DECLARED_WALL_BOUNDS_SF01
+            and hist_min.get(name, 0.0) > 0.05
+            and t > 1.8 * hist_min[name]
+        )
+        out["backstop_exceeded_raw"] = backstop_exceeded
+        out["regressions"] = sorted(
+            set(out["regressions"]) | set(backstop_exceeded)
         )
     # cross-session canary (r11, r10 verdict #8): one mid-weight query
     # recorded raw AND normalized by the gate shift every round, so a

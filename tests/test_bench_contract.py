@@ -56,6 +56,13 @@ def test_bench_emits_contract_json(sf_dir):
                 doc["host_shift_gate"]
                 <= round(doc["calibration_shift_ratio"] * 1.1, 3) + 1e-9
             )
+        # absolute backstop (round 15, r14 verdict #2b): raw times vs
+        # the all-time per-query min at a fixed non-normalized ceiling,
+        # present in the artifact whenever history exists; exceedances
+        # surface in the loud regressions list, never silently
+        assert doc["backstop_ceiling_x"] == 1.8
+        assert isinstance(doc["backstop_exceeded_raw"], list)
+        assert set(doc["backstop_exceeded_raw"]) <= set(doc["regressions"])
     # cross-session canary (r11): raw AND normalized, every round
     assert doc["canary"]["query"] == "tfidf_top_terms"
     assert doc["canary"]["raw_sec"] > 0
@@ -83,9 +90,17 @@ def test_delta_baseline_covers_every_previously_benched_headliner():
 
     from bench import HEADLINE, _previous_round_timings
 
-    prev = _previous_round_timings()
+    prev, hist_min = _previous_round_timings()
     if not prev:  # fresh checkout with no BENCH history
         return
+    # the two views cover the same queries, and the all-time min can
+    # never exceed the newest-wins value (round 15: absolute backstop)
+    assert set(hist_min) == set(prev)
+    assert all(hist_min[k] <= prev[k] + 1e-9 for k in prev)
+    # calibration probe keys are machine stats, not queries — they
+    # must never pollute either baseline view (they'd distort
+    # prev_total and could gate on a non-query)
+    assert not {"numpy_matmul_sec", "python_loop_sec"} & set(prev)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen: set[str] = set()
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):

@@ -110,7 +110,8 @@ def read_change_data(
         m = _read_manifest(spark, table_path, v)
         if m["op"] in (
             "analyze", "optimize", "drop_column", "rename_column",
-            "add_column", "alter_column_type"
+            "add_column", "alter_column_type", "set_default",
+            "drop_default",
         ):
             continue  # metadata-only / data-neutral
         if "changes" in m:

@@ -1587,3 +1587,266 @@ def replace_deep_clone_lifecycle(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("_r14_clone_life_de")
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "convert_in_place_lifecycle",
+    oracle="""
+    WITH appended AS (
+        SELECT lang, n_chars FROM documents
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE lang = 'de'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM appended WHERE n_chars >= 200 GROUP BY lang
+    """,
+)
+def convert_in_place_lifecycle(spark, sf_dir):
+    """CONVERT-TO-DELTA-style IN-PLACE ADOPTION as a driver-verified
+    lifecycle (round 15 — registry face of
+    `sources/versioned.convert_to_versioned`, r14 verdict ask #3):
+    write the documents as a PLAIN hive-partitioned parquet directory
+    (no log — the migration starting point every real lakehouse
+    adoption faces), CONVERT it via the SQL verb — the protocol raises
+    here if the v0 manifest lists anything but the pre-existing files
+    (zero-copy is the whole point) or mis-discovers the hive layout —
+    then run normal table life on the adopted files: APPEND the German
+    docs, merge-on-read DELETE the short ones (deletion vectors over
+    files the engine never wrote), and aggregate per language. The
+    oracle replays append+delete arithmetically over the raw corpus,
+    so adopted-file reads, partition re-attachment from pre-existing
+    hive paths, and DVs pointing at adopted files are all
+    hash-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        delete_from_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_convert_life_")
+    try:
+        raw = root + "/raw"
+        d.write.partitionBy("lang").parquet(raw)
+        pre = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(raw)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        DeltaSql(spark, {}).run(
+            f"CONVERT TO VERSIONED parquet.`{raw}` PARTITIONED BY (lang)"
+        )
+        m = _read_manifest(spark, raw, 0)
+        adopted = sorted(f.replace("file:", "") for f in m["files"])
+        if adopted != pre or m["op"] != "convert":
+            raise AssertionError("conversion was not zero-copy in-place")
+        if m.get("partition_by") != ["lang"]:
+            raise AssertionError(
+                f"hive layout mis-discovered: {m.get('partition_by')}"
+            )
+        append_table(
+            read_table(spark, raw, 0).where(F.col("lang") == "de"), raw
+        )
+        delete_from_table(spark, raw, "n_chars < 200", mode="merge_on_read")
+        rows = (
+            read_table(spark, raw)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "column_defaults_lifecycle",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+    ), wave2 AS (
+        SELECT doc_id + 10000000 AS doc_id, 'und' AS lang, n_chars
+        FROM documents WHERE doc_id % 3 = 1
+    ), wave3 AS (
+        SELECT doc_id + 20000000 AS doc_id, lang,
+               CAST(-1 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 3 = 2
+    ), allr AS (
+        SELECT * FROM seeded
+        UNION ALL SELECT * FROM wave2
+        UNION ALL SELECT * FROM wave3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM allr GROUP BY lang
+    """,
+)
+def column_defaults_lifecycle(spark, sf_dir):
+    """Column DEFAULT values as a driver-verified lifecycle (round 15
+    — registry face of `sources/versioned.set_column_default`, r14
+    verdict ask #4): CREATE a table declaring ``lang STRING DEFAULT
+    'und'`` and ``n_chars BIGINT DEFAULT -1`` in one commit, seed it
+    with a full-column wave, then exercise both write-expansion fill
+    sites — an INSERT with a column list OMITTING lang (fills 'und')
+    and a MERGE whose NOT MATCHED INSERT omits n_chars (fills -1) —
+    and aggregate per language. The oracle replays the three waves
+    with the default literals spelled out, so a fill that regressed
+    to null (or leaked into updates) changes the counts/sums and
+    hash-mismatches. DDL is metadata-only; only the three data waves
+    touch files."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        merge_into_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_defaults_life_")
+    try:
+        tbl = root + "/tbl"
+        sql = DeltaSql(spark, {"t": tbl})
+        sql.run(
+            "CREATE TABLE t (doc_id BIGINT, lang STRING DEFAULT 'und', "
+            "n_chars BIGINT DEFAULT -1)"
+        )
+        append_table(d.where(F.col("doc_id") % 3 == 0), tbl)
+        d.where(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 10000000).alias("doc_id"), "n_chars"
+        ).createOrReplaceTempView("_r15_defaults_w2")
+        sql.run(
+            "INSERT INTO t (doc_id, n_chars) "
+            "SELECT doc_id, n_chars FROM _r15_defaults_w2"
+        )
+        merge_into_table(
+            spark,
+            tbl,
+            d.where(F.col("doc_id") % 3 == 2).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"), "lang"
+            ),
+            on="t.doc_id = s.doc_id",
+            not_matched=[(None, {"doc_id": "s.doc_id", "lang": "s.lang"})],
+        )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        spark.catalog.dropTempView("_r15_defaults_w2")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "sql_transaction_lifecycle",
+    oracle="""
+    WITH docs_final AS (
+        SELECT lang FROM documents WHERE lang IN ('en', 'de')
+    )
+    SELECT 'docs' AS side, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM docs_final GROUP BY lang
+    UNION ALL
+    SELECT 'stats' AS side, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM docs_final GROUP BY lang
+    """,
+)
+def sql_transaction_lifecycle(spark, sf_dir):
+    """SQL-surface multi-table transactions as a driver-verified
+    lifecycle (round 15 — registry face of BEGIN TRANSACTION/COMMIT/
+    ROLLBACK over `sources/transactions.py`, r14 verdict ask #6):
+    seed a docs table with the English corpus, then in ONE transaction
+    append the German docs AND overwrite a stats table with the
+    combined per-language counts — committed atomically (the protocol
+    raises here if either table's count is visible before COMMIT) —
+    then stage a third wave (French) and ROLL IT BACK. The oracle
+    computes both tables' final states from the corpus: a leaked
+    pre-commit write, a lost half of the transaction, or a rollback
+    that landed all change the counts and hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    root = tempfile.mkdtemp(prefix="wnv_sqltxn_life_")
+    try:
+        docs, stats = root + "/docs", root + "/stats"
+        sql = DeltaSql(spark, {"docs": docs, "stats": stats})
+        sql.run("CREATE TABLE docs (doc_id BIGINT, lang STRING)")
+        sql.run("CREATE TABLE stats (lang STRING, n BIGINT)")
+        d.where(F.col("lang") == "en").createOrReplaceTempView(
+            "_r15_txn_en"
+        )
+        sql.run("INSERT INTO docs SELECT doc_id, lang FROM _r15_txn_en")
+
+        d.where(F.col("lang") == "de").createOrReplaceTempView(
+            "_r15_txn_de"
+        )
+        # the combined counts the post-txn stats table must hold,
+        # computed from the corpus (not from docs — the txn hasn't
+        # committed yet, and reading docs here would see only 'en')
+        d.where(F.col("lang").isin("en", "de")).groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).createOrReplaceTempView("_r15_txn_counts")
+        sql.run("BEGIN TRANSACTION")
+        sql.run("INSERT INTO docs SELECT doc_id, lang FROM _r15_txn_de")
+        sql.run("INSERT OVERWRITE stats SELECT lang, n FROM _r15_txn_counts")
+        if read_table(spark, docs).where(F.col("lang") == "de").count():
+            raise AssertionError("staged txn write visible before COMMIT")
+        sql.run("COMMIT")
+
+        d.where(F.col("lang") == "fr").createOrReplaceTempView(
+            "_r15_txn_fr"
+        )
+        sql.run("BEGIN TRANSACTION")
+        sql.run("INSERT INTO docs SELECT doc_id, lang FROM _r15_txn_fr")
+        sql.run("ROLLBACK")
+
+        docs_rows = (
+            read_table(spark, docs)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        )
+        stats_rows = read_table(spark, stats).collect()
+        return spark.createDataFrame(
+            [("docs", r["lang"], r["n"]) for r in docs_rows]
+            + [("stats", r["lang"], r["n"]) for r in stats_rows],
+            "side string, lang string, n long",
+        )
+    finally:
+        for v in ("_r15_txn_en", "_r15_txn_de", "_r15_txn_counts", "_r15_txn_fr"):
+            spark.catalog.dropTempView(v)
+        shutil.rmtree(root, ignore_errors=True)

@@ -303,6 +303,10 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         manifest["identity"] = identity
     if prev0.get("properties"):
         manifest["properties"] = prev0["properties"]
+    if prev0.get("defaults"):
+        # column DEFAULTS are a declaration like properties: they ride
+        # every transactional stage (round 15)
+        manifest["defaults"] = prev0["defaults"]
     manifest["txn"] = {"id": txn_id, "log": txn_log}
     return version, manifest
 

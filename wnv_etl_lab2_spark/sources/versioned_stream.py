@@ -442,21 +442,54 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         # the default -1 streams the table's entire history first
         return {"version": self._start}
 
+    def _refuse_stale_widening(self, v: int, m: dict) -> None:
+        """TYPE WIDENING invalidates the start-time reader schema for
+        NEW data (round 15, r14 advisory fix): unlike add/drop/rename —
+        transparent because physical names are stable and the
+        projection is onto the START-time schema — appends after a
+        widening may carry values outside the narrower start-time
+        type's range, which would fail or mangle deep in the partition
+        read/serializer. Surface an explicit restart request instead
+        (Delta's streaming behavior on non-additive schema changes).
+        A stream started AT or AFTER the widening sees no mismatch
+        (its start-time schema already carries the wide type) and
+        skips the commit as metadata-only, as before."""
+        from pyspark.sql.types import StructType as _St
+
+        committed = _St.fromJson(json.loads(m["schema"]))
+        start_types = {f.name: f.dataType for f in self._schema.fields}
+        changed = [
+            f.name
+            for f in committed.fields
+            if f.name in start_types and f.dataType != start_types[f.name]
+        ]
+        if changed:
+            raise RuntimeError(
+                f"schema changed: version {v} widened column(s) "
+                f"{changed} past this stream's start-time schema — "
+                "restart the stream to pick up the new schema"
+            )
+
     def _version_units(self, v: int, m: dict):
         """Classify version ``v`` for admission control: ``("skip",
         None)`` for data-neutral commits, ``("files", paths)`` for
         splittable create/append file lists, ``("atomic", n_units)``
         for versions that must admit whole."""
+        if m["op"] == "alter_column_type":
+            self._refuse_stale_widening(v, m)
+            return "skip", None
         if m["op"] in (
             "analyze", "drop_column", "rename_column", "add_column",
-            "alter_column_type",
+            "set_default", "drop_default",
         ):
             return "skip", None
         if m["op"] == "optimize":
             # compaction is data-neutral in BOTH modes (same logical
             # rows; processing its file diff would double-emit)
             return "skip", None
-        if m["op"] == "create":
+        if m["op"] in ("create", "convert"):
+            # an in-place conversion's v0 is exactly a create whose
+            # files pre-existed the log (round 15)
             return "files", [_local(f) for f in m["files"]]
         if m["op"] == "append":
             return "files", self._added_files(v, m)
@@ -608,9 +641,15 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for v in range(lo if lo_k is not None else lo + 1, hi + 1):
             m = _py_read_manifest(self._path, v)
             vstart = len(parts)  # stamp this version's parts at loop end
+            if m["op"] == "alter_column_type":
+                # widening past the start-time schema must refuse here
+                # too — the unpaced path plans partitions without ever
+                # consulting _version_units (round 15, r14 advisory fix)
+                self._refuse_stale_widening(v, m)
+                continue
             if m["op"] in (
                 "analyze", "drop_column", "rename_column", "add_column",
-                "alter_column_type",
+                "set_default", "drop_default",
             ):
                 continue  # metadata-only: no data change (column DDL is
                 # manifest-only since round 13; the reader keeps its
@@ -622,10 +661,10 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # logical rows, new layout — Delta streams past
                 # dataChange=false commits; round 13 extended the skip to
                 # the plain stream, which previously refused OPTIMIZE)
-            if m["op"] in ("create", "append"):
+            if m["op"] in ("create", "convert", "append"):
                 files = (
                     [_local(f) for f in m["files"]]
-                    if m["op"] == "create"
+                    if m["op"] in ("create", "convert")
                     else self._added_files(v, m)
                 )
                 # rate-limited boundary versions consume a manifest-
