@@ -131,3 +131,29 @@ def test_window_oracles_execute_in_duckdb():
         except Exception as e:  # noqa: BLE001
             failures[name] = str(e)[:200]
     assert not failures, f"window oracles that fail in local DuckDB: {failures}"
+
+
+def test_readme_registry_counts_current():
+    """README.md's registry inventory line must match the live
+    registry (r14 verdict "what's wrong" #1: the counts went stale two
+    rounds running — now they can't drift silently)."""
+    import os
+    import re
+
+    from wnv_etl_lab2_spark import queries as q
+
+    q._ensure_loaded()
+    total = len(q.REGISTRY)
+    oracled = sum(1 for s in q.REGISTRY.values() if s.oracle)
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+    ).read()
+    m = re.search(
+        r"the registry: (\d+) queries, (\d+) with exact DuckDB oracle twins",
+        readme,
+    )
+    assert m, "README registry inventory line is missing"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"README says {m.group(1)}/{m.group(2)}; registry is "
+        f"{total}/{oracled} — update README.md's queries/ line"
+    )

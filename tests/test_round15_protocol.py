@@ -540,3 +540,18 @@ def test_create_table_declares_defaults_in_one_commit(spark, tmp_path):
     sql.run("INSERT INTO t (id) VALUES (5)")
     row = read_table(spark, path).collect()[0]
     assert (row.id, row.lang, row.score) == (5, "und", 0.0)
+
+
+def test_update_set_default_resolves_declared_expression(spark, tmp_path):
+    """UPDATE ... SET col = DEFAULT (the standard-SQL spelling):
+    resolves to the declared default at statement time; a column
+    without one refuses."""
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (id BIGINT, s STRING DEFAULT 'fresh')")
+    sql.run("INSERT INTO t VALUES (1, 'stale'), (2, 'keep')")
+    sql.run("UPDATE t SET s = DEFAULT WHERE id = 1")
+    rows = {r.id: r.s for r in read_table(spark, path).collect()}
+    assert rows == {1: "fresh", 2: "keep"}
+    with pytest.raises(ValueError, match="no declared DEFAULT"):
+        sql.run("UPDATE t SET id = DEFAULT WHERE s = 'keep'")

@@ -111,6 +111,12 @@ PER_UNIT_X16_GATES = {
     # per-doc cost must amortize in both.
     "logreg_gd_steps": 0.5,
     "source_similarity_matrix": 0.5,
+    # Round 15: the unigram-LM tokenizer's seed stage, staged/
+    # scan-inclusive. The corpus-sized term is the (word, count)
+    # aggregate (linear); the substring explosion runs over DISTINCT
+    # words, whose key space replication leaves constant — so per-doc
+    # cost must amortize like the other vocabulary-bounded rows.
+    "unigram_seed_pieces": 0.5,
     # PCA: the corpus-sized work is the single 4096-key Gram
     # aggregate (d^2 fan-out is a pure map, combinable); everything
     # after runs over <= 4096-row frames — per-doc cost must amortize.
@@ -376,6 +382,7 @@ def main() -> None:
         tfidf_top_terms,
         token_drift_top_contributors,
         unigram_logprob_quality,
+        unigram_seed_pieces,
     )
 
     staging_root = tempfile.mkdtemp(prefix="scale_smoke_docs_")
@@ -398,6 +405,7 @@ def main() -> None:
         "embedding_quantize_perdim": embedding_quantize_perdim,
         "ann_topk_ivfpq": ann_topk_ivfpq,
         "substring_dedup_spans": substring_dedup_spans,
+        "unigram_seed_pieces": unigram_seed_pieces,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))

@@ -61,96 +61,97 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# NONE — every r12 window slot carries an exact oracle (the five
-# rows-only registry queries were re-evidenced in r11 and sit
-# outside this window).
 FRONT_ROWS_ONLY_OK: set[str] = {
-    # the two rows-only queries inside the r10 cohort this window
+    # the five rows-only queries inside the r11 cohort this window
     # re-evidences; their ground truths are pinned in pytest
-    # (embedding_cluster_profile: k-means geometry in test_clustering;
-    # semantic_dedup_keep: keep-set invariants in test_dedup) — both
-    # code-unchanged this round, re-evidenced on age alone
-    "embedding_cluster_profile",
-    "semantic_dedup_keep",
+    # (approx sketches: error-bound pins in test_properties;
+    # heavy_hitters_cms: CMS overcount bounds; ingest_provenance:
+    # lineage invariants; neardup_band_survivors: banding recall) —
+    # all code-unchanged this round, re-evidenced on age alone
+    "approx_distinct_stats",
+    "approx_percentile_stats",
+    "heavy_hitters_cms",
+    "ingest_provenance",
+    "neardup_band_survivors",
 }
 
 _FRONT = [
-    # Round-14 window — exactly the r13 verdict's ask ("Next round"
-    # item 1) plus this round's new operators. Rotation history:
-    # r1-r13 as documented in prior revisions of this block; r13 =
-    # the two late-r12 registrations + 5 new r13 lifecycle queries +
-    # 43 of the 48-query r9 cohort (50/50 green, CORRECTNESS_r13).
-    # This window = (a) the FIVE r9-stale queries the r13 window
-    # slipped — the pre-committed head, executing the in-code promise;
-    # (b) the FOUR new round-14 registrations (first driver
-    # evidence; oracle-exact locally at sf0.001/0.01/0.1):
-    # substring_dedup_spans + substring_dedup_yield (exact cross-doc
-    # verbatim-span dedup: detection and removal, each with an
-    # independent oracle), type_widening_lifecycle (metadata-only
-    # ALTER COLUMN TYPE), and replace_deep_clone_lifecycle (CREATE OR
-    # REPLACE + DEEP CLONE surviving source vacuum); (c) 41 of the
-    # 50-query r10-evidenced cohort. Head slots displace exactly 9 r10
-    # queries; the 9 that slip — the TPC-H revenue family
-    # (disjunctive_predicate_revenue, forecast_revenue_change,
-    # large_volume_orders, late_shipper_chain, nation_market_share,
-    # nation_volume_shipping, promo_revenue_share, regional_revenue,
-    # returned_item_ranking) — are exact-oracle single/two-shuffle
-    # relational shapes whose code paths did NOT change this round
-    # (no r10-cohort query touches the versioned/stream code r14
-    # modified), all covered by the local oracle gate every round.
-    # PRE-COMMITTED for round 15: head slots to those 9 slipped r10
-    # queries and any r15 registrations / plan-changed queries, then
-    # the r11-evidenced cohort oldest-first.
-    "temperature_mixture_weights",
-    "template_openers",
-    "weighted_sample_es",
-    "token_count",
-    "text_stats",
-    "substring_dedup_spans",
-    "substring_dedup_yield",
+    # Round-15 window — exactly the r14 verdict's ask ("Next round"
+    # item 1), executing the in-code pre-commitment. Rotation history:
+    # r1-r14 as documented in prior revisions of this block; r14 =
+    # the five r9-stale queries + 4 new r14 registrations + 41 of the
+    # r10 cohort (50/50 green, CORRECTNESS_r14). This window =
+    # (a) the NINE r10-stale TPC-H revenue queries the r14 window
+    # slipped — the pre-committed head; (b) the FOUR new round-15
+    # registrations (first driver evidence; oracle-exact locally):
+    # convert_in_place_lifecycle (CONVERT TO VERSIONED zero-copy
+    # adoption), column_defaults_lifecycle (DEFAULT write-expansion),
+    # sql_transaction_lifecycle (BEGIN/COMMIT/ROLLBACK atomicity),
+    # unigram_seed_pieces (unigram-LM tokenizer seed stage);
+    # (c) type_widening_lifecycle — code-changed this round (the
+    # bloom-invalidation advisory fix lives inside alter_column_type),
+    # so it re-evidences on change, not age; (d) 36 of the 49-query
+    # r11-evidenced cohort, alphabetical. Head slots displace exactly
+    # 13 r11 queries; the 13 that slip (range_join_maintenance,
+    # regexp_null_funcs, sales_opportunity, scalar_subquery,
+    # sessionize_events, skew_key_diagnosis, sliding_window_batch,
+    # stats_agg, text_quality_pandas_udf, union_distinct,
+    # variant_extract, welch_ttest_sources, window_rank_variants) are
+    # exact-oracle queries whose code paths did NOT change this round,
+    # all covered by the local oracle gate every round.
+    # PRE-COMMITTED for round 16: head slots to those 13 slipped r11
+    # queries and any r16 registrations / plan-changed queries, then
+    # the r12-evidenced cohort oldest-first.
+    "disjunctive_predicate_revenue",
+    "forecast_revenue_change",
+    "large_volume_orders",
+    "late_shipper_chain",
+    "nation_market_share",
+    "nation_volume_shipping",
+    "promo_revenue_share",
+    "regional_revenue",
+    "returned_item_ranking",
+    "convert_in_place_lifecycle",
+    "column_defaults_lifecycle",
+    "sql_transaction_lifecycle",
+    "unigram_seed_pieces",
     "type_widening_lifecycle",
-    "replace_deep_clone_lifecycle",
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "argmax_per_group",
-    "bpe_pair_merge_counts",
-    "clean_cast_filter",
-    "collect_sorted_agg",
-    "constant_column",
-    "correlated_exists",
-    "cube_agg",
-    "customer_rfm_segments",
-    "dedup_simhash",
-    "denylist_scrub",
-    "deterministic_sample",
-    "dsir_importance_weights",
-    "dup_cluster_histogram",
-    "embedding_cluster_profile",
-    "event_transition_matrix",
-    "except_all_multiset",
-    "grouped_agg_pandas_udaf",
-    "hybrid_rrf_retrieval",
-    "incremental_dedup_new_docs",
-    "intersect_all_multiset",
-    "json_extraction",
-    "logreg_gd_steps",
-    "pivot_agg",
-    "points_from_xy",
-    "polygon_clip_area",
-    "projection_concat",
-    "rolling_zscore_events",
-    "rollup_agg",
-    "salted_groupby",
-    "semantic_decontamination",
-    "semantic_dedup_keep",
-    "small_qty_part_revenue",
-    "source_similarity_matrix",
-    "top_supplier_revenue",
-    "tumbling_window_batch",
-    "vocab_coverage",
-    "window_topk_per_group",
-    "word_entropy_quality",
-    "zone_overlay",
+    "ann_topk_pq",
+    "ann_topk_pq_refined",
+    "approx_distinct_stats",
+    "approx_percentile_stats",
+    "arrow_group_trend",
+    "asof_join_click_view",
+    "bigram_logprob_quality",
+    "cdf_row_level_audit",
+    "decayed_rolling_features",
+    "dv_delete_audit",
+    "embedding_centroid_auc",
+    "embedding_pca_power_iteration",
+    "embedding_quantize_perdim",
+    "event_funnel",
+    "gap_fill_locf",
+    "gini_source_concentration",
+    "groupby_agg",
+    "grouping_sets_agg",
+    "hard_negative_mining",
+    "heavy_hitters_cms",
+    "incremental_agg_merge",
+    "ingest_provenance",
+    "ks_drift_sources",
+    "lsh_recall_forecast",
+    "mixture_resample",
+    "multimodal_binary_features",
+    "neardup_band_survivors",
+    "ntile_length_buckets",
+    "nullsafe_join",
+    "order_count_histogram",
+    "orderby_limit_topk",
+    "outer_join_order_counts",
+    "pareto_frontier_curation",
+    "percentile_agg",
+    "pii_scrub",
+    "quota_sample_per_source",
 ]
 
 

@@ -46,6 +46,11 @@ lifecycle with SQL strings only:
             "PATTERN = '*.parquet'")
     sql.run("CONVERT TO VERSIONED parquet.`/data/raw/events`")
     sql.run("CONVERT TO VERSIONED parquet.`/raw/ev` PARTITIONED BY (dt)")
+    sql.run("BEGIN TRANSACTION")
+    sql.run("INSERT INTO events VALUES (8, 'x', 0.1)")   # staged
+    sql.run("INSERT OVERWRITE derived SELECT id FROM events")  # staged
+    sql.run("COMMIT")        # both tables advance atomically, or neither
+    sql.run("UPDATE events SET v = DEFAULT WHERE id = 8")
     sql.run("SHOW PARTITIONS events")
 
 Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
@@ -1120,7 +1125,25 @@ class DeltaSql:
             if not am:
                 raise ValueError(f"unsupported SET assignment: {part!r}")
             set_exprs[am.group(1)] = am.group(2)
-        return update_table(self.spark, self._path(name), set_exprs, cond)
+        path = self._path(name)
+        if any(e.strip().upper() == "DEFAULT" for e in set_exprs.values()):
+            # UPDATE ... SET col = DEFAULT (round 15): the standard-SQL
+            # spelling resolves to the declared default expression at
+            # statement time (a column with none declared refuses —
+            # standard behavior where defaults are a table feature)
+            from wnv_etl_lab2_spark.sources.versioned import column_defaults
+
+            dflt = column_defaults(self.spark, path)
+            for c, e in list(set_exprs.items()):
+                if e.strip().upper() != "DEFAULT":
+                    continue
+                if c not in dflt:
+                    raise ValueError(
+                        f"SET {c} = DEFAULT: column {c!r} has no declared "
+                        "DEFAULT"
+                    )
+                set_exprs[c] = dflt[c]
+        return update_table(self.spark, path, set_exprs, cond)
 
     def _merge(self, s: str, sql: str) -> int:
         """The SCD-1 upsert form only — the shape merge_upsert_table

@@ -1305,12 +1305,13 @@ def convert_to_versioned(
         )
     # recursive listing, skipping hidden dirs/files (_SUCCESS, .crc,
     # _log — the same names Spark's own parquet reader ignores)
+    qroot = _qualify(fs, jvm, table_path)
     files: list[str] = []
     it = fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
         qualified = st.getPath().toString()
-        rel = qualified[len(_qualify(fs, jvm, table_path)):].lstrip("/")
+        rel = qualified[len(qroot):].lstrip("/")
         parts = rel.split("/")
         if any(p.startswith((".", "_")) for p in parts):
             continue
@@ -1323,7 +1324,6 @@ def convert_to_versioned(
     # hive layout discovery: the k=v segment keys of each file's
     # relative dir, which must agree across every file (a half-hive
     # directory is a layout bug to surface, not to adopt)
-    qroot = _qualify(fs, jvm, table_path)
     layouts = {
         tuple(
             seg.split("=", 1)[0]
