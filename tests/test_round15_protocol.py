@@ -555,3 +555,47 @@ def test_update_set_default_resolves_declared_expression(spark, tmp_path):
     assert rows == {1: "fresh", 2: "keep"}
     with pytest.raises(ValueError, match="no declared DEFAULT"):
         sql.run("UPDATE t SET id = DEFAULT WHERE s = 'keep'")
+
+
+def test_defaults_follow_column_ddl(spark, tmp_path):
+    """Self-review pins: a dropped column's DEFAULT goes with it (and
+    cannot resurrect on re-add), a renamed column's DEFAULT follows the
+    new name, and a full rewrite that drops the column prunes the
+    declaration."""
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_column,
+        column_defaults,
+        drop_column,
+        overwrite_table,
+        rename_column,
+    )
+
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (id BIGINT, s STRING DEFAULT 'x', u STRING DEFAULT 'y')")
+
+    rename_column(spark, path, "s", "s2")
+    assert column_defaults(spark, path) == {"s2": "'x'", "u": "'y'"}
+    sql.run("INSERT INTO t (id) VALUES (1)")
+    row = read_table(spark, path).collect()[0]
+    assert (row.s2, row.u) == ("x", "y")
+
+    drop_column(spark, path, "s2")  # metadata drop
+    assert column_defaults(spark, path) == {"u": "'y'"}
+    add_column(spark, path, "s2", "string")  # re-add: no resurrection
+    assert column_defaults(spark, path) == {"u": "'y'"}
+    sql.run("INSERT INTO t (id) VALUES (2)")
+    rows = {r.id: r for r in read_table(spark, path).collect()}
+    assert rows[2].s2 is None and rows[2].u == "y"
+
+    # a full rewrite that drops the defaulted column prunes it
+    overwrite_table(spark.createDataFrame([(9,)], "id long"), path)
+    assert column_defaults(spark, path) == {}
+
+
+def test_train_unigram_refuses_empty_corpus(spark):
+    from wnv_etl_lab2_spark.operators.unigram import train_unigram
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        train_unigram(empty)

@@ -244,6 +244,11 @@ def train_unigram(
     from wnv_etl_lab2_spark.operators.bpe import word_frequencies
 
     words = word_frequencies(docs, text_col, vocab_limit)
+    if not words:
+        raise ValueError(
+            "cannot train a tokenizer on an empty corpus (no words in "
+            f"column {text_col!r})"
+        )
     spark = docs.sparkSession
     words_df = spark.createDataFrame(words, "w string, n long")
     chars = sorted({c for w, _ in words for c in w})

@@ -1030,6 +1030,13 @@ def _write_version(
     # surviving logical column's stable physical name and drops entries
     # for columns the rewrite no longer carries (tombstones persist)
     logical_schema_json = df.schema.json()
+    if defaults:
+        # a DEFAULT declaration only makes sense for a column the new
+        # snapshot still has — a rewrite that drops the column takes
+        # its default with it (round 15 review fix: a stale key would
+        # survive invisibly and resurrect on a later re-add)
+        defaults = {c: e for c, e in defaults.items() if c in df.columns}
+        defaults = defaults or None
     if cmap or dropped:
         cmap = _evolve_column_map(df.columns, cmap, dropped)
     df, check = _enforce_constraints(df, constraints, f"{op} -> {table_path}")
@@ -4555,6 +4562,15 @@ def drop_column(
         manifest.pop("column_map", None)
     if m.get("stats_cols"):
         manifest["stats_cols"] = [c for c in m["stats_cols"] if c != name]
+    dflt = dict(m.get("defaults", {}))
+    if name in dflt:  # a dropped column's DEFAULT goes with it too
+        # (round 15 review fix: a lingering entry would resurrect on a
+        # later re-add of the same logical name)
+        del dflt[name]
+        if dflt:
+            manifest["defaults"] = dflt
+        else:
+            manifest.pop("defaults", None)
     # files unchanged — resolve through the chain for append tips
     manifest["files"] = _resolve_files(spark, table_path, cur)
     _commit(spark, table_path, cur + 1, manifest)
@@ -4641,6 +4657,11 @@ def rename_column(
         manifest["stats_cols"] = [
             new if c == old else c for c in m["stats_cols"]
         ]
+    dflt = dict(m.get("defaults", {}))
+    if old in dflt:  # the DEFAULT follows its column's new name
+        # (round 15 review fix: a stale key would orphan the default)
+        dflt[new] = dflt.pop(old)
+        manifest["defaults"] = dflt
     manifest["files"] = _resolve_files(spark, table_path, cur)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
