@@ -599,3 +599,107 @@ def test_train_unigram_refuses_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         train_unigram(empty)
+
+
+# ------------------------------------------------------------- fsck
+
+
+def _delete_one_partition_file(path: str, needle: str = "p=0") -> list[str]:
+    """Out-of-band delete of every data file in ONE hive partition."""
+    import os
+
+    victims = []
+    for r, _, fnames in os.walk(os.path.join(path, "data")):
+        for f in fnames:
+            full = os.path.join(r, f)
+            if f.endswith(".parquet") and needle in full:
+                victims.append(full)
+    for v in victims:
+        os.remove(v)
+    return victims
+
+
+def test_fsck_repairs_out_of_band_deletions(spark, tmp_path):
+    """FSCK REPAIR TABLE: a table whose data files vanished out-of-band
+    becomes readable again, keeping exactly the surviving rows; the
+    repaired manifest drops the lost files' per-file metadata and the
+    loss is recorded (fsck_removed). Dry run reports without
+    committing."""
+    from wnv_etl_lab2_spark.sources.versioned import fsck_repair_table
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(10)], "id long, p int"
+        ),
+        path,
+        partition_by=["p"],
+        stats_cols=["id"],
+    )
+    # healthy table: fsck is a no-op in both modes
+    assert fsck_repair_table(spark, path, dry_run=True)["missing"] == []
+    assert fsck_repair_table(spark, path)["version"] is None
+    assert latest_version(spark, path) == 0
+
+    victims = _delete_one_partition_file(path)
+    assert victims  # the out-of-band loss actually happened
+    with pytest.raises(Exception):
+        read_table(spark, path).count()  # broken: scan hits missing files
+
+    rep = fsck_repair_table(spark, path, dry_run=True)
+    assert rep["version"] is None and rep["missing"]
+    assert latest_version(spark, path) == 0  # dry run committed nothing
+
+    rep = fsck_repair_table(spark, path)
+    assert rep["version"] == 1
+    got = sorted((r.id, r.p) for r in read_table(spark, path).collect())
+    assert len(got) == rep["n_rows"] > 0
+    assert len({p for _, p in got}) == 1  # one whole partition is gone
+    m = _read_manifest(spark, path, 1)
+    assert sorted(m["fsck_removed"]) == sorted(
+        f for f in m.get("fsck_removed", [])
+    )
+    live = set(m["files"])
+    assert all(f in live for f in m.get("stats", {}))  # lost stats dropped
+    # ordinary table life continues on the repaired snapshot
+    append_table(spark.createDataFrame([(100, 0)], "id long, p int"), path)
+    assert read_table(spark, path).count() == rep["n_rows"] + 1
+
+
+def test_fsck_sql_verb_and_stream_refusal(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamReader,
+    )
+
+    path = str(tmp_path / "t")
+    sql = DeltaSql(spark, {"t": path})
+    sql.run("CREATE TABLE t (id BIGINT, p INT) PARTITIONED BY (p)")
+    sql.run("INSERT INTO t VALUES (1, 0), (2, 1), (3, 0), (4, 1)")
+    schema = StructType.fromJson(
+        _json.loads(_read_manifest(spark, path, 1)["schema"])
+    )
+    _delete_one_partition_file(path)
+    row = sql.run("FSCK REPAIR TABLE t DRY RUN").collect()[0]
+    assert row.n_missing > 0 and row.version is None
+    row = sql.run("FSCK REPAIR TABLE t").collect()[0]
+    assert row.version == 2 and row.n_rows == 2
+
+    # a stream crossing the fsck version refuses explicitly in both
+    # modes — the retraction rows' files are gone
+    r = VersionedTableStreamReader(path, schema, -1)
+    with pytest.raises(RuntimeError, match="FSCK repair"):
+        r.partitions(r.initialOffset(), {"version": 2})
+    cdf_schema = schema.add("_change_type", "string").add(
+        "_commit_version", "long"
+    )
+    r2 = VersionedTableStreamReader(path, cdf_schema, -1, cdf=True)
+    with pytest.raises(RuntimeError, match="FSCK repair"):
+        r2.partitions(r2.initialOffset(), {"version": 2})
+    # a stream started AT the repaired tip reads new appends normally
+    r3 = VersionedTableStreamReader(path, schema, 2)
+    sql.run("INSERT INTO t VALUES (9, 0)")
+    assert len(r3.partitions(r3.initialOffset(), r3.latestOffset())) == 1

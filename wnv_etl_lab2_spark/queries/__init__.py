@@ -82,24 +82,26 @@ _FRONT = [
     # the five r9-stale queries + 4 new r14 registrations + 41 of the
     # r10 cohort (50/50 green, CORRECTNESS_r14). This window =
     # (a) the NINE r10-stale TPC-H revenue queries the r14 window
-    # slipped — the pre-committed head; (b) the FOUR new round-15
+    # slipped — the pre-committed head; (b) the FIVE new round-15
     # registrations (first driver evidence; oracle-exact locally):
     # convert_in_place_lifecycle (CONVERT TO VERSIONED zero-copy
     # adoption), column_defaults_lifecycle (DEFAULT write-expansion),
     # sql_transaction_lifecycle (BEGIN/COMMIT/ROLLBACK atomicity),
-    # unigram_seed_pieces (unigram-LM tokenizer seed stage);
+    # unigram_seed_pieces (unigram-LM tokenizer seed stage),
+    # fsck_repair_lifecycle (out-of-band-loss repair);
     # (c) type_widening_lifecycle — code-changed this round (the
     # bloom-invalidation advisory fix lives inside alter_column_type),
-    # so it re-evidences on change, not age; (d) 36 of the 49-query
+    # so it re-evidences on change, not age; (d) 35 of the 49-query
     # r11-evidenced cohort, alphabetical. Head slots displace exactly
-    # 13 r11 queries; the 13 that slip (range_join_maintenance,
-    # regexp_null_funcs, sales_opportunity, scalar_subquery,
-    # sessionize_events, skew_key_diagnosis, sliding_window_batch,
-    # stats_agg, text_quality_pandas_udf, union_distinct,
-    # variant_extract, welch_ttest_sources, window_rank_variants) are
-    # exact-oracle queries whose code paths did NOT change this round,
-    # all covered by the local oracle gate every round.
-    # PRE-COMMITTED for round 16: head slots to those 13 slipped r11
+    # 14 r11 queries; the 14 that slip (quota_sample_per_source,
+    # range_join_maintenance, regexp_null_funcs, sales_opportunity,
+    # scalar_subquery, sessionize_events, skew_key_diagnosis,
+    # sliding_window_batch, stats_agg, text_quality_pandas_udf,
+    # union_distinct, variant_extract, welch_ttest_sources,
+    # window_rank_variants) are exact-oracle queries whose code paths
+    # did NOT change this round, all covered by the local oracle gate
+    # every round.
+    # PRE-COMMITTED for round 16: head slots to those 14 slipped r11
     # queries and any r16 registrations / plan-changed queries, then
     # the r12-evidenced cohort oldest-first.
     "disjunctive_predicate_revenue",
@@ -115,6 +117,7 @@ _FRONT = [
     "column_defaults_lifecycle",
     "sql_transaction_lifecycle",
     "unigram_seed_pieces",
+    "fsck_repair_lifecycle",
     "type_widening_lifecycle",
     "ann_topk_pq",
     "ann_topk_pq_refined",
@@ -151,7 +154,6 @@ _FRONT = [
     "pareto_frontier_curation",
     "percentile_agg",
     "pii_scrub",
-    "quota_sample_per_source",
 ]
 
 

@@ -1850,3 +1850,88 @@ def sql_transaction_lifecycle(spark, sf_dir):
         for v in ("_r15_txn_en", "_r15_txn_de", "_r15_txn_counts", "_r15_txn_fr"):
             spark.catalog.dropTempView(v)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "fsck_repair_lifecycle",
+    oracle="""
+    WITH survivors AS (
+        SELECT lang, n_chars FROM documents WHERE lang <> 'de'
+        UNION ALL
+        SELECT lang, n_chars FROM documents WHERE lang = 'fr'
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM survivors GROUP BY lang
+    """,
+)
+def fsck_repair_lifecycle(spark, sf_dir):
+    """FSCK REPAIR TABLE as a driver-verified lifecycle (round 15 —
+    registry face of `sources/versioned.fsck_repair_table`): stage the
+    documents as a hive-partitioned versioned table, delete the German
+    partition's data files OUT-OF-BAND (the object-store-lifecycle /
+    manual-rm accident every operator eventually meets — scans now die
+    on missing splits), FSCK via the SQL verb — the protocol raises
+    here if the repair failed to commit or left the table unreadable —
+    then APPEND the French docs again on the repaired snapshot and
+    aggregate per language. The oracle computes the honest post-loss
+    state (everything but 'de', plus the re-appended 'fr' wave) from
+    the raw corpus: a repair that dropped too much, too little, or
+    mis-counted rows hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        append_table,
+        create_table,
+        read_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_fsck_life_")
+    try:
+        tbl = root + "/tbl"
+        create_table(d, tbl, partition_by=["lang"])
+        victims = [
+            os.path.join(r, f)
+            for r, _, fs_ in os.walk(tbl)
+            for f in fs_
+            if f.endswith(".parquet") and "lang=de" in os.path.join(r, f)
+        ]
+        if not victims:
+            raise AssertionError("no German partition files to lose")
+        for v in victims:
+            os.remove(v)
+        row = DeltaSql(spark, {"t": tbl}).run("FSCK REPAIR TABLE t").collect()[0]
+        if row.version != 1 or row.n_missing != len(victims):
+            raise AssertionError(
+                f"repair did not commit the expected loss: {row}"
+            )
+        append_table(
+            d.where(F.col("lang") == "fr").select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                "lang",
+                "n_chars",
+            ),
+            tbl,
+        )
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

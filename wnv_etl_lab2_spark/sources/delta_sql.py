@@ -44,6 +44,8 @@ lifecycle with SQL strings only:
     sql.run("REORG TABLE events APPLY (PURGE)")
     sql.run("COPY INTO events FROM '/landing/events' FILEFORMAT = PARQUET "
             "PATTERN = '*.parquet'")
+    sql.run("FSCK REPAIR TABLE events DRY RUN")
+    sql.run("FSCK REPAIR TABLE events")
     sql.run("CONVERT TO VERSIONED parquet.`/data/raw/events`")
     sql.run("CONVERT TO VERSIONED parquet.`/raw/ev` PARTITIONED BY (dt)")
     sql.run("BEGIN TRANSACTION")
@@ -434,6 +436,29 @@ class DeltaSql:
             return maker(
                 self._select(m.group(3)), self._path(m.group(1)),
                 partition_by=partition_by,
+            )
+        if head == "FSCK":
+            # FSCK REPAIR TABLE t [DRY RUN] — drop manifest references
+            # to data files deleted out-of-band (round 15); semantics
+            # in versioned.fsck_repair_table. Returns a 1-row DataFrame
+            # (missing count, committed version, repaired row count).
+            m = re.fullmatch(
+                rf"FSCK\s+REPAIR\s+TABLE\s+({_IDENT})(\s+DRY\s+RUN)?",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported FSCK statement: {sql!r}")
+            from wnv_etl_lab2_spark.sources.versioned import (
+                fsck_repair_table,
+            )
+
+            out = fsck_repair_table(
+                self.spark, self._path(m.group(1)), dry_run=bool(m.group(2))
+            )
+            return self.spark.createDataFrame(
+                [(len(out["missing"]), out["version"], out["n_rows"])],
+                "n_missing int, version int, n_rows long",
             )
         if head == "CONVERT":
             # CONVERT TO VERSIONED parquet.`/path` [PARTITIONED BY (c,..)]

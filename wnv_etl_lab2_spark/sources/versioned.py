@@ -3855,6 +3855,86 @@ def table_partitions(
     return spark.createDataFrame(rows, schema)
 
 
+def fsck_repair_table(
+    spark: SparkSession, table_path: str, dry_run: bool = False
+) -> dict:
+    """FSCK REPAIR TABLE — Delta's repair verb for tables whose data
+    files vanished OUT-OF-BAND (a manual delete, an object-store
+    lifecycle policy, a cleanup script — and, since round 15's CONVERT
+    adoption, files the engine never owned in the first place): the
+    tip manifest references files the filesystem no longer has, so
+    every scan dies on the first missing split. Repair commits a new
+    version keeping only the files that still EXIST, dropping the
+    missing files' per-file metadata (footer stats, dv_counts) with
+    them and re-counting rows from the surviving snapshot. Rows in
+    lost files are GONE — fsck makes the loss explicit and the table
+    readable again; it never invents data, and prior versions stay
+    time-travelable (and equally broken) until vacuum. ``dry_run``
+    reports the missing files without committing.
+
+    Consumers: a plain stream refuses an fsck version like any other
+    history rewrite; the CDF stream refuses it EXPLICITLY — the
+    retraction rows live in files that no longer exist, so no feed can
+    replay them (`versioned_stream._version_units`).
+
+    Returns {"missing": [...], "version": committed or None,
+    "n_rows": repaired count or None}. Existence checks are O(files)
+    driver-side metadata calls; the only data-shaped work is the
+    survivors' footer-count."""
+    cur = latest_version(spark, table_path)
+    if cur is None:
+        raise ValueError(f"not a versioned table (no log): {table_path}")
+    m = _read_manifest(spark, table_path, cur)
+    files = _resolve_files(spark, table_path, cur)
+    fs, jvm = _fs(spark, table_path)
+    jp = jvm.org.apache.hadoop.fs.Path
+    missing = [f for f in files if not fs.exists(jp(f))]
+    if not missing or dry_run:
+        return {
+            "missing": missing,
+            "version": None,
+            "n_rows": None,
+        }
+    gone = set(missing)
+    keep = [f for f in files if f not in gone]
+    manifest = {
+        "version": cur + 1,
+        "op": "fsck",
+        "files": keep,
+        "fsck_removed": sorted(missing),
+    }
+    for key in (
+        "schema", "constraints", "generated", "identity", "properties", "defaults",
+        "stats_cols", "dv", "blooms", "blooms_ref",
+        "partition_by", "column_map", "dropped_physical", "widened",
+    ):
+        if key in m:
+            manifest[key] = m[key]
+    # per-file metadata of the lost files goes with them; surviving
+    # files' entries stay valid (files are immutable)
+    if m.get("stats"):
+        kept_stats = {f: s for f, s in m["stats"].items() if f not in gone}
+        if kept_stats:
+            manifest["stats"] = kept_stats
+    if m.get("dv_counts"):
+        kept_counts = {
+            f: c for f, c in m["dv_counts"].items() if f not in gone
+        }
+        if kept_counts:
+            manifest["dv_counts"] = kept_counts
+    # honest logical row count of the repaired snapshot (DV-aware via
+    # the shared scan; parquet count() is footer-metadata-only)
+    manifest["n_rows"] = (
+        _scan_snapshot_files(spark, keep, manifest).count() if keep else 0
+    )
+    _commit(spark, table_path, cur + 1, manifest)
+    return {
+        "missing": sorted(missing),
+        "version": cur + 1,
+        "n_rows": manifest["n_rows"],
+    }
+
+
 def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
     """RESTORE TABLE TO VERSION — Delta's RESTORE contract (round 11):
     commit a NEW version whose snapshot is exactly the target

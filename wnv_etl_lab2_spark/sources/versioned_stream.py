@@ -475,6 +475,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         None)`` for data-neutral commits, ``("files", paths)`` for
         splittable create/append file lists, ``("atomic", n_units)``
         for versions that must admit whole."""
+        if m["op"] == "fsck":
+            # rows lost OUT-OF-BAND cannot be replayed in either mode:
+            # the retraction rows live in files that no longer exist
+            # (round 15). Explicit refusal beats a FileNotFound deep in
+            # a partition read.
+            raise RuntimeError(
+                f"version {v} is an FSCK repair — its removed rows' "
+                "files are gone and cannot be replayed; restart the "
+                "stream at or after this version"
+            )
         if m["op"] == "alter_column_type":
             self._refuse_stale_widening(v, m)
             return "skip", None
@@ -641,6 +651,12 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         for v in range(lo if lo_k is not None else lo + 1, hi + 1):
             m = _py_read_manifest(self._path, v)
             vstart = len(parts)  # stamp this version's parts at loop end
+            if m["op"] == "fsck":
+                raise RuntimeError(
+                    f"version {v} is an FSCK repair — its removed rows' "
+                    "files are gone and cannot be replayed; restart the "
+                    "stream at or after this version"
+                )
             if m["op"] == "alter_column_type":
                 # widening past the start-time schema must refuse here
                 # too — the unpaced path plans partitions without ever
