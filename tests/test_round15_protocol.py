@@ -703,3 +703,42 @@ def test_fsck_sql_verb_and_stream_refusal(spark, tmp_path):
     r3 = VersionedTableStreamReader(path, schema, 2)
     sql.run("INSERT INTO t VALUES (9, 0)")
     assert len(r3.partitions(r3.initialOffset(), r3.latestOffset())) == 1
+
+
+def test_fsck_triages_sidecar_losses(spark, tmp_path):
+    """A lost bloom sidecar is shed by the repair (pruning metadata
+    only); a lost deletion-vector file REFUSES — dropping it would
+    resurrect deleted rows."""
+    import glob
+    import os
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        fsck_repair_table,
+        read_table_bloom_pruned,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(i,) for i in range(8)], "id long"), path
+    )
+    collect_blooms(spark, path, ["id"])
+    for f in glob.glob(os.path.join(path, "_blooms", "*", "*.parquet")):
+        os.remove(f)
+    with pytest.raises(Exception):
+        read_table_bloom_pruned(spark, path, "id", 3).collect()
+    rep = fsck_repair_table(spark, path)
+    assert rep["version"] is not None and rep["missing"] == []
+    m = _read_manifest(spark, path, rep["version"])
+    assert "blooms_ref" not in m and "blooms" not in m
+    # probes fall back to scanning: correct results, no pruning
+    assert [r.id for r in read_table_bloom_pruned(spark, path, "id", 3).collect()] == [3]
+
+    dv = str(tmp_path / "dvt")
+    create_table(
+        spark.createDataFrame([(i,) for i in range(8)], "id long"), dv
+    )
+    delete_from_table(spark, dv, "id < 3", mode="merge_on_read")
+    for f in glob.glob(os.path.join(dv, "_dv", "*", "*.parquet")):
+        os.remove(f)
+    with pytest.raises(ValueError, match="resurrect"):
+        fsck_repair_table(spark, dv)

@@ -3872,6 +3872,13 @@ def fsck_repair_table(
     time-travelable (and equally broken) until vacuum. ``dry_run``
     reports the missing files without committing.
 
+    Sidecar losses are triaged by what dropping them would MEAN: a
+    missing bloom sidecar is shed with the repair (pruning metadata —
+    losing it only disables point-lookup skipping; collect_blooms
+    rebuilds it), while a missing DELETION-VECTOR file REFUSES loudly —
+    the DV is the only record of which rows are deleted, so dropping
+    the reference would silently resurrect them.
+
     Consumers: a plain stream refuses an fsck version like any other
     history rewrite; the CDF stream refuses it EXPLICITLY — the
     retraction rows live in files that no longer exist, so no feed can
@@ -3888,8 +3895,26 @@ def fsck_repair_table(
     files = _resolve_files(spark, table_path, cur)
     fs, jvm = _fs(spark, table_path)
     jp = jvm.org.apache.hadoop.fs.Path
+    # a missing DELETION-VECTOR file is NOT repairable by dropping it:
+    # the DV is the only record of which rows are deleted, so removing
+    # the reference would silently RESURRECT them — refuse and point at
+    # the honest recovery paths instead
+    dv_missing = [f for f in m.get("dv", []) if not fs.exists(jp(f))]
+    if dv_missing:
+        raise ValueError(
+            f"deletion-vector file(s) missing: {dv_missing} — dropping a "
+            "DV would resurrect its deleted rows; RESTORE to a version "
+            "before the delete, or rewrite the table from a trusted "
+            "source"
+        )
     missing = [f for f in files if not fs.exists(jp(f))]
-    if not missing or dry_run:
+    # a missing BLOOM sidecar only disables point-lookup pruning — safe
+    # to shed with the repair (collect_blooms rebuilds it on demand)
+    blooms_gone = any(
+        not fs.exists(jp(f))
+        for f in (m.get("blooms_ref") or {}).get("files", [])
+    )
+    if (not missing and not blooms_gone) or dry_run:
         return {
             "missing": missing,
             "version": None,
@@ -3910,6 +3935,9 @@ def fsck_repair_table(
     ):
         if key in m:
             manifest[key] = m[key]
+    if blooms_gone:
+        manifest.pop("blooms", None)
+        manifest.pop("blooms_ref", None)
     # per-file metadata of the lost files goes with them; surviving
     # files' entries stay valid (files are immutable)
     if m.get("stats"):
