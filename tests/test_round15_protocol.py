@@ -742,3 +742,48 @@ def test_fsck_triages_sidecar_losses(spark, tmp_path):
         os.remove(f)
     with pytest.raises(ValueError, match="resurrect"):
         fsck_repair_table(spark, dv)
+
+
+def test_converted_table_streams_end_to_end(spark, tmp_path):
+    """Engine-level pin (not just the reader object): a plain parquet
+    directory adopted via CONVERT feeds a real readStream with
+    Trigger.AvailableNow — v0's adopted files replay as the first
+    batch, a post-conversion append arrives on the next run, and the
+    checkpoint carries offsets across runs exactly like any created
+    table."""
+    from wnv_etl_lab2_spark.sources.versioned import convert_to_versioned
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    raw = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(6)], "id long, p int"
+    ).write.partitionBy("p").parquet(raw)
+    convert_to_versioned(spark, raw)
+
+    got: list[int] = []
+
+    def run_available_now():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", raw)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_available_now()
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]  # the adopted v0 files
+
+    append_table(spark.createDataFrame([(50, 1)], "id long, p int"), raw)
+    got.clear()
+    run_available_now()
+    assert got == [50]  # incremental: only the appended file
