@@ -346,6 +346,8 @@ def test_describe_detail(spark, tmp_path):
     assert d.has_dv and d.has_blooms
     assert d.stats_cols == ["id"] and d.constraints == ["id_pos"]
     assert d.location.endswith("tbl")
+    # round 15: the manifest's required-feature stamps surface too
+    assert set(d.table_features) == {"check_constraints", "deletion_vectors"}
 
 
 def test_sql_general_merge_clause_matrix(spark, tmp_path):

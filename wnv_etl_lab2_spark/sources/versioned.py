@@ -3813,13 +3813,15 @@ def table_detail(spark: SparkSession, table_path: str) -> DataFrame:
         list(m.get("stats_cols", [])),
         sorted(m.get("constraints", {})),
         dict(m.get("properties", {})),
+        list(m.get("features", [])),
     )
     return spark.createDataFrame(
         [row],
         "location string, version int, ts_ms long, num_files int, "
         "num_rows long, size_bytes long, num_versions int, has_dv boolean, "
         "has_blooms boolean, stats_cols array<string>, "
-        "constraints array<string>, properties map<string,string>",
+        "constraints array<string>, properties map<string,string>, "
+        "table_features array<string>",
     )
 
 
