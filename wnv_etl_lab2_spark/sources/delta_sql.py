@@ -51,9 +51,17 @@ lifecycle with SQL strings only:
     sql.run("BEGIN TRANSACTION")
     sql.run("INSERT INTO events VALUES (8, 'x', 0.1)")   # staged
     sql.run("INSERT OVERWRITE derived SELECT id FROM events")  # staged
-    sql.run("COMMIT")        # both tables advance atomically, or neither
+    sql.run("DELETE FROM audit WHERE stale")             # staged (r16)
+    sql.run("COMMIT")        # all tables advance atomically, or none
     sql.run("UPDATE events SET v = DEFAULT WHERE id = 8")
     sql.run("SHOW PARTITIONS events")
+    sql.run("CREATE VIEW active AS SELECT * FROM events WHERE score > 0")
+    sql.run("CREATE OR REPLACE VIEW active AS SELECT id FROM events")
+    sql.run("SELECT count(*) AS n FROM active")   # expands to current snapshot
+    sql.run("SHOW VIEWS")
+    sql.run("DROP VIEW IF EXISTS active")
+    sql.run("ANALYZE TABLE events COMPUTE STATISTICS FOR COLUMNS id, score")
+    sql.run("ANALYZE TABLE events COMPUTE BLOOM FILTERS FOR COLUMNS id")
 
 Design stance — PARSE THE VERBS, DELEGATE THE QUERIES: only the
 statement head (MERGE/UPDATE/DELETE/OPTIMIZE/VACUUM/DESCRIBE/RESTORE)
@@ -118,16 +126,32 @@ class DeltaSql:
         spark: SparkSession,
         tables: dict[str, str],
         txn_log: str | None = None,
+        view_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.tables = dict(tables)
+        # SQL VIEWS (round 16 — r15 verdict "what's missing" #2): named
+        # SELECTs stored as their DEFINITION TEXT and expanded at query
+        # time, so a view always reads the CURRENT snapshot of its base
+        # tables (standard virtual-view semantics — the virtual half of
+        # the matview story in `operators/matview.py`). ``view_dir``
+        # persists definitions as one JSON file per view, so a new
+        # session over the same catalog sees them; without it views are
+        # session-scoped. Catalog metadata, last-writer-wins — views
+        # carry no data, so there is nothing transactional to protect.
+        self._views: dict[str, str] = {}
+        self._view_dir = view_dir
+        if view_dir:
+            self._load_views()
         # SQL-surface transactions (round 15 — r14 verdict "what's
-        # missing" #4): BEGIN TRANSACTION buffers INSERT statements as
-        # staged TxnWrites; COMMIT routes them through
-        # `sources/transactions.commit_transaction` (all tables advance
-        # or none); ROLLBACK discards. ``txn_log`` overrides the shared
-        # outcome-marker directory (default: `_txn` beside the first
-        # staged table).
+        # missing" #4): BEGIN TRANSACTION buffers INSERT statements —
+        # and, since round 16 (r15 "what's missing" #1), UPDATE /
+        # DELETE / MERGE — as staged TxnWrites; COMMIT routes them
+        # through `sources/transactions.commit_transaction` (all
+        # tables advance or none); ROLLBACK discards. One statement
+        # per table once DML is involved (INSERTs on one table still
+        # compose). ``txn_log`` overrides the shared outcome-marker
+        # directory (default: `_txn` beside the first staged table).
         self._txn: list | None = None
         self._txn_log = txn_log
 
@@ -144,6 +168,86 @@ class DeltaSql:
         s = sql.strip()
         return s[:-1].rstrip() if s.endswith(";") else s
 
+    # -- views -----------------------------------------------------------
+
+    def _view_df(self, name: str, _expanding: frozenset = frozenset()):
+        """A view's current DataFrame: run its stored definition, which
+        recursively expands nested views. ``_expanding`` carries the
+        names currently being expanded — re-entering one is a cycle
+        (only reachable via CREATE OR REPLACE rewiring an existing
+        view) and refuses instead of recursing forever."""
+        if name in _expanding:
+            raise ValueError(
+                f"view {name!r} is part of a reference cycle "
+                f"({sorted(_expanding | {name})}) — redefine it"
+            )
+        return self._select(self._views[name], _expanding=_expanding | {name})
+
+    def _view_file(self, name: str) -> str:
+        import posixpath
+
+        return posixpath.join(self._view_dir, f"{name}.view.json")
+
+    def _load_views(self) -> None:
+        import json as _json
+
+        from wnv_etl_lab2_spark.sources.versioned import _fs
+
+        fs, jvm = _fs(self.spark, self._view_dir)
+        d = jvm.org.apache.hadoop.fs.Path(self._view_dir)
+        if not fs.exists(d):
+            return
+        for st in fs.listStatus(d):
+            fname = st.getPath().getName()
+            if not fname.endswith(".view.json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                buf = self.spark._jvm.java.io.BufferedReader(
+                    self.spark._jvm.java.io.InputStreamReader(stream, "UTF-8")
+                )
+                lines = []
+                line = buf.readLine()
+                while line is not None:
+                    lines.append(line)
+                    line = buf.readLine()
+            finally:
+                stream.close()
+            rec = _json.loads("\n".join(lines))
+            self._views[rec["name"]] = rec["definition"]
+
+    def _persist_view(self, name: str) -> None:
+        if not self._view_dir:
+            return
+        import json as _json
+
+        from wnv_etl_lab2_spark.sources.versioned import _fs
+
+        fs, jvm = _fs(self.spark, self._view_dir)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(self._view_dir))
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(self._view_file(name)), True
+        )
+        try:
+            out.write(
+                _json.dumps(
+                    {"name": name, "definition": self._views[name]},
+                    sort_keys=True,
+                ).encode("utf-8")
+            )
+        finally:
+            out.close()
+
+    def _unpersist_view(self, name: str) -> None:
+        if not self._view_dir:
+            return
+        from wnv_etl_lab2_spark.sources.versioned import _fs
+
+        fs, jvm = _fs(self.spark, self._view_dir)
+        p = jvm.org.apache.hadoop.fs.Path(self._view_file(name))
+        if fs.exists(p):
+            fs.delete(p, False)
+
     def _txn_add(self, path: str, op: str, df) -> None:
         """Fold an INSERT into the open transaction's staged writes.
         `commit_transaction` takes ONE write per table, so repeats on
@@ -152,11 +256,20 @@ class DeltaSql:
         append after an overwrite unions into the overwrite frame —
         exactly the state a sequential non-transactional run would
         leave, decided in one atomic commit."""
-        from wnv_etl_lab2_spark.sources.transactions import TxnWrite
+        from wnv_etl_lab2_spark.sources.transactions import _DML_OPS, TxnWrite
 
         for i, w in enumerate(self._txn):
             if w.table_path != path:
                 continue
+            if w.op in _DML_OPS:
+                raise ValueError(
+                    f"table at {path} already has a staged "
+                    f"{w.op.upper()} in this transaction — a transaction "
+                    "supports ONE statement per table when DML is "
+                    "involved (the staged rewrite and a later INSERT "
+                    "cannot compose against each other's unpublished "
+                    "state); COMMIT first or split the transactions"
+                )
             if op == "append":
                 merged = w.df.unionByName(df, allowMissingColumns=True)
                 self._txn[i] = TxnWrite(df=merged, table_path=path, op=w.op)
@@ -164,6 +277,26 @@ class DeltaSql:
                 self._txn[i] = TxnWrite(df=df, table_path=path, op="overwrite")
             return
         self._txn.append(TxnWrite(df=df, table_path=path, op=op))
+
+    def _txn_add_dml(self, path: str, op: str, **kw) -> None:
+        """Stage an UPDATE/DELETE/MERGE inside the open transaction
+        (round 16 — transactional DML). One statement per table once
+        DML is involved: the single-table verbs each rewrite against
+        the COMMITTED snapshot, so two staged statements on the same
+        table would race for one version slot and the second would not
+        see the first's effect — refused loudly instead of applied
+        wrongly."""
+        from wnv_etl_lab2_spark.sources.transactions import TxnWrite
+
+        for w in self._txn:
+            if w.table_path == path:
+                raise ValueError(
+                    f"table at {path} already has a staged {w.op.upper()} "
+                    "in this transaction — a transaction supports ONE "
+                    "statement per table when DML is involved; COMMIT "
+                    "first or split the transactions"
+                )
+        self._txn.append(TxnWrite(df=kw.pop("df", None), table_path=path, op=op, **kw))
 
     # -- verbs -----------------------------------------------------------
 
@@ -222,10 +355,11 @@ class DeltaSql:
             return commit_transaction(self.spark, log, writes)
         if self._txn is not None and head not in (
             "SELECT", "WITH", "SHOW", "DESCRIBE", "INSERT",
+            "UPDATE", "DELETE", "MERGE",
         ):
             raise ValueError(
                 f"{head} is not allowed inside BEGIN TRANSACTION — only "
-                "INSERT INTO / INSERT OVERWRITE write statements (plus "
+                "INSERT / UPDATE / DELETE / MERGE write statements (plus "
                 "reads) are transactional; COMMIT or ROLLBACK first"
             )
         if head == "SELECT" or head == "WITH":
@@ -274,7 +408,54 @@ class DeltaSql:
                 return self.spark.createDataFrame(
                     [(stmt,)], "createtab_stmt string"
                 )
+            if re.fullmatch(r"SHOW\s+VIEWS", s, re.IGNORECASE):
+                return self.spark.createDataFrame(
+                    sorted(self._views.items()) or [],
+                    "name string, definition string",
+                )
             raise ValueError(f"unsupported SHOW statement: {sql!r}")
+        if head == "ANALYZE":
+            # ANALYZE TABLE (round 16 — r15 verdict "what's missing"
+            # #3): the SQL spelling of `collect_stats` /
+            # `collect_blooms`, so a SQL-only operator can turn on the
+            # skipping machinery (per-file min/max range pruning, bloom
+            # point-lookup pruning) that makes scans cheap. Returns the
+            # committed metadata-only version number, like any
+            # maintenance verb.
+            cols_re = rf"({_IDENT}(?:\s*,\s*{_IDENT})*)"
+            m = re.fullmatch(
+                rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+                rf"\s+FOR\s+COLUMNS\s+{cols_re}",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import collect_stats
+
+                return collect_stats(
+                    self.spark,
+                    self._path(m.group(1)),
+                    [c.strip() for c in m.group(2).split(",")],
+                )
+            m = re.fullmatch(
+                rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+BLOOM\s+"
+                rf"FILTERS\s+FOR\s+COLUMNS\s+{cols_re}",
+                s,
+                re.IGNORECASE,
+            )
+            if m:
+                from wnv_etl_lab2_spark.sources.versioned import collect_blooms
+
+                return collect_blooms(
+                    self.spark,
+                    self._path(m.group(1)),
+                    [c.strip() for c in m.group(2).split(",")],
+                )
+            raise ValueError(
+                f"unsupported ANALYZE statement (COMPUTE STATISTICS FOR "
+                f"COLUMNS ... | COMPUTE BLOOM FILTERS FOR COLUMNS ...): "
+                f"{sql!r}"
+            )
         if head == "REORG":
             # REORG TABLE t APPLY (PURGE) — Delta's canonical spelling of
             # the DV rewrite-back (OPTIMIZE ... APPLY (PURGE) also works)
@@ -386,10 +567,59 @@ class DeltaSql:
                     version_as_of_timestamp(self.spark, path, self._ts_ms(m.group(2))),
                 )
             raise ValueError(f"unsupported RESTORE statement: {sql!r}")
+        if head == "DROP":
+            m = re.fullmatch(
+                rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})",
+                s,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported DROP statement: {sql!r}")
+            name = m.group(2)
+            if name not in self._views:
+                if m.group(1):
+                    return None
+                raise ValueError(f"view does not exist: {name!r}")
+            del self._views[name]
+            self._unpersist_view(name)
+            return None
         if head == "CREATE":
             replace = bool(
                 re.match(r"CREATE\s+OR\s+REPLACE\b", s, re.IGNORECASE)
             )
+            m = re.fullmatch(
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+                rf"({_IDENT})\s+AS\s+(SELECT\s+.+|WITH\s+.+)",
+                s,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                name, body = m.group(1), m.group(2).strip()
+                if name in self.tables:
+                    raise ValueError(
+                        f"{name!r} is a registered TABLE — a view cannot "
+                        "shadow it"
+                    )
+                if name in self._views and not replace:
+                    raise ValueError(
+                        f"view {name!r} already exists — use CREATE OR "
+                        "REPLACE VIEW"
+                    )
+                old = self._views.get(name)
+                self._views[name] = body
+                try:
+                    # validate NOW (standard SQL: referenced objects
+                    # must exist and analyze at definition time); this
+                    # also catches cycles a REPLACE would introduce
+                    self._view_df(name)
+                except Exception:
+                    if old is None:
+                        del self._views[name]
+                    else:
+                        self._views[name] = old
+                    raise
+                self._persist_view(name)
+                return None
             create_kw = r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE"
             m = re.fullmatch(
                 rf"{create_kw}\s+({_IDENT})\s+(SHALLOW|DEEP)\s+CLONE"
@@ -802,6 +1032,12 @@ class DeltaSql:
                 raise ValueError(f"unsupported DELETE statement: {sql!r}")
             # bare DELETE FROM t = delete every row (Delta semantics;
             # same logical result as TRUNCATE TABLE)
+            if self._txn is not None:
+                self._txn_add_dml(
+                    self._path(m.group(1)), "delete",
+                    condition=m.group(2) or "true",
+                )
+                return None  # staged: nothing visible until COMMIT
             return delete_from_table(
                 self.spark, self._path(m.group(1)), m.group(2) or "true"
             )
@@ -910,12 +1146,26 @@ class DeltaSql:
                     rest = rest[: mgen.start()] + rest[mgen.end() :]
             # DEFAULT is a suffix clause (parsed before NOT NULL so an
             # expr is taken whole; GENERATED BY DEFAULT was already
-            # extracted above, so the keyword is unambiguous here)
+            # extracted above, so the keyword is unambiguous here).
+            # Standard SQL column-constraint order puts NOT NULL after
+            # the default — `col INT DEFAULT 5 NOT NULL` — so a
+            # trailing NOT NULL in the greedy capture is the constraint,
+            # not part of the expression (round 16, r15 advisory fix:
+            # it used to be captured as '5 NOT NULL' and fail at DDL
+            # time with a confusing expression-parse error). A genuine
+            # expression ending in the token NULL (DEFAULT NULL,
+            # DEFAULT (x IS NOT NULL)) is unaffected: the strip only
+            # fires on a bare trailing NOT NULL word pair.
             mdef = re.search(
                 r"\bDEFAULT\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
             )
             if mdef:
-                col_defaults[name] = mdef.group(1).strip()
+                dexpr = mdef.group(1).strip()
+                mnn = re.search(r"\bNOT\s+NULL\s*$", dexpr, re.IGNORECASE)
+                if mnn and dexpr[: mnn.start()].rstrip():
+                    dexpr = dexpr[: mnn.start()].rstrip()
+                    not_null.append(name)
+                col_defaults[name] = dexpr
                 rest = rest[: mdef.start()]
             if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
                 not_null.append(name)
@@ -986,10 +1236,15 @@ class DeltaSql:
         out.append(s[last:])
         return "".join(out)
 
-    def _select(self, s: str) -> DataFrame:
+    def _select(
+        self, s: str, _expanding: frozenset = frozenset()
+    ) -> DataFrame:
         """Register each referenced table (latest or `VERSION AS OF n`
         pinned snapshot) as a unique temp view, rewrite the statement
-        to the view names, and delegate to spark.sql."""
+        to the view names, and delegate to spark.sql. SQL VIEWS expand
+        first (round 16): each referenced view's definition runs
+        through this same resolver recursively, so a view over a view
+        over a table reads the base table's CURRENT snapshot."""
         views: list[str] = []
         try:
             # the table_changes TVF first: table_changes('t', key, v1[, v2])
@@ -1037,6 +1292,17 @@ class DeltaSql:
                 s,
                 flags=re.IGNORECASE,
             )
+            for vname in list(self._views):
+                bare = rf"\b{vname}\b"
+                if any(
+                    re.search(bare, part, re.IGNORECASE)
+                    for i, part in enumerate(re.split(r"('(?:[^']|'')*')", s))
+                    if i % 2 == 0
+                ):
+                    v = f"_dsql_vw_{vname}_{uuid.uuid4().hex[:6]}"
+                    self._view_df(vname, _expanding).createOrReplaceTempView(v)
+                    views.append(v)
+                    s = self._sub_outside_quotes(bare, v, s)
             for name, path in self.tables.items():
                 # pinned references first: `name VERSION AS OF n` /
                 # `name TIMESTAMP AS OF '...'`
@@ -1168,6 +1434,11 @@ class DeltaSql:
                         "DEFAULT"
                     )
                 set_exprs[c] = dflt[c]
+        if self._txn is not None:
+            self._txn_add_dml(
+                path, "update", set_exprs=set_exprs, condition=cond
+            )
+            return None  # staged: nothing visible until COMMIT
         return update_table(self.spark, path, set_exprs, cond)
 
     def _merge(self, s: str, sql: str) -> int:
@@ -1206,8 +1477,16 @@ class DeltaSql:
             )
         if source in self.tables:
             updates = read_table(self.spark, self.tables[source])
+        elif source in self._views:
+            updates = self._view_df(source)
         else:
             updates = self.spark.table(source)  # session temp view
+        if self._txn is not None:
+            self._txn_add_dml(
+                self._path(target), "merge_upsert", df=updates,
+                merge_key=t_key,
+            )
+            return None  # staged: nothing visible until COMMIT
         return merge_upsert_table(updates, self._path(target), key=t_key)
 
     def _merge_general(self, s: str, sql: str) -> int:
@@ -1385,15 +1664,23 @@ class DeltaSql:
                     )
         if source in self.tables:
             src_df = read_table(self.spark, self.tables[source])
+        elif source in self._views:
+            src_df = self._view_df(source)
         else:
             src_df = self.spark.table(source)
-        return merge_into_table(
-            self.spark,
-            self._path(target),
-            src_df,
+        merge_kwargs = dict(
             on=canon(on),
             matched=matched,
             not_matched=not_matched,
             not_matched_by_source=not_matched_by_source,
             schema_evolution=bool(evolve),
+        )
+        if self._txn is not None:
+            self._txn_add_dml(
+                self._path(target), "merge", df=src_df,
+                merge_kwargs=merge_kwargs,
+            )
+            return None  # staged: nothing visible until COMMIT
+        return merge_into_table(
+            self.spark, self._path(target), src_df, **merge_kwargs
         )

@@ -157,6 +157,17 @@ def _py_resolve_files(table_path: str, version: int) -> list[str]:
     adds: list[str] = []
     v = version
     while True:
+        # parquet checkpoint first (round 16 — the write format),
+        # legacy JSON second; pyarrow's dataset reader skips the
+        # _-prefixed Spark marker files by default
+        ckpq = os.path.join(
+            _local(table_path), _LOG_DIR, f"ckpt-{v:08d}.parquet"
+        )
+        if os.path.isdir(ckpq):
+            import pyarrow.parquet as pq
+
+            paths = pq.read_table(ckpq, columns=["path"]).column("path")
+            return sorted({_local(p) for p in paths.to_pylist()}.union(adds))
         ckpt = os.path.join(_local(table_path), _LOG_DIR, f"_ckpt-{v:08d}.json")
         if os.path.exists(ckpt):
             with open(ckpt) as f:
@@ -426,6 +437,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         self._available_now = available_now
         self._an_target: dict | None = None
         self._pos: dict = {"version": starting_version}
+        # start-time COLUMN MAP, captured with the start-time schema
+        # (round 16, r15 advisory fix): the stale-widening check must
+        # compare types by stable PHYSICAL name, or a rename between
+        # stream start and a widening (rename a->b, widen b) hides the
+        # widening — the renamed column misses a name-keyed map and the
+        # stream silently keeps its narrow start-time type.
+        latest = _py_latest_visible(table_path)
+        self._start_cmap: dict = (
+            dict(_py_read_manifest(table_path, latest).get("column_map") or {})
+            if latest is not None
+            else {}
+        )
 
     @staticmethod
     def _off_key(off: dict) -> tuple[int, float]:
@@ -453,15 +476,30 @@ class VersionedTableStreamReader(DataSourceStreamReader):
         (Delta's streaming behavior on non-additive schema changes).
         A stream started AT or AFTER the widening sees no mismatch
         (its start-time schema already carries the wide type) and
-        skips the commit as metadata-only, as before."""
+        skips the commit as metadata-only, as before.
+
+        Both schemas compare through their COLUMN MAPS to stable
+        physical names (round 16, r15 advisory fix): by logical name
+        alone, a rename between stream start and the widening (rename
+        a->b, then widen b) made the widened column miss the start-time
+        map entirely — the stream silently kept its narrow start-time
+        type and post-widening appends could mangle out-of-range
+        values. Physical names are stable for a column's lifetime, so
+        the comparison also never FALSELY refuses a drop-then-re-add of
+        the same logical name (different physical => no pairing)."""
         from pyspark.sql.types import StructType as _St
 
         committed = _St.fromJson(json.loads(m["schema"]))
-        start_types = {f.name: f.dataType for f in self._schema.fields}
+        cmap_now = m.get("column_map") or {}
+        start_types = {
+            self._start_cmap.get(f.name, f.name): f.dataType
+            for f in self._schema.fields
+        }
         changed = [
             f.name
             for f in committed.fields
-            if f.name in start_types and f.dataType != start_types[f.name]
+            if start_types.get(cmap_now.get(f.name, f.name))
+            not in (None, f.dataType)
         ]
         if changed:
             raise RuntimeError(
@@ -479,12 +517,18 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             # rows lost OUT-OF-BAND cannot be replayed in either mode:
             # the retraction rows live in files that no longer exist
             # (round 15). Explicit refusal beats a FileNotFound deep in
-            # a partition read.
-            raise RuntimeError(
-                f"version {v} is an FSCK repair — its removed rows' "
-                "files are gone and cannot be replayed; restart the "
-                "stream at or after this version"
-            )
+            # a partition read. A SIDECAR-ONLY repair (fsck_removed
+            # empty — e.g. a lost bloom sidecar shed) removed zero data
+            # files and zero rows, so it is a metadata-class commit:
+            # skip it instead of killing every live stream (round 16,
+            # r15 advisory fix).
+            if m.get("fsck_removed"):
+                raise RuntimeError(
+                    f"version {v} is an FSCK repair — its removed rows' "
+                    "files are gone and cannot be replayed; restart the "
+                    "stream at or after this version"
+                )
+            return "skip", None
         if m["op"] == "alter_column_type":
             self._refuse_stale_widening(v, m)
             return "skip", None
@@ -652,11 +696,16 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             m = _py_read_manifest(self._path, v)
             vstart = len(parts)  # stamp this version's parts at loop end
             if m["op"] == "fsck":
-                raise RuntimeError(
-                    f"version {v} is an FSCK repair — its removed rows' "
-                    "files are gone and cannot be replayed; restart the "
-                    "stream at or after this version"
-                )
+                # sidecar-only repairs (empty fsck_removed) shed no
+                # data files and no rows — metadata-class, skip like
+                # any column-DDL commit (round 16, r15 advisory fix)
+                if m.get("fsck_removed"):
+                    raise RuntimeError(
+                        f"version {v} is an FSCK repair — its removed "
+                        "rows' files are gone and cannot be replayed; "
+                        "restart the stream at or after this version"
+                    )
+                continue
             if m["op"] == "alter_column_type":
                 # widening past the start-time schema must refuse here
                 # too — the unpaced path plans partitions without ever
