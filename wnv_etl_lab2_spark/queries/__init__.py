@@ -61,99 +61,97 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-FRONT_ROWS_ONLY_OK: set[str] = {
-    # the five rows-only queries inside the r11 cohort this window
-    # re-evidences; their ground truths are pinned in pytest
-    # (approx sketches: error-bound pins in test_properties;
-    # heavy_hitters_cms: CMS overcount bounds; ingest_provenance:
-    # lineage invariants; neardup_band_survivors: banding recall) —
-    # all code-unchanged this round, re-evidenced on age alone
-    "approx_distinct_stats",
-    "approx_percentile_stats",
-    "heavy_hitters_cms",
-    "ingest_provenance",
-    "neardup_band_survivors",
-}
+# NONE — every round-16 window slot is exact-oracle (the 14 r11-stale
+# head queries, the 5 new r16 registrations, the 4 code-changed
+# lifecycles, and the 27 r12-cohort slots all carry oracles).
+FRONT_ROWS_ONLY_OK: set[str] = set()
 
 _FRONT = [
-    # Round-15 window — exactly the r14 verdict's ask ("Next round"
-    # item 1), executing the in-code pre-commitment. Rotation history:
-    # r1-r14 as documented in prior revisions of this block; r14 =
-    # the five r9-stale queries + 4 new r14 registrations + 41 of the
-    # r10 cohort (50/50 green, CORRECTNESS_r14). This window =
-    # (a) the NINE r10-stale TPC-H revenue queries the r14 window
-    # slipped — the pre-committed head; (b) the FIVE new round-15
-    # registrations (first driver evidence; oracle-exact locally):
-    # convert_in_place_lifecycle (CONVERT TO VERSIONED zero-copy
-    # adoption), column_defaults_lifecycle (DEFAULT write-expansion),
-    # sql_transaction_lifecycle (BEGIN/COMMIT/ROLLBACK atomicity),
-    # unigram_seed_pieces (unigram-LM tokenizer seed stage),
-    # fsck_repair_lifecycle (out-of-band-loss repair);
-    # (c) type_widening_lifecycle — code-changed this round (the
-    # bloom-invalidation advisory fix lives inside alter_column_type),
-    # so it re-evidences on change, not age; (d) 35 of the 49-query
-    # r11-evidenced cohort, alphabetical. Head slots displace exactly
-    # 14 r11 queries; the 14 that slip (quota_sample_per_source,
-    # range_join_maintenance, regexp_null_funcs, sales_opportunity,
-    # scalar_subquery, sessionize_events, skew_key_diagnosis,
-    # sliding_window_batch, stats_agg, text_quality_pandas_udf,
-    # union_distinct, variant_extract, welch_ttest_sources,
-    # window_rank_variants) are exact-oracle queries whose code paths
-    # did NOT change this round, all covered by the local oracle gate
+    # Round-16 window — exactly the r15 verdict's pre-commitment
+    # (queries/__init__.py r15 revision + VERDICT.md "What's wrong"):
+    # (a) the FOURTEEN r11-stale queries the r15 window slipped — the
+    # pre-committed head, oldest evidence in the union, alphabetical;
+    # (b) the FIVE new round-16 registrations (first driver evidence;
+    # oracle-exact locally): txn_dml_lifecycle (UPDATE/DELETE/MERGE
+    # inside cross-table transactions), sql_view_lifecycle
+    # (CREATE/DROP VIEW + persistence), analyze_table_lifecycle
+    # (ANALYZE TABLE -> stats/bloom skipping), 
+    # checkpoint_resolution_lifecycle (parquet checkpoints read
+    # through the executors), tokenizer_roundtrip (save/load +
+    # special tokens + byte fallback, lossless end-to-end);
+    # (c) FOUR code-changed lifecycles re-evidenced on change, not
+    # age: sql_transaction_lifecycle (commit_transaction gained the
+    # DML phases), column_defaults_lifecycle (constant-only DEFAULT
+    # validation + DEFAULT-before-NOT-NULL parse), 
+    # fsck_repair_lifecycle (sidecar-only repairs became
+    # stream-skippable), partitioned_table_lifecycle (partition-
+    # filtered reads resolve through _resolve_files_pruned);
+    # (d) 27 of the 50-query r12-evidenced cohort, alphabetical.
+    # The 23 that slip (ngram_counts_top, ngram_jaccard_pairs,
+    # order_priority_check, repeated_span_removal, row_count,
+    # salted_join_agg, scalar_string_date_funcs,
+    # scd2_customer_history, semi_join_open_orders,
+    # shipping_priority_buckets, source_quantile_normalize,
+    # spatial_buffer_erase, spatial_within_buffer,
+    # split_leakage_check, spray_targets, tfidf_top_terms,
+    # train_val_test_split, unpivot_part_metrics, window_navigation,
+    # window_range_frame, window_running_sum, winnow_fingerprints,
+    # zipf_top_words) are exact-oracle queries whose code paths did
+    # NOT change this round, all covered by the local oracle gate
     # every round.
-    # PRE-COMMITTED for round 16: head slots to those 14 slipped r11
-    # queries and any r16 registrations / plan-changed queries, then
-    # the r12-evidenced cohort oldest-first.
-    "disjunctive_predicate_revenue",
-    "forecast_revenue_change",
-    "large_volume_orders",
-    "late_shipper_chain",
-    "nation_market_share",
-    "nation_volume_shipping",
-    "promo_revenue_share",
-    "regional_revenue",
-    "returned_item_ranking",
-    "convert_in_place_lifecycle",
-    "column_defaults_lifecycle",
+    # PRE-COMMITTED for round 17: head slots to those 23 slipped r12
+    # queries and any r17 registrations / plan-changed queries, then
+    # the r13-evidenced cohort oldest-first.
+    "quota_sample_per_source",
+    "range_join_maintenance",
+    "regexp_null_funcs",
+    "sales_opportunity",
+    "scalar_subquery",
+    "sessionize_events",
+    "skew_key_diagnosis",
+    "sliding_window_batch",
+    "stats_agg",
+    "text_quality_pandas_udf",
+    "union_distinct",
+    "variant_extract",
+    "welch_ttest_sources",
+    "window_rank_variants",
+    "txn_dml_lifecycle",
+    "sql_view_lifecycle",
+    "analyze_table_lifecycle",
+    "checkpoint_resolution_lifecycle",
+    "tokenizer_roundtrip",
     "sql_transaction_lifecycle",
-    "unigram_seed_pieces",
+    "column_defaults_lifecycle",
     "fsck_repair_lifecycle",
-    "type_widening_lifecycle",
-    "ann_topk_pq",
-    "ann_topk_pq_refined",
-    "approx_distinct_stats",
-    "approx_percentile_stats",
-    "arrow_group_trend",
-    "asof_join_click_view",
-    "bigram_logprob_quality",
-    "cdf_row_level_audit",
-    "decayed_rolling_features",
-    "dv_delete_audit",
-    "embedding_centroid_auc",
-    "embedding_pca_power_iteration",
-    "embedding_quantize_perdim",
-    "event_funnel",
-    "gap_fill_locf",
-    "gini_source_concentration",
-    "groupby_agg",
-    "grouping_sets_agg",
-    "hard_negative_mining",
-    "heavy_hitters_cms",
-    "incremental_agg_merge",
-    "ingest_provenance",
-    "ks_drift_sources",
-    "lsh_recall_forecast",
-    "mixture_resample",
-    "multimodal_binary_features",
-    "neardup_band_survivors",
-    "ntile_length_buckets",
-    "nullsafe_join",
-    "order_count_histogram",
-    "orderby_limit_topk",
-    "outer_join_order_counts",
-    "pareto_frontier_curation",
-    "percentile_agg",
-    "pii_scrub",
+    "partitioned_table_lifecycle",
+    "ann_topk_bruteforce",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_refined",
+    "anti_join_no_premium_order",
+    "array_functions",
+    "attribution_last_touch",
+    "chi2_token_source",
+    "chunk_dedup_stats",
+    "concave_zone_clip",
+    "containment_pairs",
+    "corpus_curation_stats",
+    "cross_source_duplication",
+    "decontamination_overlap",
+    "dedup_components",
+    "dedup_distinct_rows",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "deterministic_shuffle_order",
+    "distinct_count",
+    "doc_chunking",
+    "embedding_centroid_stats",
+    "embedding_neardup_pairs",
+    "except_keys",
+    "intersect_keys",
+    "knn_join_bruteforce",
+    "misc_agg_filter_bool",
 ]
 
 

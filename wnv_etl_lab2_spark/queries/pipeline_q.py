@@ -1935,3 +1935,378 @@ def fsck_repair_lifecycle(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "txn_dml_lifecycle",
+    oracle="""
+    WITH doomed AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE n_chars < 200 GROUP BY lang
+    ), kept AS (
+        SELECT lang,
+               CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+                   AS n_chars
+        FROM documents WHERE n_chars >= 200
+    )
+    SELECT 'corpus' AS side, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM kept GROUP BY lang
+    UNION ALL
+    SELECT 'audit' AS side, lang, n, CAST(NULL AS BIGINT) AS chars
+    FROM doomed WHERE n >= 5
+    """,
+)
+def txn_dml_lifecycle(spark, sf_dir):
+    """Transactional DML as a driver-verified lifecycle (round 16 —
+    registry face of r15 verdict "what's missing" #1): the verdict's
+    own scenario — DELETE from one table and INSERT into another,
+    atomically. Seed a corpus table with the documents plus an empty
+    audit table, then in ONE transaction record the doomed rows'
+    per-language counts into audit (statement-time snapshot) and
+    DELETE them from corpus — the protocol raises here if the delete
+    is visible before COMMIT. A second transaction UPDATEs the German
+    rows and DELETEs small audit groups; a third stages a
+    delete-everything and ROLLS BACK. The oracle replays all three
+    transactions' surviving effects arithmetically from the raw
+    corpus: a half-landed transaction, a leaked pre-commit write, or a
+    rollback that landed all change the counts and hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_txndml_life_")
+    try:
+        corpus, audit = root + "/corpus", root + "/audit"
+        sql = DeltaSql(spark, {"corpus": corpus, "audit": audit})
+        sql.run("CREATE TABLE corpus (doc_id BIGINT, lang STRING, n_chars BIGINT)")
+        sql.run("CREATE TABLE audit (lang STRING, n BIGINT)")
+        d.createOrReplaceTempView("_r16_txndml_docs")
+        sql.run("INSERT INTO corpus SELECT * FROM _r16_txndml_docs")
+        n_before = read_table(spark, corpus).count()
+
+        # txn 1: audit the doomed rows, then delete them — atomically
+        sql.run("BEGIN TRANSACTION")
+        sql.run(
+            "INSERT INTO audit SELECT lang, COUNT(*) AS n FROM corpus "
+            "WHERE n_chars < 200 GROUP BY lang"
+        )
+        sql.run("DELETE FROM corpus WHERE n_chars < 200")
+        if read_table(spark, corpus).count() != n_before:
+            raise AssertionError("staged txn DELETE visible before COMMIT")
+        sql.run("COMMIT")
+
+        # txn 2: UPDATE one table + DELETE from the other
+        sql.run("BEGIN TRANSACTION")
+        sql.run("UPDATE corpus SET n_chars = n_chars + 1000 WHERE lang = 'de'")
+        sql.run("DELETE FROM audit WHERE n < 5")
+        sql.run("COMMIT")
+
+        # txn 3: stage a catastrophe, roll it back
+        sql.run("BEGIN TRANSACTION")
+        sql.run("DELETE FROM corpus")
+        sql.run("ROLLBACK")
+
+        corpus_rows = (
+            read_table(spark, corpus)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("n_chars").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        audit_rows = read_table(spark, audit).collect()
+        return spark.createDataFrame(
+            [("corpus", r["lang"], r["n"], r["chars"]) for r in corpus_rows]
+            + [("audit", r["lang"], r["n"], None) for r in audit_rows],
+            "side string, lang string, n long, chars long",
+        )
+    finally:
+        spark.catalog.dropTempView("_r16_txndml_docs")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "sql_view_lifecycle",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ), big AS (
+        SELECT o_custkey, o_totalprice FROM t
+        WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    )
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM big GROUP BY 1
+    """,
+)
+def sql_view_lifecycle(spark, sf_dir):
+    """SQL views as a driver-verified lifecycle (round 16 — registry
+    face of r15 verdict "what's missing" #2): seed an orders table,
+    CREATE a view over it and a second view OVER THE FIRST, DELETE
+    rows from the base table — a view is VIRTUAL, so both views must
+    reflect the post-delete snapshot — then aggregate through the
+    nested view. The definitions persist through ``view_dir``: a
+    SECOND catalog instance over the same directory re-reads them and
+    must produce the identical frame (asserted in-query). CREATE OR
+    REPLACE and DROP VIEW exercise the remaining DDL. The oracle
+    replays the delete + both view predicates inline — a view that
+    pinned a stale snapshot, dropped its predicate, or survived its
+    DROP changes the rows and hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_view_life_")
+    try:
+        tbl, vdir = root + "/orders_t", root + "/_views"
+        sql = DeltaSql(spark, {"orders_t": tbl}, view_dir=vdir)
+        o.createOrReplaceTempView("_r16_view_orders")
+        sql.run(
+            "CREATE TABLE orders_t AS SELECT o_orderkey, o_custkey, "
+            "o_totalprice, o_orderstatus FROM _r16_view_orders"
+        )
+        sql.run(
+            "CREATE VIEW open_orders AS SELECT o_orderkey, o_custkey, "
+            "o_totalprice FROM orders_t WHERE o_orderstatus = 'O'"
+        )
+        # replaced immediately: the REPLACE definition is the live one
+        sql.run(
+            "CREATE VIEW big_open AS SELECT * FROM open_orders"
+        )
+        sql.run(
+            "CREATE OR REPLACE VIEW big_open AS SELECT o_custkey, "
+            "o_totalprice FROM open_orders WHERE o_totalprice > 100000"
+        )
+        sql.run("CREATE VIEW doomed AS SELECT 1 AS one FROM orders_t")
+        sql.run("DROP VIEW doomed")
+        # views are virtual: this delete must show through both layers
+        sql.run("DELETE FROM orders_t WHERE o_orderkey % 10 = 0")
+        q = (
+            "SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM big_open GROUP BY 1"
+        )
+        rows = sorted(sql.run(q).collect())
+        # persistence: a fresh catalog over the same view_dir re-reads
+        # the definitions and answers identically
+        sql2 = DeltaSql(spark, {"orders_t": tbl}, view_dir=vdir)
+        if sorted(sql2.run(q).collect()) != rows:
+            raise AssertionError("persisted views did not round-trip")
+        if {r.name for r in sql2.run("SHOW VIEWS").collect()} != {
+            "open_orders", "big_open",
+        }:
+            raise AssertionError("view catalog state drifted")
+        return spark.createDataFrame(
+            rows, "bucket long, n long, revenue double"
+        )
+    finally:
+        spark.catalog.dropTempView("_r16_view_orders")
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "analyze_table_lifecycle",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(FLOOR(MAX(l_orderkey) / 4) AS BIGINT) AS hi,
+               (SELECT MIN(l_partkey) FROM lineitem) AS pk
+        FROM lineitem
+    )
+    SELECT 'range' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem, probe WHERE l_orderkey <= probe.hi
+    UNION ALL
+    SELECT 'point' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem, probe WHERE l_partkey = probe.pk
+    """,
+)
+def analyze_table_lifecycle(spark, sf_dir):
+    """ANALYZE TABLE as a driver-verified lifecycle (round 16 —
+    registry face of r15 verdict "what's missing" #3, the SQL spelling
+    of `collect_stats` / `collect_blooms`): stage the lineitems as
+    four appends of DISJOINT l_orderkey ranges (so per-file min/max
+    are tight), turn on range skipping with ``ANALYZE TABLE ...
+    COMPUTE STATISTICS`` and point-lookup skipping with ``... COMPUTE
+    BLOOM FILTERS``, then run a range read and a point read through
+    the pruned readers. The protocol raises here unless the recorded
+    stats would actually SKIP files for the range probe (the pruning
+    the verb exists to enable); the oracle replays both probes over
+    the raw lineitem — stale stats or an over-eager prune drop rows
+    and hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        create_table,
+        read_table_bloom_pruned,
+        read_table_pruned,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    mx, pk = li.agg(
+        F.max("l_orderkey"), F.min("l_partkey")
+    ).collect()[0]
+    hi = int(mx) // 4
+    root = tempfile.mkdtemp(prefix="wnv_analyze_life_")
+    try:
+        tbl = root + "/tbl"
+        bounds = [0, hi, hi * 2, hi * 3, int(mx)]
+        create_table(
+            li.where(F.col("l_orderkey") <= bounds[1]), tbl
+        )
+        for lo, up in zip(bounds[1:], bounds[2:]):
+            append_table(
+                li.where(
+                    (F.col("l_orderkey") > lo) & (F.col("l_orderkey") <= up)
+                ),
+                tbl,
+            )
+        sql = DeltaSql(spark, {"t": tbl})
+        v = sql.run("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        m = _read_manifest(spark, tbl, v)
+        stats = m.get("stats") or {}
+        files = m["files"]
+        overlapping = [
+            f
+            for f in files
+            if "l_orderkey" not in stats.get(f, {})
+            or not (
+                stats[f]["l_orderkey"][1] < 0
+                or stats[f]["l_orderkey"][0] > hi
+            )
+        ]
+        if not stats or len(overlapping) >= len(files):
+            raise AssertionError(
+                "ANALYZE stats would not skip any file for the range probe"
+            )
+        sql.run("ANALYZE TABLE t COMPUTE BLOOM FILTERS FOR COLUMNS l_partkey")
+        rng = read_table_pruned(spark, tbl, "l_orderkey", 0, hi).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        ).collect()[0]
+        pnt = read_table_bloom_pruned(spark, tbl, "l_partkey", pk).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [("range", rng["n"], float(rng["qty"])),
+             ("point", pnt["n"], float(pnt["qty"]))],
+            "side string, n long, qty double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "checkpoint_resolution_lifecycle",
+    oracle="""
+    SELECT 'all' AS side, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'pruned_de' AS side, lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE lang = 'de' GROUP BY lang
+    """,
+)
+def checkpoint_resolution_lifecycle(spark, sf_dir):
+    """Parquet checkpoints as a driver-verified lifecycle (round 16 —
+    registry face of r15 verdict "what's missing" #4): stream the
+    documents into a hive-partitioned table as TWELVE appends — past
+    the CHECKPOINT_EVERY cadence, so snapshot resolution crosses a
+    columnar checkpoint read through the executors (the protocol
+    raises here if the parquet checkpoint directory never appeared) —
+    then read the full snapshot AND a partition-filtered slice (the
+    path that pushes the filter INTO the checkpoint scan), VACUUM away
+    the early manifests (resolution now depends on the checkpoint
+    alone), and assert the post-vacuum reads are identical. The
+    oracle recomputes both reads from the raw corpus: a checkpoint
+    that dropped files, double-listed an add, or mis-pruned a
+    partition changes counts and hash-mismatches."""
+    import os
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _ckpt_parquet_dir,
+        append_table,
+        create_table,
+        latest_version,
+        read_table,
+        vacuum_table,
+        CHECKPOINT_EVERY,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_ckpt_life_")
+    try:
+        tbl = root + "/tbl"
+        create_table(
+            d.where(F.col("doc_id") % 12 == 0), tbl, partition_by=["lang"]
+        )
+        for i in range(1, 12):
+            append_table(d.where(F.col("doc_id") % 12 == i), tbl)
+        tip = latest_version(spark, tbl)
+        if tip != 11 or not os.path.isdir(
+            _ckpt_parquet_dir(tbl, CHECKPOINT_EVERY)
+        ):
+            raise AssertionError(
+                "append chain did not produce the parquet checkpoint"
+            )
+
+        def _agg(df):
+            return sorted(
+                (r["lang"], r["n"], r["chars"])
+                for r in df.groupBy("lang")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("n_chars").cast("long").alias("chars"),
+                )
+                .collect()
+            )
+
+        full = _agg(read_table(spark, tbl))
+        pruned = _agg(
+            read_table(spark, tbl, partition_filter={"lang": "de"})
+        )
+        # drop the early manifests: resolution now rides the vacuum
+        # checkpoint; both reads must be byte-identical to before
+        vacuum_table(spark, tbl, keep_last=2)
+        if _agg(read_table(spark, tbl)) != full or _agg(
+            read_table(spark, tbl, partition_filter={"lang": "de"})
+        ) != pruned:
+            raise AssertionError("post-vacuum checkpoint resolution drifted")
+        return spark.createDataFrame(
+            [("all", lang, n, chars) for lang, n, chars in full]
+            + [("pruned_de", lang, n, chars) for lang, n, chars in pruned],
+            "side string, lang string, n long, chars long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

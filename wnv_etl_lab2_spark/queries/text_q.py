@@ -2074,3 +2074,94 @@ def unigram_seed_pieces(spark, sf_dir):
         .orderBy(F.col("freq").desc(), F.col("piece").asc())
         .limit(30)
     )
+
+
+@register(
+    "tokenizer_roundtrip",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               TRIM(REGEXP_REPLACE(text, ' +', ' ', 'g')) AS norm
+        FROM documents
+    ), rows_ AS (
+        SELECT lang,
+               1 + (doc_id % 3) AS k,
+               LENGTH(norm) AS norm_len
+        FROM base WHERE LENGTH(norm) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(k * 8 + norm_len) AS BIGINT) AS total_len,
+           CAST(SUM(k) AS BIGINT) AS total_specials
+    FROM rows_ GROUP BY lang
+    """,
+)
+def tokenizer_roundtrip(spark, sf_dir):
+    """Tokenizer PRODUCTION surface end-to-end (round 16 — registry
+    face of `operators/tokenizer.py`, r15 verdict "what's missing"
+    #5): train a unigram-LM vocabulary on the corpus, wrap it with a
+    special token, SAVE the artifact and LOAD it back (the cross-
+    session round-trip the trainers lacked), then encode every
+    document — prefixed with 1-3 copies of the special token — and
+    DECODE the token stream back. The lossless contract (specials
+    never segmented, out-of-alphabet characters byte-fall-back to
+    ``<0xNN>`` pieces and reassemble) means decode(encode(x)) == x, so
+    the emitted per-language totals — documents, decoded LENGTHS, and
+    specials counted FROM THE TOKEN STREAM — are computed entirely
+    through the tokenizer path, while the oracle computes the same
+    numbers arithmetically from the raw text. Any drift (a split
+    special, a dropped byte, a lost word boundary) changes a length
+    and hash-mismatches. Spark shape: training touches the corpus once
+    (bounded word artifact), the apply is one Arrow crossing with the
+    loaded artifact broadcast by closure."""
+    import os
+    import shutil
+    import tempfile
+
+    from wnv_etl_lab2_spark.operators.tokenizer import (
+        Tokenizer,
+        roundtrip_udf,
+    )
+    from wnv_etl_lab2_spark.operators.unigram import train_unigram
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text"
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace("text", " +", " ")).alias("norm"),
+    ).where(F.length("norm") > 0)
+    inp = base.select(
+        "lang",
+        F.concat(
+            F.expr("repeat('<|doc|> ', CAST(1 + doc_id % 3 AS INT))"),
+            F.col("norm"),
+        ).alias("inp"),
+    )
+    vocab = train_unigram(
+        d, vocab_size=200, iters=2, max_piece_len=4,
+        seed_size=800, vocab_limit=3000,
+    )
+    root = tempfile.mkdtemp(prefix="wnv_tok_rt_")
+    try:
+        path = os.path.join(root, "uni.tokenizer.json")
+        Tokenizer.from_unigram(vocab, special_tokens=["<|doc|>"]).save(path)
+        tok = Tokenizer.load(path)  # the artifact a NEW session consumes
+        roundtrip = roundtrip_udf(tok.to_dict(), "<|doc|>")
+
+        r = inp.select("lang", roundtrip(F.col("inp")).alias("_t")).select(
+            "lang", "_t.ok", "_t.dec_len", "_t.n_spec"
+        )
+        bad = r.where(~F.col("ok")).count()
+        if bad:
+            raise AssertionError(
+                f"{bad} documents failed decode(encode(x)) == x"
+            )
+        return r.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dec_len").cast("long").alias("total_len"),
+            F.sum("n_spec").cast("long").alias("total_specials"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
