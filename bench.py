@@ -86,6 +86,12 @@ HEADLINE = [
 # vs 1.0), and replace_deep_clone_lifecycle's wall is a corpus copy
 # job (deep clone) whose timing measures IO volume, not a plan shape
 # worth regression-tracking per round. Both are driver-evidenced.
+# Round-15/16 lifecycle registrations follow the same rule: their
+# walls are dominated by commit machinery and table IO (N appends,
+# vacuum, tokenizer training EM), not by a query plan whose shape a
+# min-of-5 regression gate protects. All are driver-evidenced each
+# round they enter the window, and tokenizer_roundtrip additionally
+# carries a SCALE_SMOKE per-unit x16 gate (0.5).
 
 
 # Declared per-query wall bounds at sf0.1 (round-7 verdict #3): the

@@ -117,6 +117,13 @@ PER_UNIT_X16_GATES = {
     # words, whose key space replication leaves constant — so per-doc
     # cost must amortize like the other vocabulary-bounded rows.
     "unigram_seed_pieces": 0.5,
+    # Round 16: the tokenizer PRODUCTION path end-to-end (train ->
+    # save -> load -> encode+decode every doc), staged/scan-inclusive.
+    # Training is bounded by the (word, count) artifact (key space
+    # constant under replication); the encode/decode pass is one Arrow
+    # crossing with a per-batch word cache — per-doc cost must
+    # amortize like the other broadcast-artifact rows.
+    "tokenizer_roundtrip": 0.5,
     # PCA: the corpus-sized work is the single 4096-key Gram
     # aggregate (d^2 fan-out is a pure map, combinable); everything
     # after runs over <= 4096-row frames — per-doc cost must amortize.
@@ -381,6 +388,7 @@ def main() -> None:
         ngram_counts_top,
         tfidf_top_terms,
         token_drift_top_contributors,
+        tokenizer_roundtrip,
         unigram_logprob_quality,
         unigram_seed_pieces,
     )
@@ -406,6 +414,7 @@ def main() -> None:
         "ann_topk_ivfpq": ann_topk_ivfpq,
         "substring_dedup_spans": substring_dedup_spans,
         "unigram_seed_pieces": unigram_seed_pieces,
+        "tokenizer_roundtrip": tokenizer_roundtrip,
     }
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
