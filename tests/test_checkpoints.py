@@ -63,7 +63,7 @@ def test_append_chain_writes_parquet_checkpoint(spark, tmp_path):
         range(CHECKPOINT_EVERY + 1)
     )
     # resolution through the checkpoint is cached (immutable content)
-    assert (path, v) in _CKPT_CACHE
+    assert _ckpt_parquet_dir(path, v) in _CKPT_CACHE
     # appends above the checkpoint accumulate on top of it
     append_table(spark.createDataFrame([(99,)], "id long").coalesce(1), path)
     files2 = _resolve_files(spark, path, v + 1)

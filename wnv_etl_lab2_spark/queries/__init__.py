@@ -62,8 +62,8 @@ _LOADED = False
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
 # NONE — every round-16 window slot is exact-oracle (the 14 r11-stale
-# head queries, the 5 new r16 registrations, the 4 code-changed
-# lifecycles, and the 27 r12-cohort slots all carry oracles).
+# head queries, the 6 new r16 registrations, the 4 code-changed
+# lifecycles, and the 26 r12-cohort slots all carry oracles).
 FRONT_ROWS_ONLY_OK: set[str] = set()
 
 _FRONT = [
@@ -78,7 +78,9 @@ _FRONT = [
     # (ANALYZE TABLE -> stats/bloom skipping), 
     # checkpoint_resolution_lifecycle (parquet checkpoints read
     # through the executors), tokenizer_roundtrip (save/load +
-    # special tokens + byte fallback, lossless end-to-end);
+    # special tokens + byte fallback, lossless end-to-end),
+    # manifest_sidecar_lifecycle (big manifests keep an O(1)
+    # files_ref pointer; the list lives in a parquet sidecar);
     # (c) FOUR code-changed lifecycles re-evidenced on change, not
     # age: sql_transaction_lifecycle (commit_transaction gained the
     # DML phases), column_defaults_lifecycle (constant-only DEFAULT
@@ -86,8 +88,9 @@ _FRONT = [
     # fsck_repair_lifecycle (sidecar-only repairs became
     # stream-skippable), partitioned_table_lifecycle (partition-
     # filtered reads resolve through _resolve_files_pruned);
-    # (d) 27 of the 50-query r12-evidenced cohort, alphabetical.
-    # The 23 that slip (ngram_counts_top, ngram_jaccard_pairs,
+    # (d) 26 of the 50-query r12-evidenced cohort, alphabetical.
+    # The 24 that slip (misc_agg_filter_bool, ngram_counts_top,
+    # ngram_jaccard_pairs,
     # order_priority_check, repeated_span_removal, row_count,
     # salted_join_agg, scalar_string_date_funcs,
     # scd2_customer_history, semi_join_open_orders,
@@ -99,7 +102,7 @@ _FRONT = [
     # zipf_top_words) are exact-oracle queries whose code paths did
     # NOT change this round, all covered by the local oracle gate
     # every round.
-    # PRE-COMMITTED for round 17: head slots to those 23 slipped r12
+    # PRE-COMMITTED for round 17: head slots to those 24 slipped r12
     # queries and any r17 registrations / plan-changed queries, then
     # the r13-evidenced cohort oldest-first.
     "quota_sample_per_source",
@@ -121,6 +124,7 @@ _FRONT = [
     "analyze_table_lifecycle",
     "checkpoint_resolution_lifecycle",
     "tokenizer_roundtrip",
+    "manifest_sidecar_lifecycle",
     "sql_transaction_lifecycle",
     "column_defaults_lifecycle",
     "fsck_repair_lifecycle",
@@ -151,7 +155,6 @@ _FRONT = [
     "except_keys",
     "intersect_keys",
     "knn_join_bruteforce",
-    "misc_agg_filter_bool",
 ]
 
 

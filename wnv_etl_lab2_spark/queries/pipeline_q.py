@@ -2310,3 +2310,96 @@ def checkpoint_resolution_lifecycle(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "manifest_sidecar_lifecycle",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 200
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, lang, n_chars
+        FROM documents WHERE lang = 'fr' AND n_chars >= 200
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM kept GROUP BY lang
+    """,
+)
+def manifest_sidecar_lifecycle(spark, sf_dir):
+    """Manifest FILE-LIST SIDECARS as a driver-verified lifecycle
+    (round 16 — the 'remaining ceiling' the checkpoint work declared):
+    with the sidecar threshold lowered to force the big-table shape,
+    CREATE a multi-file table — the protocol raises here unless the
+    manifest swapped its list for an O(1) ``files_ref`` pointer,
+    stamped the ``file_list_sidecar`` feature, and kept the JSON
+    KB-sized — then run normal life against sidecar-backed snapshots:
+    a metadata RENAME must SHARE the ref (no O(files) copy), a
+    merge-on-read DELETE keeps it, an APPEND chains on top, and VACUUM
+    reference-counts the shared sidecar. The oracle replays delete +
+    append arithmetically from the corpus: a sidecar that dropped,
+    duplicated, or resurrected a file changes the numbers and
+    hash-mismatches."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        append_table,
+        create_table,
+        delete_from_table,
+        read_table,
+        rename_column,
+        vacuum_table,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="wnv_sidecar_life_")
+    old_min = V.FILES_SIDECAR_MIN
+    V.FILES_SIDECAR_MIN = 4
+    try:
+        tbl = root + "/tbl"
+        create_table(d.repartition(8), tbl)
+        m0 = _read_manifest(spark, tbl, 0)
+        if "files" in m0 or m0.get("files_ref", {}).get("n", 0) < 4:
+            raise AssertionError("big manifest did not swap to a sidecar")
+        if "file_list_sidecar" not in m0.get("features", []):
+            raise AssertionError("sidecar feature not stamped")
+        raw = open(os.path.join(tbl, "_log", "00000000.json")).read()
+        if len(raw) > 4000:
+            raise AssertionError("manifest JSON did not stay O(1)-sized")
+        rename_column(spark, tbl, "n_chars", "chars_n")
+        if _read_manifest(spark, tbl, 1).get("files_ref") != m0["files_ref"]:
+            raise AssertionError("metadata DDL copied instead of sharing")
+        delete_from_table(spark, tbl, "chars_n < 200", mode="merge_on_read")
+        append_table(
+            read_table(spark, tbl).where(F.col("lang") == "fr").select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                "lang",
+                "chars_n",
+            ),
+            tbl,
+        )
+        vacuum_table(spark, tbl, keep_last=2)
+        rows = (
+            read_table(spark, tbl)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("chars_n").cast("long").alias("chars"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["lang"], r["n"], r["chars"]) for r in rows],
+            "lang string, n long, chars long",
+        )
+    finally:
+        V.FILES_SIDECAR_MIN = old_min
+        shutil.rmtree(root, ignore_errors=True)

@@ -195,68 +195,59 @@ def _read_checkpoint(spark: SparkSession, table_path: str, version: int) -> dict
         stream.close()
 
 
-# Resolved-checkpoint cache: a checkpoint's content is IMMUTABLE for a
-# given (table, version) — it is the deterministic resolution of that
-# version's file list, and no protocol op ever rewrites a committed
-# version's files — so within a session the scan runs once per
-# checkpoint, not once per read (Delta's snapshot cache). Bounded to a
-# handful of entries so the driver never holds more than a few tables'
-# file lists.
-_CKPT_CACHE: dict[tuple[str, int], list[str]] = {}
-_CKPT_CACHE_MAX = 8
+# Resolved file-list cache: a checkpoint's (or manifest sidecar's)
+# content is IMMUTABLE for a given directory — it is the deterministic
+# resolution of one version's file list, and no protocol op ever
+# rewrites a committed version's files — so within a session the scan
+# runs once per list, not once per read (Delta's snapshot cache).
+# Bounded to a handful of entries so the driver never holds more than
+# a few tables' file lists.
+_FILE_LIST_CACHE: dict[str, list[str]] = {}
+_FILE_LIST_CACHE_MAX = 8
+_CKPT_CACHE = _FILE_LIST_CACHE  # back-compat alias (tests)
 
 
-def _checkpoint_scan(spark: SparkSession, table_path: str, version: int):
-    """The parquet checkpoint as a DataFrame (path, parts), or None.
-    This is the executor-side entry: callers filter/project BEFORE
-    collecting, so the driver materializes only what survives."""
-    fs, jvm = _fs(spark, table_path)
-    d = _ckpt_parquet_dir(table_path, version)
+def _scan_file_list(spark: SparkSession, d: str):
+    """A parquet file-list directory (checkpoint or manifest sidecar)
+    as a DataFrame (path, parts), or None when absent. This is the
+    executor-side entry: callers filter/project BEFORE collecting, so
+    the driver materializes only what survives."""
+    fs, jvm = _fs(spark, d)
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(d)):
         return None
     return spark.read.parquet(d)
 
 
-def _checkpoint_files(
-    spark: SparkSession, table_path: str, version: int
-) -> list[str] | None:
-    """A checkpoint's full file list (parquet first, JSON legacy), or
-    None when version has no checkpoint."""
-    key = (table_path, version)
-    if key in _CKPT_CACHE:
-        return _CKPT_CACHE[key]
-    scan = _checkpoint_scan(spark, table_path, version)
-    if scan is not None:
-        files = [r[0] for r in scan.select("path").collect()]
-    else:
-        ck = _read_checkpoint(spark, table_path, version)
-        if ck is None:
-            return None
-        files = list(ck["files"])
-    if len(_CKPT_CACHE) >= _CKPT_CACHE_MAX:
-        _CKPT_CACHE.pop(next(iter(_CKPT_CACHE)))
-    _CKPT_CACHE[key] = files
+def _file_list_paths(spark: SparkSession, d: str) -> list[str] | None:
+    """The full path column of a parquet file-list dir, cached."""
+    if d in _FILE_LIST_CACHE:
+        return _FILE_LIST_CACHE[d]
+    scan = _scan_file_list(spark, d)
+    if scan is None:
+        return None
+    files = [r[0] for r in scan.select("path").collect()]
+    if len(_FILE_LIST_CACHE) >= _FILE_LIST_CACHE_MAX:
+        _FILE_LIST_CACHE.pop(next(iter(_FILE_LIST_CACHE)))
+    _FILE_LIST_CACHE[d] = files
     return files
 
 
-def _write_checkpoint(
+def _write_file_list(
     spark: SparkSession,
     table_path: str,
-    version: int,
+    dst_dir: str,
     files: list[str],
     partition_by=None,
 ) -> None:
-    """Best-effort, idempotent (content is deterministic for a given
-    version — if the checkpoint already exists, nothing to do); never
-    part of the commit's atomicity — a missing checkpoint only costs a
-    longer chain walk. The rows are written by a Spark job and the
-    finished directory renamed into place, so a reader never sees a
-    half-written checkpoint listable as one."""
+    """Write a (path, parts) parquet file-list directory via a Spark
+    job, renamed into place whole — a reader never sees a half-written
+    list listable as one. Idempotent: content is deterministic for a
+    given destination, so an existing dir is left alone."""
     import uuid as _uuid
 
     fs, jvm = _fs(spark, table_path)
     jp = jvm.org.apache.hadoop.fs.Path
-    dst = jp(_ckpt_parquet_dir(table_path, version))
+    dst = jp(dst_dir)
     if fs.exists(dst):
         return
     rows = [
@@ -267,7 +258,7 @@ def _write_checkpoint(
         for f in sorted(set(files))
     ]
     tmp = posixpath.join(
-        table_path, _LOG_DIR, f".tmpckpt-{version:08d}-{_uuid.uuid4().hex[:8]}"
+        table_path, _LOG_DIR, f".tmplist-{_uuid.uuid4().hex[:8]}"
     )
     # a handful of KB-sized row groups per million files: enough
     # parallelism for the executor-side scan, no small-file storm
@@ -281,6 +272,83 @@ def _write_checkpoint(
     if not fs.rename(jp(tmp), dst):
         fs.delete(jp(tmp), True)  # lost a concurrent-writer race: theirs
         # is byte-equivalent (deterministic content), keep it
+
+
+def _checkpoint_files(
+    spark: SparkSession, table_path: str, version: int
+) -> list[str] | None:
+    """A checkpoint's full file list (parquet first, JSON legacy), or
+    None when version has no checkpoint."""
+    files = _file_list_paths(spark, _ckpt_parquet_dir(table_path, version))
+    if files is not None:
+        return files
+    ck = _read_checkpoint(spark, table_path, version)
+    return sorted(ck["files"]) if ck is not None else None
+
+
+def _write_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    version: int,
+    files: list[str],
+    partition_by=None,
+) -> None:
+    """Best-effort, idempotent; never part of the commit's atomicity —
+    a missing checkpoint only costs a longer chain walk."""
+    _write_file_list(
+        spark, table_path, _ckpt_parquet_dir(table_path, version), files,
+        partition_by,
+    )
+
+
+# A full-snapshot manifest whose file list crosses this threshold
+# stores the list in a parquet SIDECAR (``_log/files-NNNNNNNN.parquet``,
+# written and read through the executors — the same move as the
+# parquet checkpoints above, extended to the manifests themselves) and
+# keeps only an O(1) ``files_ref`` pointer {"path", "n"} in the JSON.
+# That closes the ceiling SCALING.md declared when checkpoints landed:
+# a million-file OVERWRITE no longer makes every later metadata read
+# (visibility walk, history, schema lookup) a driver-side megabyte
+# parse. Metadata-only commits SHARE the sidecar by reference (vacuum
+# reference-counts it across kept manifests). Gated by the
+# ``file_list_sidecar`` table feature, so a reader without this code
+# refuses loudly instead of treating the snapshot as file-less.
+FILES_SIDECAR_MIN = 10_000
+
+
+def _files_sidecar_dir(table_path: str, version: int) -> str:
+    """A FRESH sidecar directory name per commit attempt: two racing
+    writers of the same version slot stage different data files, so
+    their sidecars must never collide on one name (the race loser's
+    content would silently stand in for the winner's). The version
+    prefix keeps vacuum's in-flight-writer guard (names above the
+    newest kept version are never touched)."""
+    import uuid as _uuid
+
+    return posixpath.join(
+        table_path,
+        _LOG_DIR,
+        f"files-{version:08d}-{_uuid.uuid4().hex[:8]}.parquet",
+    )
+
+
+def _manifest_files(spark: SparkSession, m: dict) -> list[str] | None:
+    """A manifest's FULL snapshot file list: inline ``files``, or the
+    ``files_ref`` sidecar inflated through an executor-side parquet
+    scan (cached). None for append manifests (walk the parent chain)."""
+    if "files" in m:
+        return m["files"]
+    ref = m.get("files_ref")
+    if ref is None:
+        return None
+    files = _file_list_paths(spark, ref["path"])
+    if files is None:
+        raise ValueError(
+            f"manifest file-list sidecar missing: {ref['path']} — the "
+            "snapshot is unreadable (restore from a version whose "
+            "sidecar survives, or rewrite from a trusted source)"
+        )
+    return files
 
 
 def _resolve_files(spark: SparkSession, table_path: str, version: int) -> list[str]:
@@ -298,8 +366,9 @@ def _resolve_files(spark: SparkSession, table_path: str, version: int) -> list[s
         if ck_files is not None:
             return sorted(set(ck_files).union(adds))
         m = _read_manifest(spark, table_path, v)
-        if "files" in m:
-            return sorted(set(m["files"]).union(adds))
+        mf = _manifest_files(spark, m)
+        if mf is not None:
+            return sorted(set(mf).union(adds))
         adds.extend(m["add"])
         v = m["parent"]
 
@@ -332,25 +401,37 @@ def _resolve_files_pruned(
     def _prune(files: list[str]) -> list[str]:
         return _prune_partition_files(files, partition_by, partition_filter)
 
+    def _pruned_scan(scan) -> list[str]:
+        cond = F.lit(True)
+        for c, w in want.items():
+            hit = (
+                F.col("parts").getItem(c).isNull()
+                if w is None
+                else F.col("parts").getItem(c) == F.lit(w)
+            )
+            cond = cond & hit
+        return [r[0] for r in scan.where(cond).select("path").collect()]
+
     adds: list[str] = []
     v = version
     while True:
-        scan = _checkpoint_scan(spark, table_path, v)
+        scan = _scan_file_list(spark, _ckpt_parquet_dir(table_path, v))
         if scan is not None:
-            cond = F.lit(True)
-            for c, w in want.items():
-                hit = (
-                    F.col("parts").getItem(c).isNull()
-                    if w is None
-                    else F.col("parts").getItem(c) == F.lit(w)
-                )
-                cond = cond & hit
-            ck = [r[0] for r in scan.where(cond).select("path").collect()]
-            return sorted(set(ck).union(_prune(adds)))
+            return sorted(set(_pruned_scan(scan)).union(_prune(adds)))
         ckj = _read_checkpoint(spark, table_path, v)
         if ckj is not None:
             return sorted(set(_prune(list(ckj["files"]))).union(_prune(adds)))
         m = _read_manifest(spark, table_path, v)
+        ref = m.get("files_ref")
+        if ref is not None:
+            # the manifest's own sidecar takes the pushed-down filter
+            # exactly like a checkpoint scan
+            scan = _scan_file_list(spark, ref["path"])
+            if scan is None:
+                raise ValueError(
+                    f"manifest file-list sidecar missing: {ref['path']}"
+                )
+            return sorted(set(_pruned_scan(scan)).union(_prune(adds)))
         if "files" in m:
             return sorted(set(_prune(m["files"])).union(_prune(adds)))
         adds.extend(m["add"])
@@ -405,6 +486,7 @@ SUPPORTED_FEATURES = frozenset(
         "type_widening",
         "check_constraints",
         "column_defaults",
+        "file_list_sidecar",
     }
 )
 
@@ -417,6 +499,7 @@ _FEATURE_KEYS = (
     (("widened",), "type_widening"),
     (("constraints",), "check_constraints"),
     (("defaults",), "column_defaults"),
+    (("files_ref",), "file_list_sidecar"),
 )
 
 
@@ -481,6 +564,25 @@ def _commit(spark: SparkSession, table_path: str, version: int, manifest: dict) 
     # assumes monotonicity (clock skew between writers): AS OF picks
     # the LARGEST version among those stamped <= the target.
     manifest.setdefault("ts_ms", int(time.time() * 1000))
+    # FILE-LIST SIDECAR swap (round 16): a full-snapshot manifest whose
+    # list crosses FILES_SIDECAR_MIN stores it in a parquet sidecar and
+    # keeps an O(1) pointer — done at the one choke point every commit
+    # passes, so no caller maintains the trade by hand. The sidecar is
+    # written (and renamed whole) BEFORE the manifest publishes: a
+    # crash in between leaves an orphan sidecar (vacuumable), never a
+    # manifest pointing at nothing.
+    files = manifest.get("files")
+    if files is not None and len(files) >= FILES_SIDECAR_MIN:
+        fs0, jvm0 = _fs(spark, table_path)
+        d = _files_sidecar_dir(table_path, version)
+        _write_file_list(
+            spark, table_path, d, files, manifest.get("partition_by")
+        )
+        manifest.pop("files")
+        manifest["files_ref"] = {
+            "path": _qualify(fs0, jvm0, d),
+            "n": len(files),
+        }
     # feature-gate stamp (round 14): declare exactly the features this
     # snapshot's content uses, at the one choke point every commit
     # passes — callers never maintain the list by hand
@@ -2431,7 +2533,6 @@ def _delete_merge_on_read(
     manifest = {
         "version": cur + 1,
         "op": "delete",
-        "files": files,
         "n_rows": int(m_prev["n_rows"]) - int(n_del),
         "dv": prev_dv + dv_add,
         "dv_add": dv_add,
@@ -2447,6 +2548,8 @@ def _delete_merge_on_read(
     ):
         if key in m_prev:
             manifest[key] = m_prev[key]
+    # same data files as the parent snapshot: share its sidecar ref
+    _carry_snapshot_files(spark, table_path, cur, m_prev, manifest)
     if changes_files is not None:
         manifest["changes"] = changes_files
     if txn is not None:
@@ -3556,6 +3659,7 @@ def vacuum_table(
             m_v = _read_manifest(spark, table_path, v)
             walks_through_drop = v == kept[0] or (
                 "files" not in m_v
+                and "files_ref" not in m_v
                 and not _has_checkpoint(spark, table_path, v)
                 and m_v.get("parent") in dropset
             )
@@ -3641,6 +3745,32 @@ def vacuum_table(
             vpath = fs.makeQualified(st.getPath()).toString()
             if not any(f.startswith(vpath + "/") for f in kept_blooms):
                 fs.delete(st.getPath(), True)
+    # file-list SIDECARS are reference-counted like DV/bloom sidecars
+    # (round 16): metadata-only commits share their parent's sidecar,
+    # so a sidecar lives while ANY kept manifest's files_ref points at
+    # it; a dropped version's (or a crashed writer's) sidecar is
+    # garbage once its version slot is decided. In-flight writers
+    # target latest+1 — their names sort above `latest` and are never
+    # touched.
+    kept_refs: set[str] = set()
+    for v in kept:
+        ref = _read_manifest(spark, table_path, v).get("files_ref")
+        if ref:
+            kept_refs.add(_qualify(fs, jvm, ref["path"]))
+    log_dir = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _LOG_DIR))
+    if fs.exists(log_dir):
+        for st in fs.listStatus(log_dir):
+            name = st.getPath().getName()
+            if not (name.startswith("files-") and name.endswith(".parquet")):
+                continue
+            try:
+                n = int(name[len("files-"):len("files-") + 8])
+            except ValueError:
+                continue
+            if n > latest:
+                continue
+            if fs.makeQualified(st.getPath()).toString() not in kept_refs:
+                fs.delete(st.getPath(), True)
     return drop
 
 
@@ -3709,7 +3839,6 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": files,
         "n_rows": m["n_rows"],
         # stats are keyed by the PHYSICAL (in-file) column names —
         # stable across metadata renames; lookups translate (round 13)
@@ -3734,6 +3863,7 @@ def collect_stats(spark: SparkSession, table_path: str, stat_cols: list[str]) ->
     ):
         if m.get(key):
             manifest[key] = m[key]
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -3920,7 +4050,6 @@ def collect_blooms(
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": files,
         "n_rows": m["n_rows"],
         # round 12 (r11 verdict #5): the bitmaps live in a parquet
         # SIDECAR; the manifest carries only this O(1) pointer, so
@@ -3935,6 +4064,7 @@ def collect_blooms(
     ):
         if m.get(key):
             manifest[key] = m[key]
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -4005,7 +4135,13 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
                 v,
                 m["op"],
                 int(m["n_rows"]) if "n_rows" in m else None,
-                len(m["files"]) if "files" in m else len(m.get("add", [])),
+                len(m["files"])
+                if "files" in m
+                else (
+                    int(m["files_ref"]["n"])
+                    if "files_ref" in m
+                    else len(m.get("add", []))
+                ),
                 m.get("batch_id"),
                 m.get("writer_id"),
                 "changes" in m,
@@ -4236,9 +4372,12 @@ def restore_table(spark: SparkSession, table_path: str, version: int) -> int:
         "version": cur + 1,
         "op": "restore",
         "restored_from": version,
-        "files": _resolve_files(spark, table_path, version),
         "n_rows": m["n_rows"],
     }
+    # the restored snapshot's file list is the TARGET version's — its
+    # sidecar (same table) is shared by reference like any same-files
+    # commit; inline lists re-resolve through the chain
+    _carry_snapshot_files(spark, table_path, version, m, manifest)
     for key in (
         "schema", "constraints", "generated", "identity", "properties", "defaults", "stats", "stats_cols", "dv",
         "blooms", "blooms_ref",
@@ -4440,10 +4579,10 @@ def add_check_constraint(
     manifest = {
         "version": cur + 1,
         "op": "analyze",  # the generic metadata-only op: same files
-        "files": _resolve_files(spark, table_path, cur),
         "n_rows": m["n_rows"],
         "constraints": cons,
     }
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     if "schema" in m:
         manifest["schema"] = m["schema"]
     for key in ("stats", "stats_cols"):
@@ -4457,6 +4596,7 @@ def add_check_constraint(
     ):
         if m.get(key):
             manifest[key] = m[key]
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -4482,10 +4622,10 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": _resolve_files(spark, table_path, cur),
         "n_rows": m["n_rows"],
         "constraints": cons,
     }
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     if "schema" in m:
         manifest["schema"] = m["schema"]
     for key in ("stats", "stats_cols"):
@@ -4499,6 +4639,7 @@ def drop_check_constraint(spark: SparkSession, table_path: str, name: str) -> in
     ):
         if m.get(key):
             manifest[key] = m[key]
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -4549,7 +4690,7 @@ def set_table_properties(
         **m.get("properties", {}),
         **{str(k): str(v) for k, v in props.items()},
     }
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -4575,7 +4716,7 @@ def unset_table_properties(
         manifest["properties"] = props
     else:
         manifest.pop("properties", None)
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -4616,11 +4757,11 @@ def set_not_null(spark: SparkSession, table_path: str, col: str) -> int:
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": _resolve_files(spark, table_path, cur),
         "n_rows": m["n_rows"],
         "constraints": cons,
         "schema": new_schema,
     }
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     for key in (
         "stats", "stats_cols", "dv", "blooms", "blooms_ref", "generated",
         "identity", "properties", "defaults", "partition_by", "column_map",
@@ -4648,10 +4789,10 @@ def drop_not_null(spark: SparkSession, table_path: str, col: str) -> int:
     manifest = {
         "version": cur + 1,
         "op": "analyze",
-        "files": _resolve_files(spark, table_path, cur),
         "n_rows": m["n_rows"],
         "schema": _flip_nullability(m["schema"], col, True),
     }
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     if cons:
         manifest["constraints"] = cons
     for key in (
@@ -4702,7 +4843,7 @@ def set_column_default(
         spark, {name: expr}, schema, m.get("generated"), m.get("identity")
     )
     manifest = _metadata_ddl_manifest(m, cur, "set_default")
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     defaults = dict(m.get("defaults", {}))
     defaults[name] = expr
     manifest["defaults"] = defaults
@@ -4725,7 +4866,7 @@ def drop_column_default(
         raise ValueError(f"column {name!r} has no declared DEFAULT")
     del defaults[name]
     manifest = _metadata_ddl_manifest(m, cur, "drop_default")
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     if defaults:
         manifest["defaults"] = defaults
     else:
@@ -4785,6 +4926,23 @@ def read_table_pruned(
     )
 
 
+def _carry_snapshot_files(
+    spark: SparkSession, table_path: str, cur: int, m: dict, manifest: dict
+) -> None:
+    """Carry the UNCHANGED snapshot file list into a same-files commit
+    (metadata DDL, ANALYZE, MoR deletes): a sidecar-backed list is
+    shared BY REFERENCE — O(1) per metadata commit, vacuum
+    reference-counts the sidecar across kept manifests — while an
+    inline list re-resolves through the chain (append tips included;
+    `_commit` re-swaps it to a fresh sidecar if it crosses the
+    threshold)."""
+    if "files_ref" in m:
+        manifest["files_ref"] = dict(m["files_ref"])
+        manifest.pop("files", None)
+    else:
+        manifest["files"] = _resolve_files(spark, table_path, cur)
+
+
 def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
     """Skeleton for a METADATA-ONLY column-DDL commit: same files, same
     rows, every protocol feature carried; the caller mutates schema /
@@ -4792,9 +4950,12 @@ def _metadata_ddl_manifest(m: dict, cur: int, op: str) -> dict:
     manifest = {
         "version": cur + 1,
         "op": op,
-        "files": list(m.get("files", [])),
         "n_rows": m["n_rows"],
     }
+    if "files_ref" in m:
+        manifest["files_ref"] = dict(m["files_ref"])
+    else:
+        manifest["files"] = list(m.get("files", []))
     for key in (
         "schema", "constraints", "generated", "identity", "properties", "defaults", "stats", "stats_cols", "dv", "dv_counts",
         "blooms", "blooms_ref", "partition_by", "column_map",
@@ -4928,7 +5089,7 @@ def drop_column(
         else:
             manifest.pop("defaults", None)
     # files unchanged — resolve through the chain for append tips
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -5018,7 +5179,7 @@ def rename_column(
         # (round 15 review fix: a stale key would orphan the default)
         dflt[new] = dflt.pop(old)
         manifest["defaults"] = dflt
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -5063,7 +5224,7 @@ def add_column(
         manifest["column_map"] = nonid
     else:
         manifest.pop("column_map", None)
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     _commit(spark, table_path, cur + 1, manifest)
     return cur + 1
 
@@ -5133,7 +5294,7 @@ def alter_column_type(
     # (int -> long after short -> int) keeps the original origin
     widened.setdefault(name, old_t.simpleString())
     manifest["widened"] = widened
-    manifest["files"] = _resolve_files(spark, table_path, cur)
+    _carry_snapshot_files(spark, table_path, cur, m, manifest)
     if "blooms" in manifest or "blooms_ref" in manifest:
         # BLOOM INVALIDATION (round 15, r14 advisory fix — the high
         # one): bitmaps were built by hashing values at the OLD

@@ -149,6 +149,34 @@ def _py_latest_visible(table_path: str) -> int | None:
     return None
 
 
+def _py_file_list(d: str) -> list[str]:
+    """The path column of a parquet file-list directory (checkpoint or
+    manifest sidecar) via pyarrow — the DataSource runs in workers
+    without a JVM session. pyarrow's dataset reader skips Spark's
+    _-prefixed marker files by default."""
+    import pyarrow.parquet as pq
+
+    return [
+        _local(p)
+        for p in pq.read_table(d, columns=["path"]).column("path").to_pylist()
+    ]
+
+
+def _py_manifest_files(m: dict) -> list[str] | None:
+    """A manifest's full snapshot file list: inline ``files``, or the
+    ``files_ref`` parquet sidecar (round 16 — big lists live beside
+    the log, the JSON keeps an O(1) pointer). None for appends."""
+    if "files" in m:
+        return [_local(p) for p in m["files"]]
+    ref = m.get("files_ref")
+    if ref is None:
+        return None
+    d = _local(ref["path"])
+    if not os.path.isdir(d):
+        raise ValueError(f"manifest file-list sidecar missing: {ref['path']}")
+    return _py_file_list(d)
+
+
 def _py_resolve_files(table_path: str, version: int) -> list[str]:
     """Python twin of `sources/versioned._resolve_files` (the
     DataSource runs in workers without a JVM session): a version's
@@ -164,17 +192,15 @@ def _py_resolve_files(table_path: str, version: int) -> list[str]:
             _local(table_path), _LOG_DIR, f"ckpt-{v:08d}.parquet"
         )
         if os.path.isdir(ckpq):
-            import pyarrow.parquet as pq
-
-            paths = pq.read_table(ckpq, columns=["path"]).column("path")
-            return sorted({_local(p) for p in paths.to_pylist()}.union(adds))
+            return sorted(set(_py_file_list(ckpq)).union(adds))
         ckpt = os.path.join(_local(table_path), _LOG_DIR, f"_ckpt-{v:08d}.json")
         if os.path.exists(ckpt):
             with open(ckpt) as f:
                 return sorted({_local(p) for p in json.load(f)["files"]}.union(adds))
         m = _py_read_manifest(table_path, v)
-        if "files" in m:
-            return sorted({_local(p) for p in m["files"]}.union(adds))
+        mf = _py_manifest_files(m)
+        if mf is not None:
+            return sorted(set(mf).union(adds))
         adds.extend(_local(p) for p in m["add"])
         v = m["parent"]
 
@@ -543,8 +569,9 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             return "skip", None
         if m["op"] in ("create", "convert"):
             # an in-place conversion's v0 is exactly a create whose
-            # files pre-existed the log (round 15)
-            return "files", [_local(f) for f in m["files"]]
+            # files pre-existed the log (round 15); sidecar-backed
+            # lists inflate via pyarrow (round 16)
+            return "files", _py_manifest_files(m)
         if m["op"] == "append":
             return "files", self._added_files(v, m)
         if not self._cdf and (
@@ -728,7 +755,7 @@ class VersionedTableStreamReader(DataSourceStreamReader):
                 # the plain stream, which previously refused OPTIMIZE)
             if m["op"] in ("create", "convert", "append"):
                 files = (
-                    [_local(f) for f in m["files"]]
+                    _py_manifest_files(m)
                     if m["op"] in ("create", "convert")
                     else self._added_files(v, m)
                 )
