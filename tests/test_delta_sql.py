@@ -704,10 +704,9 @@ def test_sql_transaction_rollback_and_guards(spark, tmp_path):
     sql.run("INSERT INTO a VALUES (1)")
     # reads stay allowed inside the txn and see committed state only
     assert sql.run("SELECT COUNT(*) AS n FROM a").collect()[0].n == 0
-    # DML is transactional since round 16 — but it cannot compose with
-    # the INSERT already staged on the same table
-    with pytest.raises(ValueError, match="ONE statement per table"):
-        sql.run("DELETE FROM a WHERE id = 1")
+    # DML is transactional since round 16 — it CHAINS after the staged
+    # INSERT (sequential semantics; exercised in test_round16_protocol)
+    sql.run("DELETE FROM a WHERE id = 1")
     # non-write verbs stay refused inside a transaction
     with pytest.raises(ValueError, match="not allowed inside"):
         sql.run("OPTIMIZE a")

@@ -209,24 +209,86 @@ def test_sql_txn_update_merge_and_rollback(spark, tmp_path):
     assert _ids(spark, t2) == [1, 2]
 
 
-def test_sql_txn_one_statement_per_table_with_dml(spark, tmp_path):
+def test_sql_txn_same_table_statement_chains(spark, tmp_path):
+    """Same-table statements compose in ORDER inside a transaction —
+    the classic replace pattern (DELETE old, INSERT new) lands as one
+    atomic rewrite, and each statement sees the previous ones'
+    effects."""
     t1 = str(tmp_path / "t1")
     sql = DeltaSql(spark, {"t1": t1})
     sql.run("CREATE TABLE t1 AS SELECT * FROM range(3)")
     sql.run("BEGIN TRANSACTION")
-    sql.run("DELETE FROM t1 WHERE id = 0")
-    with pytest.raises(ValueError, match="ONE statement per table"):
-        sql.run("INSERT INTO t1 VALUES (9)")
-    with pytest.raises(ValueError, match="ONE statement per table"):
-        sql.run("UPDATE t1 SET id = id + 1")
-    sql.run("ROLLBACK")
-    # INSERT staged first, DML second: refused in that order too
+    sql.run("DELETE FROM t1 WHERE id >= 1")
+    sql.run("INSERT INTO t1 VALUES (10), (11)")
+    sql.run("UPDATE t1 SET id = id + 100 WHERE id >= 10")
+    # the second UPDATE sees the first's effect (sequential semantics)
+    sql.run("UPDATE t1 SET id = id + 1000 WHERE id >= 100")
+    assert _ids(spark, t1) == [0, 1, 2]  # nothing visible pre-COMMIT
+    sql.run("COMMIT")
+    assert _ids(spark, t1) == [0, 1110, 1111]
+    assert latest_version(spark, t1) == 1  # ONE atomic version
+    m = _read_manifest(spark, t1, 1)
+    assert m["op"] == "overwrite"
+    assert m["txn_ops"] == ["delete", "append", "update", "update"]
+
+    # INSERT-first chains too; ROLLBACK discards the whole chain
     sql.run("BEGIN TRANSACTION")
-    sql.run("INSERT INTO t1 VALUES (9)")
-    with pytest.raises(ValueError, match="ONE statement per table"):
-        sql.run("DELETE FROM t1 WHERE id = 0")
+    sql.run("INSERT INTO t1 VALUES (7)")
+    sql.run("DELETE FROM t1 WHERE id = 0")
     sql.run("ROLLBACK")
-    assert latest_version(spark, t1) == 0
+    assert _ids(spark, t1) == [0, 1110, 1111]
+
+    sql.run("BEGIN TRANSACTION")
+    sql.run("INSERT INTO t1 VALUES (7)")
+    sql.run("DELETE FROM t1 WHERE id = 1111")
+    sql.run("COMMIT")
+    assert _ids(spark, t1) == [0, 7, 1110]
+
+    # MERGE stays the table's exclusive statement in a transaction
+    sql.run("BEGIN TRANSACTION")
+    sql.run("DELETE FROM t1 WHERE id = 0")
+    with pytest.raises(ValueError, match="EXCLUSIVE"):
+        sql.run(
+            "MERGE INTO t1 USING t1 ON t1.id = t1.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    sql.run("ROLLBACK")
+
+
+def test_txn_chain_respects_constraints_and_identity(spark, tmp_path):
+    """Chains stage through the same write machinery as any txn write:
+    CHECK constraints abort the whole transaction; identity columns
+    keep surviving rows' values and allocate for inserted rows."""
+    t = str(tmp_path / "t")
+    from wnv_etl_lab2_spark.sources.versioned import (
+        add_check_constraint,
+        create_table,
+    )
+
+    create_table(
+        spark.createDataFrame([(1, 5), (2, 6)], "id long, v int"),
+        t,
+        identity={"id": {"start": 10, "step": 1}},
+    )
+    add_check_constraint(spark, t, "pos", "v >= 0")
+    sql2 = DeltaSql(spark, {"t": t})
+    sql2.run("BEGIN TRANSACTION")
+    sql2.run("DELETE FROM t WHERE id = 1")
+    sql2.run("INSERT INTO t (v) VALUES (7)")  # identity allocates
+    sql2.run("COMMIT")
+    rows = sorted(
+        (r.id, r.v) for r in read_table(spark, t).collect()
+    )
+    assert (2, 6) in rows and len(rows) == 2
+    assert all(rid is not None for rid, _ in rows)
+
+    # constraint violation anywhere in the chain aborts everything
+    sql2.run("BEGIN TRANSACTION")
+    sql2.run("DELETE FROM t WHERE v = 6")
+    sql2.run("INSERT INTO t (v) VALUES (-1)")
+    with pytest.raises(ValueError, match="pos"):
+        sql2.run("COMMIT")
+    assert sorted((r.id, r.v) for r in read_table(spark, t).collect()) == rows
 
 
 # ----------------------------------------------------- SQL views

@@ -52,6 +52,7 @@ lifecycle with SQL strings only:
     sql.run("INSERT INTO events VALUES (8, 'x', 0.1)")   # staged
     sql.run("INSERT OVERWRITE derived SELECT id FROM events")  # staged
     sql.run("DELETE FROM audit WHERE stale")             # staged (r16)
+    sql.run("INSERT INTO audit SELECT * FROM fresh")     # chains after it
     sql.run("COMMIT")        # all tables advance atomically, or none
     sql.run("UPDATE events SET v = DEFAULT WHERE id = 8")
     sql.run("SHOW PARTITIONS events")
@@ -148,10 +149,12 @@ class DeltaSql:
         # and, since round 16 (r15 "what's missing" #1), UPDATE /
         # DELETE / MERGE — as staged TxnWrites; COMMIT routes them
         # through `sources/transactions.commit_transaction` (all
-        # tables advance or none); ROLLBACK discards. One statement
-        # per table once DML is involved (INSERTs on one table still
-        # compose). ``txn_log`` overrides the shared outcome-marker
-        # directory (default: `_txn` beside the first staged table).
+        # tables advance or none); ROLLBACK discards. Same-table
+        # statements compose as an ordered CHAIN (each sees the
+        # previous statements' effects; committed as one atomic
+        # rewrite); MERGE stays a table's exclusive statement.
+        # ``txn_log`` overrides the shared outcome-marker directory
+        # (default: `_txn` beside the first staged table).
         self._txn: list | None = None
         self._txn_log = txn_log
 
@@ -256,46 +259,92 @@ class DeltaSql:
         append after an overwrite unions into the overwrite frame —
         exactly the state a sequential non-transactional run would
         leave, decided in one atomic commit."""
-        from wnv_etl_lab2_spark.sources.transactions import _DML_OPS, TxnWrite
+        from wnv_etl_lab2_spark.sources.transactions import TxnWrite
 
         for i, w in enumerate(self._txn):
             if w.table_path != path:
                 continue
-            if w.op in _DML_OPS:
-                raise ValueError(
-                    f"table at {path} already has a staged "
-                    f"{w.op.upper()} in this transaction — a transaction "
-                    "supports ONE statement per table when DML is "
-                    "involved (the staged rewrite and a later INSERT "
-                    "cannot compose against each other's unpublished "
-                    "state); COMMIT first or split the transactions"
-                )
-            if op == "append":
-                merged = w.df.unionByName(df, allowMissingColumns=True)
-                self._txn[i] = TxnWrite(df=merged, table_path=path, op=w.op)
-            else:
-                self._txn[i] = TxnWrite(df=df, table_path=path, op="overwrite")
+            if w.op in ("append", "overwrite"):
+                # insert+insert keeps the legacy plan-level composition
+                # (the committed manifest stays an honest append when
+                # only appends were staged)
+                if op == "append":
+                    merged = w.df.unionByName(df, allowMissingColumns=True)
+                    self._txn[i] = TxnWrite(
+                        df=merged, table_path=path, op=w.op
+                    )
+                else:
+                    self._txn[i] = TxnWrite(
+                        df=df, table_path=path, op="overwrite"
+                    )
+                return
+            # INSERT after a staged DML: compose as a statement CHAIN
+            self._txn_chain_step(i, path, {"op": op, "df": df})
             return
         self._txn.append(TxnWrite(df=df, table_path=path, op=op))
 
-    def _txn_add_dml(self, path: str, op: str, **kw) -> None:
-        """Stage an UPDATE/DELETE/MERGE inside the open transaction
-        (round 16 — transactional DML). One statement per table once
-        DML is involved: the single-table verbs each rewrite against
-        the COMMITTED snapshot, so two staged statements on the same
-        table would race for one version slot and the second would not
-        see the first's effect — refused loudly instead of applied
-        wrongly."""
+    @staticmethod
+    def _as_chain_step(w) -> dict:
+        """A staged single-statement TxnWrite as its chain-step form."""
+        if w.op in ("append", "overwrite"):
+            return {"op": w.op, "df": w.df}
+        if w.op == "delete":
+            return {"op": "delete", "condition": w.condition or "true"}
+        if w.op == "update":
+            return {
+                "op": "update",
+                "set_exprs": w.set_exprs,
+                "condition": w.condition or "true",
+            }
+        raise ValueError(
+            f"MERGE is a table's EXCLUSIVE statement in a transaction — "
+            "an upsert already is a composition; COMMIT first or split "
+            "the transactions"
+        )
+
+    def _txn_chain_step(self, i: int, path: str, step: dict) -> None:
+        """Fold ``step`` into the table's staged statement CHAIN
+        (round 16): same-table statements compose in ORDER — each sees
+        the previous statements' effects — and COMMIT lands them as
+        one atomic rewrite (`transactions._compose_chain`)."""
         from wnv_etl_lab2_spark.sources.transactions import TxnWrite
 
-        for w in self._txn:
-            if w.table_path == path:
+        w = self._txn[i]
+        steps = (
+            list(w.chain) if w.op == "chain" else [self._as_chain_step(w)]
+        )
+        steps.append(step)
+        self._txn[i] = TxnWrite(
+            df=None, table_path=path, op="chain", chain=tuple(steps)
+        )
+
+    def _txn_add_dml(self, path: str, op: str, **kw) -> None:
+        """Stage an UPDATE/DELETE/MERGE inside the open transaction
+        (round 16 — transactional DML). Same-table statements compose
+        as an ordered CHAIN (DELETE old rows, then INSERT the new wave
+        — the classic replace pattern — lands atomically); MERGE stays
+        a table's exclusive statement, refused in any combination."""
+        from wnv_etl_lab2_spark.sources.transactions import TxnWrite
+
+        for i, w in enumerate(self._txn):
+            if w.table_path != path:
+                continue
+            if op in ("merge", "merge_upsert"):
                 raise ValueError(
-                    f"table at {path} already has a staged {w.op.upper()} "
-                    "in this transaction — a transaction supports ONE "
-                    "statement per table when DML is involved; COMMIT "
-                    "first or split the transactions"
+                    f"table at {path} already has a staged statement — "
+                    "MERGE is a table's EXCLUSIVE statement in a "
+                    "transaction; COMMIT first or split the transactions"
                 )
+            if op == "delete":
+                step = {"op": "delete", "condition": kw.get("condition") or "true"}
+            else:
+                step = {
+                    "op": "update",
+                    "set_exprs": kw.get("set_exprs"),
+                    "condition": kw.get("condition") or "true",
+                }
+            self._txn_chain_step(i, path, step)
+            return
         self._txn.append(TxnWrite(df=kw.pop("df", None), table_path=path, op=op, **kw))
 
     # -- verbs -----------------------------------------------------------

@@ -100,9 +100,78 @@ class TxnWrite:
     delete_mode: str = "copy_on_write"
     merge_kwargs: dict | None = None  # merge_into_table clause matrix
     merge_key: str | None = None  # merge_upsert key
+    # op="chain" (round 16): an ORDERED same-table statement sequence
+    # — steps of {"op": "append"|"overwrite", "df": DataFrame} or
+    # {"op": "delete", "condition": str} or {"op": "update",
+    # "set_exprs": dict, "condition": str} — composed as one logical
+    # plan over the committed snapshot (each step sees the previous
+    # steps' effects) and committed as ONE overwrite-shaped version.
+    # This is what makes `DELETE old partition; INSERT new rows` on
+    # one table atomic inside a transaction; MERGE stays a table's
+    # exclusive statement (an upsert already IS a composition).
+    chain: tuple = ()
 
 
 _DML_OPS = frozenset({"delete", "update", "merge", "merge_upsert"})
+
+
+def _compose_chain(spark: SparkSession, w: TxnWrite, prev0: dict):
+    """The chain's composed result frame over the committed snapshot —
+    sequential statement semantics as ONE lazy plan (Catalyst fuses
+    the filters/projections; the corpus is scanned once at stage
+    time). Generated columns are dropped for recompute; UPDATE steps
+    use the same CASE-WHEN pre-update-read semantics as
+    `update_table`."""
+    from pyspark.sql import functions as F
+
+    from wnv_etl_lab2_spark.sources.versioned import read_table
+
+    generated = prev0.get("generated") or {}
+    identity = prev0.get("identity") or {}
+    view = read_table(spark, w.table_path)
+    for step in w.chain:
+        op = step["op"]
+        if op == "append":
+            view = view.unionByName(step["df"], allowMissingColumns=True)
+        elif op == "overwrite":
+            view = step["df"]
+        elif op == "delete":
+            view = view.where(
+                ~F.coalesce(F.expr(step["condition"]), F.lit(False))
+            )
+        elif op == "update":
+            set_exprs = step["set_exprs"]
+            unknown = [c for c in set_exprs if c not in view.columns]
+            if unknown:
+                raise ValueError(
+                    f"UPDATE SET targets unknown columns: {unknown}"
+                )
+            bad = sorted(set(set_exprs) & (set(generated) | set(identity)))
+            if bad:
+                raise ValueError(
+                    f"UPDATE SET targets generated/identity column(s) "
+                    f"{bad} — engine-managed, not assignable"
+                )
+            hit = F.coalesce(
+                F.expr(step["condition"]).cast("boolean"), F.lit(False)
+            )
+            types = {f.name: f.dataType for f in view.schema.fields}
+            view = view.select(
+                *[
+                    F.when(
+                        hit, F.expr(set_exprs[c]).cast(types[c])
+                    ).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in view.columns
+                ]
+            )
+        else:
+            raise ValueError(f"unsupported chain step op: {op!r}")
+    # generated columns recompute from the composed row (update/merge
+    # semantics — the gen_ CHECK invariant then holds by construction)
+    gone = [c for c in generated if c in view.columns]
+    return view.drop(*gone) if gone else view
 
 
 def _run_dml(spark: SparkSession, w: TxnWrite, txn: dict) -> int:
@@ -226,8 +295,10 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             f"optimistic concurrency check failed for {w.table_path}: "
             f"expected latest={w.expect_latest}, found {cur} — re-read and retry"
         )
-    if w.op not in ("append", "overwrite"):
-        raise ValueError(f"transactional op must be append|overwrite, got {w.op!r}")
+    if w.op not in ("append", "overwrite", "chain"):
+        raise ValueError(
+            f"transactional op must be append|overwrite|chain, got {w.op!r}"
+        )
     version = cur + 1
     prev0 = _read_manifest(spark, w.table_path, cur)
     from wnv_etl_lab2_spark.sources.versioned import (
@@ -255,12 +326,17 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     # generated/identity columns compute-if-missing through
     # transactional stages exactly like the single-table verbs (r13);
     # declared-type casts + ALWAYS-identity refusal like the r14
-    # single-table write paths (txn stages are user-facing writes)
+    # single-table write paths (txn stages are user-facing writes).
+    # A CHAIN's composed frame carries surviving rows' identity values
+    # legitimately (internal-rewrite semantics, like MERGE): keep
+    # them, allocate for inserted rows' nulls.
+    base_df = _compose_chain(spark, w, prev0) if w.op == "chain" else w.df
     wdf = _assign_identity(
-        _apply_generated(w.df, generated, declared_types),
+        _apply_generated(base_df, generated, declared_types),
         identity,
         declared_types,
-        forbid_supplied=True,
+        forbid_supplied=(w.op != "chain"),
+        fill_nulls=(w.op == "chain"),
     )
     # partitioning + column mapping travel through transactional stages
     # exactly like the single-table verbs (round 13)
@@ -314,6 +390,9 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             "schema": evolved,
         }
     else:
+        # a CHAIN commits as an overwrite (the composed result IS the
+        # new snapshot — every consumer's rewrite semantics apply
+        # unchanged); the step ops are recorded for history forensics
         manifest = {
             "version": version,
             "op": "overwrite",
@@ -321,6 +400,8 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
             "n_rows": n_new,
             "schema": evolved,
         }
+        if w.op == "chain":
+            manifest["txn_ops"] = [step["op"] for step in w.chain]
     if partition_by:
         manifest["partition_by"] = list(partition_by)
     _nonid = {k: v for k, v in cmap.items() if k != v}
