@@ -115,7 +115,9 @@ class TxnWrite:
 _DML_OPS = frozenset({"delete", "update", "merge", "merge_upsert"})
 
 
-def _compose_chain(spark: SparkSession, w: TxnWrite, prev0: dict):
+def _compose_chain(
+    spark: SparkSession, w: TxnWrite, prev0: dict, base_version: int
+):
     """The chain's composed result frame over the committed snapshot —
     sequential statement semantics as ONE lazy plan (Catalyst fuses
     the filters/projections; the corpus is scanned once at stage
@@ -128,7 +130,10 @@ def _compose_chain(spark: SparkSession, w: TxnWrite, prev0: dict):
 
     generated = prev0.get("generated") or {}
     identity = prev0.get("identity") or {}
-    view = read_table(spark, w.table_path)
+    # pin the base to the CAS'd version: a concurrent commit landing
+    # between the version check and this read must lose at OUR publish
+    # (slot taken), never silently become the chain's base
+    view = read_table(spark, w.table_path, base_version)
     for step in w.chain:
         op = step["op"]
         if op == "append":
@@ -330,7 +335,9 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
     # A CHAIN's composed frame carries surviving rows' identity values
     # legitimately (internal-rewrite semantics, like MERGE): keep
     # them, allocate for inserted rows' nulls.
-    base_df = _compose_chain(spark, w, prev0) if w.op == "chain" else w.df
+    base_df = (
+        _compose_chain(spark, w, prev0, cur) if w.op == "chain" else w.df
+    )
     wdf = _assign_identity(
         _apply_generated(base_df, generated, declared_types),
         identity,
