@@ -180,3 +180,44 @@ def test_old_reader_refuses_sidecar_manifest(spark, tmp_path, small_threshold):
         os.remove(crc)
     with pytest.raises(ValueError, match="file_list_sidecar_v9"):
         read_table(spark, path)
+
+
+def test_sidecar_table_streams_with_real_engine(spark, tmp_path, small_threshold):
+    """Engine-level pin (not just the reader object): a sidecar-backed
+    table feeds a real readStream with Trigger.AvailableNow — v0's
+    sidecar-listed files replay as the first batch and a later append
+    arrives on the next run."""
+    from wnv_etl_lab2_spark.sources.versioned_stream import (
+        VersionedTableStreamSource,
+    )
+
+    spark.dataSource.register(VersionedTableStreamSource)
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, path, n_files=4)
+    assert "files_ref" in _read_manifest(spark, path, 0)
+
+    got: list[int] = []
+
+    def run_available_now():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, _b: got.extend(r.id for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_available_now()
+    assert sorted(got) == list(range(20))  # v0's sidecar-listed files
+    append_table(
+        spark.createDataFrame([(99, 0)], "id long, p int").coalesce(1), path
+    )
+    got.clear()
+    run_available_now()
+    assert got == [99]  # incremental: only the appended file

@@ -415,3 +415,34 @@ def test_analyze_table_sql_verbs(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="unsupported ANALYZE"):
         sql.run("ANALYZE TABLE t COMPUTE STATISTICS")
+
+
+def test_txn_chain_on_partitioned_table_with_evolution(spark, tmp_path):
+    """Chains carry partitioning (files land under their hive dirs)
+    and compose additive schema evolution: an appended frame's new
+    column rides the rewrite, old rows null-fill."""
+    t = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(6)], "id long, p int"
+        ),
+        t,
+        partition_by=["p"],
+    )
+    sql = DeltaSql(spark, {"t": t})
+    sql.run("BEGIN TRANSACTION")
+    sql.run("DELETE FROM t WHERE id < 2")
+    spark.createDataFrame(
+        [(100, 1, "x")], "id long, p int, tag string"
+    ).createOrReplaceTempView("_r16_chain_wave")
+    sql.run("INSERT INTO t SELECT * FROM _r16_chain_wave")
+    sql.run("COMMIT")
+    rows = {r.id: (r.p, r.tag) for r in read_table(spark, t).collect()}
+    assert set(rows) == {2, 3, 4, 5, 100}
+    assert rows[100] == (1, "x") and rows[2][1] is None
+    m = _read_manifest(spark, t, 1)
+    assert m["partition_by"] == ["p"] and m["txn_ops"] == ["delete", "append"]
+    # partition-pruned read still works over the chained rewrite
+    pruned = read_table(spark, t, partition_filter={"p": 1})
+    assert sorted(r.id for r in pruned.collect()) == [3, 5, 100]
+    spark.catalog.dropTempView("_r16_chain_wave")
