@@ -413,8 +413,12 @@ def test_analyze_table_sql_verbs(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [
         i for i in range(80) if i % 7 == 3
     ]
+    # bare COMPUTE STATISTICS covers every primitive column
+    v3 = sql.run("ANALYZE TABLE t COMPUTE STATISTICS")
+    m3 = _read_manifest(spark, t, v3)
+    assert sorted(m3["stats_cols"]) == ["id", "k"]
     with pytest.raises(ValueError, match="unsupported ANALYZE"):
-        sql.run("ANALYZE TABLE t COMPUTE STATISTICS")
+        sql.run("ANALYZE TABLE t COMPUTE GARBAGE")
 
 
 def test_txn_chain_on_partitioned_table_with_evolution(spark, tmp_path):

@@ -474,18 +474,52 @@ class DeltaSql:
             cols_re = rf"({_IDENT}(?:\s*,\s*{_IDENT})*)"
             m = re.fullmatch(
                 rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
-                rf"\s+FOR\s+COLUMNS\s+{cols_re}",
+                rf"(?:\s+FOR\s+COLUMNS\s+{cols_re})?",
                 s,
                 re.IGNORECASE,
             )
             if m:
-                from wnv_etl_lab2_spark.sources.versioned import collect_stats
-
-                return collect_stats(
-                    self.spark,
-                    self._path(m.group(1)),
-                    [c.strip() for c in m.group(2).split(",")],
+                from wnv_etl_lab2_spark.sources.versioned import (
+                    collect_stats,
+                    table_schema,
                 )
+
+                path = self._path(m.group(1))
+                if m.group(2):
+                    cols = [c.strip() for c in m.group(2).split(",")]
+                else:
+                    # bare COMPUTE STATISTICS: every top-level primitive
+                    # column that can carry a min/max (hive partition
+                    # columns live in the path, not the footers)
+                    from wnv_etl_lab2_spark.sources.versioned import (
+                        _read_manifest,
+                        latest_version,
+                    )
+
+                    sch = table_schema(self.spark, path)
+                    if sch is None:
+                        raise ValueError(
+                            "ANALYZE without a column list needs a "
+                            "schema-recording table"
+                        )
+                    pby = set(
+                        _read_manifest(
+                            self.spark, path, latest_version(self.spark, path)
+                        ).get("partition_by") or []
+                    )
+                    cols = [
+                        f.name
+                        for f in sch.fields
+                        if f.name not in pby
+                        and f.dataType.typeName()
+                        not in ("array", "map", "struct", "binary")
+                    ]
+                    if not cols:
+                        raise ValueError(
+                            "no stats-eligible columns — name them with "
+                            "FOR COLUMNS"
+                        )
+                return collect_stats(self.spark, path, cols)
             m = re.fullmatch(
                 rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+BLOOM\s+"
                 rf"FILTERS\s+FOR\s+COLUMNS\s+{cols_re}",
