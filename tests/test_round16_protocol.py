@@ -244,15 +244,22 @@ def test_sql_txn_same_table_statement_chains(spark, tmp_path):
     sql.run("COMMIT")
     assert _ids(spark, t1) == [0, 7, 1110]
 
-    # MERGE stays the table's exclusive statement in a transaction
+    # MERGE composes into the chain since round 17 (it used to be the
+    # table's exclusive statement): DELETE then a MERGE whose source
+    # carries the deleted id — the merge sees the post-DELETE view, so
+    # id 0 re-INSERTS (not updates), like two sequential statements
+    spark.createDataFrame(
+        [(0,), (7,)], "id long"
+    ).createOrReplaceTempView("m16src")
     sql.run("BEGIN TRANSACTION")
-    sql.run("DELETE FROM t1 WHERE id = 0")
-    with pytest.raises(ValueError, match="EXCLUSIVE"):
-        sql.run(
-            "MERGE INTO t1 USING t1 ON t1.id = t1.id "
-            "WHEN MATCHED THEN UPDATE SET *"
-        )
-    sql.run("ROLLBACK")
+    sql.run("DELETE FROM t1 WHERE id = 1110")
+    sql.run(
+        "MERGE INTO t1 USING m16src AS s ON t1.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    sql.run("COMMIT")
+    assert _ids(spark, t1) == [0, 7]
 
 
 def test_txn_chain_respects_constraints_and_identity(spark, tmp_path):

@@ -103,12 +103,15 @@ class TxnWrite:
     # op="chain" (round 16): an ORDERED same-table statement sequence
     # — steps of {"op": "append"|"overwrite", "df": DataFrame} or
     # {"op": "delete", "condition": str} or {"op": "update",
-    # "set_exprs": dict, "condition": str} — composed as one logical
-    # plan over the committed snapshot (each step sees the previous
-    # steps' effects) and committed as ONE overwrite-shaped version.
-    # This is what makes `DELETE old partition; INSERT new rows` on
-    # one table atomic inside a transaction; MERGE stays a table's
-    # exclusive statement (an upsert already IS a composition).
+    # "set_exprs": dict, "condition": str} or, since round 17 (the r16
+    # verdict's last composition gap), {"op": "merge", "df": source,
+    # "merge_kwargs": clause matrix} / {"op": "merge_upsert", "df":
+    # source, "merge_key": key} — composed as one logical plan over
+    # the committed snapshot (each step sees the previous steps'
+    # effects) and committed as ONE overwrite-shaped version. This is
+    # what makes `DELETE old partition; INSERT new rows` — and now
+    # `MERGE upserts; DELETE stale` — on one table atomic inside a
+    # transaction, one scan + one rewrite.
     chain: tuple = ()
 
 
@@ -123,10 +126,19 @@ def _compose_chain(
     the filters/projections; the corpus is scanned once at stage
     time). Generated columns are dropped for recompute; UPDATE steps
     use the same CASE-WHEN pre-update-read semantics as
-    `update_table`."""
+    `update_table`; MERGE steps (round 17) apply the shared clause
+    matrix (`versioned._merge_result`) over the composed view with the
+    cardinality check run EAGERLY at stage time — an Observation
+    riding the final write could silently never fire if a later step
+    filtered or discarded the merged frame, and sequential-statement
+    semantics demand the ambiguity raise regardless."""
     from pyspark.sql import functions as F
 
-    from wnv_etl_lab2_spark.sources.versioned import read_table
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _merge_result,
+        _merge_schemas,
+        read_table,
+    )
 
     generated = prev0.get("generated") or {}
     identity = prev0.get("identity") or {}
@@ -171,6 +183,46 @@ def _compose_chain(
                     for c in view.columns
                 ]
             )
+        elif op == "merge_upsert":
+            from wnv_etl_lab2_spark.operators.scd import merge_upsert
+
+            view = merge_upsert(view, step["df"], step["merge_key"])
+        elif op == "merge":
+            kw = dict(step.get("merge_kwargs") or {})
+            if kw.pop("change_data", False):
+                raise ValueError(
+                    "change_data MERGE cannot compose into a same-table "
+                    "chain — the chain commits one overwrite version "
+                    "with no per-statement change files; run it as the "
+                    "table's only statement or outside the transaction"
+                )
+            src = step["df"]
+            if kw.pop("schema_evolution", False):
+                # the same additive-union evolution the standalone path
+                # applies (versioned.merge_into_table): source-only
+                # columns extend the composed view as NULL, and the
+                # chain's overwrite commit records the evolved schema
+                import json as _json
+
+                from pyspark.sql.types import StructType as _ST
+
+                evolved_st = _ST.fromJson(
+                    _json.loads(_merge_schemas(view.schema.json(), src.schema))
+                )
+                for f in evolved_st.fields:
+                    if f.name not in view.columns:
+                        view = view.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+            view = _merge_result(
+                spark, view, src, kw.pop("on"),
+                kw.pop("matched", None), kw.pop("not_matched", None),
+                kw.pop("not_matched_by_source", None),
+                gen_cols=generated, ident_specs=identity,
+                dflt=prev0.get("defaults") or {},
+                eager_general_check=True,
+                **kw,
+            )["result"]
         else:
             raise ValueError(f"unsupported chain step op: {op!r}")
     # generated columns recompute from the composed row (update/merge
@@ -422,7 +474,7 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         # dropping it silently resurrected MoR-deleted rows and reset
         # stats/bloom skipping after a transactional append)
         for key in (
-            "dv", "dv_counts", "stats", "stats_cols", "blooms", "blooms_ref",
+            "dv", "dv_counts", "stats", "stats_ref", "stats_cols", "blooms", "blooms_ref",
             "widened",
         ):
             if prev.get(key):
