@@ -37,6 +37,54 @@ def test_high_value_queries_in_driver_window(spark):
     assert not missing, f"rows-only queries inside the 50-entry window: {missing}"
 
 
+def test_evidence_window_rotation_invariant():
+    """The rotation invariant as a TEST, not a comment (round 17 —
+    r16 verdict #5): the driver evidences the first 50 registry
+    entries per round, while the registry grows ~6/round. Under the
+    CURRENT window (treating its 50 slots as next round's evidence),
+    every registered query must (a) have driver evidence somewhere in
+    the CORRECTNESS_r*.json union or sit in the window now, and
+    (b) end up no more than 5 rounds stale. When this fails, the next
+    pre-commitment must head-slot the flagged names (or the window
+    must grow)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    latest: dict[str, int] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        rounds.append(r)
+        for name in json.load(open(f)):
+            latest[name] = max(latest.get(name, 0), r)
+    assert rounds, "no CORRECTNESS artifacts found"
+    next_round = max(rounds) + 1
+    window = list(entry_mod.queries())[:50]
+    for name in window:
+        latest[name] = next_round
+    registered = set(entry_mod.queries())
+    unevidenced = sorted(
+        n for n in registered if n not in latest
+    )
+    assert not unevidenced, (
+        f"registered queries with NO driver evidence and no window "
+        f"slot this round: {unevidenced}"
+    )
+    stale = {
+        n: next_round - latest[n]
+        for n in registered
+        if next_round - latest[n] > 5
+    }
+    assert not stale, (
+        f"queries whose driver evidence would exceed 5 rounds under "
+        f"this window — head-slot them in the next pre-commitment: "
+        f"{stale}"
+    )
+
+
 def test_queries_md_catalog_not_stale():
     """QUERIES.md is generated from the registry
     (tools/gen_query_catalog.py); its header counts must match the

