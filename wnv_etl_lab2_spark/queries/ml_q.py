@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wnv_etl_lab2_spark.queries import register
-from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 _DIM = 64
 _CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -101,7 +101,11 @@ def logreg_gd_steps(spark, sf_dir):
     #   against the broadcast weight ARRAY — never 64 scalar terms,
     #   and no corpus-row shuffle anywhere (the explode feeds a
     #   combinable aggregate, not a per-row regroup).
-    emb = load_table(spark, "embeddings", sf_dir)
+    # spread_scan: both corpus passes explode 64 structs/row straight
+    # off the scan; on a single-row-group file that whole Generate +
+    # partial-agg runs on ONE core (guide §2.5 input skew). No-op at
+    # scale (condition derived from row groups / input bytes).
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
     c = emb.select(
         F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
         F.col("embedding"),
@@ -340,7 +344,9 @@ def embedding_pca_power_iteration(spark, sf_dir):
     # vs ~1.3 s for this shape. The ORACLE still goes through the
     # explicit Gram — same math, different associativity, absorbed by
     # the shared rounding.)
-    emb = load_table(spark, "embeddings", sf_dir)
+    # spread_scan: see logreg_gd_steps — the per-pass posexplode runs
+    # on one core off a single-row-group scan; no-op at scale.
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
     e = F.transform("embedding", lambda x: x.cast("double"))
     # pass 1: u1 = G v0 with v0 uniform = per-row scalar s = sum(x)/8,
     # then one d-key aggregate of x_i * s; checkpointed — its three

@@ -18,7 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from wnv_etl_lab2_spark.queries import register
-from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 # shared SQL fragment — identical text on both engines
 _KEY_HASH = "(doc_id * 2654435761) % 100"
@@ -507,7 +507,11 @@ def dsir_importance_weights(spark, sf_dir):
     (_DSIR_LOGRATIO) on both engines; the ~50-term double sum
     differs only in summation order (~1e-13), both sides round at
     6 dp."""
-    d = load_table(spark, "documents", sf_dir)
+    # spread_scan: the token explode + per-token md5 is evaluated for
+    # both the bucket-model pass and the scoring pass straight off the
+    # scan; single-row-group input ran it all on one core (measured
+    # 1.09 s of the 1.25 s wall at sf0.1). No-op at scale.
+    d = spread_scan(load_table(spark, "documents", sf_dir), "doc_id")
     toks = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")

@@ -27,7 +27,7 @@ from wnv_etl_lab2_spark.operators.similarity import (
     semantic_dedup,
 )
 from wnv_etl_lab2_spark.queries import register
-from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 _CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 _DOT_AB = "list_sum(list_transform(range(1, LEN(a.e) + 1), i -> a.e[i] * b.e[i]))"
@@ -1204,7 +1204,11 @@ def embedding_covariance_int8(spark, sf_dir):
         "'qi', _q[i], 'qj', _q[j]))))"
     )
     chain = let_sql(q_expr, "_q", body)
-    emb = load_table(spark, "embeddings", sf_dir)
+    # spread_scan: the d(d+1)/2 = 2080-struct per-row expansion is the
+    # whole cost of this query and it sits directly on the scan — on a
+    # single-row-group file the entire Gram map ran on ONE core
+    # (measured 1.28 s of the 1.34 s wall at sf0.1). No-op at scale.
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
     agg = (
         emb.select(F.expr(f"inline({chain})"))
         .groupBy("i", "j")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from wnv_etl_lab2_spark.queries import register
-from wnv_etl_lab2_spark.sources.catalog import load_table
+from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 
 @register(
@@ -545,7 +545,9 @@ def tfidf_top_terms(spark, sf_dir):
     after aggregation — vocabulary, not corpus); ranking is one window
     partitioned by doc_id. Ranking happens on the ROUNDED score on
     both engines so float ties break identically."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread_scan(  # spread the single-row-group scan; no-op at scale
+        load_table(spark, "documents", sf_dir), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(
@@ -782,7 +784,9 @@ def ngram_counts_top(spark, sf_dir):
     The explode emits n-1 bigram rows per doc (linear in corpus
     tokens), the count is a map-side-combinable groupBy, and the
     top-20 is TakeOrdered — no global sort."""
-    d = load_table(spark, "documents", sf_dir)
+    d = spread_scan(  # spread the single-row-group scan; no-op at scale
+        load_table(spark, "documents", sf_dir), "doc_id"
+    )
     bigrams = F.expr(
         "transform(sequence(1, size(words) - 1), "
         "i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))"

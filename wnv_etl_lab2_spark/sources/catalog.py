@@ -17,6 +17,82 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# spread_scan: (path, mtime) -> parquet row-group count, so repeated
+# plan builds (bench warm + 5 timed passes) read each footer once.
+_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Row-group count of one local parquet file (footer read only)."""
+    key = (path, os.path.getmtime(path))
+    if key not in _ROW_GROUP_CACHE:
+        import pyarrow.parquet as pq
+
+        _ROW_GROUP_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+    return _ROW_GROUP_CACHE[key]
+
+
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ('128m', '1g', '134217728b')."""
+    v = conf_val.strip().lower()
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v, mult = v[: -len(suffix)], m
+            break
+    return int(v) * mult
+
+
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow parquet scan across the session's task slots —
+    but ONLY when the files themselves cannot (guide §2.5 input skew /
+    §6 input split size): a parquet row group is indivisible, so a
+    single-row-group file is one scan task no matter what
+    maxPartitionBytes says, and every expression evaluated before the
+    first exchange (explodes, shingling, HOF kernels) runs on one core.
+    AQE cannot fix this — it only coalesces AFTER a shuffle.
+
+    Scale-adaptive by derivation from the input, not a local constant:
+    the repartition is inserted only when BOTH
+      (a) the scan's real parallelism ceiling (total row groups across
+          the input files) is below the session's defaultParallelism, and
+      (b) the whole input is smaller than parallelism x
+          maxPartitionBytes — i.e. the table couldn't fill the cluster
+          at the target split size even if it were splittable, so the
+          spreading exchange moves a bounded, cluster-trivial byte
+          volume.
+    On a 100 TB table either test fails (thousands of row groups,
+    bytes >> cores x 128 MB) and the scan is returned untouched — the
+    zero-extra-shuffle plans SCALING.md argues for are exactly the
+    plans a real cluster sees. Hash-partitioning by ``keys`` (when
+    given) keeps the placement content-deterministic; with no keys the
+    round-robin path relies on Spark's sort-before-repartition for
+    retry determinism (results are partitioning-independent anyway —
+    every oracle query hash-matches DuckDB, a different engine with a
+    different row order).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        from urllib.parse import urlparse
+
+        files = [
+            urlparse(f).path if "://" in f or f.startswith("file:") else f
+            for f in df.inputFiles()
+        ]
+        if not files:
+            return df
+        total = sum(os.path.getsize(f) for f in files)
+        row_groups = sum(_parquet_row_groups(f) for f in files)
+    except Exception:
+        return df  # non-local / non-parquet source: leave the scan alone
+    max_pb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if row_groups >= par or total >= par * max_pb:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
 TABLES = (
     "region",
     "nation",
