@@ -108,6 +108,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (path, mtime) -> the schema Spark itself INFERRED for that file, so
+# repeat scans of an immutable catalog table skip per-call footer
+# inference (~0.12 s of driver time per spark.read.parquet at sf0.1,
+# paid by every load_table site on every plan build). The schema is
+# recorded from Spark's own first read — never converted from another
+# library — so the fast path is bit-identical by construction; an
+# updated file (new mtime) re-infers. Metadata caching only: the scan
+# itself stays lazy and reads the parquet input on every execution.
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)  # non-local path: no fast path
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Lazy Parquet scan for one catalog table."""
@@ -124,11 +147,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # Set here (not only in our session factory) because the driver
         # may hand us its own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = _read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

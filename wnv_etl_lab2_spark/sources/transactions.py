@@ -57,6 +57,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from wnv_etl_lab2_spark.sources.versioned import (
+    _footer_row_count,
     _attempt_dir,
     _commit,
     _data_files,
@@ -435,9 +436,13 @@ def _stage(spark: SparkSession, w: TxnWrite, txn_id: str, txn_log: str):
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         raise
     files = _data_files(spark, vdir)
-    n_new = spark.read.parquet(vdir).count() if files else 0
+    n_new = 0
+    if files:
+        n_new = _footer_row_count(files)
+        if n_new is None:
+            n_new = spark.read.parquet(vdir).count()
     if identity and files:
-        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
+        identity = _advance_identity(identity, spark, vdir, cmap, files=files)
     prev = prev0
     if w.op == "append":
         manifest = {

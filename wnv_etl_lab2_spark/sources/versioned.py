@@ -104,9 +104,40 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _local_path(path: str) -> str | None:
+    """OS path for a local-FS location (bare ``/a/b`` or Hadoop's
+    qualified ``file:/a/b`` / ``file:///a/b`` forms), else None. The
+    protocol's metadata helpers use it to bypass the JVM FileSystem —
+    every py4j FS call is a ~10-30 ms socket round trip, and a single
+    DML verb makes dozens of them (measured ~0.8 s of a 1.3 s warm
+    UPDATE at sf0.1 was driver-side metadata chatter). Non-local
+    stores keep the Hadoop path untouched."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    if "://" in path or path.startswith(("hdfs:", "s3:", "s3a:", "abfs:")):
+        return None
+    return path
+
+
 def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
+    log_dir = posixpath.join(table_path, _LOG_DIR)
+    lp = _local_path(log_dir)
+    if lp is not None:
+        import os as _os
+
+        try:
+            names = _os.listdir(lp)
+        except (FileNotFoundError, NotADirectoryError):
+            return []
+        return sorted(
+            int(n[: -len(".json")])
+            for n in names
+            if n.endswith(".json") and n[: -len(".json")].isdigit()
+        )
     fs, jvm = _fs(spark, table_path)
-    log = jvm.org.apache.hadoop.fs.Path(posixpath.join(table_path, _LOG_DIR))
+    log = jvm.org.apache.hadoop.fs.Path(log_dir)
     if not fs.exists(log):
         return []
     out = []
@@ -618,11 +649,54 @@ def _required_features(manifest: dict) -> list[str]:
     )
 
 
+# Manifest TEXT cache: a published manifest is immutable (the atomic
+# fail-if-exists rename in `_commit` means a version slot is written
+# exactly once; vacuum/FSCK only DELETE whole files), so the raw bytes
+# can be cached keyed by (path, mtime_ns, size) — a deleted manifest
+# misses on the os.stat and errors exactly like the uncached path, and
+# the stat key makes any out-of-band replacement a miss. The cache
+# holds TEXT, not the parsed dict: callers receive a fresh json.loads
+# per read, so in-place mutation of a returned manifest can never leak
+# into another reader. Bounded; eviction drops the oldest half.
+_MANIFEST_TEXT_CACHE: dict[tuple[str, int, int], str] = {}
+_MANIFEST_TEXT_CACHE_MAX = 2048
+
+
 def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
+    mpath = posixpath.join(table_path, _LOG_DIR, f"{version:08d}.json")
+    lp = _local_path(mpath)
+    if lp is not None:
+        import os as _os
+
+        try:
+            st = _os.stat(lp)
+        except (FileNotFoundError, NotADirectoryError):
+            raise ValueError(
+                f"version {version} does not exist (vacuumed or never committed)"
+            )
+        key = (lp, st.st_mtime_ns, st.st_size)
+        text = _MANIFEST_TEXT_CACHE.get(key)
+        if text is None:
+            with open(lp, "r", encoding="utf-8") as f:
+                text = f.read()
+            if len(_MANIFEST_TEXT_CACHE) >= _MANIFEST_TEXT_CACHE_MAX:
+                for k in list(_MANIFEST_TEXT_CACHE)[
+                    : _MANIFEST_TEXT_CACHE_MAX // 2
+                ]:
+                    del _MANIFEST_TEXT_CACHE[k]
+            _MANIFEST_TEXT_CACHE[key] = text
+        m = json.loads(text)
+        unknown = set(m.get("features", [])) - SUPPORTED_FEATURES
+        if unknown:
+            raise ValueError(
+                f"cannot read {table_path} v{version}: the snapshot requires "
+                f"table feature(s) {sorted(unknown)} this reader does not "
+                "implement — refusing rather than mis-reading (upgrade the "
+                "reader; a reader without the feature would return wrong rows)"
+            )
+        return m
     fs, jvm = _fs(spark, table_path)
-    p = jvm.org.apache.hadoop.fs.Path(
-        posixpath.join(table_path, _LOG_DIR, f"{version:08d}.json")
-    )
+    p = jvm.org.apache.hadoop.fs.Path(mpath)
     if not fs.exists(p):
         raise ValueError(f"version {version} does not exist (vacuumed or never committed)")
     stream = fs.open(p)
@@ -785,6 +859,20 @@ def _data_files(spark: SparkSession, version_dir: str) -> list[str]:
     different stores (round-9 advisory fix; manifests written before
     this round carry scheme-less paths, which every consumer qualifies
     on read via `_qualify`)."""
+    lp = _local_path(version_dir)
+    if lp is not None:
+        import os as _os
+
+        files = []
+        for root, _dirs, names in _os.walk(lp):
+            for name in names:
+                if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                    # Hadoop's qualified local form is `file:` + abspath
+                    # (single slash) — byte-identical to makeQualified,
+                    # so reference counting across code paths still
+                    # compares equal
+                    files.append("file:" + _os.path.join(root, name))
+        return sorted(files)
     fs, jvm = _fs(spark, version_dir)
     jpath = jvm.org.apache.hadoop.fs.Path(version_dir)
     files = []
@@ -795,6 +883,28 @@ def _data_files(spark: SparkSession, version_dir: str) -> list[str]:
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
             files.append(fs.makeQualified(st.getPath()).toString())
     return sorted(files)
+
+
+def _footer_row_count(files: list[str]) -> int | None:
+    """Exact row count of just-written parquet files from their
+    FOOTERS (metadata-only), the same commit-time bookkeeping Delta
+    gets from its writing executors — replacing the full
+    ``spark.read.parquet(dir).count()`` job the commit path used to
+    pay per DML verb (a whole extra pass over the written output).
+    Returns None when any file is non-local or the list is large
+    enough that a driver-side footer sweep would serialize what a scan
+    job parallelizes — callers fall back to the count job."""
+    if len(files) > 4096:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        lp = _local_path(f)
+        if lp is None:
+            return None
+        total += pq.ParquetFile(lp).metadata.num_rows
+    return total
 
 
 def _qualify(fs, jvm, path: str) -> str:
@@ -1006,16 +1116,19 @@ def _scan_snapshot_files(
     partition_by = manifest.get("partition_by") or []
     cmap = manifest.get("column_map") or {}
     dv = manifest.get("dv")
-    if schema_json is not None and manifest.get("widened"):
-        # TYPE-WIDENED table (round 14): files written before an ALTER
+    if schema_json is not None:
+        # The manifest DECLARES the snapshot schema, so read with an
+        # EXPLICIT physical schema instead of mergeSchema: mergeSchema
+        # launches a footer-sniffing job over every file per plan
+        # build (driver + executor work on every read_table call),
+        # while the declared schema costs nothing and behaves
+        # identically — files missing newer columns null-backfill, and
+        # TYPE-WIDENED tables (round 14: files written before an ALTER
         # COLUMN ... TYPE keep their narrower physical types, which
-        # mergeSchema's strict StructType merge refuses to union. Read
-        # with an EXPLICIT physical schema at the declared (widened)
-        # types instead — Spark 4's parquet readers perform the
-        # lossless up-conversion (int32 -> long, float -> double)
-        # per-file, vectorized, and files missing newer columns still
-        # null-backfill. extra_cols ride as strings (the only caller
-        # today is the CDF scan's `_change_type`).
+        # mergeSchema's strict StructType merge refuses to union) get
+        # Spark 4's lossless per-file vectorized up-conversion
+        # (int32 -> long, float -> double). extra_cols ride as strings
+        # (the only caller today is the CDF scan's `_change_type`).
         declared = StructType.fromJson(json.loads(schema_json))
         phys_fields = [
             StructField(cmap.get(f.name, f.name), f.dataType, True)
@@ -1296,36 +1409,74 @@ def _assign_identity(
     return tagged.drop("_id_pid", "_id_mid")
 
 
-def _advance_identity(identity: dict, written_df, cmap: dict) -> dict:
-    """The post-write water-mark update: one aggregate over the JUST-
-    WRITTEN batch (O(batch), same scan class as the row count the
-    writer already pays) takes each identity column's extreme IN THE
-    STEP DIRECTION — max for ascending, min for descending (round 14,
-    r13 advisory fix: a negative INCREMENT BY allocates downward, so
-    tracking max() would freeze the mark and re-issue the same values
-    every batch) — covering both engine-assigned and caller-supplied
-    values; the new mark is the more-extreme of (old, batch extreme).
-    Written files store PHYSICAL names, so the agg reads through the
-    column map."""
+def _advance_identity(
+    identity: dict, spark, vdir: str, cmap: dict, files: list[str] | None = None
+) -> dict:
+    """The post-write water-mark update: each identity column's extreme
+    IN THE STEP DIRECTION — max for ascending, min for descending
+    (round 14, r13 advisory fix: a negative INCREMENT BY allocates
+    downward, so tracking max() would freeze the mark and re-issue the
+    same values every batch) — covering both engine-assigned and
+    caller-supplied values; the new mark is the more-extreme of (old,
+    batch extreme). Written files store PHYSICAL names, so the lookup
+    reads through the column map.
+
+    The extremes come from the written files' parquet FOOTER min/max
+    when available (metadata-only — the same numbers the commit's
+    stats maintenance reads; identity columns are integers, whose
+    parquet stats are exact) and fall back to one aggregate scan job
+    over the batch when any footer lacks them."""
     from pyspark.sql import functions as F
 
     cols = sorted(identity)
-    row = written_df.agg(
-        *[
-            (
-                F.min(cmap.get(c, c))
-                if int(identity[c]["step"]) < 0
-                else F.max(cmap.get(c, c))
-            ).alias(c)
-            for c in cols
-        ]
-    ).collect()[0]
+    extremes: dict | None = None
+    if files and all(_local_path(f) is not None for f in files):
+        import pyarrow.parquet as pq
+
+        extremes = {c: None for c in cols}
+        for f in files:
+            md = pq.ParquetFile(_local_path(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for c in cols:
+                phys = cmap.get(c, c)
+                if phys not in idx:
+                    # not stored in the footer (e.g. a hive partition
+                    # column lives in the directory name): the footer
+                    # sweep cannot see it — use the scan fallback,
+                    # whose directory inference does
+                    extremes = None
+                    break
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[phys]).statistics
+                    if st is None or not st.has_min_max:
+                        extremes = None
+                        break
+                    v = st.min if int(identity[c]["step"]) < 0 else st.max
+                    pick = min if int(identity[c]["step"]) < 0 else max
+                    cur = extremes[c]
+                    extremes[c] = v if cur is None else pick(cur, v)
+                if extremes is None:
+                    break
+            if extremes is None:
+                break
+    if extremes is None:
+        row = spark.read.parquet(vdir).agg(
+            *[
+                (
+                    F.min(cmap.get(c, c))
+                    if int(identity[c]["step"]) < 0
+                    else F.max(cmap.get(c, c))
+                ).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        extremes = {c: row[c] for c in cols}
     out = {}
     for c, spec in identity.items():
         high = int(spec["high"])
-        if row[c] is not None:
+        if extremes.get(c) is not None:
             pick = min if int(spec["step"]) < 0 else max
-            high = pick(high, int(row[c]))
+            high = pick(high, int(extremes[c]))
         out[c] = {**spec, "high": high}
     return out
 
@@ -1491,10 +1642,16 @@ def _write_version(
         raise
     files = _data_files(spark, vdir)
     # an empty partitionBy write produces no files at all (hive layout
-    # has no rows to place anywhere): record the honest zero
-    n_rows = spark.read.parquet(vdir).count() if files else 0
+    # has no rows to place anywhere): record the honest zero. Row count
+    # and identity water marks come from the written files' FOOTERS
+    # (metadata-only) instead of a second full read of the output.
+    n_rows = 0
+    if files:
+        n_rows = _footer_row_count(files)
+        if n_rows is None:
+            n_rows = spark.read.parquet(vdir).count()
     if identity and files:
-        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
+        identity = _advance_identity(identity, spark, vdir, cmap, files=files)
     # full-rewrite ops (create/overwrite/delete/merge/optimize) DEFINE
     # the snapshot: the written frame's schema is the version's schema
     manifest = {
@@ -2002,9 +2159,13 @@ def append_table(
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
         raise
     new_files = _data_files(spark, vdir)
-    n_new = spark.read.parquet(vdir).count() if new_files else 0
+    n_new = 0
+    if new_files:
+        n_new = _footer_row_count(new_files)
+        if n_new is None:
+            n_new = spark.read.parquet(vdir).count()
     if identity and new_files:
-        identity = _advance_identity(identity, spark.read.parquet(vdir), cmap)
+        identity = _advance_identity(identity, spark, vdir, cmap, files=new_files)
     manifest = {
         "version": version,
         "op": "append",
