@@ -1065,6 +1065,34 @@ def ivfpq_index_query(
     return exact.orderBy(F.col("l2_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def pq_encode_sql(vec_col: str, codebooks: list[list[list[float]]]) -> str:
+    """`pq_encode_col`'s full-string form as a raw SQL fragment, so
+    composite single-parse plans (ivfpq_topk_pretrained) can let-bind
+    it instead of paying a separate Dataset-op analysis pass. Each
+    subspace's distance array is let-bound — array_position +
+    array_min read ONE evaluated copy instead of computing the K
+    distances twice."""
+    sub_dim = len(codebooks[0][0])
+
+    def code(s: int, book) -> str:
+        sub = f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})"
+
+        def dist(c) -> str:
+            arr = "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+            return (
+                f"aggregate(zip_with({sub}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+
+        dists = "array(" + ", ".join(dist(c) for c in book) + ")"
+        return (
+            f"transform(array({dists}), _pqd -> "
+            "CAST(array_position(_pqd, array_min(_pqd)) - 1 AS INT))[0]"
+        )
+
+    return "array(" + ", ".join(code(s, b) for s, b in enumerate(codebooks)) + ")"
+
+
 def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
     """Product-quantization ENCODE as a pure JVM expression: split the
     vector into M contiguous subvectors, and per subspace emit the
@@ -1078,22 +1106,7 @@ def pq_encode_col(vec_col, codebooks: list[list[list[float]]]):
     if isinstance(vec_col, str):
         # FULL-STRING fast path (round 12; see ivf_assign_col): the
         # whole M x K x sub_dim encode is one parsed SQL expression.
-        def code(s: int, book) -> str:
-            sub = f"slice({vec_col}, {s * sub_dim + 1}, {sub_dim})"
-
-            def dist(c) -> str:
-                arr = "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
-                return (
-                    f"aggregate(zip_with({sub}, {arr}, (a, b) -> (a - b) * (a - b)), "
-                    "0.0D, (acc, x) -> acc + x)"
-                )
-
-            dists = "array(" + ", ".join(dist(c) for c in book) + ")"
-            return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
-
-        return F.expr(
-            "array(" + ", ".join(code(s, b) for s, b in enumerate(codebooks)) + ")"
-        )
+        return F.expr(pq_encode_sql(vec_col, codebooks))
     codes = []
     for s, book in enumerate(codebooks):
         sub = F.slice(vec_col, s * sub_dim + 1, sub_dim)
@@ -1209,30 +1222,80 @@ def ivfpq_topk_pretrained(
         ]
         for c in centroids
     ]
-    cent_arr = _const_array2(centroids)
-    v = (
-        vectors.select(F.col(id_col), as_double_array(vec_col).alias("_e"))
-        .withColumn("_cl", ivf_assign_col("_e", centroids))
-        .where(F.col("_cl").isin(probes))
-        .withColumn(
-            "_res",
-            F.zip_with(
-                F.col("_e"),
-                F.element_at(cent_arr, F.col("_cl") + 1),
-                lambda a, b: a - b,
-            ),
+    # SINGLE-PARSE plan build (round 17): the previous form chained
+    # withColumn(_cl) / where / withColumn(_res) / withColumn(_codes) /
+    # select(adc) — every Dataset op re-analyzes the accumulated plan,
+    # and these expressions carry the full centroid + codebook + LUT
+    # literal volume (~33k doubles), so the re-walks dominated plan-
+    # construction time (~0.7 s/build measured at sf0.1). Two
+    # selectExpr stages now parse each fragment exactly once, and the
+    # let-bindings make the evaluate-once property explicit (the
+    # distance arrays and the residual are read, never recomputed —
+    # same arithmetic, same values, oracle-checked).
+    def let(bound: str, var: str, body: str) -> str:
+        return f"transform(array({bound}), {var} -> {body})[0]"
+
+    e_sql = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+
+    def d2(cent: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
+        return (
+            f"aggregate(zip_with(_ev, {arr}, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, v) -> acc + v)"
         )
-        .withColumn("_codes", pq_encode_col("_res", codebooks))
+
+    darr = "array(" + ", ".join(d2(c) for c in centroids) + ")"
+    assign = let(
+        e_sql,
+        "_ev",
+        let(darr, "_da", "CAST(array_position(_da, array_min(_da)) - 1 AS INT)"),
     )
-    adc = F.lit(0.0)
-    for s in range(m):
-        table_s = _const_array2([lut[c][s] for c in range(len(centroids))])
-        adc = adc + F.element_at(
-            F.element_at(table_s, F.col("_cl") + 1),
-            F.element_at(F.col("_codes"), s + 1) + 1,
+    staged = vectors.selectExpr(
+        id_col, f"{e_sql} AS _e", f"{assign} AS _cl"
+    ).where(F.col("_cl").isin(probes))
+
+    # The post-filter stage only ever sees rows with _cl in the probe
+    # set, so its tables carry the PROBED cells only, indexed by the
+    # cell's position in the probe list — same values, nprobe/n_cells
+    # of the literal volume (the LUT literals dominate the serialized
+    # task binary; a full table shipped ~1.1 MB per task at 16x8x256).
+    probe_pos = (
+        "array_position(array("
+        + ", ".join(str(int(ci)) for ci in probes)
+        + f"), _cl)"
+    )
+    cent_lits = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(v)!r}D" for v in centroids[ci]) + ")"
+            for ci in probes
         )
+        + ")"
+    )
+    res_sql = f"zip_with(_e, element_at({cent_lits}, _pi), (a, b) -> a - b)"
+    adc = "0.0D"
+    for s in range(m):
+        table_s = (
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(f"{float(v)!r}D" for v in lut[ci][s])
+                + ")"
+                for ci in probes
+            )
+            + ")"
+        )
+        adc = (
+            f"({adc} + element_at(element_at({table_s}, _pi), "
+            f"element_at(_codes, {s + 1}) + 1))"
+        )
+    adc_sql = let(
+        f"CAST({probe_pos} AS INT)",
+        "_pi",
+        let(res_sql, "_res", let(pq_encode_sql("_res", codebooks), "_codes", adc)),
+    )
     return (
-        v.select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        staged.selectExpr(id_col, f"round({adc_sql}, 6) AS adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

