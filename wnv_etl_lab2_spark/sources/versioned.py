@@ -2877,6 +2877,190 @@ def _delete_merge_on_read(
     return cur + 1
 
 
+def _norm_uri(path: str) -> str:
+    """Scheme-insensitive normal form for file-identity comparison:
+    Hadoop qualifies local paths as ``file:/a/b``, Spark's
+    ``_metadata.file_path`` reports ``file:///a/b`` — same file, three
+    spellings. Local-FS forms normalize to the bare OS path; other
+    schemes keep scheme + authority + path."""
+    from urllib.parse import urlparse
+
+    if path.startswith("file:") or "://" not in path:
+        lp = _local_path(path)
+        if lp is not None:
+            return lp
+    p = urlparse(path)
+    return f"{p.scheme}://{p.netloc}{p.path}"
+
+
+def _find_touched_files(
+    spark: SparkSession, files: list[str], m: dict, condition: str
+) -> list[str] | None:
+    """Delta's find-touched-files pass (guide §2.4 — do strictly less
+    IO): ONE witness scan of the snapshot attributes every row matching
+    ``condition`` to its data file, so a DML rewrite can touch exactly
+    those files and carry the rest by reference. Returns the manifest
+    entries (subset of ``files``) that contain at least one matching
+    row, or None when pruning cannot help (0/1-file snapshots, or every
+    file matched). At 100 TB this scan is the difference between
+    rewriting a snapshot and rewriting a partition: the predicate
+    pushes into the parquet scan (footer/row-group stats prune
+    non-matching files to metadata reads), while the old full-snapshot
+    rewrite paid a write of every byte the table owns."""
+    from pyspark.sql import functions as F
+
+    if len(files) <= 1:
+        return None
+    scan = _scan_snapshot_files(spark, files, m, keep_meta=True)
+    hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    touched = {
+        _norm_uri(r["_f"])
+        for r in scan.where(hit).select("_f").distinct().collect()
+    }
+    doomed = [f for f in files if _norm_uri(f) in touched]
+    if len(doomed) == len(files):
+        return None  # nothing prunable: the full-rewrite path is cheaper
+    return doomed
+
+
+def _commit_dml_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    cur: int,
+    m: dict,
+    doomed: list[str],
+    live_sub: DataFrame,
+    op: str,
+    row_preserving: bool,
+    changes_files: list[str] | None,
+) -> int:
+    """Commit a TOUCHED-FILES-ONLY DML rewrite (round 17): ``live_sub``
+    (the post-DML logical rows of exactly the ``doomed`` files)
+    replaces those files; every other file carries by reference with
+    its per-file stats/bloom metadata — the same partial-rewrite
+    bookkeeping `_commit_subset_rewrite` pins for OPTIMIZE/DV-purge,
+    with DML op stamping and row-count accounting. Write cost is
+    O(touched files), never O(snapshot). Constraints ride the subset
+    write (kept files' rows already passed them at their own write);
+    identity marks cannot advance (DML never allocates); ``widened``
+    carries (kept files retain their narrower physical types)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    version = cur + 1
+    files = _resolve_files(spark, table_path, cur)
+    doomed_norm = {_norm_uri(f) for f in doomed}
+    kept = [f for f in files if _norm_uri(f) not in doomed_norm]
+    constraints = m.get("constraints", {})
+    live_sub, check = _enforce_constraints(
+        live_sub, constraints, f"{op} -> {table_path}"
+    )
+    vdir = _attempt_dir(table_path, version)
+    new_files: list[str] = []
+    if doomed:
+        writer = _to_physical(live_sub, m.get("column_map", {})).write.mode("error")
+        if m.get("partition_by"):
+            writer = writer.partitionBy(*m["partition_by"])
+        writer.parquet(vdir)
+        try:
+            check()
+        except ValueError:
+            fs, jvm = _fs(spark, table_path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+            raise
+        new_files = _data_files(spark, vdir)
+    # row accounting: UPDATE preserves cardinality; DELETE recounts the
+    # rewritten slice only — doomed files' LOGICAL rows (physical minus
+    # their DV-deleted positions) leave, the written files' rows enter.
+    n_rows = int(m["n_rows"])
+    if not row_preserving:
+        dv_counts = {
+            _norm_uri(f): int(n) for f, n in (m.get("dv_counts") or {}).items()
+        }
+        doomed_phys = _footer_row_count(doomed)
+        if doomed_phys is None:
+            doomed_logical = _scan_snapshot_files(spark, doomed, m).count()
+        else:
+            doomed_logical = doomed_phys - sum(
+                dv_counts.get(_norm_uri(f), 0) for f in doomed
+            )
+        written = _footer_row_count(new_files) if new_files else 0
+        if written is None:
+            written = spark.read.parquet(vdir).count()
+        n_rows = n_rows - doomed_logical + written
+    manifest = {
+        "version": version,
+        "op": op,
+        "files": kept + new_files,
+        "n_rows": int(n_rows),
+    }
+    if changes_files is not None:
+        manifest["changes"] = changes_files
+    for key in (
+        "schema", "constraints", "generated", "identity", "properties",
+        "defaults", "partition_by", "column_map", "dropped_physical",
+        "widened",
+    ):
+        if key in m:
+            manifest[key] = m[key]
+    # deletion vectors: doomed files' positions materialized into the
+    # rewrite; kept files' positions re-consolidate (same policy as
+    # _commit_subset_rewrite)
+    dv_files = m.get("dv") or []
+    if dv_files:
+        dv = spark.read.parquet(*dv_files)
+        doomed_sql = sorted(doomed_norm | set(doomed))
+        remaining = dv.where(~F.col("file").isin(*doomed_sql))
+        n_remaining = remaining.count()
+        if n_remaining:
+            new_dv_dir = posixpath.join(
+                table_path, _DV_DIR, f"v{version}-{_uuid.uuid4().hex[:8]}"
+            )
+            remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
+            manifest["dv"] = _data_files(spark, new_dv_dir)
+            manifest["dv_counts"] = {
+                r["file"]: int(r["n"])
+                for r in remaining.groupBy("file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+    if m.get("stats_ref"):
+        manifest["stats_ref"] = dict(m["stats_ref"])
+    kept_stats = {
+        f: v
+        for f, v in m.get("stats", {}).items()
+        if _norm_uri(f) not in doomed_norm
+    }
+    if m.get("stats_cols"):
+        manifest["stats_cols"] = m["stats_cols"]
+        _cmap = m.get("column_map", {})
+        kept_stats.update(
+            _footer_stats(new_files, [_cmap.get(c, c) for c in m["stats_cols"]])
+        )
+    if kept_stats:
+        manifest["stats"] = kept_stats
+    old_blooms = _load_blooms(spark, m)
+    if old_blooms:
+        pruned = {
+            f: v
+            for f, v in old_blooms.get("files", {}).items()
+            if _norm_uri(f) not in doomed_norm
+        }
+        if pruned:
+            manifest["blooms_ref"] = _write_bloom_sidecar(
+                spark, table_path, version, pruned,
+                old_blooms["m_bits"], old_blooms["k"],
+            )
+    if latest_version(spark, table_path) != cur:
+        raise ValueError(
+            f"optimistic concurrency check failed: expected latest={cur} "
+            "— re-read and retry"
+        )
+    _commit(spark, table_path, version, manifest)
+    return version
+
+
 def delete_from_table(
     spark: SparkSession,
     table_path: str,
@@ -2934,6 +3118,27 @@ def delete_from_table(
             cur + 1,
             column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
+    if txn is None:
+        # TOUCHED-FILES-ONLY rewrite (round 17): one witness scan finds
+        # the files that actually hold matching rows; only those are
+        # rewritten, the rest carry by reference — O(touched) write IO
+        # instead of O(snapshot). Transactional deletes keep the full
+        # rewrite (their staging composes whole-snapshot chains).
+        m_cur = _read_manifest(spark, table_path, cur)
+        files_cur = _resolve_files(spark, table_path, cur)
+        doomed = _find_touched_files(spark, files_cur, m_cur, condition)
+        if doomed is not None:
+            live_sub = _scan_snapshot_files(spark, doomed, m_cur).where(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            ) if doomed else None
+            if live_sub is None:
+                # no file holds a matching row: metadata-only version
+                live_sub = snapshot.where(F.lit(False))
+            return _commit_dml_rewrite(
+                spark, table_path, cur, m_cur, doomed, live_sub,
+                op="delete", row_preserving=False,
+                changes_files=changes_files,
+            )
     return _write_version(
         remaining, table_path, cur + 1, "delete", expect_latest=cur,
         changes_files=changes_files, txn=txn,
@@ -2998,24 +3203,28 @@ def update_table(
             return F.expr(set_exprs[c]).cast(snapshot.schema[c].dataType)
         return F.col(c)
 
-    updated = snapshot.select(
-        *[
-            F.when(hit, _post(c)).otherwise(F.col(c)).alias(c)
-            for c in snapshot.columns
-        ]
-    )
-    if gen:
-        # recompute generated columns from the post-SET row so the
-        # gen_ CHECK invariant riding the rewrite stays satisfiable
-        # (untouched rows recompute to their identical stored value)
-        updated = updated.select(
+    def _apply_update(frame: DataFrame) -> DataFrame:
+        out = frame.select(
             *[
-                F.expr(gen[c]).cast(snapshot.schema[c].dataType).alias(c)
-                if c in gen
-                else F.col(c)
-                for c in updated.columns
+                F.when(hit, _post(c)).otherwise(F.col(c)).alias(c)
+                for c in frame.columns
             ]
         )
+        if gen:
+            # recompute generated columns from the post-SET row so the
+            # gen_ CHECK invariant riding the rewrite stays satisfiable
+            # (untouched rows recompute to their identical stored value)
+            out = out.select(
+                *[
+                    F.expr(gen[c]).cast(snapshot.schema[c].dataType).alias(c)
+                    if c in gen
+                    else F.col(c)
+                    for c in out.columns
+                ]
+            )
+        return out
+
+    updated = _apply_update(snapshot)
     changes_files = None
     if change_data:
         pre = snapshot.where(hit).withColumn(
@@ -3038,6 +3247,25 @@ def update_table(
             pre.unionByName(post), table_path, cur + 1,
             column_map=_read_manifest(spark, table_path, cur).get("column_map"),
         )
+    if txn is None:
+        # TOUCHED-FILES-ONLY rewrite (round 17; see delete_from_table):
+        # UPDATE is row-preserving, so only the files holding matching
+        # rows rewrite — a partition-scoped UPDATE of a 100 TB table
+        # writes one partition, not the snapshot.
+        files_cur = _resolve_files(spark, table_path, cur)
+        doomed = _find_touched_files(spark, files_cur, m_cur, condition)
+        if doomed is not None:
+            if doomed:
+                live_sub = _apply_update(
+                    _scan_snapshot_files(spark, doomed, m_cur)
+                )
+            else:
+                live_sub = updated.where(F.lit(False))
+            return _commit_dml_rewrite(
+                spark, table_path, cur, m_cur, doomed, live_sub,
+                op="update", row_preserving=True,
+                changes_files=changes_files,
+            )
     return _write_version(
         updated, table_path, cur + 1, "update", expect_latest=cur,
         changes_files=changes_files, txn=txn,
