@@ -287,3 +287,47 @@ def test_ivfpq_index_append_equals_rebuild_and_is_incremental(
             spark, inc, qvec, CENTROIDS, RESIDUAL_CODEBOOKS,
             k=10, nprobe=6, shortlist=50, expect_source_version=2,
         )
+
+
+def test_probe_vector_reads_one_row_group(spark, sf_dir, tmp_path, monkeypatch):
+    """`_probe_vector` must prune row groups on the footer's vec_id
+    min/max (r17 verdict #6): on a multi-row-group embeddings file it
+    decodes exactly ONE row group for vec_id=0 — never the whole file
+    onto the driver — and the value matches the Spark filter+head
+    path byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from wnv_etl_lab2_spark.queries import similarity_q as SQ
+    from wnv_etl_lab2_spark.sources.catalog import load_table
+
+    d = str(tmp_path / "probe_sf")
+    import os
+
+    os.makedirs(d)
+    emb = load_table(spark, "embeddings", sf_dir)
+    # 8 row groups, vec_id-sorted so min/max stats are disjoint
+    tbl = emb.orderBy("vec_id").toArrow()
+    pq.write_table(
+        tbl, os.path.join(d, "embeddings.parquet"),
+        row_group_size=max(1, tbl.num_rows // 8),
+    )
+    assert pq.ParquetFile(os.path.join(d, "embeddings.parquet")).metadata.num_row_groups >= 2
+
+    calls = []
+    orig = pq.ParquetFile.read_row_group
+
+    def counting(self, rg, *a, **kw):
+        calls.append(rg)
+        return orig(self, rg, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", counting)
+    got = SQ._probe_vector(emb, d, vec_id=0)
+    assert len(calls) == 1  # exactly one row group decoded
+    expect = SQ._probe_vector(emb, "/nonexistent_dir", vec_id=0)  # Spark path
+    assert got == expect
+
+    # byte-cap fallback: with a zero budget the Spark path is taken
+    monkeypatch.setattr(SQ, "_PROBE_MAX_BYTES", 0)
+    calls.clear()
+    assert SQ._probe_vector(emb, d, vec_id=0) == expect
+    assert calls == []  # no driver-side row-group decode

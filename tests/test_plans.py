@@ -335,11 +335,30 @@ def test_spread_scan_is_noop_at_scale(spark, sf_dir):
         ).parquet(d)
         many = spark.read.parquet(d)
         assert spread_scan(many, "vec_id") is many  # untouched object
-        # and the local single-row-group table DOES spread
-        one = load_table(spark, "embeddings", sf_dir)
-        spread = spread_scan(one, "vec_id")
-        assert spread is not one
+        # and the local single-row-group table DOES spread — unless the
+        # session itself has a single task slot, where 1 row group
+        # already saturates it and the no-op is correct (r17 ADVICE)
+        if par > 1:
+            one = load_table(spark, "embeddings", sf_dir)
+            spread = spread_scan(one, "vec_id")
+            assert spread is not one
     finally:
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_size_bytes_parses_every_spark_spelling():
+    """r17 ADVICE: '128mb'-style values crashed spread_scan's conf
+    parse; every legal Spark byte-size spelling must parse, and
+    garbage falls back to the 128 MB default instead of raising."""
+    from wnv_etl_lab2_spark.sources.catalog import _size_bytes
+
+    assert _size_bytes("134217728") == 134217728
+    assert _size_bytes("134217728b") == 134217728
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("64kb") == 64 << 10
+    assert _size_bytes("2gb") == 2 << 30
+    assert _size_bytes("1t") == 1 << 40
+    assert _size_bytes("not-a-size") == 128 << 20

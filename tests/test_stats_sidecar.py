@@ -199,14 +199,30 @@ def test_vacuum_refcounts_stats_sidecars(spark, tmp_path, small_threshold):
     assert sorted(
         r.id for r in read_table_pruned(spark, path, "id", 0, 3).collect()
     ) == [0, 1, 2, 3]
-    # a full rewrite re-stats into a fresh sidecar; the old one is
-    # garbage once its last referencing manifest drops
-    delete_from_table(spark, path, "id >= 30")      # CoW rewrite
+    # a touched-files CoW DELETE (round 17) carries the sidecar BY
+    # REFERENCE — the rewritten file's rows go stale, tolerated because
+    # pruning intersects with the live file list (same policy the
+    # OPTIMIZE partial-rewrite test above pins) — so vacuum must keep
+    # S0 while the post-delete manifest still points at it
+    delete_from_table(spark, path, "id >= 30")      # touches 1 of 4 files
     m3 = _read_manifest(spark, path, 3)
-    assert m3["stats_ref"]["path"] != s0
+    assert m3["stats_ref"]["path"] == s0            # shared by reference
     vacuum_table(spark, path, keep_last=1)
     left = _stats_sidecars(path)
-    assert len(left) == 1 and left[0] in m3["stats_ref"]["path"].replace(
+    assert len(left) == 1 and left[0] in s0.replace("file:", "")
+    # pruned reads through the carried ref stay exact over the rewrite
+    assert sorted(
+        r.id for r in read_table_pruned(spark, path, "id", 0, 3).collect()
+    ) == [0, 1, 2, 3]
+    assert read_table_pruned(spark, path, "id", 25, 35).count() == 5
+    # ANALYZE re-stats into a fresh sidecar; S0 is garbage once its
+    # last referencing manifest drops — vacuum collects it
+    v4 = collect_stats(spark, path, ["id"])
+    m4 = _read_manifest(spark, path, v4)
+    assert m4["stats_ref"]["path"] != s0
+    vacuum_table(spark, path, keep_last=1)
+    left = _stats_sidecars(path)
+    assert len(left) == 1 and left[0] in m4["stats_ref"]["path"].replace(
         "file:", ""
     )
 

@@ -31,14 +31,22 @@ from wnv_etl_lab2_spark.sources.catalog import load_table, spread_scan
 
 _CAST = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
+# fall back to the Spark path rather than materialize more than this
+# many bytes of candidate row groups on the driver (r17 verdict #6:
+# the old full-column read was O(file) driver memory on a local file)
+_PROBE_MAX_BYTES = 256 << 20
+
+
 def _probe_vector(emb, sf_dir: str, vec_id: int = 0) -> list[float]:
     """The query/probe vector (vec_id == 0) as a driver-side constant.
-    Fetched straight from the local parquet footer+page via pyarrow —
-    a bounded single-row probe read per plan build, replacing a full
-    Spark job (collect of a filtered scan) per query construction;
-    non-local inputs keep the Spark path. Always read fresh from the
-    sf_dir input (never memoized): every invocation computes from the
-    parquet inputs."""
+    Fetched from the local parquet file via pyarrow with ROW-GROUP
+    PRUNING on the footer's vec_id min/max — only row groups whose
+    range covers the probe id are decoded, so the driver-side read is
+    O(one row group), not O(file); a file whose candidate row groups
+    exceed _PROBE_MAX_BYTES (or a non-local input) takes the Spark
+    filter+head path instead. Always read fresh from the sf_dir input
+    (never memoized): every invocation computes from the parquet
+    inputs."""
     import os as _os
 
     p = _os.path.join(sf_dir, "embeddings.parquet")
@@ -46,10 +54,22 @@ def _probe_vector(emb, sf_dir: str, vec_id: int = 0) -> list[float]:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(p, columns=["vec_id", "embedding"])
-        idx = pc.index(t.column("vec_id"), vec_id).as_py()
-        if idx >= 0:
-            return [float(v) for v in t.column("embedding")[idx].as_py()]
+        pf = pq.ParquetFile(p)
+        md = pf.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index("vec_id") if "vec_id" in names else -1
+        cand, cand_bytes = [], 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics if ci >= 0 else None
+            if st is None or not st.has_min_max or (st.min <= vec_id <= st.max):
+                cand.append(rg)
+                cand_bytes += md.row_group(rg).total_byte_size
+        if cand_bytes <= _PROBE_MAX_BYTES:
+            for rg in cand:
+                t = pf.read_row_group(rg, columns=["vec_id", "embedding"])
+                idx = pc.index(t.column("vec_id"), vec_id).as_py()
+                if idx >= 0:
+                    return [float(v) for v in t.column("embedding")[idx].as_py()]
     row = emb.where(F.col("vec_id") == vec_id).select("embedding").head()[0]
     return [float(v) for v in row]
 

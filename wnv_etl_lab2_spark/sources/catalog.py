@@ -13,34 +13,56 @@ from __future__ import annotations
 
 import os
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# spread_scan: (path, mtime) -> parquet row-group count, so repeated
-# plan builds (bench warm + 5 timed passes) read each footer once.
-_ROW_GROUP_CACHE: dict[tuple[str, float], int] = {}
+# spread_scan: (path, mtime) -> (row_groups, rows) from the parquet
+# footer, so repeated plan builds (bench warm + 5 timed passes) read
+# each footer once. Bounded like _MANIFEST_TEXT_CACHE (r17 ADVICE):
+# spread_scan runs over arbitrary df.inputFiles(), so a long session
+# rewriting temp dirs in a loop would otherwise accumulate stale
+# entries without bound — past the cap, drop the oldest half.
+_FOOTER_CACHE: dict[tuple[str, float], tuple[int, int]] = {}
+_FOOTER_CACHE_MAX = 4096
 
 
-def _parquet_row_groups(path: str) -> int:
-    """Row-group count of one local parquet file (footer read only)."""
+def _cache_put(cache: dict, key, val, cap: int) -> None:
+    if len(cache) >= cap:
+        for k in list(cache)[: cap // 2]:  # insertion order = oldest first
+            del cache[k]
+    cache[key] = val
+
+
+def _parquet_footer(path: str) -> tuple[int, int]:
+    """(row_groups, rows) of one local parquet file (footer read only)."""
     key = (path, os.path.getmtime(path))
-    if key not in _ROW_GROUP_CACHE:
+    hit = _FOOTER_CACHE.get(key)
+    if hit is None:
         import pyarrow.parquet as pq
 
-        _ROW_GROUP_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
-    return _ROW_GROUP_CACHE[key]
+        md = pq.ParquetFile(path).metadata
+        hit = (md.num_row_groups, md.num_rows)
+        _cache_put(_FOOTER_CACHE, key, hit, _FOOTER_CACHE_MAX)
+    return hit
+
+
+_SIZE_RE = re.compile(r"^([0-9]+)\s*([kmgtp]?)b?$")
+_SIZE_MULT = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
 
 
 def _size_bytes(conf_val: str) -> int:
-    """Parse a Spark byte-size conf value ('128m', '1g', '134217728b')."""
-    v = conf_val.strip().lower()
-    mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
-        if v.endswith(suffix):
-            v, mult = v[: -len(suffix)], m
-            break
-    return int(v) * mult
+    """Parse a Spark byte-size conf value — every legal spelling
+    ('128m', '128mb', '1g', '134217728b', '2tb'), r17 ADVICE: the old
+    parser stripped only a trailing 'b' and had no 't'/'p', so
+    '128mb' crashed every spread_scan plan build. Unparseable values
+    fall back to the 128 MB default instead of raising."""
+    m = _SIZE_RE.match(conf_val.strip().lower())
+    if not m:
+        return 128 << 20
+    return int(m.group(1)) * _SIZE_MULT[m.group(2)]
 
 
 def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
@@ -83,7 +105,8 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
         if not files:
             return df
         total = sum(os.path.getsize(f) for f in files)
-        row_groups = sum(_parquet_row_groups(f) for f in files)
+        footers = [_parquet_footer(f) for f in files]
+        row_groups = sum(rg for rg, _ in footers)
     except Exception:
         return df  # non-local / non-parquet source: leave the scan alone
     max_pb = _size_bytes(
@@ -128,7 +151,7 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if sch is not None:
         return spark.read.schema(sch).parquet(path)
     df = spark.read.parquet(path)
-    _SCHEMA_CACHE[key] = df.schema
+    _cache_put(_SCHEMA_CACHE, key, df.schema, _FOOTER_CACHE_MAX)
     return df
 
 

@@ -3010,21 +3010,37 @@ def _commit_dml_rewrite(
     dv_files = m.get("dv") or []
     if dv_files:
         dv = spark.read.parquet(*dv_files)
-        doomed_sql = sorted(doomed_norm | set(doomed))
-        remaining = dv.where(~F.col("file").isin(*doomed_sql))
-        n_remaining = remaining.count()
-        if n_remaining:
-            new_dv_dir = posixpath.join(
-                table_path, _DV_DIR, f"v{version}-{_uuid.uuid4().hex[:8]}"
-            )
-            remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
-            manifest["dv"] = _data_files(spark, new_dv_dir)
-            manifest["dv_counts"] = {
-                r["file"]: int(r["n"])
-                for r in remaining.groupBy("file")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+        # match DV rows to doomed files SCHEME-INSENSITIVELY (r17
+        # ADVICE): DV 'file' values come from _metadata.file_path
+        # (file:///…) while manifest entries may be qualified
+        # (file:/…) or scheme-less (pre-round-9 writers) — normalize
+        # both sides via _norm_uri over the DV's distinct file keys (a
+        # tiny set: one per file carrying deletions), then filter on
+        # the exact spellings that matched.
+        dv_keys = [r["file"] for r in dv.select("file").distinct().collect()]
+        doomed_dv = [k for k in dv_keys if _norm_uri(k) in doomed_norm]
+        if not doomed_dv:
+            # no doomed file carries a DV row: the sidecar is still
+            # exact for the kept files — carry it by reference (the
+            # MoR/RESTORE policy) instead of rewriting it
+            manifest["dv"] = list(dv_files)
+            if m.get("dv_counts"):
+                manifest["dv_counts"] = dict(m["dv_counts"])
+        else:
+            remaining = dv.where(~F.col("file").isin(*doomed_dv))
+            n_remaining = remaining.count()
+            if n_remaining:
+                new_dv_dir = posixpath.join(
+                    table_path, _DV_DIR, f"v{version}-{_uuid.uuid4().hex[:8]}"
+                )
+                remaining.coalesce(1).write.mode("error").parquet(new_dv_dir)
+                manifest["dv"] = _data_files(spark, new_dv_dir)
+                manifest["dv_counts"] = {
+                    r["file"]: int(r["n"])
+                    for r in remaining.groupBy("file")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
     if m.get("stats_ref"):
         manifest["stats_ref"] = dict(m["stats_ref"])
     kept_stats = {
