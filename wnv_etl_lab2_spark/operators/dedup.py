@@ -93,7 +93,14 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of minhash_lsh_pairs, so Catalyst plans its repartition exchange
     once and reuses it (ReusedExchange) instead of re-scanning and
     re-shingling per consumer."""
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from wnv_etl_lab2_spark.sources.catalog import scan_width
+
+    # right-size the spreading repartition to the input (round 18, r17
+    # verdict #5): ~128 KiB of input bytes per task; a non-inspectable
+    # (real-scale) input keeps the full shuffle-partition width
+    nparts = scan_width(
+        docs, int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     # No size(_sh) filter here: size(_words) >= 3 already guarantees a
     # non-empty shingle array, and a filter referencing _sh would make
     # CollapseProject inline the whole transform per reference.
@@ -426,7 +433,24 @@ def connected_components(
     # materialization pass; the distributed route below checkpoints
     # before its iterations instead (one acceptable re-execution on
     # the rare big-graph path).
-    probe_tbl = edges.limit(driver_max_edges + 1).toArrow()
+    # CollectLimit defaults to INCREMENTAL job submission (1 partition,
+    # then 4x more per round, spark.sql.limit.scaleUpFactor) — correct
+    # when the limit is tiny relative to the data, but this probe's
+    # bound is far above the expected edge count, so every round comes
+    # back short and a 32-partition edge list pays FOUR sequential
+    # job launches (measured ~0.85 s of the 1.87 s wall at sf0.1, each
+    # re-running only the final stage but paying full scheduling).
+    # Submitting over every partition at once turns the probe into ONE
+    # job; at scale a genuinely huge edge list stops at the same bound
+    # either way (round 18, guide §1/§5 driver-side latency).
+    sess = edges.sparkSession
+    _k = "spark.sql.limit.initialNumPartitions"
+    prev = sess.conf.get(_k, None)
+    sess.conf.set(_k, str(max(1, sess.sparkContext.defaultParallelism)))
+    try:
+        probe_tbl = edges.limit(driver_max_edges + 1).toArrow()
+    finally:
+        sess.conf.set(_k, prev) if prev is not None else sess.conf.unset(_k)
     probe = list(zip(probe_tbl.column(0).to_pylist(), probe_tbl.column(1).to_pylist()))
 
     # SIZE-ADAPTIVE ROUTING (same policy as the near-dup pair kernels,
@@ -561,7 +585,12 @@ def simhash_signatures(
     import pandas as pd
 
     tok = f"filter(split({text_col}, ' '), t -> t <> '')"
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from wnv_etl_lab2_spark.sources.catalog import scan_width
+
+    # right-sized spreading width (round 18): see _shingled
+    nparts = scan_width(
+        docs, int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     # Spread only under-parallel inputs (single-file local scans);
     # getNumPartitions is a plan inspection, not a job.
     if docs.rdd.getNumPartitions() < nparts:

@@ -114,24 +114,24 @@ def logreg_gd_steps(spark, sf_dir):
     # a projected computed array re-evaluates it via
     # InferFiltersFromGenerate, see operators/dedup.py). n rides the
     # same aggregate: every row contributes one value per pos, so
-    # count(pos rows) == corpus n. The 64-row result is MATERIALIZED
-    # (localCheckpoint) because its three consumers (weight array,
-    # final w1, final w2 join) would otherwise each replay the corpus
-    # pass — with it the whole query costs exactly two corpus scans,
-    # the full-batch-2-step optimum.
+    # count(pos rows) == corpus n. The 64-row result is NOT
+    # materialized (round 18): its consumers (weight array, final w1,
+    # final w2 join) reference the identical groupBy(pos) exchange, and
+    # AQE's runtime stage reuse executes it ONCE (verified in the
+    # finalized plan: the pos exchange and the spreading repartition
+    # both come back as ReusedExchange) — so dropping the eager
+    # localCheckpoint removes a whole synchronous job + driver barrier
+    # from the wall (measured 0.94 -> 0.72 s at sf0.1, results
+    # identical) while keeping the two-corpus-pass shape at any scale.
     d1 = c.select(
         "y",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "pos", "val"
         ),
     )
-    g1 = (
-        d1.groupBy("pos")
-        .agg(
-            F.sum((F.col("y") - 0.5) * F.col("val")).alias("g"),
-            F.count(F.lit(1)).cast("double").alias("n"),
-        )
-        .localCheckpoint()
+    g1 = d1.groupBy("pos").agg(
+        F.sum((F.col("y") - 0.5) * F.col("val")).alias("g"),
+        F.count(F.lit(1)).cast("double").alias("n"),
     )
     # the gradient becomes a broadcast weight ARRAY (the driver never
     # sees it): sort_array over collected (pos, g, n) structs keeps
@@ -349,15 +349,16 @@ def embedding_pca_power_iteration(spark, sf_dir):
     emb = spread_scan(load_table(spark, "embeddings", sf_dir), "vec_id")
     e = F.transform("embedding", lambda x: x.cast("double"))
     # pass 1: u1 = G v0 with v0 uniform = per-row scalar s = sum(x)/8,
-    # then one d-key aggregate of x_i * s; checkpointed — its three
-    # consumers (weight array, v1 frame, norm) must not replay the pass
+    # then one d-key aggregate of x_i * s. NOT checkpointed (round 18):
+    # its three consumers (weight array, v1 frame, norm) reference the
+    # identical groupBy(pos) exchange, which AQE's runtime stage reuse
+    # executes once (ReusedExchange in the finalized plan) — dropping
+    # the two eager localCheckpoints here and on u2 removes two
+    # synchronous jobs/driver barriers (measured 1.17 -> 1.03 s at
+    # sf0.1, results identical; same pass count at any scale).
     s0 = F.aggregate(e, F.lit(0.0), lambda a, x: a + x) / 8.0
     d1 = emb.select(s0.alias("s"), F.posexplode(e).alias("pos", "val"))
-    u1 = (
-        d1.groupBy("pos")
-        .agg(F.sum(F.col("val") * F.col("s")).alias("u"))
-        .localCheckpoint()
-    )
+    u1 = d1.groupBy("pos").agg(F.sum(F.col("val") * F.col("s")).alias("u"))
     # v1 as a normalized broadcast ARRAY in one expression chain
     v1row = u1.agg(
         F.transform(
@@ -378,11 +379,7 @@ def embedding_pca_power_iteration(spark, sf_dir):
         lambda a, x: a + x,
     )
     d2 = j.select(m.alias("m"), F.posexplode(e).alias("pos", "val"))
-    u2 = (
-        d2.groupBy("pos")
-        .agg(F.sum(F.col("val") * F.col("m")).alias("u"))
-        .localCheckpoint()
-    )
+    u2 = d2.groupBy("pos").agg(F.sum(F.col("val") * F.col("m")).alias("u"))
     n1 = u1.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nm"))
     v1 = u1.crossJoin(F.broadcast(n1)).select(
         "pos", (F.col("u") / F.col("nm")).alias("v")

@@ -643,7 +643,9 @@ def winnow_fingerprints(spark, sf_dir):
     d = load_table(spark, "documents", sf_dir)
     # spread the md5-per-gram map stage ONLY when the scan has fewer
     # splits than the shuffle parallelism (single-file test parquet);
-    # an already-parallel scan keeps its zero-shuffle plan
+    # an already-parallel scan keeps its zero-shuffle plan. NOT width-
+    # right-sized (round 18): this map is md5-per-gram CPU-bound, so
+    # narrowing the spread starves cores (A/B'd — see OPTIMIZATION_r18).
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if d.rdd.getNumPartitions() < nparts:
         d = d.repartition(nparts, "doc_id")
