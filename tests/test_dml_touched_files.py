@@ -202,3 +202,47 @@ def test_dv_spelling_insensitive_drop(spark, tmp_path):
     assert sorted(r.id for r in read_table(spark, path).collect()) == list(
         range(30)
     )
+
+
+def test_partition_only_predicate_skips_witness_scan(spark, tmp_path, monkeypatch):
+    """A DML predicate over ONLY partition columns dooms files from
+    their hive paths — no witness scan job (round 18, Delta's
+    partition pruning before find-touched-files); a predicate touching
+    any data column falls back to the witness scan; results are
+    identical either way."""
+    import wnv_etl_lab2_spark.sources.versioned as V
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(40)
+        .selectExpr("id", "CAST(id % 4 AS INT) AS p", "CAST(id AS DOUBLE) AS x")
+        .repartition(4, "id")
+    )
+    create_table(df, path, partition_by=["p"])
+    files = _resolve_files(spark, path, 0)
+    m = _read_manifest(spark, path, 0)
+    # partition-only: decided from paths
+    got = V._partition_predicate_files(spark, files, m, "p = 1")
+    assert got is not None and got and all("p=1" in f for f in got)
+    assert set(got) == {f for f in files if "p=1" in f}
+    # NULL three-valued logic: p IS NULL matches nothing here
+    assert V._partition_predicate_files(spark, files, m, "p IS NULL") == []
+    # data-column reference: falls back (returns None)
+    assert V._partition_predicate_files(spark, files, m, "p = 1 AND x > 0") is None
+    # end-to-end: the partition-scoped delete takes the path-decided
+    # fast route (non-None from _partition_predicate_files), so
+    # _find_touched_files never runs its witness scan
+    seen = {}
+    orig_pp = V._partition_predicate_files
+
+    def spy(spark_, files_, m_, cond):
+        r = orig_pp(spark_, files_, m_, cond)
+        seen["r"] = r
+        return r
+
+    monkeypatch.setattr(V, "_partition_predicate_files", spy)
+    delete_from_table(spark, path, "p = 3")
+    assert seen["r"] and all("p=3" in f for f in seen["r"])
+    assert sorted(r.id for r in read_table(spark, path).collect()) == [
+        i for i in range(40) if i % 4 != 3
+    ]

@@ -2893,6 +2893,74 @@ def _norm_uri(path: str) -> str:
     return f"{p.scheme}://{p.netloc}{p.path}"
 
 
+def _partition_predicate_files(
+    spark: SparkSession, files: list[str], m: dict, condition: str
+) -> list[str] | None:
+    """Files touched by a DML predicate that references ONLY partition
+    columns, decided from the file PATHS alone (round 18 — the
+    partition-pruning step Delta runs before find-touched-files): every
+    row of a file in a matching partition matches a partition-only
+    predicate, so the matching partitions' file set IS the touched set
+    and the witness scan is skipped entirely — a partition-scoped
+    UPDATE/DELETE of a 100 TB table goes straight to rewriting that
+    partition with zero read of any other. The predicate is evaluated
+    once per DISTINCT partition tuple over a LocalRelation, with the
+    same url-decode + cast the snapshot reader applies, so semantics
+    (incl. null partitions and type coercion) match the witness scan
+    bit-for-bit. Returns None when the predicate references any data
+    column (analysis fails on the partition-only frame) or the table
+    is unpartitioned — callers fall back to the witness scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    import re as _re
+
+    part_by = list(m.get("partition_by") or [])
+    schema_json = m.get("schema")
+    if not part_by or not schema_json:
+        return None
+    schema = StructType.fromJson(json.loads(schema_json))
+    types = {f.name: f.dataType for f in schema.fields}
+    # cheap lexical prescreen before paying a LocalRelation analysis
+    # (a py4j AnalysisException round-trip costs ~0.1 s): attempt the
+    # fast path only when no data-column name appears as an identifier
+    # and at least one partition column does. Conservative both ways —
+    # a false negative just keeps the witness scan, and the guarded
+    # local evaluation below remains the correctness authority.
+    no_lit = _re.sub(r"'[^']*'", "''", condition)
+
+    def _mentions(col: str) -> bool:
+        return bool(
+            _re.search(
+                r"(?<![A-Za-z0-9_])" + _re.escape(col) + r"(?![A-Za-z0-9_])",
+                no_lit,
+            )
+        )
+
+    if any(_mentions(f.name) for f in schema.fields if f.name not in part_by):
+        return None
+    if not any(_mentions(c) for c in part_by):
+        return None
+    by_tuple: dict[tuple, list[str]] = {}
+    for f in files:
+        vals = _hive_partition_values(f, part_by)
+        by_tuple.setdefault(tuple(vals.get(c) for c in part_by), []).append(f)
+    keys = list(by_tuple)
+    local = spark.createDataFrame(
+        [(i, *k) for i, k in enumerate(keys)],
+        StructType(
+            [StructField("_pt_i", LongType(), False)]
+            + [StructField(c, StringType(), True) for c in part_by]
+        ),
+    ).select("_pt_i", *[F.col(c).cast(types[c]).alias(c) for c in part_by])
+    hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    try:
+        matched = [r["_pt_i"] for r in local.where(hit).select("_pt_i").collect()]
+    except Exception:
+        return None  # references data columns (or uncastable values)
+    return [f for i in matched for f in by_tuple[keys[i]]]
+
+
 def _find_touched_files(
     spark: SparkSession, files: list[str], m: dict, condition: str
 ) -> list[str] | None:
@@ -2911,6 +2979,9 @@ def _find_touched_files(
 
     if len(files) <= 1:
         return None
+    doomed = _partition_predicate_files(spark, files, m, condition)
+    if doomed is not None:
+        return doomed if len(doomed) < len(files) else None
     scan = _scan_snapshot_files(spark, files, m, keep_meta=True)
     hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
     touched = {
@@ -3123,38 +3194,47 @@ def delete_from_table(
         raise ValueError(f"not a versioned table (no log): {table_path}")
     from pyspark.sql import functions as F
 
-    snapshot = read_table(spark, table_path, cur)
-    remaining = snapshot.where(~F.coalesce(F.expr(condition), F.lit(False)))
+    m_cur = _read_manifest(spark, table_path, cur)
     changes_files = None
     if change_data:
-        deleted = snapshot.where(F.coalesce(F.expr(condition), F.lit(False)))
+        deleted = read_table(spark, table_path, cur).where(
+            F.coalesce(F.expr(condition), F.lit(False))
+        )
         changes_files = _write_change_data(
             deleted.withColumn("_change_type", F.lit("delete")),
             table_path,
             cur + 1,
-            column_map=_read_manifest(spark, table_path, cur).get("column_map"),
+            column_map=m_cur.get("column_map"),
         )
     if txn is None:
         # TOUCHED-FILES-ONLY rewrite (round 17): one witness scan finds
         # the files that actually hold matching rows; only those are
         # rewritten, the rest carry by reference — O(touched) write IO
-        # instead of O(snapshot). Transactional deletes keep the full
-        # rewrite (their staging composes whole-snapshot chains).
-        m_cur = _read_manifest(spark, table_path, cur)
+        # instead of O(snapshot). A predicate over only partition
+        # columns skips even the witness scan (round 18 — the files
+        # are decided from their hive paths). Transactional deletes
+        # keep the full rewrite (their staging composes whole-snapshot
+        # chains). The full-snapshot plan is built ONLY on the paths
+        # that consume it — never as dead plan-construction work on
+        # the touched-files route.
         files_cur = _resolve_files(spark, table_path, cur)
         doomed = _find_touched_files(spark, files_cur, m_cur, condition)
         if doomed is not None:
-            live_sub = _scan_snapshot_files(spark, doomed, m_cur).where(
-                ~F.coalesce(F.expr(condition), F.lit(False))
-            ) if doomed else None
-            if live_sub is None:
+            if doomed:
+                live_sub = _scan_snapshot_files(spark, doomed, m_cur).where(
+                    ~F.coalesce(F.expr(condition), F.lit(False))
+                )
+            else:
                 # no file holds a matching row: metadata-only version
-                live_sub = snapshot.where(F.lit(False))
+                live_sub = read_table(spark, table_path, cur).where(F.lit(False))
             return _commit_dml_rewrite(
                 spark, table_path, cur, m_cur, doomed, live_sub,
                 op="delete", row_preserving=False,
                 changes_files=changes_files,
             )
+    remaining = read_table(spark, table_path, cur).where(
+        ~F.coalesce(F.expr(condition), F.lit(False))
+    )
     return _write_version(
         remaining, table_path, cur + 1, "delete", expect_latest=cur,
         changes_files=changes_files, txn=txn,
@@ -3240,7 +3320,6 @@ def update_table(
             )
         return out
 
-    updated = _apply_update(snapshot)
     changes_files = None
     if change_data:
         pre = snapshot.where(hit).withColumn(
@@ -3267,7 +3346,10 @@ def update_table(
         # TOUCHED-FILES-ONLY rewrite (round 17; see delete_from_table):
         # UPDATE is row-preserving, so only the files holding matching
         # rows rewrite — a partition-scoped UPDATE of a 100 TB table
-        # writes one partition, not the snapshot.
+        # writes one partition, not the snapshot (and a partition-only
+        # predicate decides the files from their paths, round 18). The
+        # full-snapshot CASE-WHEN plan is built only on the paths that
+        # consume it.
         files_cur = _resolve_files(spark, table_path, cur)
         doomed = _find_touched_files(spark, files_cur, m_cur, condition)
         if doomed is not None:
@@ -3276,15 +3358,15 @@ def update_table(
                     _scan_snapshot_files(spark, doomed, m_cur)
                 )
             else:
-                live_sub = updated.where(F.lit(False))
+                live_sub = _apply_update(snapshot).where(F.lit(False))
             return _commit_dml_rewrite(
                 spark, table_path, cur, m_cur, doomed, live_sub,
                 op="update", row_preserving=True,
                 changes_files=changes_files,
             )
     return _write_version(
-        updated, table_path, cur + 1, "update", expect_latest=cur,
-        changes_files=changes_files, txn=txn,
+        _apply_update(snapshot), table_path, cur + 1, "update",
+        expect_latest=cur, changes_files=changes_files, txn=txn,
     )
 
 
