@@ -119,8 +119,12 @@ def parcel_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializes all of it on one core. No-op at scale."""
     from wnv_etl_lab2_spark.sources.catalog import spread_scan
 
+    # full_width: supplier is ~22 KB but this scan stage hosts every
+    # overlay pair's clip kernel (~0.78 s of CPU at sf0.1) — the
+    # byte-derived width (2 tasks) serialized it (r18 bench regression:
+    # concave/holed clips +35-60%); spread over all task slots.
     return spread_scan(
-        load_table(spark, "supplier", sf_dir), "s_suppkey"
+        load_table(spark, "supplier", sf_dir), "s_suppkey", full_width=True
     ).select(
         F.col("s_suppkey").alias("parcel_id"),
         F.expr(PARCEL_XMIN).alias("pxmin"),

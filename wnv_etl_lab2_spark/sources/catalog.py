@@ -65,7 +65,7 @@ def _size_bytes(conf_val: str) -> int:
     return int(m.group(1)) * _SIZE_MULT[m.group(2)]
 
 
-def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+def spread_scan(df: DataFrame, *keys: str, full_width: bool = False) -> DataFrame:
     """Spread a narrow parquet scan across the session's task slots —
     but ONLY when the files themselves cannot (guide §2.5 input skew /
     §6 input split size): a parquet row group is indivisible, so a
@@ -114,7 +114,13 @@ def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
     )
     if row_groups >= par or total >= par * max_pb:
         return df
-    width = _spread_width(par, total)
+    # ``full_width``: the caller declares the downstream per-row work
+    # is CPU-heavy out of all proportion to the input bytes (e.g. a
+    # tiny probe side whose scan stage hosts every overlay clip kernel
+    # via a broadcast join), so the byte-derived width would starve
+    # cores — spread over every task slot instead (round 18; the
+    # polygon-clip family regressed 1.4-1.6x under the derived width).
+    width = par if full_width else _spread_width(par, total)
     return df.repartition(width, *keys) if keys else df.repartition(width)
 
 
