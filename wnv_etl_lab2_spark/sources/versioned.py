@@ -2910,10 +2910,9 @@ def _partition_predicate_files(
     bit-for-bit. Returns None when the predicate references any data
     column (analysis fails on the partition-only frame) or the table
     is unpartitioned — callers fall back to the witness scan."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
-
     import re as _re
+
+    from pyspark.sql.types import StructType
 
     part_by = list(m.get("partition_by") or [])
     schema_json = m.get("schema")
@@ -2946,16 +2945,35 @@ def _partition_predicate_files(
         vals = _hive_partition_values(f, part_by)
         by_tuple.setdefault(tuple(vals.get(c) for c in part_by), []).append(f)
     keys = list(by_tuple)
-    local = spark.createDataFrame(
-        [(i, *k) for i, k in enumerate(keys)],
-        StructType(
-            [StructField("_pt_i", LongType(), False)]
-            + [StructField(c, StringType(), True) for c in part_by]
-        ),
-    ).select("_pt_i", *[F.col(c).cast(types[c]).alias(c) for c in part_by])
-    hit = F.coalesce(F.expr(condition).cast("boolean"), F.lit(False))
+    # values with characters outside this set would need SQL-literal
+    # escaping whose rules vary with parser flags — not worth the
+    # drift risk for exotic partition values; the witness scan handles
+    # them correctly
+    safe = _re.compile(r"^[-A-Za-z0-9_ .:+@%]*$")
+    if any(v is not None and not safe.match(v) for k in keys for v in k):
+        return None
+    # an inline VALUES relation (NOT createDataFrame, which builds a
+    # parallelized LogicalRDD and turns this probe into a real
+    # 32-partition job — measured 0.27 s): Catalyst's
+    # ConvertToLocalRelation constant-folds the filter over a true
+    # LocalRelation, so the collect returns driver-side with ZERO jobs
+    def lit(v: str | None) -> str:
+        return "NULL" if v is None else f"'{v}'"
+
+    rows_sql = ", ".join(
+        f"({i}, " + ", ".join(lit(v) for v in k) + ")" for i, k in enumerate(keys)
+    )
+    cast_cols = ", ".join(
+        f"CAST(`{c}` AS {types[c].simpleString()}) AS `{c}`" for c in part_by
+    )
+    raw_cols = ", ".join(f"`{c}`" for c in part_by)
+    q = (
+        f"SELECT _pt_i FROM (SELECT _pt_i, {cast_cols} FROM "
+        f"(VALUES {rows_sql}) AS t(_pt_i, {raw_cols})) "
+        f"WHERE coalesce(CAST(({condition}) AS BOOLEAN), false)"
+    )
     try:
-        matched = [r["_pt_i"] for r in local.where(hit).select("_pt_i").collect()]
+        matched = [r["_pt_i"] for r in spark.sql(q).collect()]
     except Exception:
         return None  # references data columns (or uncastable values)
     return [f for i in matched for f in by_tuple[keys[i]]]
