@@ -1140,48 +1140,77 @@ def _scan_snapshot_files(
     else:
         df = spark.read.option("mergeSchema", "true").parquet(*files)
     needs_meta = bool(dv) or bool(partition_by) or keep_meta
-    if needs_meta:
-        # ALL _metadata-derived columns in one projection off the raw
-        # scan: the metadata pseudo-column is only resolvable against
-        # the file source itself
+    meta_attached = False
+    if dv or (needs_meta and schema_json is None):
+        # the DV anti-join needs (_f, _ri) as real columns before the
+        # final projection; attach them in their own select
         df = df.select(
             "*",
             F.col("_metadata.file_path").alias("_f"),
             F.col("_metadata.row_index").alias("_ri"),
         )
+        meta_attached = True
     if dv:
         df = _apply_dv(spark, df, dv, attached=True)
     if schema_json is None and not partition_by and not cmap:
         # legacy (pre-schema-recording) table: raw union scan, as ever
-        if needs_meta and not keep_meta:
+        if meta_attached and not keep_meta:
             df = df.drop("_f", "_ri")
         return df
+    # ONE selectExpr of generated SQL builds the whole logical
+    # projection — partition re-attach from the path, column-map
+    # aliasing, null backfill, row-position bookkeeping — in a single
+    # py4j round trip parsed JVM-side (round 18): the previous
+    # Column-object construction plus per-partition-column withColumn
+    # cost ~90 ms of driver chatter per plan build (~280 py4j commands
+    # measured), paid by every versioned read — the lifecycle rollup
+    # alone builds one read per partition value. When no DV sidecar is
+    # attached, `_metadata` is referenced inline so the scan needs no
+    # intermediate select at all. Names that would need SQL quoting
+    # beyond backticks keep correctness via the backtick form; `q`
+    # rejects embedded backticks loudly rather than mis-quote.
     schema = StructType.fromJson(json.loads(schema_json))
-    if partition_by:
-        types = {f.name: f.dataType for f in schema.fields}
-        for c in partition_by:
-            raw = F.regexp_extract(
-                F.col("_f"), "(?:^|/)" + _re.escape(c) + "=([^/]*)/", 1
-            )
-            val = F.when(
-                raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
-            ).otherwise(F.url_decode(raw))
-            df = df.withColumn(c, val.cast(types[c]))
+
+    def q(name: str) -> str:
+        if "`" in name:
+            raise ValueError(f"unsupported column name {name!r}")
+        return f"`{name}`"
+
+    fpath = "_f" if meta_attached else "_metadata.file_path"
+    exprs = []
+    types = {f.name: f.dataType for f in schema.fields}
     present = set(df.columns)
-    cols = []
     for field in schema.fields:
         if field.name in partition_by:
-            cols.append(F.col(field.name))
+            pat = "(?:^|/)" + _re.escape(field.name) + "=([^/]*)/"
+            # the regex rides inside a SQL single-quoted literal:
+            # double the backslashes (SQL-literal escaping applies
+            # before the regex sees the string) and refuse a quote in
+            # the name loudly rather than mis-quote it
+            if "'" in pat:
+                raise ValueError(f"unsupported partition column {field.name!r}")
+            sql_pat = pat.replace("\\", "\\\\")
+            raw = f"regexp_extract({fpath}, '{sql_pat}', 1)"
+            exprs.append(
+                f"CAST(CASE WHEN {raw} = '__HIVE_DEFAULT_PARTITION__' "
+                f"THEN NULL ELSE url_decode({raw}) END "
+                f"AS {types[field.name].simpleString()}) AS {q(field.name)}"
+            )
             continue
         phys = cmap.get(field.name, field.name)
         if phys in present:
-            cols.append(F.col(phys).alias(field.name))
+            exprs.append(
+                f"{q(phys)} AS {q(field.name)}" if phys != field.name else q(phys)
+            )
         else:
-            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
-    cols.extend(F.col(c) for c in extra_cols if c in present)
+            exprs.append(
+                f"CAST(NULL AS {field.dataType.simpleString()}) AS {q(field.name)}"
+            )
+    exprs.extend(q(c) for c in extra_cols if c in present)
     if keep_meta:
-        cols.extend([F.col("_f"), F.col("_ri")])
-    return df.select(*cols)
+        exprs.append(f"{fpath} AS _f" if not meta_attached else "_f")
+        exprs.append("_metadata.row_index AS _ri" if not meta_attached else "_ri")
+    return df.selectExpr(*exprs)
 
 
 def _write_change_data(
