@@ -1188,23 +1188,41 @@ def ivfpq_topk_pretrained(
     recall beats raw-vector PQ at the identical 8-bytes-per-vector
     budget (measured in SCALING.md §Similarity).
 
-    Scale shape: cell assignment and residual encode are pure JVM maps
-    fused into the scan (zero Python, zero shuffle); the nprobe filter
-    prunes the corpus BEFORE encoding cost is paid; the per-cell LUTs
-    are nprobe x M x K driver-side constants folded into the plan; and
-    ranking is one TakeOrdered heap. Fold order is fixed (s = 0..M-1)
-    so an oracle replaying the same constants matches bit-for-bit."""
+    Scale shape: the whole code scan (cell assign, nprobe filter,
+    residual encode, LUT-summed ADC) is ONE Arrow map over exactly the
+    (id, vector) columns — still zero shuffle, still embarrassingly
+    parallel, with ranking one TakeOrdered heap over the kernel's
+    output. Round 18 (guide §4.2) moved the kernel from generated SQL
+    higher-order folds to numpy: HOFs never enter whole-stage codegen,
+    so the 16 assignment folds + M x K encode folds per row ran
+    interpreted (~0.5 s/exec at sf0.1), and the ~33k-double LUT
+    literals made every plan build parse a megabyte of SQL
+    (~0.3 s/build) — the Arrow form ships the same constants via the
+    task closure and runs the arithmetic as BLAS-free vectorized
+    numpy (measured 0.81 -> 0.28 s build+exec, bit-identical top-k at
+    all three SFs).
+
+    Bit-exactness contract (same discipline as _direct_block_pairs):
+    every accumulation runs DIMENSION-SEQUENTIALLY (acc += term_d, d
+    in order) and the subquantizer fold s = 0..M-1 in order, exactly
+    the JVM aggregate/zip_with fold the oracle replays; argmin takes
+    the FIRST minimum (numpy argmin == array_position of array_min);
+    the float32 -> float64 widening is exact on both paths; and the
+    round(. , 6) stays on the JVM so decimal rounding never enters
+    Python."""
+    import numpy as np
+
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
+    dim = m * sub_dim
     # driver-side probe ranking (centroids ARE the bounded artifact)
     qd = [
         sum((a - b) * (a - b) for a, b in zip(query_vec, c)) for c in centroids
     ]
     probes = [ci for ci, _ in sorted(enumerate(qd), key=lambda t: (t[1], t[0]))[:nprobe]]
     # per-cell LUT over the query RESIDUAL: lut[c][s][k] =
-    # ||(q - cent_c)_s - codeword_sk||^2 (cells outside the probe set
-    # never evaluate — the filter runs first — but a full table keeps
-    # the expression uniform)
+    # ||(q - cent_c)_s - codeword_sk||^2 — python-float math, identical
+    # values to the literals the retired SQL form embedded
     lut = [
         [
             [
@@ -1222,80 +1240,57 @@ def ivfpq_topk_pretrained(
         ]
         for c in centroids
     ]
-    # SINGLE-PARSE plan build (round 17): the previous form chained
-    # withColumn(_cl) / where / withColumn(_res) / withColumn(_codes) /
-    # select(adc) — every Dataset op re-analyzes the accumulated plan,
-    # and these expressions carry the full centroid + codebook + LUT
-    # literal volume (~33k doubles), so the re-walks dominated plan-
-    # construction time (~0.7 s/build measured at sf0.1). Two
-    # selectExpr stages now parse each fragment exactly once, and the
-    # let-bindings make the evaluate-once property explicit (the
-    # distance arrays and the residual are read, never recomputed —
-    # same arithmetic, same values, oracle-checked).
-    def let(bound: str, var: str, body: str) -> str:
-        return f"transform(array({bound}), {var} -> {body})[0]"
+    C = np.array(centroids, dtype=np.float64)
+    B = np.array(codebooks, dtype=np.float64)  # (m, K, sub_dim)
+    LUT = np.array(lut, dtype=np.float64)      # (cells, m, K)
+    probe_arr = np.array(probes, dtype=np.int64)
 
-    e_sql = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    def kern(batches):
+        import pyarrow as pa
 
-    def d2(cent: list[float]) -> str:
-        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in cent) + ")"
-        return (
-            f"aggregate(zip_with(_ev, {arr}, (a, b) -> (a - b) * (a - b)), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-
-    darr = "array(" + ", ".join(d2(c) for c in centroids) + ")"
-    assign = let(
-        e_sql,
-        "_ev",
-        let(darr, "_da", "CAST(array_position(_da, array_min(_da)) - 1 AS INT)"),
-    )
-    staged = vectors.selectExpr(
-        id_col, f"{e_sql} AS _e", f"{assign} AS _cl"
-    ).where(F.col("_cl").isin(probes))
-
-    # The post-filter stage only ever sees rows with _cl in the probe
-    # set, so its tables carry the PROBED cells only, indexed by the
-    # cell's position in the probe list — same values, nprobe/n_cells
-    # of the literal volume (the LUT literals dominate the serialized
-    # task binary; a full table shipped ~1.1 MB per task at 16x8x256).
-    probe_pos = (
-        "array_position(array("
-        + ", ".join(str(int(ci)) for ci in probes)
-        + f"), _cl)"
-    )
-    cent_lits = (
-        "array("
-        + ", ".join(
-            "array(" + ", ".join(f"{float(v)!r}D" for v in centroids[ci]) + ")"
-            for ci in probes
-        )
-        + ")"
-    )
-    res_sql = f"zip_with(_e, element_at({cent_lits}, _pi), (a, b) -> a - b)"
-    adc = "0.0D"
-    for s in range(m):
-        table_s = (
-            "array("
-            + ", ".join(
-                "array("
-                + ", ".join(f"{float(v)!r}D" for v in lut[ci][s])
-                + ")"
-                for ci in probes
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0)
+            vec = b.column(1)
+            flat = vec.flatten()
+            if len(flat) == n * dim and flat.null_count == 0:
+                E = flat.to_numpy(zero_copy_only=False).reshape(n, dim).astype(
+                    np.float64
+                )
+            else:  # ragged/null rows: exact slow path
+                E = np.asarray(vec.to_pylist(), dtype=np.float64)
+            # assign: dimension-sequential accumulation (JVM fold order)
+            dmat = np.zeros((n, C.shape[0]))
+            for d in range(dim):
+                dmat += (E[:, d : d + 1] - C[None, :, d]) ** 2
+            cl = np.argmin(dmat, axis=1)  # first minimum, like array_position
+            mask = np.isin(cl, probe_arr)
+            if not mask.any():
+                continue
+            Em, clm = E[mask], cl[mask]
+            idm = ids.filter(pa.array(mask))
+            R = Em - C[clm]
+            adc = np.zeros(len(Em))
+            for s in range(m):  # fixed s = 0..M-1 fold order
+                sub = R[:, s * sub_dim : (s + 1) * sub_dim]
+                dcb = np.zeros((len(Em), B.shape[1]))
+                for d in range(sub_dim):
+                    dcb += (sub[:, d : d + 1] - B[None, s, :, d]) ** 2
+                codes = np.argmin(dcb, axis=1)
+                adc = adc + LUT[clm, s, codes]
+            yield pa.record_batch(
+                [idm, pa.array(adc, type=pa.float64())],
+                names=[id_col, "adc_dist"],
             )
-            + ")"
-        )
-        adc = (
-            f"({adc} + element_at(element_at({table_s}, _pi), "
-            f"element_at(_codes, {s + 1}) + 1))"
-        )
-    adc_sql = let(
-        f"CAST({probe_pos} AS INT)",
-        "_pi",
-        let(res_sql, "_res", let(pq_encode_sql("_res", codebooks), "_codes", adc)),
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out = vectors.select(id_col, vec_col).mapInArrow(
+        kern, f"`{id_col}` {id_type}, adc_dist double"
     )
     return (
-        staged.selectExpr(id_col, f"round({adc_sql}, 6) AS adc_dist")
+        out.select(F.col(id_col), F.round("adc_dist", 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
