@@ -61,101 +61,89 @@ _LOADED = False
 # after the pinned block; all entries are equally tested by the local
 # oracle gate (tests/test_oracle.py) regardless of position.
 # Rows-only queries allowed inside the 50-entry window THIS round:
-# NONE — every round-17 window slot is exact-oracle.
-FRONT_ROWS_ONLY_OK: set[str] = set()
+# time_travel_audit is part of the r17-pre-committed 30-query r13
+# cohort and is rows-only by nature (it audits version history across
+# time-travel reads; DuckDB has no versioned twin to replay) — the
+# driver's rows-only check is its evidence, as in r13.
+FRONT_ROWS_ONLY_OK: set[str] = {"time_travel_audit"}
 
 _FRONT = [
-    # Round-17 window — exactly the r16 verdict's pre-commitment
-    # (VERDICT.md "Next round: do this" #1):
-    # (a) the TWENTY-FOUR r12-stale queries the r16 window slipped —
-    # the pre-committed head, oldest evidence in the union,
-    # alphabetical;
-    # (b) the ONE new round-17 registration (first driver evidence;
-    # oracle-exact locally): stats_sidecar_lifecycle (per-file column
-    # stats move out of inline manifest JSON into a typed parquet
-    # sidecar behind an O(1) stats_ref pointer; skipping evaluates
-    # executor-side — r16 verdict "what's missing" #1);
-    # (c) EIGHT code-changed queries re-evidenced on change, not age:
-    # txn_dml_lifecycle (+ chained MERGE;DELETE leg — r16 missing #2),
-    # sql_view_lifecycle (+ ALTER VIEW and SHOW CREATE VIEW round-trip
-    # legs — r16 missing #3), analyze_table_lifecycle (collect_stats /
-    # read_table_pruned now sidecar-aware), manifest_sidecar_lifecycle
-    # (_commit gained the stats consolidation choke point),
-    # fsck_repair_lifecycle (stats-sidecar shedding triage),
-    # sql_transaction_lifecycle (txn staging composes MERGE),
-    # merge_clause_matrix + upsert_snapshot_merge (the clause matrix
-    # moved into the shared _merge_result transform);
-    # (d) 17 of the 49-query r13-evidenced cohort, alphabetical.
-    # The 30 r13 queries that slip (gap_fill_interpolate,
-    # groupwise_zscore_arrow, holed_zone_clip,
-    # interleave_mixture_schedule, label_cohesion_stats,
-    # lang_id_heuristic, lang_quality_agg, lookup_enrichment_join,
-    # multiway_join_topk_revenue, neardup_graph_stats,
-    # neardup_keep_better, neardup_threshold_sweep, pricing_summary,
-    # quality_rule_ablation, quality_rules_filter, repetition_filter,
-    # rolling_median_value, schema_ddl_lifecycle, sequence_packing,
-    # source_mixture_weights, spatial_join_count, spatial_zone_rollup,
-    # stable_doc_ids, stop_shingle_report, stratified_sample_topk,
-    # table_profile, time_travel_audit, token_drift_top_contributors,
-    # udtf_token_windows, unigram_logprob_quality) are exact-oracle
-    # queries whose code paths did NOT change this round, all covered
-    # by the local oracle gate every round.
-    # PRE-COMMITTED for round 18: head slots to those 30 slipped r13
-    # queries and any r18 registrations / plan-changed queries, then
-    # the r14-evidenced cohort oldest-first. The rotation invariant
-    # (no registered query's driver evidence older than 5 rounds under
-    # the NEXT pre-commitment) is now a TEST, not a comment:
+    # Round-18 window — exactly the r17 verdict's pre-commitment:
+    # (a) the THIRTY r13-stale queries the r17 window slipped — the
+    # pre-committed head, oldest evidence in the union, alphabetical;
+    # (b) TWENTY code-changed queries re-evidenced on change, not age
+    # (round 18 is an optimization round; there are no new
+    # registrations): the IVFADC Arrow-kernel pair (ann_topk_ivfpq,
+    # ann_topk_ivfpq_refined — the round's highest-semantic-risk
+    # change), the checkpoint-removal pair (logreg_gd_steps,
+    # embedding_pca_power_iteration), the spread-width cohort
+    # (dsir_importance_weights, tfidf_top_terms, ngram_counts_top,
+    # embedding_covariance_int8, dedup_simhash), the minhash-pipeline
+    # consumers (dedup_minhash_lsh, dedup_components,
+    # corpus_curation_stats — shingle width + the one-shot
+    # connected-components probe), and the versioned-surface cohort
+    # whose read/DML plans all changed (selectExpr scan projection,
+    # partition-predicate fast path, deferred snapshot plans, DV
+    # carry): partitioned_table_lifecycle, type_widening_lifecycle,
+    # txn_dml_lifecycle, delta_sql_lifecycle, column_mapping_lifecycle,
+    # stats_sidecar_lifecycle, analyze_table_lifecycle,
+    # fsck_repair_lifecycle.
+    # PRE-COMMITTED for round 19: head slots to the r14-evidenced
+    # cohort oldest-first, then any r19 registrations / plan-changed
+    # queries, then the r15 cohort as slots allow. The rotation
+    # invariant (no registered query's driver evidence older than 5
+    # rounds under the NEXT pre-commitment) stays a TEST:
     # tests/test_entry.py::test_evidence_window_rotation_invariant.
-    "misc_agg_filter_bool",
-    "ngram_counts_top",
-    "ngram_jaccard_pairs",
-    "order_priority_check",
-    "repeated_span_removal",
-    "row_count",
-    "salted_join_agg",
-    "scalar_string_date_funcs",
-    "scd2_customer_history",
-    "semi_join_open_orders",
-    "shipping_priority_buckets",
-    "source_quantile_normalize",
-    "spatial_buffer_erase",
-    "spatial_within_buffer",
-    "split_leakage_check",
-    "spray_targets",
+    "gap_fill_interpolate",
+    "groupwise_zscore_arrow",
+    "holed_zone_clip",
+    "interleave_mixture_schedule",
+    "label_cohesion_stats",
+    "lang_id_heuristic",
+    "lang_quality_agg",
+    "lookup_enrichment_join",
+    "multiway_join_topk_revenue",
+    "neardup_graph_stats",
+    "neardup_keep_better",
+    "neardup_threshold_sweep",
+    "pricing_summary",
+    "quality_rule_ablation",
+    "quality_rules_filter",
+    "repetition_filter",
+    "rolling_median_value",
+    "schema_ddl_lifecycle",
+    "sequence_packing",
+    "source_mixture_weights",
+    "spatial_join_count",
+    "spatial_zone_rollup",
+    "stable_doc_ids",
+    "stop_shingle_report",
+    "stratified_sample_topk",
+    "table_profile",
+    "time_travel_audit",
+    "token_drift_top_contributors",
+    "udtf_token_windows",
+    "unigram_logprob_quality",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_refined",
+    "logreg_gd_steps",
+    "embedding_pca_power_iteration",
+    "dsir_importance_weights",
     "tfidf_top_terms",
-    "train_val_test_split",
-    "unpivot_part_metrics",
-    "window_navigation",
-    "window_range_frame",
-    "window_running_sum",
-    "winnow_fingerprints",
-    "zipf_top_words",
-    "stats_sidecar_lifecycle",
-    "txn_dml_lifecycle",
-    "sql_view_lifecycle",
-    "analyze_table_lifecycle",
-    "manifest_sidecar_lifecycle",
-    "fsck_repair_lifecycle",
-    "sql_transaction_lifecycle",
-    "merge_clause_matrix",
-    "upsert_snapshot_merge",
-    "ann_topk_ivfpq_incremental",
-    "bigram_pmi_top",
-    "binary_frame_fingerprints",
-    "bm25_topk",
-    "classifier_confusion_matrix",
-    "cohort_retention",
-    "column_mapping_lifecycle",
-    "copy_into_lifecycle",
-    "corpus_dashboard",
-    "data_quality_checks",
-    "delta_sql_lifecycle",
+    "ngram_counts_top",
     "embedding_covariance_int8",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "event_dedup_window",
-    "frame_overlap_pairs",
-    "fuzzy_prefix_pairs",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "corpus_curation_stats",
+    "partitioned_table_lifecycle",
+    "type_widening_lifecycle",
+    "txn_dml_lifecycle",
+    "delta_sql_lifecycle",
+    "column_mapping_lifecycle",
+    "stats_sidecar_lifecycle",
+    "analyze_table_lifecycle",
+    "fsck_repair_lifecycle",
 ]
 
 
