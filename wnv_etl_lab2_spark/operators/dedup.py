@@ -585,12 +585,12 @@ def simhash_signatures(
     import pandas as pd
 
     tok = f"filter(split({text_col}, ' '), t -> t <> '')"
-    from wnv_etl_lab2_spark.sources.catalog import scan_width
-
-    # right-sized spreading width (round 18): see _shingled
-    nparts = scan_width(
-        docs, int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    # NOT width-right-sized (round 18): the per-token md5 + conv map
+    # feeding the Arrow kernel is CPU-bound out of all proportion to
+    # input bytes (same class as winnow_fingerprints) — the derived
+    # width starved cores (A/B at 32 cores: full 0.35-0.46 s vs
+    # derived 0.46-0.50 s, and the r18 bench regressed it +0.13 s)
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     # Spread only under-parallel inputs (single-file local scans);
     # getNumPartitions is a plan inspection, not a job.
     if docs.rdd.getNumPartitions() < nparts:
